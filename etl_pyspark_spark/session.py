@@ -1,0 +1,100 @@
+"""One shared SparkSession for the whole engine.
+
+The reference boots a fresh ``local[2]`` 1g/1g JVM per 5000-row chunk
+(reference nyc_taxi_etl.py:14-33, main.py:150-151) — ~10s of JVM
+startup per work unit. Here a single session serves every operator;
+Spark's task scheduler provides the parallelism the reference built
+out of OS processes.
+
+Config choices (and why):
+
+- ``spark.sql.ansi.enabled=false`` — Spark 4 defaults ANSI on, which
+  *errors* on division by zero. The engine pins the permissive
+  semantics (x/0 -> NULL for doubles) that both the reference's
+  guarded divisions (nyc_taxi_etl.py:60-75) and the DuckDB oracle
+  exhibit.
+- ``spark.sql.session.timeZone=UTC`` — fixture timestamps are naive;
+  pinning UTC makes ``hour()``/``date_trunc`` agree with DuckDB
+  regardless of host TZ.
+- ``spark.sql.parquet.compression.codec=zstd`` — the reference zstd-
+  compresses every parquet write (parquet_slicer.py:57,
+  parquet_assembler.py:36); we make it the session default.
+- AQE on (coalesce shuffle partitions, skew-join splitting) — at
+  100 TB the static ``shuffle.partitions`` is never right; AQE
+  re-plans from runtime stats.
+- ``shuffle.partitions`` defaults to cores locally; on a real cluster
+  AQE's coalescing makes the initial number mostly a ceiling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+#: Runtime-settable SQL confs every engine query depends on. Applied
+#: defensively per query (see sources/io.read_table) because the
+#: *caller* may hand us a session built with Spark 4 defaults (ANSI on
+#: -> division by zero errors; host TZ -> hour() drift; nano parquet
+#: rejected).
+RUNTIME_COMPAT_CONF = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def ensure_compat(spark: SparkSession) -> SparkSession:
+    """Pin the runtime confs the engine's semantics rely on."""
+    for k, v in RUNTIME_COMPAT_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some build: session.py defaults cover it
+    return spark
+
+
+def get_session(
+    app_name: str = "etl-pyspark-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local default is ``local[$SPARK_GRAFT_CPUS]``; on a cluster pass
+    ``master=None`` with a spark-submit-provided master. All knobs are
+    plain Spark confs so the same code runs unmodified at 1000
+    executors.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark 4 rejects it
+        # unless nanos are surfaced as epoch-nano longs (we convert to
+        # microsecond timestamps in the reader, matching DuckDB's read)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,129 @@
+"""Sources and sinks.
+
+Covers the reference's whole IO surface (SURVEY.md §2.1, S1-S8) with
+distributed Spark primitives:
+
+- S2/S5 parquet scans      -> ``read_parquet`` (column-pruned,
+  predicate-pushed by the Parquet DataSource; the reference loads the
+  whole file into one Arrow table, parquet_slicer.py:50)
+- S3 row-range partitioner -> Spark's own scan splitting
+  (``spark.sql.files.maxPartitionBytes``); an explicit chunked *write*
+  is ``write_parquet(..., max_records_per_file=N)``
+- S4/S8 zstd parquet sinks -> ``write_parquet`` (session default codec
+  is zstd; see session.py)
+- S6/S7 text round-trip    -> intentionally NOT reproduced (lossy,
+  driver-bound; nyc_taxi_etl.py:105-119, parquet_assembler.py:17-28).
+  DataFrames stay in-engine between operators.
+- S8 gather/union          -> ``gather`` (``unionByName`` reduce); but
+  note ``read_parquet(dir)`` already unions part-files for free.
+
+Scale notes: no function here ever materializes data on the driver;
+every reader returns a lazy DataFrame and every sink is a distributed
+``df.write``. Single-file output (the reference's result.parquet) is
+``coalesce=1`` — only for small results.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pyspark_spark.session import ensure_compat
+
+#: Tables the driver generates under /root/testdata/sf*/ (TESTDATA.md)
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed parquet scan (reference S2/S5 without the eager
+    ``count()`` job of nyc_taxi_etl.py:43)."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table, e.g. ``read_table(spark, sf, 'lineitem')``.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark surfaces
+    as an epoch-nano long (``spark.sql.legacy.parquet.nanosAsLong``);
+    it is normalized here to a microsecond timestamp — the same
+    truncation DuckDB applies on read, so oracles agree.
+
+    ``ensure_compat`` pins ANSI-off/UTC/nanos confs because the caller
+    (e.g. the verify driver) may pass a session built with Spark 4
+    defaults.
+    """
+    ensure_compat(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def read_csv(
+    spark: SparkSession, path: str, header: bool = True, schema=None
+) -> DataFrame:
+    """CSV ingestion (replaces the reference's pandas text-result scan,
+    parquet_assembler.py:17-28, with a distributed reader)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
+    partition_by: list[str] | None = None,
+    coalesce: int | None = None,
+) -> None:
+    """Distributed zstd parquet sink (reference S4/S8).
+
+    ``max_records_per_file`` reproduces the slicer's fixed-row chunking
+    (parquet_slicer.py:53-58) as a *write* option instead of a
+    pre-materialization stage. ``partition_by`` gives hive-style layout
+    for partition pruning at scale.
+    """
+    if coalesce is not None:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def gather(dfs: list[DataFrame]) -> DataFrame:
+    """N-way union by column name (reference assembler's pd.concat,
+    parquet_assembler.py:32, without collecting to one machine)."""
+    if not dfs:
+        raise ValueError("gather() needs at least one DataFrame")
+    return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -1,0 +1,77 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness compare.
+
+The driver (per ``__spark_entry__.py`` docstring) runs each
+``queries()[name]`` and its ``oracle_sql()[name]`` side by side and
+compares row-count + schema + order-insensitive value hash. This
+module reproduces that check so every operator can be verified locally
+before the round's CORRECTNESS run.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from etl_pyspark_spark.sources.io import FIXTURE_TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    """Normalize a cell for order-insensitive comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round-trip through repr at 12 significant digits
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_cell(r[i]) for i in order))
+    out.sort()
+    return [c for _, c in sorted(zip(cols, cols))], out
+
+
+def compare(spark_df, con, sql: str, max_diff_show: int = 5) -> list[str]:
+    """Return a list of mismatch descriptions ([] == match)."""
+    problems: list[str] = []
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(sql)
+    d_cols = rel.columns
+    d_rows = rel.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"schema: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount: spark={len(s_rows)} duckdb={len(d_rows)}")
+    _, sn = _norm_rows(s_cols, s_rows)
+    _, dn = _norm_rows(d_cols, d_rows)
+    if sn != dn:
+        only_s = [r for r in sn if r not in set(dn)][:max_diff_show]
+        only_d = [r for r in dn if r not in set(sn)][:max_diff_show]
+        problems.append(
+            f"values differ; spark-only={only_s} duckdb-only={only_d}"
+        )
+    return problems
