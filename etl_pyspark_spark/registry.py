@@ -235,3 +235,600 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(F.col("l_quantity"), "sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.9): broadcast equi, outer, semi/anti, multiway,
+# range (non-equi), as-of
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_broadcast",
+    oracle=f"""
+    SELECT n_name,
+           {_dec_sum_sql('o_totalprice', 'total_revenue')},
+           count(*) AS n_orders
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension equi join; both dims broadcast so the orders
+    scan never shuffles for the join (only for the final group-by)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dec_sum(F.col("o_totalprice"), "total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6))), 0)
+                AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join keeping customers with zero orders (count=0,
+    total 0)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one finished
+    order; semi joins never duplicate or widen the left side."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'
+                        AND o_orderstatus = 'F')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no finished urgent
+    order (predicate chosen to be non-degenerate on the fixtures)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                  FROM customer GROUP BY c_nationkey),
+         supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                  FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (nations having customers
+    and/or suppliers)."""
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_range",
+    oracle=f"""
+    SELECT r_regionkey AS band_id,
+           count(*) AS n_orders,
+           {_dec_sum_sql('o_totalprice', 'band_total')}
+    FROM orders
+      JOIN region ON o_totalprice >= r_regionkey * 12000.0
+                 AND o_totalprice <  (r_regionkey + 1) * 12000.0
+    GROUP BY r_regionkey
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join: orders bucketed into price bands derived
+    from the 5-row region table. The tiny side broadcasts, so the plan
+    is BroadcastNestedLoopJoin — the only sane physical strategy for a
+    pure range predicate; at scale the small side MUST be the
+    broadcast one (it is, by construction)."""
+    o = read_table(spark, sf_dir, "orders")
+    bands = read_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("band_id"),
+        (F.col("r_regionkey") * 12000.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 12000.0).alias("hi"),
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), "band_total"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch_s,
+           s.signup_epoch_s AS asof_signup_epoch_s,
+           s.signup_value AS asof_signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+        SELECT user_id, ts,
+               CAST(floor(epoch(ts)) AS BIGINT) AS signup_epoch_s,
+               value AS signup_value
+        FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the latest prior signup
+    per user (union + window implementation in operators/joins.py —
+    one shuffle, no UDF, scales to both sides being huge)."""
+    from etl_pyspark_spark.operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_timestamp("ts").alias("purchase_epoch_s"),
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.unix_timestamp("ts").alias("signup_epoch_s"),
+        F.col("value").alias("signup_value"),
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["signup_epoch_s", "signup_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_epoch_s",
+        "asof_signup_epoch_s", "asof_signup_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge of N), never a full sort of the table."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select(
+            "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+        )
+        .limit(15)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rk
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rk
+      FROM customer JOIN orders ON c_custkey = o_custkey)
+    WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via a ranking window + filter (the
+    distributed top-k-per-group idiom; Spark pushes the rk<=3 filter
+    into the window sort as a group-limit)."""
+    from pyspark.sql.window import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS entity_id FROM customer
+    EXCEPT
+    SELECT user_id FROM events
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customer keys that never appear as an event
+    user. ``subtract`` is Spark's EXCEPT DISTINCT (``exceptAll`` would
+    be multiset semantics, which SQL EXCEPT is not)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id")
+    )
+    e = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity_id")
+    )
+    return c.subtract(e)
+
+
+@query(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a column subset (exact distinct)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.9: ranking, lag/lead, frames)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over a per-customer window (one shuffle on
+    o_custkey, in-partition sort)."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           lag(value, 1) OVER w AS prev_value,
+           lead(value, 1) OVER w AS next_value,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w
+             AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead along each user's event timeline (sessionization
+    building block)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    epoch_s = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        epoch_s.alias("epoch_s"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (epoch_s - F.lag(epoch_s, 1).over(w)).alias("secs_since_prev"),
+    )
+
+
+@query(
+    "window_moving_agg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(*) OVER w AS moving_avg_3,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS moving_sum_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame aggregate (3-order moving sum/avg per customer);
+    decimal-cast inside the frame so both engines sum exactly."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, 0)
+    )
+    msum = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+    mcount = F.count(F.lit(1)).over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (msum / mcount).alias("moving_avg_3"),
+        msum.alias("moving_sum_3"),
+    )
+
+
+@query(
+    "window_cumulative",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           first_value(o_orderkey)
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS first_order
+    FROM orders
+    """,
+)
+def q_window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + first_value (cumulative frame)."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(wcum)
+        .cast("double")
+        .alias("running_total"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: JSON / arrays / strings / dates (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column
+    (get_json_object stays JVM-side; no Python in the loop)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select((k % 10).alias("k_mod"), k.alias("k"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("k_sum"))
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode + count: the canonical array pipeline (word
+    frequency top-20 over documents)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "scalar_string_date",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_upper,
+           length(o_orderpriority) AS prio_len,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(o_orderdate AS DATE) AS order_date,
+           concat(o_orderstatus, '-', CAST(year(o_orderdate) AS VARCHAR))
+             AS status_year,
+           abs(o_totalprice - 50000.0) AS price_dev,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_kbucket
+    FROM orders
+    """,
+)
+def q_scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar-function medley (upper, length, substr,
+    year/month/day, concat, abs, floor) — all JVM builtins."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.concat_ws(
+            "-", F.col("o_orderstatus"), F.year("o_orderdate").cast("string")
+        ).alias("status_year"),
+        F.abs(F.col("o_totalprice") - 50000.0).alias("price_dev"),
+        F.floor(F.col("o_totalprice") / 1000.0).alias("price_kbucket"),
+    )
