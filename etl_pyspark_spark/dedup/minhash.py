@@ -1,0 +1,159 @@
+"""MinHash + LSH near-duplicate detection.
+
+Classic Broder MinHash over word n-gram shingles with banded LSH
+(Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* ch. 3),
+expressed entirely in DataFrame operations:
+
+1. shingle: distinct word n-grams per document (explode, no UDF)
+2. hash each shingle with the portable 60-bit md5 hash, reduced
+   mod ``P`` = 2^31-1
+3. ``NUM_PERM`` universal-hash permutations ``(a*h + b) mod P`` with
+   fixed odd constants — signature = min per permutation (single
+   groupBy, 16 ``min`` aggregates)
+4. band signatures into ``BANDS`` bands of ``ROWS_PER_BAND``;
+   candidate pairs share any full band (self-join on the band key)
+5. verify candidates with exact shingle-set Jaccard; keep pairs at or
+   above the threshold
+
+Scale shape: shuffles are keyed by shingle-hash / band-key (never by
+raw text); candidate verification touches only colliding pairs, so the
+O(n^2) comparison space is reduced to the LSH buckets. Every constant
+is pinned so the computation is bit-reproducible in DuckDB SQL (the
+registry's oracle) and at any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pyspark_spark.functions.compat import pround
+from etl_pyspark_spark.functions.text import portable_hash60
+
+#: Mersenne prime 2^31 - 1; (a*h + b) stays < 2^62 — no int64 overflow
+#: in either engine.
+P = 2_147_483_647
+
+NUM_PERM = 16
+BANDS = 8
+ROWS_PER_BAND = 2  # catch probability 1-(1-j^2)^8: j=0.5 -> 0.90, j=0.9 -> ~1
+
+
+def _lcg_constants(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hashes, from a
+    fixed LCG so the same literals are embedded in the oracle SQL."""
+    state = seed
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = (state % (P - 2)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % P
+        out.append((a, b))
+    return out
+
+
+PERM_CONSTANTS: list[tuple[int, int]] = _lcg_constants(NUM_PERM)
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows: distinct word n-grams per document."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One row per id with columns mh0..mh{NUM_PERM-1}."""
+    h = portable_hash60(F.col("shingle")) % P
+    hashed = sh.select(F.col(id_col), h.alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERM_CONSTANTS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band."""
+    bands = []
+    for band in range(BANDS):
+        cols = [f"mh{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(band).alias("band"),
+                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    from functools import reduce
+
+    exploded = reduce(lambda a, b: a.unionByName(b), bands)
+    left = exploded.select(
+        F.col(id_col).alias("id_a"), "band", F.col("band_key")
+    )
+    right = exploded.select(
+        F.col(id_col).alias("id_b"), "band", F.col("band_key")
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verified_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard
+    verification: (doc_id_a, doc_id_b, jaccard)."""
+    sh = shingles(df, text_col, id_col, n).cache()
+    sig = minhash_signatures(sh, id_col)
+    cand = minhash_candidate_pairs(sig, id_col)
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .where(jac >= threshold)
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            pround(jac, 6).alias("jaccard"),
+        )
+    )

@@ -832,3 +832,180 @@ def q_scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("o_totalprice") - 50000.0).alias("price_dev"),
         F.floor(F.col("o_totalprice") / 1000.0).alias("price_kbucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis (BASELINE.json north star; SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+_WS_TOKENS_SQL = "list_filter(string_split({col}, ' '), t -> t <> '')"
+_STOP_HITS_SQL = (
+    "len(list_filter(list_filter(string_split(lower({col}), ' '), t -> t <> ''),"
+    " t -> list_contains({stops}, t)))"
+)
+
+
+def _sql_str_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           length(text) AS n_chars_actual,
+           len({_WS_TOKENS_SQL.format(col='text')}) AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+             AS n_bpe_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+           len(list_distinct({_WS_TOKENS_SQL.format(col='text')}))
+             AS n_unique_words
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words, BPE-ish regex tokens,
+    punctuation chars, unique words — all JVM expressions."""
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length(c).alias("n_chars_actual"),
+        T.ws_token_count(c).alias("n_words"),
+        T.bpe_token_count(c).alias("n_bpe_tokens"),
+        T.punct_count(c).alias("n_punct"),
+        F.size(F.array_distinct(T.ws_tokens(c))).alias("n_unique_words"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len({_WS_TOKENS_SQL.format(col='text')}) AS DOUBLE) AS n_words,
+             CAST({_STOP_HITS_SQL.format(col='text',
+                    stops=_sql_str_list(['the','and','of','to','a','in','is','that']))}
+                  AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                  AS DOUBLE) AS n_punct
+      FROM documents)
+    SELECT doc_id,
+           floor((0.3 * least(n_chars / 400.0, 1.0)
+                + 0.3 * least(n_words / 60.0, 1.0)
+                + 0.3 * least((CASE WHEN n_words > 0 THEN n_stop / n_words
+                                    ELSE 0.0 END) * 8.0, 1.0)
+                + 0.1 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                                    ELSE 0.0 END)) * 1000000.0 + 0.5)
+             / 1000000.0 AS quality
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length/word/stopword/punct
+    signals), deterministic double arithmetic on both engines."""
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", pround(T.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang AS lang_meta,
+        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['the','and','of','to','a','in','is','that']))} AS sc_en,
+        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['der','die','das','und','ist','nicht','ein','zu']))} AS sc_de,
+        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['el','la','de','que','y','en','un','es']))} AS sc_es,
+        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['le','la','et','les','des','un','une','est']))} AS sc_fr
+      FROM documents)
+    SELECT doc_id, lang_meta,
+           CASE WHEN sc_en = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_en > 0 THEN 'en'
+                WHEN sc_de = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_de > 0 THEN 'de'
+                WHEN sc_es = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_es > 0 THEN 'es'
+                WHEN sc_fr = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred,
+           sc_en, sc_de, sc_es, sc_fr
+    FROM s
+    """,
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID (n-gram-free heuristic; ties resolve
+    en > de > es > fr)."""
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    scores = T.language_scores(c)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        T.language_id(c).alias("lang_pred"),
+        scores["en"].alias("sc_en"),
+        scores["de"].alias("sc_de"),
+        scores["es"].alias("sc_es"),
+        scores["fr"].alias("sc_fr"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')),
+                           1, 15))::BIGINT AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 60-bit md5 fingerprint of normalized text (exact-dedup
+    key; identical integer in Spark, DuckDB, Python)."""
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: deduplication (exact; fuzzy variants in dedup/)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT ('0x' || substr(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')),
+                           1, 15))::BIGINT AS fingerprint,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: one deterministic
+    representative (min doc_id) per duplicate group. A hash group-by —
+    the 100 TB shape (no sort, partial agg on the fingerprint)."""
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            T.doc_fingerprint(F.col("text")).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
