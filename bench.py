@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark harness: wall-clock per registered query at one scale factor.
+
+Runs every query in the engine registry against ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the ``noop`` sink (full physical
+execution incl. shuffles and codegen, no filesystem write cost), which
+is the fairest proxy for cluster throughput: it measures the whole
+distributed plan, not a driver ``collect``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _force(df) -> int:
+    """Execute the full plan without materializing to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_pyspark_spark.registry import QUERIES
+    from etl_pyspark_spark.session import get_session
+
+    spark = get_session(app_name="etl-pyspark-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # engine, not first-query JIT+classloading.
+    _force(next(iter(QUERIES.values()))(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            _force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # pragma: no cover - surfaced in JSON
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
