@@ -4,13 +4,15 @@ from etl_pyspark_spark.dedup.minhash import (
     minhash_signatures,
     shingles,
 )
-from etl_pyspark_spark.dedup.simhash import simhash_pairs, simhash_signature
+from etl_pyspark_spark.dedup.ngram import ngram_jaccard_pairs
+from etl_pyspark_spark.dedup.simhash import simhash, simhash_pairs
 
 __all__ = [
     "exact_dedup",
     "minhash_candidate_pairs",
     "minhash_signatures",
+    "ngram_jaccard_pairs",
     "shingles",
+    "simhash",
     "simhash_pairs",
-    "simhash_signature",
 ]

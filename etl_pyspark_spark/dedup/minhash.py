@@ -120,6 +120,102 @@ def minhash_candidate_pairs(
     )
 
 
+# --- DuckDB oracle twins ---------------------------------------------
+#
+# Every stage above is deterministic integer arithmetic on md5 hashes,
+# so the whole MinHash-LSH pipeline replays bit-exactly in DuckDB.
+# These generators embed the same PERM_CONSTANTS literals.
+
+
+def sql_shingles_cte(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> str:
+    """CTEs ``toks`` + ``sh`` matching :func:`shingles` (split keeps
+    empty tokens, 1-based list indexing, DISTINCT per doc)."""
+    gram = " || ' ' || ".join(f"ts[i + {j}]" for j in range(n))
+    return f"""
+    toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS ts
+             FROM {table}),
+    sh AS (SELECT DISTINCT {id_col}, {gram} AS shingle
+           FROM toks, UNNEST(generate_series(1, len(ts) - {n - 1})) AS g(i)
+           WHERE len(ts) >= {n})
+    """
+
+
+def sql_minhash_pairs(
+    id_col: str = "doc_id", threshold: float = 0.5
+) -> str:
+    """SELECT over the ``sh`` CTE producing verified near-dup pairs
+    (doc_id_a, doc_id_b, jaccard) exactly like
+    :func:`verified_near_duplicates`."""
+    from etl_pyspark_spark.functions.compat import sql_pround
+
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(PERM_CONSTANTS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT {id_col}, {band} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_key FROM sig"
+        for band in range(BANDS)
+    )
+    jac = "CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)"
+    return f"""
+    hashed AS (SELECT {id_col},
+                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {P} AS h
+               FROM sh),
+    sig AS (SELECT {id_col}, {mins} FROM hashed GROUP BY {id_col}),
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
+             FROM bands l JOIN bands r
+               ON l.band = r.band AND l.band_key = r.band_key
+             WHERE l.{id_col} < r.{id_col}),
+    sizes AS (SELECT {id_col}, count(*) AS n_sh FROM sh GROUP BY {id_col}),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.{id_col} = c.id_a
+              JOIN sh b ON b.{id_col} = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b),
+    sized AS (SELECT i.id_a, i.id_b, i.n_inter, na.n_sh AS n_a, nb.n_sh AS n_b
+              FROM inter i
+              JOIN sizes na ON na.{id_col} = i.id_a
+              JOIN sizes nb ON nb.{id_col} = i.id_b)
+    SELECT id_a AS doc_id_a, id_b AS doc_id_b, {sql_pround(jac)} AS jaccard
+    FROM sized WHERE {jac} >= {threshold}
+    """
+
+
+def sql_ngram_jaccard_pairs(
+    id_col: str = "doc_id", threshold: float = 0.5
+) -> str:
+    """SELECT over the ``sh`` CTE: exact inverted-index Jaccard pairs
+    (twin of dedup/ngram.ngram_jaccard_pairs)."""
+    from etl_pyspark_spark.functions.compat import sql_pround
+
+    jac = "CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)"
+    return f"""
+    sizes AS (SELECT {id_col}, count(*) AS n_sh FROM sh GROUP BY {id_col}),
+    inter AS (SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                     count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+              GROUP BY 1, 2),
+    sized AS (SELECT i.id_a, i.id_b, i.n_inter, na.n_sh AS n_a, nb.n_sh AS n_b
+              FROM inter i
+              JOIN sizes na ON na.{id_col} = i.id_a
+              JOIN sizes nb ON nb.{id_col} = i.id_b)
+    SELECT id_a AS doc_id_a, id_b AS doc_id_b, {sql_pround(jac)} AS jaccard
+    FROM sized WHERE {jac} >= {threshold}
+    """
+
+
 def verified_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

@@ -1009,3 +1009,216 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("group_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: fuzzy deduplication (MinHash-LSH, exact n-gram Jaccard,
+# SimHash). The full pipelines are deterministic md5 arithmetic, so the
+# DuckDB oracles replay them bit-exactly (SQL generators in dedup/).
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    from etl_pyspark_spark.dedup.minhash import sql_minhash_pairs, sql_shingles_cte
+
+    return f"WITH {sql_shingles_cte()}, {sql_minhash_pairs()}"
+
+
+def _ngram_oracle() -> str:
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_ngram_jaccard_pairs,
+        sql_shingles_cte,
+    )
+
+    return f"WITH {sql_shingles_cte()}, {sql_ngram_jaccard_pairs()}"
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (16 perms, 8 bands x 2 rows) with
+    exact-Jaccard verification at threshold 0.5; candidate space is the
+    LSH buckets, never the O(n^2) pair grid (dedup/minhash.py)."""
+    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return verified_near_duplicates(docs, threshold=0.5)
+
+
+@query("dedup_ngram_jaccard", oracle=_ngram_oracle())
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.5 via the shingle inverted
+    index (complete candidates: any positive-Jaccard pair shares a
+    shingle). The exact-recall twin of dedup_minhash_lsh."""
+    from etl_pyspark_spark.dedup.ngram import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def _simhash_oracle() -> str:
+    from etl_pyspark_spark.dedup.simhash import sql_simhash_cte
+
+    return f"WITH {sql_simhash_cte()} SELECT doc_id, simhash FROM sig"
+
+
+def _simhash_pairs_oracle() -> str:
+    from etl_pyspark_spark.dedup.simhash import sql_simhash_cte, sql_simhash_pairs
+
+    return f"WITH {sql_simhash_cte()} {sql_simhash_pairs()}"
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (token-hash bit voting;
+    dedup/simhash.py)."""
+    from etl_pyspark_spark.dedup.simhash import simhash
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 6, candidates from
+    the 4-byte-band pigeonhole join (Manku et al., WWW'07)."""
+    from etl_pyspark_spark.dedup.simhash import simhash, simhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(simhash(docs))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: similarity search over embeddings (similarity/)
+# ---------------------------------------------------------------------------
+
+
+def _sql_cos(a: str, b: str) -> str:
+    from etl_pyspark_spark.similarity.cosine import sql_cosine
+
+    return sql_pround(sql_cosine(a, b), 6)
+
+
+@query(
+    "embedding_norms",
+    oracle=None,  # set below (needs similarity import)
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + dimensionality per embedding — the sanity scan every
+    vector pipeline starts with; dot/norm stay in whole-stage codegen."""
+    from etl_pyspark_spark.similarity.cosine import as_double, l2_norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        pround(l2_norm(v), 6).alias("l2_norm"),
+    )
+
+
+def _norms_oracle() -> str:
+    from etl_pyspark_spark.similarity.cosine import sql_dot
+
+    return f"""
+    SELECT vec_id, label, len(embedding) AS dim,
+           {sql_pround(f"sqrt({sql_dot('embedding', 'embedding')})", 6)} AS l2_norm
+    FROM embeddings
+    """
+
+
+ORACLES["embedding_norms"] = _norms_oracle()
+
+
+def _cosine_topk_oracle() -> str:
+    cos = _sql_cos("q.embedding", "c.embedding")
+    return f"""
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cos_sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+      JOIN embeddings c ON c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM sims)
+    SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 10
+    """
+
+
+@query("similarity_cosine_topk", oracle=_cosine_topk_oracle())
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 8 query vectors: broadcast
+    nested-loop of the query set against the corpus scan (corpus never
+    shuffles for the join), one window shuffle for the rank."""
+    from etl_pyspark_spark.similarity.cosine import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=10)
+
+
+def _ann_pairs_oracle(threshold: float) -> str:
+    from etl_pyspark_spark.similarity.lsh import sql_banded_cte
+
+    cos = _sql_cos("a.embedding", "b.embedding")
+    return f"""
+    WITH banded AS ({sql_banded_cte('embeddings', 'vec_id', 'embedding')}),
+    cand AS (SELECT DISTINCT l.vid AS id_a, r.vid AS id_b
+             FROM banded l JOIN banded r
+               ON l.band = r.band AND l.bucket = r.bucket
+             WHERE l.vid < r.vid)
+    SELECT c.id_a, c.id_b, {cos} AS cos_sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE {cos} >= {threshold}
+    """
+
+
+@query("similarity_ann_lsh", oracle=_ann_pairs_oracle(0.2))
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs similarity: random-hyperplane LSH buckets
+    (2 bands x 4 bits, deterministic planes) generate candidates; exact
+    cosine >= 0.2 verifies (threshold calibrated to the near-random fixture embeddings; a production near-dup run would use ~0.9). The scale path — no cross join anywhere."""
+    from etl_pyspark_spark.similarity.cosine import as_double, cosine
+    from etl_pyspark_spark.similarity.lsh import candidate_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = candidate_pairs(emb)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = pround(cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 6)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.2)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs
+    with cosine >= 0.4 (fixture-calibrated; production semantic dedup
+    uses ~0.9+). Deliberately the brute-force O(n^2) baseline that
+    similarity_ann_lsh approximates — at 100 TB only the LSH path is
+    viable, and this exact twin exists to measure its recall."""
+    from etl_pyspark_spark.similarity.cosine import as_double, cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = pround(cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.4)
+    )
