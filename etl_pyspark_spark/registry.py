@@ -1222,3 +1222,87 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.4)
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (streaming/windows.py): watermarked event-time
+# windows + stateful dedup, replayed to completion over the bounded
+# fixture so each equals a batch aggregation — which is what the DuckDB
+# oracle computes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour tumbling windows per event_type (watermarked
+    event-time aggregation, AvailableNow replay == batch result)."""
+    from etl_pyspark_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(spark, sf_dir)
+
+
+@query(
+    "stream_sliding_agg",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 1800) * 1800 - o.off AS BIGINT)
+             AS window_start_s,
+           count(*) AS n_events
+    FROM events, UNNEST([0, 1800]) AS o(off)
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1h/30m sliding windows; the oracle materializes the
+    two windows each event belongs to."""
+    from etl_pyspark_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(spark, sf_dir)
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    lagd AS (
+      SELECT user_id, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                    OR tus - lag(tus) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+    sess AS (
+      SELECT user_id, tus,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagd)
+    SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user; the oracle
+    rebuilds sessions with the classic lag/cumsum assignment."""
+    from etl_pyspark_spark.streaming.windows import session_windows
+
+    return session_windows(spark, sf_dir)
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) — append mode
+    emits each key's first sighting only."""
+    from etl_pyspark_spark.streaming.windows import streaming_dedup
+
+    return streaming_dedup(spark, sf_dir)

@@ -69,8 +69,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer division: a double `/ 1000` would round epoch
+            # nanos (> 2^53) and shift some timestamps by 1 us
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     return df
 

@@ -1,0 +1,143 @@
+"""Event-time streaming over the events fixture.
+
+Each operator builds a ``readStream`` plan over the same parquet the
+batch engine reads (file source + ``pathGlobFilter``), applies a
+watermark, and aggregates with event-time windows; results land in a
+memory sink via ``Trigger.AvailableNow`` so a registry query can
+return them as a plain DataFrame. Because every input is replayed,
+the final state equals the batch aggregation — which is exactly what
+the DuckDB oracles compute (registry entries ``stream_*``).
+
+Semantics pinned here:
+
+- Event time is the parquet ``ts`` truncated to microseconds (same as
+  the batch reader and DuckDB's nanos->micros read).
+- Tumbling/sliding windows are epoch-aligned (Spark's ``window()``
+  default, start ``% slide == 0``).
+- Session windows use a 30-minute inactivity gap; a gap of *exactly*
+  the timeout starts a new session (Spark's half-open
+  ``[start, last + gap)``), mirrored in the oracle's ``>=`` lag test.
+- ``complete`` output mode for window aggregates (all state retained;
+  the watermark still bounds state in ``append``/``update``
+  production runs), ``append`` for stateful dedup (rows emitted on
+  first sight).
+
+Scale notes: state for windowed aggregation is keyed by (window, group
+key) and partitioned by Spark's streaming state store — the same
+shuffle keys as the batch group-by. At 100 TB/day the knobs that
+matter are watermark delay (state size) and
+``spark.sql.shuffle.partitions`` for state-store parallelism; the
+operator code is unchanged.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pyspark_spark.session import ensure_compat
+
+_MEM_IDS = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events fixture (schema from the batch
+    reader's parquet footer — metadata only, no data job)."""
+    ensure_compat(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":  # nanosAsLong surface
+        # `div`, not `/`: double division rounds epoch nanos (> 2^53)
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def run_to_memory_table(
+    result: DataFrame, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan to completion (AvailableNow) into a
+    memory sink; return the sink table. Bounded-input replay, so the
+    returned data is the full-history result."""
+    name = f"stream_result_{next(_MEM_IDS)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact value sum."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = run_to_memory_table(agg, spark)
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in
+    exactly two windows)."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory_table(agg, spark)
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+        "n_events",
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory_table(agg, spark)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first sighting of each
+    (user_id, event_type) pair is emitted, later ones dropped.
+    (``dropDuplicatesWithinWatermark`` is the state-bounded variant for
+    unbounded key spaces; unconditional state is fine on this fixture.)
+    """
+    sdf = stream_events(spark, sf_dir)
+    dd = sdf.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory_table(dd, spark, mode="append")
