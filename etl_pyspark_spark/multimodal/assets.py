@@ -1,0 +1,140 @@
+"""Binary-asset operators for multimodal training-data pipelines.
+
+The documents fixture has no real media, so :func:`with_payload`
+derives a deterministic binary payload per row (the UTF-8 bytes of
+``text``) plus typed metadata — the same shape a real pipeline gets
+from ``spark.read.format("binaryFile")`` or a (path, bytes) parquet
+lake: one opaque ``binary`` column + metadata columns.
+
+Design rules for 100 TB of media:
+
+- Metadata (size, checksum, media_type) is computed JVM-side
+  (``length``/``md5`` on binary) — never ship bytes to Python for
+  what an expression can do.
+- Python touches bytes only inside ``mapInPandas``: Arrow moves each
+  partition as a stream of record batches, one Python worker per
+  task, zero driver involvement. Batch size is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor memory
+  is safe regardless of payload skew.
+- Real decoders (PIL/ffmpeg/soundfile) are absent here; the
+  feature extractors below compute deterministic byte statistics
+  instead, so correctness of the *plumbing* is oracle-checkable.
+  :func:`decode_media_stub` marks where a real codec plugs in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: media type assigned round-robin so every type appears in fixtures
+_MEDIA_TYPES = ["image/png", "audio/wav", "video/mp4"]
+
+
+def with_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents -> (doc_id, media_type, payload binary, n_bytes,
+    checksum) — the canonical multimodal asset table shape."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    media = F.element_at(
+        F.array(*[F.lit(m) for m in _MEDIA_TYPES]),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col),
+        media.alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def decode_media_stub(payload: bytes, media_type: str):
+    """Where a real decoder plugs in (PIL.Image.open / soundfile.read /
+    av.open). NOT IMPLEMENTED in this environment — the container has
+    no media libraries; callers use the deterministic byte-statistics
+    extractors below instead.
+    """
+    raise NotImplementedError(
+        "media decoding requires PIL/soundfile/av, which are not "
+        f"available in this environment (media_type={media_type!r}, "
+        f"{len(payload)} bytes)"
+    )
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("min_byte", T.IntegerType()),
+        T.StructField("max_byte", T.IntegerType()),
+    ]
+)
+
+
+def byte_features(assets: DataFrame) -> DataFrame:
+    """Per-asset byte statistics via ``mapInPandas`` (the stand-in for
+    image feature extraction). Arithmetic is done in int64/float64 and
+    rounded portably downstream."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(a) for a in arrs],
+                    "mean_byte": [
+                        float(a.sum()) / len(a) if len(a) else 0.0 for a in arrs
+                    ],
+                    "min_byte": [int(a.min()) if len(a) else 0 for a in arrs],
+                    "max_byte": [int(a.max()) if len(a) else 0 for a in arrs],
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        extract, schema=_FEATURES_SCHEMA
+    )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_bytes", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def frame_sample(assets: DataFrame, stride: int = 64) -> DataFrame:
+    """Every ``stride``-th byte of each payload — the plumbing shape of
+    video frame sampling (fixed-stride record extraction from an
+    opaque payload) with a byte standing in for a frame."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            arrs = [
+                np.frombuffer(b, dtype=np.uint8)[::stride] for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_frames": [len(a) for a in arrs],
+                    "frame_bytes": [[int(x) for x in a] for a in arrs],
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        sample, schema=_FRAME_SCHEMA
+    )

@@ -1306,3 +1306,93 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pyspark_spark.streaming.windows import streaming_dedup
 
     return streaming_dedup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (multimodal/assets.py): metadata JVM-side,
+# byte "decode"/frame-sample via Arrow mapInPandas. Payloads are the
+# UTF-8 bytes of documents.text (pure ASCII fixture), so the DuckDB
+# oracles can replay the byte math with ord(substr(...)).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads (size + md5 checksum
+    + media type), all JVM expressions on the binary column."""
+    from etl_pyspark_spark.multimodal.assets import with_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    return with_payload(docs).select(
+        "doc_id", "media_type", "n_bytes", "checksum"
+    )
+
+
+@query(
+    "multimodal_byte_features",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, unicode(substr(text, i, 1)) AS b
+      FROM documents, UNNEST(generate_series(1, strlen(text))) AS g(i))
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_bytes,
+           {sql_pround('CAST(sum(b) AS DOUBLE) / count(*)', 6)} AS mean_byte,
+           CAST(min(b) AS INT) AS min_byte,
+           CAST(max(b) AS INT) AS max_byte
+    FROM bytes GROUP BY doc_id
+    """,
+)
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction from binary payloads through Arrow-batched
+    mapInPandas (numpy byte stats standing in for image decode — the
+    stub point is multimodal.assets.decode_media_stub)."""
+    from etl_pyspark_spark.multimodal.assets import byte_features, with_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = byte_features(with_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        pround(F.col("mean_byte"), 6).alias("mean_byte"),
+        "min_byte",
+        "max_byte",
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH sampled AS (
+      SELECT doc_id, unicode(substr(text, i, 1)) AS b
+      FROM documents,
+           UNNEST(generate_series(1, strlen(text), 64)) AS g(i))
+    SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+           CAST(sum(b) AS BIGINT) AS frame_byte_sum
+    FROM sampled GROUP BY doc_id
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling from binary payloads (every 64th
+    byte ~ every k-th video frame) via mapInPandas; compared on frame
+    count + sampled-byte sum."""
+    from etl_pyspark_spark.multimodal.assets import frame_sample, with_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    frames = frame_sample(with_payload(docs), stride=64)
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        F.aggregate(
+            "frame_bytes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("frame_byte_sum"),
+    )

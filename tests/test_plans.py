@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions — the 100 TB story, checked.
+
+Correctness says *what* each query returns; these tests pin *how*
+Spark executes it: filters and projections must reach the parquet
+scan, small dimensions must broadcast, global top-N must not do a full
+sort, aggregations must have a map-side partial phase, and the
+flagship narrow pipeline must not shuffle at all. A regression here
+means a plan that still passes the oracle but falls over at scale.
+"""
+
+from __future__ import annotations
+
+from etl_pyspark_spark.registry import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def tree_of(df) -> str:
+    """Just the operator tree (formatted explain repeats every operator
+    in a detail section below the tree, which would double counts)."""
+    plan = plan_of(df)
+    return plan.split("\n\n", 1)[0]
+
+
+def test_filter_project_pushdown(spark, oracle_sf_dir):
+    plan = plan_of(QUERIES["filter_project"](spark, oracle_sf_dir))
+    assert "PushedFilters: [" in plan
+    # every predicate column reaches the parquet reader
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    # the scan reads only the 6 needed columns (4 projected + filters)
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_broadcast_join_plan(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["join_inner_broadcast"](spark, oracle_sf_dir))
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in tree
+    # the fact-table side never shuffles for the joins: the only
+    # non-broadcast exchange is the final group-by
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_sort_limit_is_top_n(spark, oracle_sf_dir):
+    plan = plan_of(QUERIES["sort_limit"](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    assert "Sort " not in plan
+
+
+def test_agg_has_partial_phase(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["agg_pricing_summary"](spark, oracle_sf_dir))
+    # partial (map-side) + final hash aggregate around one exchange
+    assert tree.count("HashAggregate") >= 2
+    assert tree.count("Exchange") == 1
+
+
+def test_reference_pipeline_no_shuffle(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["reference_pipeline"](spark, oracle_sf_dir))
+    assert "Exchange" not in tree  # scan -> filter -> project only
+    # '*' prefixes mark whole-stage-codegen'd operators in formatted mode
+    assert "* Filter" in tree and "* Project" in tree
+
+
+def test_topk_has_window_group_limit(spark, oracle_sf_dir):
+    plan = plan_of(QUERIES["topk_per_group"](spark, oracle_sf_dir))
+    assert "WindowGroupLimit" in plan  # rk<=3 pushed into the sort
+
+
+def test_similarity_topk_corpus_not_shuffled_for_join(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["similarity_cosine_topk"](spark, oracle_sf_dir))
+    assert "BroadcastNestedLoopJoin" in tree  # query set broadcasts
+    # one broadcast exchange (queries) + one shuffle (window rank)
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
