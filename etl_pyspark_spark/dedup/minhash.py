@@ -69,10 +69,10 @@ def shingles(
             ),
         )
     )
-    return (
-        df.where(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
+    # no .distinct(): array_distinct already dedupes within the doc,
+    # and a row-level distinct would add a full shuffle for nothing
+    return df.where(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(grams).alias("shingle")
     )
 
 
@@ -168,20 +168,21 @@ def sql_minhash_pairs(
     )
     jac = "CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)"
     return f"""
-    hashed AS (SELECT {id_col},
-                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {P} AS h
+    hashed AS (SELECT DISTINCT {id_col},
+                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h60
                FROM sh),
-    sig AS (SELECT {id_col}, {mins} FROM hashed GROUP BY {id_col}),
+    sig AS (SELECT {id_col}, {mins} FROM
+            (SELECT {id_col}, h60 % {P} AS h FROM hashed) GROUP BY {id_col}),
     bands AS ({bands}),
     cand AS (SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
              FROM bands l JOIN bands r
                ON l.band = r.band AND l.band_key = r.band_key
              WHERE l.{id_col} < r.{id_col}),
-    sizes AS (SELECT {id_col}, count(*) AS n_sh FROM sh GROUP BY {id_col}),
+    sizes AS (SELECT {id_col}, count(*) AS n_sh FROM hashed GROUP BY {id_col}),
     inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
               FROM cand c
-              JOIN sh a ON a.{id_col} = c.id_a
-              JOIN sh b ON b.{id_col} = c.id_b AND b.shingle = a.shingle
+              JOIN hashed a ON a.{id_col} = c.id_a
+              JOIN hashed b ON b.{id_col} = c.id_b AND b.h60 = a.h60
               GROUP BY c.id_a, c.id_b),
     sized AS (SELECT i.id_a, i.id_b, i.n_inter, na.n_sh AS n_a, nb.n_sh AS n_b
               FROM inter i
@@ -196,16 +197,19 @@ def sql_ngram_jaccard_pairs(
     id_col: str = "doc_id", threshold: float = 0.5
 ) -> str:
     """SELECT over the ``sh`` CTE: exact inverted-index Jaccard pairs
-    (twin of dedup/ngram.ngram_jaccard_pairs)."""
+    (twin of dedup/ngram.ngram_jaccard_pairs; same h60 join keys)."""
     from etl_pyspark_spark.functions.compat import sql_pround
 
     jac = "CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)"
     return f"""
-    sizes AS (SELECT {id_col}, count(*) AS n_sh FROM sh GROUP BY {id_col}),
+    hashed AS (SELECT DISTINCT {id_col},
+                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h60
+               FROM sh),
+    sizes AS (SELECT {id_col}, count(*) AS n_sh FROM hashed GROUP BY {id_col}),
     inter AS (SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
                      count(*) AS n_inter
-              FROM sh a JOIN sh b
-                ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+              FROM hashed a JOIN hashed b
+                ON a.h60 = b.h60 AND a.{id_col} < b.{id_col}
               GROUP BY 1, 2),
     sized AS (SELECT i.id_a, i.id_b, i.n_inter, na.n_sh AS n_a, nb.n_sh AS n_b
               FROM inter i
@@ -216,6 +220,29 @@ def sql_ngram_jaccard_pairs(
     """
 
 
+def hashed_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, h60) distinct 60-bit shingle hashes. Downstream stages
+    (signatures, Jaccard) work on these hashes, never raw shingle
+    strings — both engines derive identical md5 values, so hash-set
+    Jaccard equals string-set Jaccard on each engine identically."""
+    # per-doc uniqueness is guaranteed by shingles(); no shuffle needed
+    return shingles(df, text_col, id_col, n).select(
+        F.col(id_col), portable_hash60(F.col("shingle")).alias("h60")
+    )
+
+
+def minhash_signatures_hashed(hashed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signatures from pre-hashed shingles (one row per id, mh0..mhN)."""
+    h = F.col("h60") % P
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERM_CONSTANTS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
 def verified_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -224,32 +251,54 @@ def verified_near_duplicates(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard
-    verification: (doc_id_a, doc_id_b, jaccard)."""
-    sh = shingles(df, text_col, id_col, n).cache()
-    sig = minhash_signatures(sh, id_col)
+    verification: (doc_id_a, doc_id_b, jaccard).
+
+    Verification shape: each candidate pair pulls the two docs'
+    *sorted hash arrays* (built once by a groupBy) and intersects them
+    vectorized in numpy (``mapInPandas``) — the shingle table is never
+    re-joined per candidate, so verify cost is O(candidates * doc
+    shingle count), independent of corpus size."""
+    from pyspark.sql import types as T
+
+    sh = hashed_shingles(df, text_col, id_col, n).cache()
+    sig = minhash_signatures_hashed(sh, id_col)
     cand = minhash_candidate_pairs(sig, id_col)
 
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("h60")).alias("hs")
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    ).cast("double")
-    return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .where(jac >= threshold)
-        .select(
-            F.col("id_a").alias("doc_id_a"),
-            F.col("id_b").alias("doc_id_b"),
-            pround(jac, 6).alias("jaccard"),
-        )
+    joined = (
+        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
     )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id_a", T.LongType()),
+            T.StructField("doc_id_b", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def jaccard_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_j = [], [], []
+            for ida, idb, hs_a, hs_b in zip(
+                pdf["id_a"], pdf["id_b"], pdf["hs_a"], pdf["hs_b"]
+            ):
+                a = np.asarray(hs_a, dtype=np.int64)
+                b = np.asarray(hs_b, dtype=np.int64)
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                j = inter / float(a.size + b.size - inter)
+                if j >= threshold:  # raw ratio, same as the oracle's WHERE
+                    out_a.append(ida)
+                    out_b.append(idb)
+                    out_j.append(float(np.floor(j * 1e6 + 0.5) / 1e6))
+            yield pd.DataFrame(
+                {"doc_id_a": out_a, "doc_id_b": out_b, "jaccard": out_j}
+            )
+
+    return joined.mapInPandas(jaccard_batches, schema=schema)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_pyspark_spark.dedup.minhash import shingles
+from etl_pyspark_spark.dedup.minhash import hashed_shingles
 from etl_pyspark_spark.functions.compat import pround
 
 
@@ -28,13 +28,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """All (id_a < id_b, jaccard) pairs with exact shingle-set Jaccard
-    >= threshold."""
-    sh = shingles(df, text_col, id_col, n)
+    >= threshold.
+
+    Joins on the 60-bit shingle *hash* (int64), not the string — a
+    ~10x cheaper shuffle key — and caches the hashed postings, which
+    are read three times (sizes + both join sides)."""
+    sh = (
+        hashed_shingles(df, text_col, id_col, n)
+        .dropDuplicates([id_col, "h60"])
+        .cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "h60")
+    b = sh.select(F.col(id_col).alias("id_b"), "h60")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "h60")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -1179,21 +1179,16 @@ def _ann_pairs_oracle(threshold: float) -> str:
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs similarity: random-hyperplane LSH buckets
     (2 bands x 4 bits, deterministic planes) generate candidates; exact
-    cosine >= 0.2 verifies (threshold calibrated to the near-random fixture embeddings; a production near-dup run would use ~0.9). The scale path — no cross join anywhere."""
-    from etl_pyspark_spark.similarity.cosine import as_double, cosine
-    from etl_pyspark_spark.similarity.lsh import candidate_pairs
+    cosine >= 0.2 verifies (threshold calibrated to the near-random
+    fixture embeddings; a production near-dup run would use ~0.9).
+    Pairs are computed per bucket group by one numpy triangle GEMM
+    (applyInPandas) — vectors shuffle at most once per band and the
+    candidate pair list is never materialized. The scale path — no
+    cross join anywhere."""
+    from etl_pyspark_spark.similarity.lsh import bucket_cosine_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cand = candidate_pairs(emb)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    cos = pround(cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 6)
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.2)
-    )
+    return bucket_cosine_pairs(emb, threshold=0.2)
 
 
 @query(
@@ -1208,20 +1203,15 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs
     with cosine >= 0.4 (fixture-calibrated; production semantic dedup
-    uses ~0.9+). Deliberately the brute-force O(n^2) baseline that
-    similarity_ann_lsh approximates — at 100 TB only the LSH path is
-    viable, and this exact twin exists to measure its recall."""
-    from etl_pyspark_spark.similarity.cosine import as_double, cosine
+    uses ~0.9+). Computed with the block-partitioned BLAS algorithm
+    (similarity/blockpairs.py) — exact O(n^2) coverage without a
+    cross join, ~100x faster than per-pair expression eval; the LSH
+    path (similarity_ann_lsh) is the approximate alternative and this
+    exact twin measures its recall."""
+    from etl_pyspark_spark.similarity.blockpairs import block_cosine_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    cos = pround(cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 6)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.4)
-    )
+    return block_cosine_pairs(emb, threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -1395,4 +1385,341 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             "frame_bytes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("frame_byte_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL layer: the engine is also driveable through spark.sql over temp
+# views — demonstrated with TPC-H-shaped analytical queries. (The
+# reference has no SQL surface at all, SURVEY.md TL;DR.)
+# ---------------------------------------------------------------------------
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "sql_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           CAST(year(o_orderdate) AS INT) AS order_year
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, year(o_orderdate)
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape, expressed through the spark.sql surface over
+    temp views — Catalyst plans it identically to the DataFrame API
+    (broadcast the filtered dims, single agg shuffle, top-N)."""
+    _register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql("""
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(year(o_orderdate) AS INT) AS order_year
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, year(o_orderdate)
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """)
+
+
+@query(
+    "sql_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-table join through
+    spark.sql; nation/region broadcast, customer-supplier co-nation
+    equi-condition rides the supplier join."""
+    _register_views(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    return spark.sql("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """)
+
+
+@query(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+                              WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders > 2x their customer's
+    average); Catalyst decorrelates it into an aggregate + join —
+    no per-row re-execution, unlike a naive interpreter."""
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+                                  WHERE i.o_custkey = o.o_custkey)
+    """)
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators (finer control
+    than rollup/cube; one shuffle, expand-node fan-out before it)."""
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+# ---------------------------------------------------------------------------
+# More aggregation surface: exact percentiles, pivot, deterministic
+# sampling, approximate distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentiles",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {sql_pround('quantile_cont(o_totalprice, 0.5)', 6)} AS p50,
+           {sql_pround('quantile_cont(o_totalprice, 0.9)', 6)} AS p90,
+           {sql_pround('quantile_cont(o_totalprice, 0.99)', 6)} AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``). The exact form sorts per group — fine for
+    bounded group counts; unbounded cardinality at 100 TB switches to
+    ``percentile_approx`` (t-digest, mergeable map-side)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        pround(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        pround(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        pround(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "pivot_status_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) FILTER (o_orderstatus = 'O') AS status_O,
+           count(*) FILTER (o_orderstatus = 'F') AS status_F,
+           count(*) FILTER (o_orderstatus = 'P') AS status_P
+    FROM orders GROUP BY 1
+    """,
+)
+def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide) with a pinned value list — pinning avoids the
+    extra distinct-values job AND makes the output schema static, which
+    any 100 TB pipeline wants."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").alias("order_year"), "o_orderstatus")
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "order_year",
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+                              CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+          % 100 < 5
+    """,
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% deterministic hash-sample. ``df.sample()`` is seed-and-
+    partitioning dependent — useless for reproducible pipelines or
+    cross-engine checks; hashing the key is stable under any
+    parallelism, re-run, or engine."""
+    from etl_pyspark_spark.functions.text import portable_hash60
+
+    li = read_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "_",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return li.where(portable_hash60(key) % 100 < 5).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+
+
+@query("approx_count_distinct")  # no oracle: estimator-specific result
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (mergeable sketch — the 100 TB
+    replacement for exact countDistinct's full shuffle). No SQL oracle:
+    Spark's HLL++ and DuckDB's approx estimator differ by design;
+    tests/test_sketches.py bounds the relative error vs exact instead."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.approx_count_distinct("o_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / map scalar functions beyond explode (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           list_sort(toks[1:5]) AS first5_sorted,
+           list_contains(toks, 'spark') AS has_spark,
+           len(list_distinct(toks)) AS n_distinct,
+           list_sort(list_distinct(toks))[1] AS first_token_alpha
+    FROM t
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function medley: slice/sort/contains/distinct/min — all
+    JVM higher-order functions on the token array."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.sort_array(F.slice(toks, 1, 5)).alias("first5_sorted"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_min(F.array_distinct(toks)).alias("first_token_alpha"),
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_id, 'k' AS prop_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_value
+    FROM events
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON -> MapType -> exploded (key, value) rows:
+    from_json(map<string,bigint>) + explode — schemaless-property
+    normalization, the standard event-pipeline shape."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id", F.explode(m).alias("prop_key", "prop_value")
+    ).select("event_id", "prop_key", "prop_value")
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDF surface (Arrow-vectorized Python, SURVEY §2.7): only used
+# where built-ins genuinely cannot express the logic; demonstrated here
+# with a deterministic scorer so the oracle can still check it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pandas_udf_score",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_pround('ln(1.0 + CAST(strlen(text) AS DOUBLE)) / '
+                       '(1.0 + exp(-(CAST(len(list_filter(string_split(text, '
+                       "' '), x -> x <> '')) AS DOUBLE) / 50.0 - 1.0)))", 6)}
+             AS udf_score
+    FROM documents
+    """,
+)
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (numpy log/sigmoid over whole
+    batches — the ~10-100x-faster-than-row-Python path). Deterministic
+    float64 math, so DuckDB replays it exactly."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type hints: registry uses `from __future__ import annotations`,
+    # which stringifies them beyond pandas_udf's resolver
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def score(text):
+        import numpy as np
+
+        n_chars = text.str.len().astype("float64")
+        n_words = text.str.split(" ").map(
+            lambda ts: sum(1 for t in ts if t)
+        ).astype("float64")
+        return pd.Series(
+            np.log1p(n_chars) / (1.0 + np.exp(-(n_words / 50.0 - 1.0)))
+        )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", pround(score(F.col("text")), 6).alias("udf_score")
     )

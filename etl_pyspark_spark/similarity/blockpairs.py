@@ -1,0 +1,106 @@
+"""Exact all-pairs cosine via block-partitioned BLAS.
+
+The naive exact all-pairs plan (cross join + per-pair ``zip_with``
+dot) costs ~10 us/pair in expression evaluation — 12.5 M pairs took
+~2 min at sf0.1 and is hopeless beyond that. This module implements
+the standard distributed block algorithm instead:
+
+1. assign each vector to one of ``B`` deterministic blocks
+   (``vec_id % B``);
+2. materialize the ``B*(B+1)/2`` unordered block pairs;
+3. replicate each block to every pair it participates in (union of a
+   'L'-role and 'R'-role join — each vector is copied ~B+1 times);
+4. ``applyInPandas`` per block pair: one float64 GEMM
+   (``X_L @ X_R.T``) plus norm division gives every cosine in the
+   pair's rectangle; filter ``id_a < id_b`` and the threshold.
+
+Per-executor memory is two blocks of vectors (tunable via ``B``), the
+shuffle moves each vector ~B+1 times, and the O(n^2) flops run in
+BLAS instead of Catalyst expression eval (~100x). This is the exact-
+result complement to the LSH candidate path (similarity/lsh.py) —
+use LSH when approximate recall is acceptable, blocks when the answer
+must be exact.
+
+Numerics: vectors are cast float32->float64 before the GEMM; BLAS
+accumulates in a different order than the oracle's left-to-right
+``list_sum``, so results can differ in the last ulp — the registry
+rounds through ``pround(6)`` on both sides, which absorbs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ]
+)
+
+
+def block_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    num_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold, exactly."""
+    spark = emb.sparkSession
+    blocked = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        (F.col(id_col) % num_blocks).cast("int").alias("blk"),
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j],
+        "bi int, bj int",
+    ).withColumn("pair_id", F.col("bi") * num_blocks + F.col("bj"))
+
+    left = blocked.join(
+        F.broadcast(pairs), blocked.blk == pairs.bi
+    ).select("pair_id", F.lit("L").alias("role"), "vid", "vec", "bi", "bj")
+    right = blocked.join(
+        F.broadcast(pairs), blocked.blk == pairs.bj
+    ).select("pair_id", F.lit("R").alias("role"), "vid", "vec", "bi", "bj")
+    both = left.unionByName(right)
+
+    def gemm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        same_block = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        # same-block pairs arrive with every vector in both roles;
+        # halve to one copy and use the i<j triangle directly
+        lpdf = pdf[pdf["role"] == "L"]
+        rpdf = lpdf if same_block else pdf[pdf["role"] == "R"]
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        lx = np.stack(lpdf["vec"].values).astype("float64")
+        rx = np.stack(rpdf["vec"].values).astype("float64")
+        lids = lpdf["vid"].values
+        rids = rpdf["vid"].values
+        ln = np.sqrt((lx * lx).sum(axis=1))
+        rn = np.sqrt((rx * rx).sum(axis=1))
+        sims = (lx @ rx.T) / np.outer(ln, rn)
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6  # pround twin
+        ia, ib = np.nonzero(sims >= threshold)
+        la, rb = lids[ia], rids[ib]
+        if same_block:
+            # triangle: each unordered pair appears twice in the
+            # square; keep the (low, high) orientation once
+            keep = la < rb
+            id_a, id_b, sim = la[keep], rb[keep], sims[ia, ib][keep]
+        else:
+            # rectangle: each cross-block pair appears exactly once;
+            # normalize orientation, drop nothing
+            id_a = np.minimum(la, rb)
+            id_b = np.maximum(la, rb)
+            sim = sims[ia, ib]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": sim})
+
+    return both.groupBy("pair_id").applyInPandas(gemm, schema=_PAIR_SCHEMA)

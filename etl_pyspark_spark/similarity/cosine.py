@@ -68,6 +68,45 @@ def sql_cosine(a: str, b: str) -> str:
     )
 
 
+def cosine_batch_pandas(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_col: str = "cos_sim",
+    round_to: int = 6,
+) -> DataFrame:
+    """Append a cosine column computed vectorized in numpy via
+    ``mapInPandas`` — for verifying large candidate-pair sets where
+    per-row ``zip_with``/``aggregate`` expression eval dominates
+    (~10 us/pair in Catalyst vs ~0.1 us/pair in BLAS). Rounds with the
+    ``pround`` formula so the oracle twin agrees despite BLAS summation
+    order."""
+    import pyspark.sql.types as T
+
+    out_fields = df.schema.fields + [T.StructField(out_col, T.DoubleType())]
+    schema = T.StructType(out_fields)
+    m = float(10**round_to)
+
+    def compute(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf):
+                a = np.stack(pdf[a_col].values).astype("float64")
+                b = np.stack(pdf[b_col].values).astype("float64")
+                dots = np.einsum("ij,ij->i", a, b)
+                na = np.sqrt(np.einsum("ij,ij->i", a, a))
+                nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = np.where((na > 0) & (nb > 0), dots / (na * nb), np.nan)
+                pdf[out_col] = np.floor(c * m + 0.5) / m
+            else:
+                pdf[out_col] = []
+            yield pdf
+
+    return df.mapInPandas(compute, schema=schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

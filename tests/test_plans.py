@@ -10,20 +10,8 @@ means a plan that still passes the oracle but falls over at scale.
 
 from __future__ import annotations
 
+from etl_pyspark_spark.plans import plan_of, tree_of
 from etl_pyspark_spark.registry import QUERIES
-
-
-def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def tree_of(df) -> str:
-    """Just the operator tree (formatted explain repeats every operator
-    in a detail section below the tree, which would double counts)."""
-    plan = plan_of(df)
-    return plan.split("\n\n", 1)[0]
 
 
 def test_filter_project_pushdown(spark, oracle_sf_dir):

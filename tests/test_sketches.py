@@ -1,0 +1,39 @@
+"""Invariant tests for approximate/probabilistic operators that have
+no SQL oracle (estimator outputs are engine-specific by design)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pyspark_spark.registry import QUERIES
+from etl_pyspark_spark.sources.io import read_table
+
+
+def test_approx_count_distinct_error_bound(spark, oracle_sf_dir):
+    approx = QUERIES["approx_count_distinct"](spark, oracle_sf_dir).first()
+    o = read_table(spark, oracle_sf_dir, "orders")
+    exact = o.agg(
+        F.countDistinct("o_custkey").alias("c"),
+        F.countDistinct("o_orderkey").alias("k"),
+    ).first()
+    # rsd=0.02 requested; allow 3 sigma
+    assert abs(approx.approx_customers - exact.c) / exact.c < 0.06
+    assert abs(approx.approx_orders - exact.k) / exact.k < 0.06
+
+
+def test_lsh_candidates_subset_of_exact(spark, oracle_sf_dir):
+    """Every LSH-verified pair must appear in the exact all-pairs
+    result at the same threshold (LSH trades recall, never precision)."""
+    from etl_pyspark_spark.similarity.blockpairs import block_cosine_pairs
+    from etl_pyspark_spark.similarity.lsh import bucket_cosine_pairs
+
+    emb = read_table(spark, oracle_sf_dir, "embeddings")
+    lsh = {
+        (r.id_a, r.id_b) for r in bucket_cosine_pairs(emb, 0.3).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b) for r in block_cosine_pairs(emb, 0.3).collect()
+    }
+    assert lsh <= exact
+    # and it should find a decent share on this fixture
+    assert len(lsh) > 0.2 * len(exact)
