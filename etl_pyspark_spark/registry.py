@@ -1723,3 +1723,284 @@ def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", pround(score(F.col("text")), 6).alias("udf_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, multiset ops, date/string medleys, structs,
+# second window family — coverage widening per SURVEY §2.9.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_statistics",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_pround('avg(l_quantity)', 6)} AS avg_qty,
+           {sql_pround('stddev_samp(l_quantity)', 6)} AS std_qty,
+           {sql_pround('var_samp(l_quantity)', 6)} AS var_qty,
+           {sql_pround('corr(l_quantity, l_extendedprice)', 4)} AS corr_qty_price,
+           {sql_pround('covar_samp(l_quantity, l_extendedprice)', 6)} AS covar_qty_price,
+           {sql_pround('skewness(l_quantity)', 4)} AS skew_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (avg/stddev/variance/corr/covar/
+    skewness) — single-pass moment computation per group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.avg(q), 6).alias("avg_qty"),
+        pround(F.stddev_samp(q), 6).alias("std_qty"),
+        pround(F.var_samp(q), 6).alias("var_qty"),
+        pround(F.corr(q, p), 4).alias("corr_qty_price"),  # moment accumulation order differs beyond ~1e-6
+        pround(F.covar_samp(q, p), 6).alias("covar_qty_price"),
+        pround(F.skewness(q), 4).alias("skew_qty"),  # third-moment accumulation differs beyond ~1e-6
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+           arg_min(o_orderkey, o_totalprice) AS bottom_orderkey,
+           CAST(max(o_totalprice) AS DOUBLE) AS top_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) — fetch the extreme row's key
+    without a self-join or window. (o_totalprice values are distinct
+    per status group in the fixtures, so the arg is deterministic.)"""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("top_orderkey"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_orderkey"),
+        F.max("o_totalprice").cast("double").alias("top_price"),
+    )
+
+
+@query(
+    "agg_collect_list",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set into a sorted array (collection order is partition-
+    dependent, so determinism comes from sort_array — same rule as the
+    oracle's list_sort)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "set_multiset_ops",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics: min of the two
+    multiplicities per value) — intersectAll, the bag-algebra
+    counterpart of set_intersect."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@query(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast
+    fact-dimension join (part broadcasts; lineitem never shuffles for
+    the join)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "scalar_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,  -- 0=Sunday
+           CAST(weekofyear(o_orderdate) AS INT) AS week
+    FROM orders
+    """,
+)
+def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic medley: datediff, interval add, last_day,
+    quarter trunc, day-of-week, ISO week."""
+    o = read_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01")).cast("bigint").alias(
+            "days_since_epoch_start"
+        ),
+        F.date_add(d, 90).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.to_date(F.date_trunc("quarter", d)).alias("quarter_start"),
+        (F.dayofweek(d) - 1).alias("dow"),  # 0=Sunday, DuckDB numbering
+        F.weekofyear(d).alias("week"),
+    )
+
+
+@query(
+    "scalar_strings2",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           replace(lang, 'e', 'E') AS lang_swapped,
+           reverse(source) AS source_rev,
+           CASE WHEN strpos(text, 'spark') > 0
+                THEN strpos(text, 'spark') ELSE 0 END AS spark_pos,
+           left(upper(text), 12) AS head_upper
+    FROM documents
+    """,
+)
+def q_scalar_strings2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string medley: regexp extract/replace, lpad, replace,
+    reverse, instr, upper+substr — all JVM builtins."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(t, "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(
+            F.substring(t, 1, 2_000_000_000), "[aeiou]", "_"
+        ).alias("devoweled_head"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.regexp_replace("lang", "e", "E").alias("lang_swapped"),
+        F.reverse("source").alias("source_rev"),
+        F.instr(t, "spark").alias("spark_pos"),
+        F.upper(F.substring(t, 1, 12)).alias("head_upper"),
+    )
+
+
+@query(
+    "struct_operations",
+    oracle="""
+    SELECT event_id,
+           {'uid': user_id, 'etype': event_type}.uid AS uid,
+           {'uid': user_id, 'etype': event_type}.etype AS etype,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM events WHERE user_id % 100 = 7
+    """,
+)
+def q_struct_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType construction + field access (named_struct / dot
+    path) — nested types the reference never reaches."""
+    ev = read_table(spark, sf_dir, "events")
+    s = F.struct(
+        F.col("user_id").alias("uid"), F.col("event_type").alias("etype")
+    )
+    return ev.where(F.col("user_id") % 100 == 7).select(
+        "event_id",
+        s.getField("uid").alias("uid"),
+        s.getField("etype").alias("etype"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+@query(
+    "window_distribution",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           {sql_pround('percent_rank() OVER w', 6)} AS pct_rank,
+           {sql_pround('cume_dist() OVER w', 6)} AS cume,
+           nth_value(o_orderkey, 2) OVER w2 AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice ASC, o_orderkey ASC),
+           w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_totalprice ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: percent_rank, cume_dist, nth_value
+    over the full-partition frame."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w2).alias("second_order"),
+    )
+
+
+@query(
+    "explode_variants",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents WHERE doc_id < 20)
+    SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, toks[i] AS token
+    FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+    """,
+)
+def q_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: positional explosion (token index + value)."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(ws_tokens(F.col("text"))))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                F.col("col").alias("token"))
+    )
