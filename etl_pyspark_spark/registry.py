@@ -2004,3 +2004,150 @@ def q_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pos").cast("int").alias("pos"),
                 F.col("col").alias("token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IO round-trips: the reference's scatter/process/gather file pipeline
+# (SURVEY §2.1 S1-S8, §2.5) re-expressed as distributed sinks/scans —
+# typed parquet end-to-end, no pandas text hop (S6/S7 anti-pattern).
+# ---------------------------------------------------------------------------
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+@query(
+    "pipeline_roundtrip",
+    oracle=ORACLES["reference_pipeline"],
+)
+def q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full lifecycle — transform, chunked zstd parquet
+    sink (slicer's fixed-row chunking as a write option,
+    reference parquet_slicer.py:53-58), distributed re-scan (assembler
+    gather, parquet_assembler.py:29-37) — with zero fidelity loss: the
+    oracle is the same SQL as reference_pipeline because a parquet
+    round trip preserves every type and value (the reference's text
+    hop, nyc_taxi_etl.py:110-115, preserved neither)."""
+    from etl_pyspark_spark.sources.io import read_parquet, write_parquet
+
+    out = f"{_SCRATCH}/pipeline_roundtrip"
+    df = QUERIES["reference_pipeline"](spark, sf_dir)
+    write_parquet(df, out, max_records_per_file=5000)
+    return read_parquet(spark, out)
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(year(o_orderdate) AS INT) AS order_year
+    FROM orders WHERE o_orderkey % 10 = 3
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed CSV sink + schema'd CSV scan (replaces the
+    reference's pandas text round trip, parquet_assembler.py:17-28,
+    which re-inferred every dtype; here the explicit read schema
+    pins the types so the round trip is lossless)."""
+    from etl_pyspark_spark.sources.io import read_csv
+
+    out = f"{_SCRATCH}/csv_roundtrip"
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 3)
+    sel = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").alias("order_year"),
+    )
+    sel.write.mode("overwrite").option("header", "true").csv(out)
+    return read_csv(
+        spark,
+        out,
+        schema="o_orderkey bigint, o_orderstatus string, "
+        "o_totalprice double, order_year int",
+    )
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 = 2
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed JSON-lines sink + schema'd scan (the third
+    interchange format next to parquet/csv)."""
+    from etl_pyspark_spark.sources.io import read_json
+
+    out = f"{_SCRATCH}/json_roundtrip"
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 2)
+    d.select("doc_id", "lang", "n_chars").write.mode("overwrite").json(out)
+    return read_json(
+        spark, out, schema="doc_id bigint, lang string, n_chars bigint"
+    )
+
+
+@query("stream_dedup_within_watermark")  # no oracle: batching-dependent
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: streaming dedup whose state is
+    *bounded* by the watermark delay — the production choice for
+    unbounded key spaces (plain dropDuplicates state grows forever).
+    Keys recurring further apart than the delay may legitimately both
+    survive, so the exact result depends on micro-batch boundaries:
+    registered rows-only; tests/test_streaming.py checks the
+    invariants (no within-batch dups, count between distinct-count and
+    input-count)."""
+    from etl_pyspark_spark.streaming.windows import run_to_memory_table, stream_events
+
+    sdf = stream_events(spark, sf_dir)
+    dd = sdf.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory_table(
+        dd.select("user_id", "event_type"), spark, mode="append"
+    )
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           value
+    FROM events WHERE event_type = 'purchase' AND value > 50.0
+    """,
+)
+def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as zstd parquet via
+    the same distributed writer the batch engine uses (idempotent by
+    batch-id partition dir); the query returns the re-scanned sink.
+    This is the streaming->lake shape (what the reference's
+    chunk-text-files wanted to be, nyc_taxi_etl.py:105-119)."""
+    from etl_pyspark_spark.sources.io import read_parquet
+    from etl_pyspark_spark.streaming.windows import stream_events
+
+    out = f"{_SCRATCH}/stream_foreach_batch"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    sdf = stream_events(spark, sf_dir)
+    filtered = sdf.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
+    ).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch_s"), "value"
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").option("compression", "zstd").parquet(
+            f"{out}/batch_id={batch_id}"
+        )
+
+    q = (
+        filtered.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
+    return read_parquet(spark, out).drop("batch_id")
