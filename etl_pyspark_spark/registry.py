@@ -2151,3 +2151,144 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
     return read_parquet(spark, out).drop("batch_id")
+
+
+# ---------------------------------------------------------------------------
+# Skew handling + HAVING + custom stateful streaming
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_salted_hot_keys",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_dec_sum_sql('l_extendedprice', 'sum_price')},
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation over a 3-value hot key
+    (operators/skew.py): identical result to the plain group-by —
+    which is exactly what the oracle asserts — but no single reducer
+    ever sees a whole hot key's rows."""
+    from etl_pyspark_spark.operators.skew import salted_agg
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        salt_cols=["l_orderkey", "l_linenumber"],
+        partial_aggs=[
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("_ps"),
+            F.count(F.lit(1)).alias("_pn"),
+        ],
+        merge_aggs=[
+            F.sum("_ps").cast("double").alias("sum_price"),
+            F.sum("_pn").alias("n"),
+        ],
+    )
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT c_custkey, c_name, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_spent
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    HAVING count(*) >= 15
+    """,
+)
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: post-aggregation HAVING filter (big spenders by
+    order count)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running (count, sum) GroupState, emitted at end of
+    replay. This is the escape hatch for stateful logic that built-in
+    streaming aggregation can't express (custom eviction, nested
+    state machines); here it intentionally reimplements a groupBy so
+    the oracle can verify the state machinery exactly."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from etl_pyspark_spark.streaming.windows import run_to_memory_table, stream_events
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s_micro", T.LongType()),  # decimal(18,6) as int
+        ]
+    )
+
+    def count_events(key, pdfs, state: GroupState):
+        n, s_micro = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # accumulate in integer micros: exact, order-independent,
+            # matches the oracle's DECIMAL(18,6) sum
+            s_micro += int(
+                round(sum(round(float(v) * 1e6) for v in pdf["value"]))
+            )
+        state.update((n, s_micro))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s_micro / 1e6]}
+        )
+
+    sdf = stream_events(spark, sf_dir)
+    counted = (
+        sdf.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    mem = run_to_memory_table(counted, spark, mode="update")
+    # update mode re-emits a user on every batch; the last emission per
+    # user is the final state (single-batch replay emits exactly once)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        mem.select("*", F.row_number().over(w).alias("_rk"))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
