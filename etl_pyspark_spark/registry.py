@@ -506,22 +506,20 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer via a ranking window + filter (the
     distributed top-k-per-group idiom; Spark pushes the rk<=3 filter
     into the window sort as a group-limit)."""
-    from pyspark.sql.window import Window
+    from etl_pyspark_spark.operators.windows import top_k_per_group
 
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("c_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    joined = c.join(o, c.c_custkey == o.o_custkey).select(
+        "c_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .select(
-            "c_custkey",
-            "o_orderkey",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            F.row_number().over(w).alias("rk"),
-        )
-        .where(F.col("rk") <= 3)
+    return top_k_per_group(
+        joined,
+        ["c_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
     )
 
 
@@ -2291,4 +2289,32 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         mem.select("*", F.row_number().over(w).alias("_rk"))
         .where(F.col("_rk") == 1)
         .drop("_rk")
+    )
+
+
+@query(
+    "dedup_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS latest_epoch_s, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key dedup (operators/windows.dedup_latest) —
+    the CDC/training-snapshot staple: one window shuffle on the key,
+    rank filter pushed into the sort as a group-limit."""
+    from etl_pyspark_spark.operators.windows import dedup_latest
+
+    ev = read_table(spark, sf_dir, "events")
+    return dedup_latest(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        F.unix_timestamp("ts").alias("latest_epoch_s"),
+        "value",
     )
