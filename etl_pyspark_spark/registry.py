@@ -2318,3 +2318,176 @@ def q_dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("latest_epoch_s"),
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned lake layout + partition pruning, range frames, Q2/Q22
+# shapes, higher-order functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "partitioned_layout_pruning",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def q_partitioned_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout: write orders partitioned by
+    order_year, read back with a partition filter. The year predicate
+    is resolved from directory names (PartitionFilters in the scan,
+    asserted in tests/test_plans.py) — at 100 TB this is the
+    difference between scanning one partition and scanning the lake."""
+    from etl_pyspark_spark.sources.io import read_parquet, write_parquet
+
+    out = f"{_SCRATCH}/orders_by_year"
+    o = read_table(spark, sf_dir, "orders")
+    write_parquet(
+        o.withColumn("order_year", F.year("o_orderdate")),
+        out,
+        partition_by=["order_year"],
+    )
+    return (
+        read_parquet(spark, out)
+        .where(F.col("order_year") == 1996)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+             AS n_price_neighbors
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): rows within +-1000 of each
+    order's price — value neighborhoods, not row offsets."""
+    o = read_table(spark, sf_dir, "orders")
+    # the python Window API only takes integer offsets; fractional
+    # RANGE frames go through the SQL expression form
+    frame = F.expr(
+        "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        frame.alias("n_price_neighbors"),
+    )
+
+
+@query(
+    "min_per_group_join_back",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey, s.s_suppkey, s.s_name,
+           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN (SELECT s_nationkey, min(s_acctbal) AS min_bal
+          FROM supplier GROUP BY s_nationkey) m
+      ON s.s_nationkey = m.s_nationkey AND s.s_acctbal = m.min_bal
+    """,
+)
+def q_min_per_group_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: aggregate-then-join-back (rows attaining the
+    per-group minimum). The agg side is tiny after reduction, so it
+    broadcasts; no window sort needed."""
+    s = read_table(spark, sf_dir, "supplier")
+    m = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        s.join(
+            F.broadcast(m),
+            (s.s_nationkey == m.nk) & (s.s_acctbal == m.min_bal),
+        )
+        .select(
+            F.col("s_nationkey").alias("nationkey"),
+            "s_suppkey",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+@query(
+    "global_avg_filter_anti",
+    oracle="""
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND year(o_orderdate) >= 1998)
+    """,
+)
+def q_global_avg_filter_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average,
+    computed once and broadcast as a literal-like join) + anti join
+    (customers with positive balance above average and no orders)."""
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND year(o_orderdate) >= 1998)
+    """)
+
+
+@query(
+    "higher_order_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           list_transform(toks[1:3], x -> upper(x)) AS head_upper,
+           len(list_filter(toks, x -> length(x) > 5)) AS n_long,
+           list_has_any(toks, ['spark', 'sql']) AS mentions_engine,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS total_chars,
+           list_reduce(list_prepend('', toks[1:2]),
+                       (acc, x) -> acc || '|' || x) AS piped_head
+    FROM t
+    """,
+)
+def q_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform, filter, exists,
+    aggregate (fold) — lambda expressions compiled into codegen, the
+    JVM-side alternative to exploding + re-grouping."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias(
+            "head_upper"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.exists(
+            toks, lambda x: (x == "spark") | (x == "sql")
+        ).alias("mentions_engine"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.aggregate(
+            F.slice(toks, 1, 2),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, F.lit("|"), x),
+        ).alias("piped_head"),
+    )

@@ -65,3 +65,15 @@ def test_similarity_topk_corpus_not_shuffled_for_join(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" in tree  # query set broadcasts
     # one broadcast exchange (queries) + one shuffle (window rank)
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_partitioned_layout_prunes(spark, oracle_sf_dir):
+    plan = plan_of(QUERIES["partitioned_layout_pruning"](spark, oracle_sf_dir))
+    assert "PartitionFilters: [" in plan
+    pruned = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "order_year" in pruned  # year predicate resolved from dirs
+
+
+def test_min_per_group_join_back_broadcasts(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["min_per_group_join_back"](spark, oracle_sf_dir))
+    assert "BroadcastHashJoin" in tree  # reduced agg side broadcasts
