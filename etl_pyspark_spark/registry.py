@@ -2491,3 +2491,121 @@ def q_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: F.concat(acc, F.lit("|"), x),
         ).alias("piped_head"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar spine, schema evolution, null semantics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_spine_join",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1998-12-01',
+                                         INTERVAL 1 MONTH)) AS DATE) AS month_start),
+    m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                 count(*) AS n_orders
+          FROM orders GROUP BY 1)
+    SELECT spine.month_start, coalesce(m.n_orders, 0) AS n_orders
+    FROM spine LEFT JOIN m ON spine.month_start = m.month_start
+    """,
+)
+def q_date_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine: generate a complete month sequence with
+    ``sequence()`` + explode, left-join actuals, zero-fill gaps — the
+    standard fix for time series that must not silently skip empty
+    periods. The spine is generated in-engine (one row -> explode),
+    never collected or hand-built on the driver."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1998-12-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return spine.join(m, "month_start", "left").select(
+        "month_start", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+
+
+@query(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CASE WHEN year(o_orderdate) >= 1997
+                THEN upper(o_orderpriority) END AS priority_tag
+    FROM orders
+    """,
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution in a parquet lake: an old batch (2 columns) and
+    a new batch (3 columns) coexist in one dataset; ``mergeSchema``
+    reconciles the footers and old rows surface NULL for the added
+    column — append-only evolution with no rewrite of history."""
+    from etl_pyspark_spark.sources.io import write_parquet
+
+    out = f"{_SCRATCH}/orders_evolving"
+    o = read_table(spark, sf_dir, "orders")
+    old_batch = o.where(F.year("o_orderdate") < 1997).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    new_batch = o.where(F.year("o_orderdate") >= 1997).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.upper("o_orderpriority").alias("priority_tag"),
+    )
+    write_parquet(old_batch, f"{out}/batch=old")
+    write_parquet(new_batch, f"{out}/batch=new")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("o_orderkey", "o_totalprice", "priority_tag")
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             nullif(user_id % 97, 0) AS maybe_uid,
+             value
+      FROM events)
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.maybe_uid
+    FROM t a JOIN t b
+      ON a.maybe_uid IS NOT DISTINCT FROM b.maybe_uid
+     AND a.event_id < b.event_id AND a.event_id + 1 = b.event_id
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    *match each other* in the join — the semantics dedup and CDC diff
+    pipelines need (plain `=` silently drops every NULL row)."""
+    ev = read_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.nullif(F.col("user_id") % 97, F.lit(0)).alias("maybe_uid"),
+        "value",
+    )
+    a = t.select(
+        F.col("event_id").alias("id_a"), F.col("maybe_uid").alias("uid_a")
+    )
+    b = t.select(
+        F.col("event_id").alias("id_b"), F.col("maybe_uid").alias("uid_b")
+    )
+    return (
+        a.join(
+            b,
+            a.uid_a.eqNullSafe(b.uid_b)
+            & (a.id_a < b.id_b)
+            & (a.id_a + 1 == b.id_b),
+        )
+        .select("id_a", "id_b", F.col("uid_a").alias("maybe_uid"))
+    )
