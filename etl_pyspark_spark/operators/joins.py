@@ -100,3 +100,77 @@ def asof_join(
         F.col("_lrow.*"),
         *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols],
     )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join via cogrouped ``applyInPandas`` + ``merge_asof``.
+
+    The alternative implementation of :func:`asof_join` for when the
+    per-key history fits a worker (the common case — keys partition
+    the data): both sides shuffle once on the key, each cogroup runs
+    pandas ``merge_asof`` locally. Same semantics (latest right row
+    with ``right_ts <= left_ts``), verified against the same oracle in
+    the registry. Prefer :func:`asof_join` when single keys can exceed
+    executor memory; prefer this one when per-row Python columns are
+    already in play and the window trick's union would double-scan.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_fields = [f for f in left.schema.fields] + [
+        T.StructField(f"asof_{c}", right.schema[c].dataType)
+        for c in right_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    left_cols = list(left.columns)
+
+    # project both sides to unambiguous column names BEFORE the
+    # cogroup: when the two sides share a column name whose value is
+    # also derivable from another selected expression, the planner can
+    # collapse projections and the pandas frame arrives without it
+    # (observed: right 'ts' vanished when both sides also selected
+    # unix_timestamp(ts)). Fresh aliases make every column load-bearing.
+    l_in = left.select(*left_cols, F.col(left_ts).alias("_asof_lts"))
+    r_in = right.select(
+        F.col(key).alias("_asof_rkey"),
+        F.col(right_ts).alias("_asof_rts"),
+        *[F.col(c).alias(f"_asof_in_{c}") for c in right_cols],
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [*left_cols, *[f"asof_{c}" for c in right_cols]]
+        # a side with no rows for this key arrives as a 0-column frame
+        if lpdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        lpdf = lpdf.sort_values("_asof_lts")
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in right_cols:
+                out[f"asof_{c}"] = None
+            return out[out_cols]
+        rpdf = rpdf[["_asof_rts", *[f"_asof_in_{c}" for c in right_cols]]]
+        rpdf = rpdf.sort_values("_asof_rts").rename(
+            columns={f"_asof_in_{c}": f"asof_{c}" for c in right_cols}
+        )
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on="_asof_lts",
+            right_on="_asof_rts",
+            direction="backward",
+        )
+        return merged[out_cols]
+
+    return (
+        l_in.groupBy(key)
+        .cogroup(r_in.groupBy("_asof_rkey"))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -2609,3 +2609,38 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", F.col("uid_a").alias("maybe_uid"))
     )
+
+
+@query("join_asof_cogroup", oracle=ORACLES["join_asof"])
+def q_join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, cogroup implementation: both sides shuffle once on
+    user_id, each cogroup runs pandas merge_asof locally
+    (operators/joins.asof_join_cogroup). Same oracle as join_asof —
+    two independent implementations pinned to one answer."""
+    from etl_pyspark_spark.operators.joins import asof_join_cogroup
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_timestamp("ts").alias("purchase_epoch_s"),
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.unix_timestamp("ts").alias("signup_epoch_s"),
+        F.col("value").alias("signup_value"),
+    )
+    out = asof_join_cogroup(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["signup_epoch_s", "signup_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_epoch_s",
+        "asof_signup_epoch_s", "asof_signup_value",
+    )
