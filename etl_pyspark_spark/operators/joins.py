@@ -138,26 +138,40 @@ def asof_join_cogroup(
     # collapse projections and the pandas frame arrives without it
     # (observed: right 'ts' vanished when both sides also selected
     # unix_timestamp(ts)). Fresh aliases make every column load-bearing.
-    l_in = left.select(*left_cols, F.col(left_ts).alias("_asof_lts"))
+    #
+    # Cogroup on a COARSE hash bucket of the key, not the key itself:
+    # one pandas call per key costs ~10 ms of slicing overhead each
+    # (1500 keys -> ~15 s); bucketing gives ~#partitions calls and
+    # merge_asof's `by=` does the per-key alignment vectorized.
+    buckets = 64
+    bucket = F.pmod(F.hash(F.col(key)), F.lit(buckets))
+    l_in = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_asof_lts"),
+        bucket.alias("_asof_bucket"),
+    )
     r_in = right.select(
         F.col(key).alias("_asof_rkey"),
         F.col(right_ts).alias("_asof_rts"),
+        bucket.alias("_asof_bucket"),
         *[F.col(c).alias(f"_asof_in_{c}") for c in right_cols],
     )
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         out_cols = [*left_cols, *[f"asof_{c}" for c in right_cols]]
-        # a side with no rows for this key arrives as a 0-column frame
+        # a side with no rows for this bucket arrives as a 0-column frame
         if lpdf.empty:
             return pd.DataFrame(columns=out_cols)
-        lpdf = lpdf.sort_values("_asof_lts")
+        lpdf = lpdf.sort_values("_asof_lts", kind="mergesort")
         if rpdf.empty:
             out = lpdf.copy()
             for c in right_cols:
                 out[f"asof_{c}"] = None
             return out[out_cols]
-        rpdf = rpdf[["_asof_rts", *[f"_asof_in_{c}" for c in right_cols]]]
-        rpdf = rpdf.sort_values("_asof_rts").rename(
+        rpdf = rpdf[
+            ["_asof_rkey", "_asof_rts", *[f"_asof_in_{c}" for c in right_cols]]
+        ]
+        rpdf = rpdf.sort_values("_asof_rts", kind="mergesort").rename(
             columns={f"_asof_in_{c}": f"asof_{c}" for c in right_cols}
         )
         merged = pd.merge_asof(
@@ -165,12 +179,14 @@ def asof_join_cogroup(
             rpdf,
             left_on="_asof_lts",
             right_on="_asof_rts",
+            left_by=key,
+            right_by="_asof_rkey",
             direction="backward",
         )
         return merged[out_cols]
 
     return (
-        l_in.groupBy(key)
-        .cogroup(r_in.groupBy("_asof_rkey"))
+        l_in.groupBy("_asof_bucket")
+        .cogroup(r_in.groupBy("_asof_bucket"))
         .applyInPandas(merge, schema=out_schema)
     )

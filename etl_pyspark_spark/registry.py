@@ -2140,13 +2140,16 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{out}/batch_id={batch_id}"
         )
 
-    q = (
-        filtered.writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out}_ckpt")
-        .start()
-    )
-    q.awaitTermination()
+    from etl_pyspark_spark.streaming.windows import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            filtered.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out}_ckpt")
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
     return read_parquet(spark, out).drop("batch_id")
 
@@ -2643,4 +2646,70 @@ def q_join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "purchase_epoch_s",
         "asof_signup_epoch_s", "asof_signup_value",
+    )
+
+
+@query(
+    "multimodal_arrow_stats",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 251 AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def q_multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-pandas Arrow path — RecordBatches in,
+    RecordBatches out, columnar compute via pyarrow.compute. The
+    fastest Python lane (no pandas boxing); right for byte-level
+    metadata over huge binary columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_pyspark_spark.multimodal.assets import with_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    assets = with_payload(docs).select("doc_id", "payload")
+
+    def stats(batches):
+        for batch in batches:
+            n = pc.binary_length(batch.column("payload")).cast(pa.int64())
+            shard = pc.subtract(
+                n, pc.multiply(pc.divide(n, 251), pa.scalar(251, pa.int64()))
+            )  # n % 251 (integer divide truncates; no pc.mod in this pyarrow)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), n, shard],
+                names=["doc_id", "n_bytes", "shard"],
+            )
+
+    return assets.mapInArrow(
+        stats, schema="doc_id bigint, n_bytes bigint, shard bigint"
+    )
+
+
+@query(
+    "map_hof_functions",
+    oracle="""
+    SELECT event_id,
+           2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_doubled,
+           2 AS n_entries,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 AS k_high
+    FROM events
+    """,
+)
+def q_map_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values, map_concat,
+    map_filter, element access — the MapType manipulation surface over
+    the parsed props column."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    merged = F.map_concat(
+        doubled, F.create_map(F.lit("one"), F.lit(1).cast("bigint"))
+    )
+    high = F.map_filter(m, lambda _, v: v >= 50)
+    return ev.select(
+        "event_id",
+        F.element_at(doubled, "k").alias("k_doubled"),
+        F.size(merged).alias("n_entries"),
+        (F.size(high) > 0).alias("k_high"),
     )

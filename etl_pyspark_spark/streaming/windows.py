@@ -33,6 +33,8 @@ operator code is unchanged.
 from __future__ import annotations
 
 import itertools
+import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +42,23 @@ from pyspark.sql import functions as F
 from etl_pyspark_spark.session import ensure_compat
 
 _MEM_IDS = itertools.count()
+
+
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession):
+    """Pin ``shuffle.partitions`` for the duration of a streaming query
+    start. Stateful operators create one state-store instance (with
+    its own checkpoint files and Python worker) per shuffle partition;
+    local runs want few (8), a cluster sizes this to executor count x
+    key cardinality. The conf is read at query start, so restoring it
+    after ``awaitTermination`` cannot affect the running query."""
+    target = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,14 +84,15 @@ def run_to_memory_table(
     memory sink; return the sink table. Bounded-input replay, so the
     returned data is the full-history result."""
     name = f"stream_result_{next(_MEM_IDS)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
