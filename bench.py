@@ -44,9 +44,12 @@ def main() -> None:
     spark = get_session(app_name="etl-pyspark-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once so per-query numbers measure the
-    # engine, not first-query JIT+classloading.
-    _force(next(iter(QUERIES.values()))(spark, sf_dir))
+    # Warm the JVM/codegen paths AND the Python worker pool (numpy
+    # import costs ~0.2s x 32 workers on first pandas-path query) so
+    # per-query numbers measure the engine, not one-time startup.
+    for warm in ("reference_pipeline", "multimodal_byte_features"):
+        if warm in QUERIES:
+            _force(QUERIES[warm](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
