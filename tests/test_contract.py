@@ -1,0 +1,55 @@
+"""Guards on the driver contract (__spark_entry__.py) and bench.py.
+
+The driver imports these surfaces blind; a refactor that renames a
+function or breaks a signature fails the round even if every operator
+is correct. These tests pin the contract shape."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_contract_shapes(spark):
+    mod = _entry_module()
+    qs = mod.queries()
+    os_ = mod.oracle_sql()
+    assert callable(mod.entry)
+    assert isinstance(qs, dict) and len(qs) >= 80
+    assert isinstance(os_, dict)
+    assert set(os_) <= set(qs)  # every oracle has a query
+    # at most a handful of rows-only queries (each must be justified)
+    assert len(set(qs) - set(os_)) <= 3
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["unit"] == "sec"
+    assert payload["n_failed"] == 0
+    assert payload["sf"] == 0.001
+    assert len(payload["queries"]) == payload["n_queries"]
