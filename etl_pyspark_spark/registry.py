@@ -2713,3 +2713,15 @@ def q_map_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(merged).alias("n_entries"),
         (F.size(high) > 0).alias("k_high"),
     )
+
+
+@query("similarity_ivf_topk")  # no oracle: k-means quantizer is estimator-specific
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for 8 query vectors: k-means coarse
+    quantizer (16 cells), 4 probed cells per query, per-cell GEMM
+    (similarity/ivf.py). Rows-only check; tests/test_sketches.py
+    bounds recall against the exact brute-force top-k."""
+    from etl_pyspark_spark.similarity.ivf import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 8))

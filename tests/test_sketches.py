@@ -37,3 +37,15 @@ def test_lsh_candidates_subset_of_exact(spark, oracle_sf_dir):
     assert lsh <= exact
     # and it should find a decent share on this fixture
     assert len(lsh) > 0.2 * len(exact)
+
+
+def test_ivf_recall_vs_exact(spark, oracle_sf_dir):
+    """IVF top-10 must overlap the exact brute-force top-10
+    substantially (nprobe=4 of 16 cells on near-random vectors)."""
+    exact = QUERIES["similarity_cosine_topk"](spark, oracle_sf_dir)
+    approx = QUERIES["similarity_ivf_topk"](spark, oracle_sf_dir)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a) > 0
+    recall = len(a & e) / len(e)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
