@@ -2725,3 +2725,106 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.where(F.col("vec_id") < 8))
+
+
+@query(
+    "disjunctive_predicates",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_type = 'STANDARD' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
+    extracts the common join key as the hash condition and keeps the
+    disjunction residual, plus pushes the per-side implied filters
+    (p_type IN (...), quantity range) below the join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, sz, ty = F.col("l_quantity"), F.col("p_size"), F.col("p_type")
+    cond = (
+        ((ty == "PROMO") & sz.between(1, 15) & q.between(1, 20))
+        | ((ty == "STANDARD") & sz.between(10, 30) & q.between(10, 35))
+        | ((ty == "ECONOMY") & sz.between(20, 50) & q.between(20, 50))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return j.where(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "explode_outer_nulls",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN []
+                  ELSE list_filter(string_split(text, ' '), x -> x <> '')[1:3]
+             END AS toks
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id, u.token
+    FROM t LEFT JOIN (SELECT doc_id AS d2, unnest(toks) AS token FROM t) u
+      ON t.doc_id = u.d2
+    """,
+)
+def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with a NULL
+    element (plain explode silently drops them — a classic data-loss
+    bug in token pipelines)."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.when(
+        F.col("doc_id") % 5 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(ws_tokens(F.col("text")), 1, 3))
+    return (
+        docs.where(F.col("doc_id") < 50)
+        .select("doc_id", F.explode_outer(toks).alias("token"))
+    )
+
+
+@query(
+    "union_missing_columns",
+    oracle="""
+    SELECT o_orderkey AS entity_key, 'order' AS kind,
+           CAST(o_totalprice AS DOUBLE) AS amount,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 100 = 1
+    UNION ALL
+    SELECT c_custkey, 'customer',
+           CAST(c_acctbal AS DOUBLE), NULL
+    FROM customer WHERE c_custkey % 20 = 1
+    """,
+)
+def q_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-divergent
+    entity streams unify with NULL fill — the append-log shape for
+    heterogeneous records."""
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 100 == 1
+    ).select(
+        F.col("o_orderkey").alias("entity_key"),
+        F.lit("order").alias("kind"),
+        F.col("o_totalprice").cast("double").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    c = read_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 20 == 1
+    ).select(
+        F.col("c_custkey").alias("entity_key"),
+        F.lit("customer").alias("kind"),
+        F.col("c_acctbal").cast("double").alias("amount"),
+    )
+    return o.unionByName(c, allowMissingColumns=True)
