@@ -146,11 +146,15 @@ def sql_shingles_cte(
 
 
 def sql_minhash_pairs(
-    id_col: str = "doc_id", threshold: float = 0.5
+    id_col: str = "doc_id", threshold: float = 0.5, final_name: str | None = None
 ) -> str:
     """SELECT over the ``sh`` CTE producing verified near-dup pairs
     (doc_id_a, doc_id_b, jaccard) exactly like
-    :func:`verified_near_duplicates`."""
+    :func:`verified_near_duplicates`.
+
+    With ``final_name``, the final SELECT is emitted as one more named
+    CTE instead, so downstream oracles (e.g. connected components) can
+    keep composing at the same WITH level."""
     from etl_pyspark_spark.functions.compat import sql_pround
 
     mins = ", ".join(
@@ -167,7 +171,11 @@ def sql_minhash_pairs(
         for band in range(BANDS)
     )
     jac = "CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)"
-    return f"""
+    final = (
+        f"SELECT id_a AS doc_id_a, id_b AS doc_id_b, {sql_pround(jac)} AS jaccard"
+        f" FROM sized WHERE {jac} >= {threshold}"
+    )
+    ctes = f"""
     hashed AS (SELECT DISTINCT {id_col},
                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h60
                FROM sh),
@@ -188,9 +196,10 @@ def sql_minhash_pairs(
               FROM inter i
               JOIN sizes na ON na.{id_col} = i.id_a
               JOIN sizes nb ON nb.{id_col} = i.id_b)
-    SELECT id_a AS doc_id_a, id_b AS doc_id_b, {sql_pround(jac)} AS jaccard
-    FROM sized WHERE {jac} >= {threshold}
     """
+    if final_name is not None:
+        return f"{ctes}, {final_name} AS ({final})"
+    return f"{ctes} {final}"
 
 
 def sql_ngram_jaccard_pairs(

@@ -1042,6 +1042,33 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_near_duplicates(docs, threshold=0.5)
 
 
+def _components_oracle() -> str:
+    from etl_pyspark_spark.dedup.components import sql_components_over_pairs
+    from etl_pyspark_spark.dedup.minhash import sql_minhash_pairs, sql_shingles_cte
+
+    return (
+        "WITH RECURSIVE "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + ", "
+        + sql_components_over_pairs("pairs")
+    )
+
+
+@query("dedup_components", oracle=_components_oracle())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labeling: MinHash-LSH pairs -> connected
+    components via distributed hash-min propagation (the keep-one-per-
+    cluster step of corpus dedup); oracle replays it as a recursive
+    CTE (dedup/components.py)."""
+    from etl_pyspark_spark.dedup.components import connected_components
+    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return connected_components(verified_near_duplicates(docs, threshold=0.5))
+
+
 @query("dedup_ngram_jaccard", oracle=_ngram_oracle())
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs >= 0.5 via the shingle inverted
