@@ -2391,6 +2391,38 @@ def q_partitioned_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_join_colocated",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           {_dec_sum_sql("o_totalprice", "total_price")}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: orders and customer bucketed on
+    custkey via saveAsTable, then sort-merge joined with ZERO Exchange
+    on either side (pinned in tests/test_plans.py). The per-query
+    shuffle is pre-paid once at ingest (sources/bucketed.py)."""
+    from etl_pyspark_spark.sources.bucketed import (
+        colocated_join,
+        ensure_bucketed_fixtures,
+    )
+
+    ensure_bucketed_fixtures(spark, sf_dir)
+    j = colocated_join(
+        spark,
+        "orders_bkt",
+        "customer_bkt",
+        lambda l, r: l.o_custkey == r.c_custkey,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@query(
     "window_range_frame",
     oracle="""
     SELECT o_orderkey, o_custkey,

@@ -77,3 +77,11 @@ def test_partitioned_layout_prunes(spark, oracle_sf_dir):
 def test_min_per_group_join_back_broadcasts(spark, oracle_sf_dir):
     tree = tree_of(QUERIES["min_per_group_join_back"](spark, oracle_sf_dir))
     assert "BroadcastHashJoin" in tree  # reduced agg side broadcasts
+
+
+def test_bucketed_join_no_exchange(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["bucketed_join_colocated"](spark, oracle_sf_dir))
+    assert "SortMergeJoin" in tree
+    # bucket co-location: neither join side shuffles; the only
+    # exchange left is the tiny post-aggregation one
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1, tree
