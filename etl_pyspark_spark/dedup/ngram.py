@@ -62,3 +62,84 @@ def ngram_jaccard_pairs(
             pround(jac, 6).alias("jaccard"),
         )
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Same exact result as :func:`ngram_jaccard_pairs`, via **prefix
+    filtering** (Chaudhuri et al. ICDE'06 / PPJoin): with tokens in a
+    fixed global order, any pair with Jaccard >= t must share a token
+    among each side's first ``|d| - ceil(t*|d|) + 1`` tokens — so only
+    that prefix is indexed. At t=0.5 the postings halve and the
+    candidate self-join shrinks ~4x; a length filter
+    (t*|a| <= |b| <= |a|/t) prunes further. Both filters are lossless,
+    so verification against the full shingle sets returns exactly the
+    inverted-index answer (shared oracle).
+
+    Global order = ascending h60 hash: deterministic and
+    cluster-stable. (Rarest-first document-frequency order prunes even
+    harder but costs an extra aggregation + skewed broadcast; hash
+    order is the scale-safe default.)
+    """
+    from pyspark.sql import Window
+
+    sh = (
+        hashed_shingles(df, text_col, id_col, n)
+        .dropDuplicates([id_col, "h60"])
+        .cache()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy(id_col).orderBy("h60")
+    prefix = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(
+            F.col("rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select(id_col, "h60", "n_sh")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "h60", F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "h60", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, "h60")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: t*|a| <= |b| and t*|b| <= |a|
+            & (F.lit(threshold) * F.col("n_a") <= F.col("n_b"))
+            & (F.lit(threshold) * F.col("n_b") <= F.col("n_a"))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    pa = sh.select(F.col(id_col).alias("id_a"), "h60")
+    pb = sh.select(
+        F.col(id_col).alias("id_b2"), F.col("h60").alias("h60_b")
+    )
+    inter = (
+        cand.join(pa, "id_a")
+        .join(
+            pb,
+            (F.col("id_b") == F.col("id_b2"))
+            & (F.col("h60") == F.col("h60_b")),
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return inter.where(jac >= threshold).select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        pround(jac, 6).alias("jaccard"),
+    )

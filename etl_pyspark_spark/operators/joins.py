@@ -45,6 +45,55 @@ def range_join(
     return left.join(right, condition, how)
 
 
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Point-in-interval join where BOTH sides are large (neither
+    broadcastable): rewrite the pure range predicate as a bin
+    equi-join plus residual filter.
+
+    Each interval explodes to the integer bins it overlaps; each point
+    maps to exactly one bin; the join is then a plain hash shuffle on
+    the bin key with the exact containment check evaluated residually.
+    With ``bin_width`` >= the max interval length, each interval lands
+    in at most 2 bins, so the blow-up is bounded at 2x — versus the
+    O(|P| x |I|) nested loop a naive theta join degenerates to when no
+    side fits in memory. A point lives in exactly one bin, so no
+    dedup pass is needed. (Same rewrite DuckDB/Trino apply internally
+    as "IEJoin/binned range join"; Spark has no native one.)
+
+    ``point_col``/``start_col``/``end_col`` must be integer-like
+    (cast dates to epoch days first). Interval is half-open
+    [start, end).
+    """
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width).cast("long"),
+                # end is exclusive: last covered value is end-1
+                F.floor((F.col(end_col) - 1) / bin_width).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / bin_width).cast("long")
+    )
+    return (
+        pt.join(iv, "_bin")
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

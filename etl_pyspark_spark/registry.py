@@ -413,6 +413,49 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_binned",
+    oracle="""
+    WITH iv AS (SELECT o_orderkey,
+                       date_diff('day', DATE '1970-01-01', o_orderdate) AS s
+                FROM orders WHERE o_orderkey % 13 = 0),
+         pt AS (SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS p
+                FROM lineitem WHERE l_orderkey % 17 = 0)
+    SELECT o_orderkey, count(*) AS n_ship_events
+    FROM iv JOIN pt ON p >= s AND p < s + 30
+    GROUP BY o_orderkey
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval join: ship events vs 30-day order windows,
+    rewritten as a bin equi-join + residual filter
+    (operators/joins.range_join_binned). Neither side broadcasts; the
+    shuffle is keyed by bin, blow-up bounded at 2x — the scale path
+    where a naive theta join nested-loops."""
+    from etl_pyspark_spark.operators.joins import range_join_binned
+
+    epoch = F.lit("1970-01-01")
+    iv = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), epoch).alias("s"),
+            (F.datediff(F.col("o_orderdate"), epoch) + 30).alias("e"),
+        )
+    )
+    pt = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 17 == 0)
+        .select(F.datediff(F.col("l_shipdate"), epoch).alias("p"))
+    )
+    return (
+        range_join_binned(pt, iv, "p", "s", "e", bin_width=30)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_ship_events"))
+    )
+
+
+@query(
     "join_asof",
     oracle="""
     SELECT p.event_id,
@@ -1080,6 +1123,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+@query("dedup_ngram_prefix", oracle=_ngram_oracle())
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (PPJoin-style): index only each
+    doc's hash-order prefix, add a length filter, verify candidates
+    against full sets — provably the same pairs as dedup_ngram_jaccard
+    (shared oracle) with ~4x fewer candidate comparisons at t=0.5."""
+    from etl_pyspark_spark.dedup.ngram import ngram_jaccard_pairs_prefix
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+
+
 def _simhash_oracle() -> str:
     from etl_pyspark_spark.dedup.simhash import sql_simhash_cte
 
@@ -1309,6 +1364,26 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pyspark_spark.streaming.windows import session_windows
 
     return session_windows(spark, sf_dir)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delay_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (click->purchase
+    attribution within 30 min per user); the time-range conjunct
+    bounds both sides' state (streaming/joins.py)."""
+    from etl_pyspark_spark.streaming.joins import click_purchase_attribution
+
+    return click_purchase_attribution(spark, sf_dir)
 
 
 @query(

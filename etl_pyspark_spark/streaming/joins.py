@@ -1,0 +1,70 @@
+"""Stream-stream joins with watermark-bounded state.
+
+The click->purchase attribution shape: two live event streams joined
+on user within a bounded event-time window. Structured Streaming
+requires (a) a watermark on both sides and (b) a time-range conjunct
+in the join condition — together they let the engine expire buffered
+rows once the watermark passes ``c_ts + window``, so state is bounded
+by (event rate x window) instead of growing forever. Without the
+range conjunct Spark would buffer both streams in full — the
+unbounded-state trap this module exists to demonstrate avoiding.
+
+AvailableNow replay over the bounded fixture makes the result equal
+the batch join, which is what the registry oracle computes.
+
+Reference has no streaming of any kind (SURVEY.md TL;DR); §2.9
+growth surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pyspark_spark.streaming.windows import (
+    run_to_memory_table,
+    stream_events,
+)
+
+
+def click_purchase_attribution(
+    spark: SparkSession, sf_dir: str, window: str = "30 minutes"
+) -> DataFrame:
+    """Inner stream-stream join: each click pairs with every purchase
+    by the same user in [click_ts, click_ts + window]."""
+    sdf = stream_events(spark, sf_dir)
+    clicks = (
+        sdf.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        sdf.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    )
+    out = joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        # integer µs math — double seconds would round near boundaries
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias(
+            "delay_s"
+        ),
+    )
+    return run_to_memory_table(out, spark, mode="append")
