@@ -49,3 +49,24 @@ def test_streaming_tumbling_equals_batch(spark, oracle_sf_dir):
     assert batch.exceptAll(
         stream.select("window_start_s", "event_type", "n_events")
     ).count() == 0
+
+
+def test_transform_with_state_gated(spark, oracle_sf_dir):
+    """Spark 4 Arbitrary State API v2: runs (and equals the batch
+    GROUP BY) where google.protobuf exists; cleanly gated where not."""
+    import pytest
+
+    from etl_pyspark_spark.streaming.stateful import (
+        per_user_type_counts,
+        v2_state_available,
+    )
+
+    if not v2_state_available():
+        pytest.skip("google.protobuf not installed: v2 state API unavailable")
+    out = per_user_type_counts(spark, oracle_sf_dir)
+    batch = (
+        spark.read.parquet(f"{oracle_sf_dir}/events.parquet")
+        .groupBy("user_id", "event_type")
+        .count()
+    )
+    assert out.count() == batch.count()
