@@ -2172,6 +2172,33 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS l_quantity, l_returnflag
+    FROM lineitem WHERE l_orderkey % 40 = 7
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (zlib): the second columnar format Spark ships
+    natively — same vectorized reader, predicate pushdown and column
+    pruning as parquet, so lakes standardized on ORC plug in with a
+    one-word format switch."""
+    out = f"{_SCRATCH}/orc_roundtrip"
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 40 == 7
+    )
+    sel = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        "l_returnflag",
+    )
+    sel.write.mode("overwrite").option("compression", "zlib").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
     "json_roundtrip",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 = 2
@@ -2865,6 +2892,73 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.where(F.col("vec_id") < 8))
+
+
+@query(
+    "multi_exists_correlated",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY),
+    allsup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+               AND n_name IN ('NATION_1', 'NATION_3')
+    WHERE EXISTS (SELECT 1 FROM allsup l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q_multi_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (sole-late-supplier-in-multi-supplier-order):
+    correlated EXISTS -> left-semi join, NOT EXISTS -> left-anti join,
+    both on the order key with a supplier-mismatch residual; dims
+    broadcast. (Lateness adapted to this fixture's columns: shipped
+    >90 days after o_orderdate.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    allsup = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    has_other = l1.join(
+        allsup.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = has_other.alias("lhs").join(
+        late.alias("l3"),
+        (F.col("lhs.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("lhs.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_3")
+    )
+    return (
+        sole_late.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
 
 
 @query(
