@@ -85,24 +85,28 @@ def ngram_jaccard_pairs_prefix(
     cluster-stable. (Rarest-first document-frequency order prunes even
     harder but costs an extra aggregation + skewed broadcast; hash
     order is the scale-safe default.)
-    """
-    from pyspark.sql import Window
 
-    sh = (
+    Physical shape: each doc's shingle-hash set is collected ONCE into
+    a sorted array (one groupBy); the prefix is then just the first
+    ``|d| - ceil(t*|d|) + 1`` elements (``slice`` — no window, no
+    re-join), and candidate verification intersects the two bundled
+    arrays JVM-side (``array_intersect``). Verify cost is
+    O(candidates x doc size) with no exploded shuffle — an earlier
+    version that re-joined the posting table per candidate was 4x
+    slower than the plain inverted index at sf0.1.
+    """
+    docs = (
         hashed_shingles(df, text_col, id_col, n)
-        .dropDuplicates([id_col, "h60"])
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("h60")).alias("hs"))
+        .withColumn("n_sh", F.size("hs"))
         .cache()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    w = Window.partitionBy(id_col).orderBy("h60")
-    prefix = (
-        sh.withColumn("rn", F.row_number().over(w))
-        .join(sizes, id_col)
-        .where(
-            F.col("rn")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-        )
-        .select(id_col, "h60", "n_sh")
+    plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = docs.select(
+        F.col(id_col),
+        F.explode(F.slice(F.col("hs"), F.lit(1), plen)).alias("h60"),
+        "n_sh",
     )
     a = prefix.select(
         F.col(id_col).alias("id_a"), "h60", F.col("n_sh").alias("n_a")
@@ -121,19 +125,18 @@ def ngram_jaccard_pairs_prefix(
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
-    pa = sh.select(F.col(id_col).alias("id_a"), "h60")
-    pb = sh.select(
-        F.col(id_col).alias("id_b2"), F.col("h60").alias("h60_b")
-    )
     inter = (
-        cand.join(pa, "id_a")
-        .join(
-            pb,
-            (F.col("id_b") == F.col("id_b2"))
-            & (F.col("h60") == F.col("h60_b")),
+        cand.join(
+            docs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")),
+            "id_a",
         )
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(
+            docs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+        )
     )
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")

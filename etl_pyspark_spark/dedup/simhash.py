@@ -35,7 +35,9 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash) — one 32-bit fingerprint per document (docs with
     zero tokens get fingerprint 0 via the left join)."""
-    toks = df.select(
+    from etl_pyspark_spark.sources.io import spread
+
+    toks = spread(df).select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
     )
     h = portable_hash60(F.col("tok"))

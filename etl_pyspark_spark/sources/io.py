@@ -77,6 +77,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a scan whose file layout yields fewer splits than the
+    cluster has cores — the small-file pathology (parquet splits only at
+    row-group boundaries, so a single-row-group file is ONE task no
+    matter how many cores exist), which serializes any CPU-heavy per-row
+    stage (tokenization, hashing) onto one core.
+
+    Guarded: a no-op whenever the scan already has at least half the
+    default parallelism, which is the normal state on a real lake (many
+    files / row groups), so at 100 TB this never inserts the extra
+    round-robin shuffle. Call it only in front of genuinely
+    compute-bound per-row stages; cheap scans don't repay the shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def read_csv(
     spark: SparkSession, path: str, header: bool = True, schema=None
 ) -> DataFrame:
