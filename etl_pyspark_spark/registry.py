@@ -3062,3 +3062,310 @@ def q_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("amount"),
     )
     return o.unionByName(c, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py): sessionization, SCD2,
+# CDC merge — plus remaining TPC-H decision-support shapes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM flagged)
+    SELECT user_id, session_seq, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 30-min inactivity): the
+    window shuffle partitions by user_id and the session groupBy reuses
+    that partitioning — one partition-by-user pass end-to-end. Gap
+    arithmetic in integer microseconds (operators/temporal.py)."""
+    from etl_pyspark_spark.operators.temporal import sessionize
+
+    ev = read_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_seconds=1800)
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           lead(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing dimension): each customer's order
+    history becomes [valid_from, valid_to) validity intervals via
+    lead(); NULL valid_to = current row. One window shuffle on the
+    dimension key."""
+    from etl_pyspark_spark.operators.temporal import scd2_intervals
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    out = scd2_intervals(
+        o, key_col="o_custkey", ts_col="o_orderdate", tiebreak_col="o_orderkey"
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             CAST(o_totalprice * CAST(1.1 AS DOUBLE) AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+    FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge/upsert (batch MERGE INTO): an update batch replaces
+    matching base rows, inserts the rest, base passes through — full
+    outer join + coalesce (operators/temporal.py). With a bucketed
+    base table the base-side exchange disappears entirely."""
+    from etl_pyspark_spark.operators.temporal import merge_upsert
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    base = o.where(F.col("o_orderkey") % 3 != 0)
+    upd = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    return merge_upsert(base, upd, "o_orderkey")
+
+
+_STRATA_THRESH = {  # floor(rate * 2^60), exact integer literals
+    "F": (2**60) // 2,        # 50%
+    "O": (2**60) // 5,        # 20%
+    "P": (4 * 2**60) // 5,    # 80%
+}
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5('strat:' || CAST(o_orderkey AS VARCHAR)),
+                          1, 15))::BIGINT
+          < CASE o_orderstatus
+              WHEN 'F' THEN {_STRATA_THRESH['F']}
+              WHEN 'O' THEN {_STRATA_THRESH['O']}
+              ELSE {_STRATA_THRESH['P']} END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a different rate per stratum
+    (50% F / 20% O / 80% P) by comparing the portable 60-bit key hash
+    against floor(rate*2^60) — the engine-stable version of
+    ``df.sampleBy``, reproducible at any parallelism."""
+    from etl_pyspark_spark.functions.text import portable_hash60
+
+    o = read_table(spark, sf_dir, "orders")
+    h = portable_hash60(
+        F.concat(F.lit("strat:"), F.col("o_orderkey").cast("string"))
+    )
+    thresh = (
+        F.when(F.col("o_orderstatus") == "F", F.lit(_STRATA_THRESH["F"]))
+        .when(F.col("o_orderstatus") == "O", F.lit(_STRATA_THRESH["O"]))
+        .otherwise(F.lit(_STRATA_THRESH["P"]))
+    )
+    return o.where(h < thresh).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+@query(
+    "custdist_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q_custdist_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    with the filter in the ON clause (zero-order customers must
+    survive), count per customer, then histogram the counts. The
+    per-customer groupBy reuses the join's c_custkey partitioning —
+    no extra Exchange before the (tiny) second aggregation."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa USING (l_partkey)
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery avg(l_quantity) per part decorrelates into one
+    per-part aggregate joined back to lineitem; the part dimension
+    filter broadcasts. Per-part averages go through decimal sums so
+    the 0.2*avg threshold is bit-identical across engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): max-over-aggregate via a 1-row
+    broadcast join against the revenue aggregate — no global sort, no
+    single-partition window; ties all survive, as in the spec. Exact
+    decimal revenue sums make the max comparison engine-stable."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_revenue",
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "priority_line_counts",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority line counts): conditional CASE
+    aggregation over a fact-fact join — one shuffle join on the order
+    key, then a tiny two-group aggregate with both counts computed in
+    a single pass (no second scan per CASE branch)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

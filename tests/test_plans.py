@@ -85,3 +85,35 @@ def test_bucketed_join_no_exchange(spark, oracle_sf_dir):
     # bucket co-location: neither join side shuffles; the only
     # exchange left is the tiny post-aggregation one
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1, tree
+
+
+def test_sessionize_single_user_shuffle(spark, oracle_sf_dir):
+    # window + session groupBy share one user_id partitioning: the
+    # whole sessionization is a single partition-by-user pass
+    from etl_pyspark_spark.plans import shuffle_count
+
+    assert shuffle_count(QUERIES["sessionize_events"](spark, oracle_sf_dir)) == 1
+
+
+def test_scd2_single_key_shuffle(spark, oracle_sf_dir):
+    from etl_pyspark_spark.plans import shuffle_count
+
+    assert shuffle_count(QUERIES["scd2_intervals"](spark, oracle_sf_dir)) == 1
+
+
+def test_custdist_reuses_join_partitioning(spark, oracle_sf_dir):
+    # the outer join itself must not shuffle (orders broadcasts at this
+    # scale); only the per-customer count + the tiny histogram shuffle
+    from etl_pyspark_spark.plans import shuffle_count
+
+    df = QUERIES["custdist_distribution"](spark, oracle_sf_dir)
+    assert shuffle_count(df) == 2
+    assert "SortMergeJoin" not in tree_of(df)
+
+
+def test_top_supplier_no_global_sort(spark, oracle_sf_dir):
+    # max-over-aggregate resolves via broadcast equality join — never a
+    # global sort or single-partition window
+    tree = tree_of(QUERIES["top_supplier_revenue"](spark, oracle_sf_dir))
+    assert "SinglePartition" not in tree
+    assert "Window" not in tree
