@@ -138,3 +138,47 @@ def frame_sample(assets: DataFrame, stride: int = 64) -> DataFrame:
     return assets.select("doc_id", "payload").mapInPandas(
         sample, schema=_FRAME_SCHEMA
     )
+
+
+def write_binary_files(assets: DataFrame, out_dir: str) -> None:
+    """Materialize the payload column as one binary file per asset
+    (``<doc_id>.bin``) — the on-disk layout ``spark.read.format
+    ("binaryFile")`` ingests. Files are written task-side via
+    ``foreachPartition`` (each executor writes its own partition's
+    assets; nothing flows through the driver). On a cluster ``out_dir``
+    would be shared/object storage; locally it's a directory."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = assets.select("doc_id", "payload")
+
+    def write_partition(it):
+        for row in it:
+            # atomic-ish per file: temp then rename, so a re-run or
+            # speculative duplicate task never leaves torn files
+            final = os.path.join(out_dir, f"{row['doc_id']}.bin")
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(bytes(row["payload"]))
+            os.replace(tmp, final)
+
+    rows.foreachPartition(write_partition)
+
+
+def read_binary_assets(spark, in_dir: str) -> DataFrame:
+    """``binaryFile`` source scan: (doc_id from filename, n_bytes,
+    checksum). Metadata is computed JVM-side from the content column;
+    ``pathGlobFilter`` prunes non-asset files at the listing, and the
+    scan parallelizes per file."""
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(in_dir)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.length(F.col("content")).alias("n_bytes"),
+        F.md5(F.col("content")).alias("checksum"),
+    )

@@ -3369,3 +3369,204 @@ def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-file source, lake compaction, hypertable rollup, UDAF/UDTF
+# surfaces.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "binary_file_source",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` DataSource round-trip: payloads materialized as
+    one file per asset (task-side foreachPartition, nothing through
+    the driver), re-ingested with pathGlobFilter + per-file splits,
+    metadata (length/md5) computed JVM-side on the content column.
+    This is the real on-disk shape of an image/audio lake."""
+    from etl_pyspark_spark.multimodal.assets import (
+        read_binary_assets,
+        with_payload,
+        write_binary_files,
+    )
+
+    out = f"{_SCRATCH}/binfiles"
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    write_binary_files(with_payload(docs), out)
+    return read_binary_assets(spark, out)
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 4 = 1
+    """,
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented sink (48 tiny part files,
+    the classic foreachBatch residue) compacted to 4 with ``coalesce``
+    — a narrow, zero-shuffle rewrite — then re-scanned losslessly."""
+    from etl_pyspark_spark.sources.io import compact_small_files
+
+    frag = f"{_SCRATCH}/compact_src"
+    dst = f"{_SCRATCH}/compact_dst"
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 4 == 1
+    ).select(
+        "event_id", "user_id", "event_type", "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    ev.repartition(48).write.mode("overwrite").parquet(frag)
+    return compact_small_files(spark, frag, dst, target_files=4)
+
+
+@query(
+    "time_rollup_multigrain",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2),
+    daily AS (
+      SELECT date_trunc('day', bucket_start) AS bucket_start, event_type,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(sum(CAST(sum_value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM hourly GROUP BY 1, 2),
+    weekly AS (
+      SELECT date_trunc('week', bucket_start) AS bucket_start, event_type,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(sum(CAST(sum_value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM daily GROUP BY 1, 2)
+    SELECT 'hour' AS grain, * FROM hourly
+    UNION ALL SELECT 'day', * FROM daily
+    UNION ALL SELECT 'week', * FROM weekly
+    """,
+)
+def q_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (hour -> day -> week):
+    each coarser grain re-aggregates the FINER aggregate, not the raw
+    events — at 100 TB the day/week rollups read thousands of rows
+    instead of billions. Re-aggregation stays exact because sums pass
+    through decimals at every level (a double re-sum would drift with
+    partitioning). Spark caches the hourly aggregate; day and week
+    reuse it."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value"), "sum_value"),
+        )
+        .cache()
+    )
+
+    def roll_up(df: DataFrame, grain: str) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(grain, F.col("bucket_start")).alias("bucket_start"),
+            "event_type",
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            dec_sum(F.col("sum_value"), "sum_value"),
+        )
+
+    daily = roll_up(hourly, "day").cache()
+    weekly = roll_up(daily, "week")
+    tag = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("grain"), "bucket_start", "event_type",
+        "n_events", "sum_value",
+    )
+    return (
+        tag(hourly, "hour")
+        .unionByName(tag(daily, "day"))
+        .unionByName(tag(weekly, "week"))
+    )
+
+
+@query(
+    "grouped_median_udaf",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type, value AS median_value
+    FROM s WHERE rn = (n + 1) // 2
+    """,
+)
+def q_grouped_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: lower median per group via a grouped-agg
+    pandas UDF (Series -> scalar, Arrow-batched — Spark has no exact
+    distributed median aggregate; percentile_approx is a sketch).
+    Selecting an ELEMENT (not interpolating) keeps the result
+    engine-exact. Scale note: a grouped-agg pandas UDF materializes
+    each group in one worker — fine for bounded group counts like
+    event types; use approx sketches when groups can be huge."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: hint-based inference needs pandas importable
+    # from the module globals where annotations resolve
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def lower_median(v):
+        s = v.sort_values().reset_index(drop=True)
+        return float(s.iloc[(len(s) - 1) // 2])
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        lower_median(F.col("value")).alias("median_value")
+    )
+
+
+@query(
+    "udtf_numbered_tokens",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ts
+               FROM documents WHERE doc_id < 30)
+    SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, ts[g.i] AS token
+    FROM t, UNNEST(generate_series(1, len(ts))) AS g(i)
+    """,
+)
+def q_udtf_numbered_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): a table function emitting
+    (pos, token) rows per input document, applied with LATERAL.
+    Coverage of the UDTF API — row-at-a-time Python is the slow path;
+    the production equivalent is posexplode(ws_tokens(...)), which the
+    explode_tokens query already pins."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class NumberedTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            pos = 0
+            for tok in text.split(" "):
+                if tok != "":
+                    yield pos, tok
+                    pos += 1
+
+    spark.udtf.register("numbered_tokens", NumberedTokens)
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.pos, f.token
+        FROM udtf_docs d, LATERAL numbered_tokens(d.text) f
+        """
+    )

@@ -149,3 +149,20 @@ def gather(dfs: list[DataFrame]) -> DataFrame:
     if not dfs:
         raise ValueError("gather() needs at least one DataFrame")
     return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def compact_small_files(
+    spark: SparkSession, src_dir: str, dst_dir: str, target_files: int
+) -> DataFrame:
+    """Small-file compaction — the lake-maintenance operator every
+    streaming/foreachBatch sink eventually needs (thousands of tiny
+    part files destroy scan throughput: per-file open cost, tiny row
+    groups, starved vectorized readers).
+
+    Uses ``coalesce`` (narrow, no shuffle) rather than ``repartition``:
+    each output task concatenates whole input files, so compaction cost
+    is one read+write of the data with ZERO exchange. Use repartition
+    only when output skew matters more than the shuffle."""
+    df = spark.read.parquet(src_dir)
+    df.coalesce(target_files).write.mode("overwrite").parquet(dst_dir)
+    return spark.read.parquet(dst_dir)

@@ -117,3 +117,22 @@ def test_top_supplier_no_global_sort(spark, oracle_sf_dir):
     tree = tree_of(QUERIES["top_supplier_revenue"](spark, oracle_sf_dir))
     assert "SinglePartition" not in tree
     assert "Window" not in tree
+
+
+def test_compaction_reduces_file_count(spark, oracle_sf_dir):
+    import glob
+
+    QUERIES["compact_small_files"](spark, oracle_sf_dir).count()
+    src = glob.glob("/root/repo/.scratch/compact_src/part-*.parquet")
+    dst = glob.glob("/root/repo/.scratch/compact_dst/part-*.parquet")
+    assert len(src) >= 40  # fragmented input really was fragmented
+    assert len(dst) <= 4
+
+
+def test_compaction_is_narrow(spark, oracle_sf_dir):
+    # coalesce-based compaction must not shuffle
+    from etl_pyspark_spark.plans import shuffle_count
+    from etl_pyspark_spark.sources.io import compact_small_files as _  # noqa
+
+    df = spark.read.parquet("/root/repo/.scratch/compact_src").coalesce(4)
+    assert shuffle_count(df) == 0
