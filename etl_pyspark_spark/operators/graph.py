@@ -1,0 +1,100 @@
+"""Iterative graph dataflow: integer-quantized PageRank.
+
+Companion to the connected-components dedup clustering
+(dedup/components.py): PageRank is the canonical *iterative* keyed
+dataflow — each round is one join (propagate rank along edges) plus
+one groupBy (sum contributions per destination), exactly the shape
+Spark executes as two shuffles keyed by node id. No driver-side state
+beyond the loop counter; ``localCheckpoint`` truncates lineage so the
+final job does not replay every round (same rationale as
+components.py).
+
+**Why integer arithmetic**: float PageRank is not reproducible across
+engines or partitionings (addition order changes the last ulps every
+round, and the drift compounds across iterations). Ranks here are
+bigint micro-units (1e12 = total mass 1.0) and every step is integer
+``div`` / ``%`` / ``*`` — bit-identical in Spark, DuckDB, and Python,
+so a 5-round run hash-matches an unrolled SQL oracle exactly. The
+quantization error per round is < outdeg ulps of 1e-12 — far below
+anything a ranking consumer can observe — and determinism is worth
+more than the 12th decimal at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: total rank mass in integer micro-units (1.0 == 1e12)
+MASS = 1_000_000_000_000
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+
+
+def pagerank_int(
+    nodes: DataFrame, edges: DataFrame, iterations: int = 5
+) -> DataFrame:
+    """(node, rank_int) after ``iterations`` rounds of integer-quantized
+    PageRank. ``nodes``: column ``node``; ``edges``: columns
+    ``src``/``dst`` (dedup'd; every src must appear in nodes)."""
+    n_nodes = nodes.count()  # one scalar to the driver, once
+    base = (DAMP_DEN - DAMP_NUM) * (MASS // n_nodes) // DAMP_DEN
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ed = edges.join(outdeg, "src").localCheckpoint()
+
+    ranks = nodes.withColumn("rank_int", F.lit(MASS // n_nodes))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("rank_int div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(csum, 0L)) div {DAMP_DEN}"
+                    )
+                ).alias("rank_int"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def sql_pagerank_int(
+    nodes_sql: str, edges_sql: str, iterations: int = 5
+) -> str:
+    """Unrolled-iteration DuckDB oracle for :func:`pagerank_int` —
+    the same integer arithmetic, one CTE per round."""
+    ctes = [
+        f"nodes AS ({nodes_sql})",
+        f"edges AS ({edges_sql})",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {MASS} // n AS rank_int FROM nodes, nn)",
+    ]
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"""{cur} AS (
+              SELECT n.node,
+                     ({DAMP_DEN - DAMP_NUM} * ({MASS} // nn.n)) // {DAMP_DEN}
+                     + ({DAMP_NUM} * COALESCE(s.csum, 0)) // {DAMP_DEN}
+                       AS rank_int
+              FROM nodes n CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst,
+                       CAST(sum(p.rank_int // o.od) AS BIGINT) AS csum
+                FROM edges e
+                JOIN {prev} p ON p.node = e.src
+                JOIN outdeg o ON o.src = e.src
+                GROUP BY e.dst) s ON s.dst = n.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, rank_int FROM r{iterations}"
+    )

@@ -42,3 +42,33 @@ def salted_agg(
     )
     partial = df.select("*", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*merge_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-salted equi join for hot keys too big to broadcast away.
+
+    A plain shuffle join on a skewed key sends every hot-key row to ONE
+    reducer; salting splits each key across ``buckets`` reducers: the
+    fact side gets a deterministic salt derived from ``salt_from``
+    (content-derived — a random salt would break retries and
+    cross-engine checks), the dim side is replicated once per bucket
+    (an ``explode`` of a literal range, dim_rows x buckets — cheap when
+    the dim is small relative to the fact), and the join key becomes
+    (key, salt). AQE's skew-join split handles *sort-merge* skew
+    post-hoc; explicit salting is still the tool when the skew is
+    extreme or the join must hash-partition for a downstream stage.
+    """
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.col(salt_from), F.lit(buckets)).cast("int")
+    )
+    dim_s = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(buckets)])),
+    )
+    return fact_s.join(dim_s, [key, "_salt"]).drop("_salt")

@@ -3570,3 +3570,195 @@ def q_udtf_numbered_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL numbered_tokens(d.text) f
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join, iterative PageRank, fuzzy matching, text source,
+# unpivot.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_join",
+    oracle="""
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value,
+           d.type_code
+    FROM events e
+    JOIN (SELECT event_type,
+                 CAST(('0x' || substr(md5(event_type), 1, 15))::BIGINT % 1000
+                      AS BIGINT) AS type_code
+          FROM (SELECT DISTINCT event_type FROM events)) d
+      ON e.event_type = d.event_type
+    WHERE e.event_id % 10 = 0
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi join (operators/skew.salted_join): event_type
+    has ~5 hot values, so a plain shuffle join lands each on ONE
+    reducer; salting splits every hot key across 8 buckets (fact salt
+    = event_id % 8, dim replicated x8). Broadcast is disabled via hint
+    to exercise the shuffle path — the result is identical to the
+    plain join, which is what the oracle checks."""
+    from etl_pyspark_spark.functions.text import portable_hash60
+    from etl_pyspark_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 10 == 0
+    ).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    dim = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("type_code", portable_hash60(F.col("event_type")) % 1000)
+        .hint("shuffle_hash")  # forbid broadcast: exercise salted shuffle
+    )
+    return salted_join(
+        ev, dim, key="event_type", salt_from="event_id", buckets=8
+    ).select("event_id", "event_type", "value", "type_code")
+
+
+def _pagerank_oracle() -> str:
+    from etl_pyspark_spark.operators.graph import sql_pagerank_int
+
+    nodes_sql = "SELECT DISTINCT user_id AS node FROM events WHERE user_id < 150"
+    edges_sql = """
+      SELECT DISTINCT node AS src, (node * 13 + 7) % 150 AS dst FROM nodes
+      UNION
+      SELECT DISTINCT node, (node * 29 + 3) % 150 FROM nodes
+    """
+    return sql_pagerank_int(nodes_sql, edges_sql, iterations=5)
+
+
+@query("pagerank_iterative", oracle=_pagerank_oracle())
+def q_pagerank_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank, 5 rounds (operators/graph.py): the
+    canonical iterative keyed dataflow — join + groupBy per round,
+    localCheckpoint lineage truncation, no driver state. Bit-exact
+    across engines because every step is bigint arithmetic; the oracle
+    unrolls the same 5 rounds as CTEs. Graph: deterministic referral
+    edges u -> (13u+7)%150, u -> (29u+3)%150 over the event users."""
+    from etl_pyspark_spark.operators.graph import pagerank_int
+
+    nodes = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 150)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    edges = (
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 13 + 7) % 150).alias("dst"),
+        )
+        .union(
+            nodes.select(
+                F.col("node"), ((F.col("node") * 29 + 3) % 150).alias("dst")
+            )
+        )
+        .distinct()
+    )
+    return pagerank_int(nodes, edges, iterations=5)
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 150 AND b.c_custkey < 150
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: near-identical entity names at
+    Levenshtein <= 2 (both engines implement the same DP edit
+    distance — integer result, engine-exact). The quadratic verify is
+    bounded here by a key filter; at corpus scale the candidate set
+    comes from blocking (length bands / q-gram prefixes, same
+    lossless-filter playbook as dedup/ngram.py) before the O(len^2)
+    verify touches any pair."""
+    c = read_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 150
+    ).select("c_custkey", "c_name")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .where(dist <= 2)
+        .select("key_a", "key_b", dist.alias("edit_dist"))
+    )
+
+
+@query(
+    "text_line_parse",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
+             AS value
+    FROM events WHERE event_id % 8 = 3
+    """,
+)
+def q_text_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-line source round-trip: pipe-delimited lines written with
+    ``df.write.text``, re-read with ``spark.read.text`` and parsed via
+    one ``from_csv`` (typed, single pass — not N regexp_extract
+    calls). Doubles travel as DECIMAL(18,6) strings so the re-parsed
+    value is the same IEEE double on every engine. This is the
+    reference's S6/S7 text hop (nyc_taxi_etl.py:105-119) done
+    losslessly and distributed."""
+    out = f"{_SCRATCH}/text_lines"
+    ev = read_table(spark, sf_dir, "events").where(F.col("event_id") % 8 == 3)
+    lines = ev.select(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.col("value").cast("decimal(18,6)").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    parsed = spark.read.text(out).select(
+        F.from_csv(
+            F.col("value"),
+            "event_id bigint, user_id bigint, event_type string, value double",
+            {"sep": "|"},
+        ).alias("r")
+    )
+    return parsed.select("r.event_id", "r.user_id", "r.event_type", "r.value")
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             count(*) FILTER (o_orderstatus = 'O') AS status_O,
+             count(*) FILTER (o_orderstatus = 'F') AS status_F,
+             count(*) FILTER (o_orderstatus = 'P') AS status_P
+      FROM orders GROUP BY 1)
+    SELECT order_year, 'status_O' AS status, status_O AS n FROM wide
+    UNION ALL SELECT order_year, 'status_F', status_F FROM wide
+    UNION ALL SELECT order_year, 'status_P', status_P FROM wide
+    """,
+)
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long), the inverse of pivot_status_by_year:
+    one ``unpivot`` expands columns to rows in a single narrow pass —
+    no shuffle, no N-way self-union scan."""
+    wide = QUERIES["pivot_status_by_year"](spark, sf_dir)
+    return wide.unpivot(
+        ids=["order_year"],
+        values=["status_O", "status_F", "status_P"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )

@@ -136,3 +136,15 @@ def test_compaction_is_narrow(spark, oracle_sf_dir):
 
     df = spark.read.parquet("/root/repo/.scratch/compact_src").coalesce(4)
     assert shuffle_count(df) == 0
+
+
+def test_salted_join_shuffles_on_salted_key(spark, oracle_sf_dir):
+    # the hint must keep the join off the broadcast path, and the
+    # exchange must partition on (key, salt) so hot keys split
+    import re
+
+    df = QUERIES["salted_join"](spark, oracle_sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" not in plan
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert any("_salt" in p for p in parts), parts
