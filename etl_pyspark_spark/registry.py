@@ -3762,3 +3762,82 @@ def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status",
         valueColumnName="n",
     )
+
+
+@query(
+    "stream_chained_agg",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start_s,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events, mx
+    WHERE epoch_us(date_trunc('day', ts)) + 86400000000
+          <= epoch_us(mx.m) - 3600000000
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming (Spark >= 3.4 multiple stateful
+    operators): daily windows re-aggregate hourly windows inside ONE
+    always-on query (streaming/chained.py). Append mode means a day
+    emits only once the watermark (max event time - 1h) passes its
+    end — the oracle applies the same integer-microsecond cutoff to
+    the batch equivalent, and decimal sums make hour->day
+    re-aggregation exact."""
+    from etl_pyspark_spark.streaming.chained import hourly_then_daily
+
+    return hourly_then_daily(spark, sf_dir)
+
+
+@query(
+    "variant_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) // 25 AS k_bucket,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS k_max
+    FROM events GROUP BY 1
+    """,
+)
+def q_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: ``parse_json`` once into a binary variant
+    column, then typed ``variant_get`` paths — semi-structured data
+    without per-access string re-parsing (the scale advantage over
+    get_json_object, which re-parses the JSON text per extraction)."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json(F.col("props")).alias("pv"))
+    k = F.variant_get(F.col("pv"), "$.k", "int")
+    return (
+        v.select(k.alias("k"))
+        .select(F.expr("k div 25").alias("k_bucket"), "k")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@query(
+    "range_source_generate",
+    oracle="""
+    SELECT i AS id, i * i % 97 AS sq_mod,
+           CAST(i // 1000 AS BIGINT) AS bucket
+    FROM generate_series(0, 99999) AS g(i)
+    """,
+)
+def q_range_source_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range source: ``spark.range`` generates partitioned data with no
+    input files at all (each task materializes its own id span) — the
+    synthetic-data / backfill-spine source, infinitely scalable because
+    there is nothing to read."""
+    return spark.range(0, 100_000).select(
+        F.col("id"),
+        (F.col("id") * F.col("id") % 97).alias("sq_mod"),
+        F.expr("id div 1000").alias("bucket"),
+    )
