@@ -42,14 +42,29 @@ _PAIR_SCHEMA = T.StructType(
 )
 
 
+#: target rows per block — keeps each task's sims matrix (~rows^2 x 8 B,
+#: 4096^2*8 = 134 MB) well inside executor memory while amortizing task
+#: overhead. num_blocks grows with corpus size: n=4k -> 1 block pair,
+#: n=1M -> ~245 blocks / ~30k pairs, each a bounded-memory GEMM.
+_BLOCK_ROWS = 4096
+
+
 def block_cosine_pairs(
     emb: DataFrame,
     threshold: float,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All (id_a < id_b) pairs with cosine >= threshold, exactly."""
+    """All (id_a < id_b) pairs with cosine >= threshold, exactly.
+
+    ``num_blocks=None`` sizes blocks from the corpus count (one cheap
+    count job) so per-task memory is constant at any scale and small
+    corpora don't pay 36 tasks of replication overhead for work one
+    GEMM finishes instantly. The result is block-count invariant."""
+    if num_blocks is None:
+        n = emb.count()
+        num_blocks = max(1, -(-n // _BLOCK_ROWS))
     spark = emb.sparkSession
     blocked = emb.select(
         F.col(id_col).alias("vid"),

@@ -60,7 +60,13 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
     ml_df = vecs.withColumn("features", array_to_vector("vec"))
-    model = KMeans(k=k_cells, seed=seed, featuresCol="features").fit(ml_df)
+    # coarse quantizer: 8 Lloyd rounds are plenty — cell boundaries only
+    # gate which cells a query probes, and nprobe covers boundary error
+    # (recall is bounded by tests/test_sketches.py); each extra round is
+    # a full corpus pass at scale
+    model = KMeans(
+        k=k_cells, seed=seed, maxIter=8, featuresCol="features"
+    ).fit(ml_df)
     assigned = model.transform(ml_df).select(
         "vid", "vec", F.col("prediction").alias("cell")
     )

@@ -53,3 +53,24 @@ def test_bench_emits_one_json_line():
     assert payload["n_failed"] == 0
     assert payload["sf"] == 0.001
     assert len(payload["queries"]) == payload["n_queries"]
+
+
+def test_observe_metrics_without_extra_pass(spark, oracle_sf_dir):
+    """df.observe: pipeline health metrics (row count, null count,
+    sum) collected as a side effect of the SAME action — at 100 TB an
+    extra validation count() is a second full scan, observe is free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from etl_pyspark_spark.sources.io import read_table
+
+    obs = Observation("health")
+    li = read_table(spark, oracle_sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+    )
+    n = observed.where(F.col("l_quantity") > 0).count()  # one action
+    m = obs.get
+    assert m["rows"] >= n and m["null_qty"] == 0
