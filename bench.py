@@ -60,6 +60,12 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - surfaced in JSON
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        finally:
+            # several dedup/similarity queries cache postings for their
+            # own multi-read plans; drop them once the query finishes so
+            # storage memory doesn't accumulate across 120+ queries
+            # (untimed: runs after the per-query clock stops)
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(

@@ -3841,3 +3841,596 @@ def q_range_source_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * F.col("id") % 97).alias("sq_mod"),
         F.expr("id div 1000").alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H decision-support shapes (Q4, Q7-Q11, Q16, Q20), adapted
+# to the fixture star schema. The fixtures have no partsupp table, so
+# where the original uses ps_supplycost / ps_availqty the lineitem
+# relation stands in as the part-supplier bridge (same join topology,
+# same operator shapes).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS with
+    an inequality spanning both relations -> left-semi join. The date
+    filter prunes orders before the join (quarter of a year reaches
+    the shuffle, not the full table) and the semi join short-circuits
+    per order key — no lineitem pre-aggregation needed."""
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    qualified = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT {_dec_sum_sql("l_extendedprice * l_discount", "revenue_delta")},
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 24.0
+    """,
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): pure scan ->
+    conjunctive range predicates -> single-row global aggregate. All
+    three predicates push into the parquet scan (min/max row-group
+    pruning); the aggregate is partial per partition + a 1-row final
+    merge — the cheapest possible full-table query at any scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "nation_pair_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+      JOIN (SELECT s_suppkey, n_name AS supp_nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey) s
+        ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN (SELECT c_custkey, n_name AS cust_nation
+            FROM customer JOIN nation ON c_nationkey = n_nationkey) c
+        ON c_custkey = o_custkey
+    WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+       OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between a nation pair): nation
+    joined twice under different roles with a disjunctive pair
+    predicate spanning both roles. Both role dims are pre-restricted
+    to the two nations the OR implies (2/25 of suppliers/customers)
+    BEFORE joining, so the fact join carries only matching rows;
+    supplier side broadcasts, and the one residual shuffle is
+    lineitem |x| orders on the order key."""
+    nat = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+
+
+@query(
+    "market_share_ratio",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS v,
+             n1.n_name AS supp_nation
+      FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO')
+    SELECT order_year,
+           {sql_pround(
+        "CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v "
+        "ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) "
+        "/ CAST(sum(v) AS DOUBLE)"
+    )} AS mkt_share
+    FROM vol GROUP BY order_year
+    """,
+)
+def q_market_share_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 8-table snowflake join,
+    then a ratio of two conditional aggregates in ONE pass (no second
+    scan for the numerator). All dims (part filtered to one type,
+    supplier+nation, customer-nation+region) broadcast; the fact
+    shuffle is lineitem |x| orders only. Both sums are exact decimal
+    so the final double division is bit-identical cross-engine."""
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    v = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    num = (
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", v).otherwise(zero))
+        .cast("double")
+    )
+    den = F.sum(v).cast("double")
+    return (
+        li.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(pround(num / den).alias("mkt_share"))
+    )
+
+
+@query(
+    "product_profit_by_nation",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
+           {_dec_sum_sql(
+        "l_extendedprice * (1 - l_discount) "
+        "- p_retailprice * l_quantity * CAST(0.01 AS DOUBLE)",
+        "profit",
+    )}
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): substring part filter,
+    profit = revenue minus cost as one arithmetic expression summed
+    per (nation, year). No partsupp fixture, so cost is modeled as 1%
+    of p_retailprice per unit — the operator shape (5-way join,
+    expression agg) is Q9's. part and supplier+nation broadcast; the
+    only shuffle is the order-key join then the small agg."""
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%")
+    )
+    nat = read_table(spark, sf_dir, "nation")
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.01)
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("order_year")
+        )
+        .agg(dec_sum(profit, "profit"))
+    )
+
+
+@query(
+    "returned_item_ranking",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): date-windowed fact
+    join, revenue per customer, global top-20. TakeOrderedAndProject
+    keeps the limit per-partition before the single-row-exchange
+    merge — no full sort of the aggregate output. Exact decimal
+    revenue makes the DESC order (plus custkey tiebreak)
+    deterministic cross-engine."""
+    c = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "important_part_value",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+               AS pvd
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
+                       'NATION_5')
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(pvd AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(pvd AS DOUBLE)
+          > (SELECT CAST(sum(pvd) AS DOUBLE) FROM pv) / 1600.0
+    """,
+)
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): grouped value per part
+    filtered against a FRACTION OF THE GLOBAL TOTAL — an uncorrelated
+    scalar aggregate over the same derived relation. The grouped
+    relation is computed once and reused for both branches (total is
+    a 1-row re-aggregate broadcast back); the threshold compare
+    happens on exact decimal sums cast to double, so both engines
+    pick the identical row set."""
+    nat = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"
+        )
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("pvd")
+        )
+    )
+    total = pv.agg(F.sum("pvd").cast("double").alias("grand"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("pvd").cast("double") > F.col("grand") / 1600.0)
+        .select(
+            "l_partkey", F.col("pvd").cast("double").alias("part_value")
+        )
+    )
+
+
+@query(
+    "supplier_cnt_distribution",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q_supplier_cnt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (part/supplier relationship): NOT IN exclusion
+    list -> anti join against a tiny filtered dim, then COUNT DISTINCT
+    per (brand, size). The distinct dedupes map-side inside the single
+    agg shuffle (partial aggregation on (brand, size, suppkey)) — no
+    separate dropDuplicates pass."""
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = read_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "qualified_promo_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                     'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7',
+                     'NATION_8', 'NATION_9')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%gear%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 200)
+    """,
+)
+def q_qualified_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): IN over an
+    aggregate-HAVING subquery -> group lineitem by supplier with a
+    decimal quantity threshold, then left-semi join the (tiny,
+    nation-filtered) supplier dim against it. The heavy side is
+    aggregated BEFORE the semi join, so the join input is one row per
+    supplier, not raw lineitems."""
+    nat = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(*[f"NATION_{i}" for i in range(10)])
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%gear%")
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qualified = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+        .where(F.col("qty") > 200)
+        .select("l_suppkey")
+    )
+    return s.join(
+        qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: scalar int8 quantization (similarity/quantize.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS max_abs
+      FROM t),
+    qz AS (
+      SELECT vec_id, v, max_abs,
+             list_transform(v, x -> CASE WHEN max_abs > 0.0
+                 THEN CAST(floor(x / max_abs * 127.0 + 0.5) AS INT)
+                 ELSE 0 END) AS q
+      FROM m)
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           floor(max_abs * 1000000.0 + 0.5) / 1000000.0 AS scale,
+           floor(list_sum(list_transform(list_zip(v, q),
+                 p -> abs(p[1] - CAST(p[2] AS DOUBLE) * max_abs / 127.0)))
+                 / len(v) * 100000000.0 + 0.5) / 100000000.0
+             AS mean_abs_err,
+           CAST(list_max(q) AS INT) AS max_code
+    FROM qz
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding quantization (similarity/quantize.py):
+    per-vector symmetric codes — 4x less storage and shuffle for every
+    downstream similarity join. Pure codegen'd array lambdas (no UDF,
+    no shuffle); codes, scale, and reconstruction error are exact IEEE
+    arithmetic, so the full pipeline hash-matches the DuckDB oracle."""
+    from etl_pyspark_spark.similarity.quantize import dequantize, quantize_int8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.zip_with(
+        v,
+        dequantize(F.col("q"), F.col("max_abs")),
+        lambda a, b: F.abs(a - b),
+    )
+    sum_err = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+    return qd.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        pround(F.col("max_abs"), 6).alias("scale"),
+        pround(sum_err / F.size("embedding"), 8).alias("mean_abs_err"),
+        F.array_max("q").alias("max_code"),
+    )
+
+
+def _quantized_rerank_oracle(k: int, expand: int, n_queries: int) -> str:
+    from etl_pyspark_spark.similarity.cosine import sql_cosine
+
+    cos = sql_cosine("qe.embedding", "ce.embedding")
+    return f"""
+    WITH codes AS (
+      SELECT vec_id,
+             list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> CASE WHEN list_max(list_transform(embedding,
+                              y -> abs(CAST(y AS DOUBLE)))) > 0.0
+                    THEN CAST(floor(x / list_max(list_transform(embedding,
+                              y -> abs(CAST(y AS DOUBLE)))) * 127.0 + 0.5)
+                         AS INT)
+                    ELSE 0 END) AS q
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> CAST(x * x AS BIGINT)))
+                  AS BIGINT) AS qq
+      FROM codes),
+    coarse AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CASE WHEN a.qq > 0 AND b.qq > 0 THEN
+               CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                    p -> CAST(p[1] * p[2] AS BIGINT))) AS DOUBLE)
+               / (sqrt(CAST(a.qq AS DOUBLE)) * sqrt(CAST(b.qq AS DOUBLE)))
+             END AS qcos
+      FROM norms a JOIN norms b
+        ON a.vec_id < {n_queries} AND b.vec_id <> a.vec_id),
+    cand AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qcos DESC, neighbor_id ASC) AS crk
+      FROM coarse WHERE qcos IS NOT NULL),
+    rerank AS (
+      SELECT c.query_id, c.neighbor_id,
+             floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+      WHERE c.crk <= {expand})
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+    FROM rerank
+    QUALIFY rk <= {k}
+    """
+
+
+@query(
+    "similarity_quantized_rerank",
+    oracle=_quantized_rerank_oracle(k=10, expand=30, n_queries=8),
+)
+def q_similarity_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (similarity/quantize.py): int8 coarse scoring over
+    broadcast query codes (4x fewer scan bytes than float32 brute
+    force, no corpus shuffle), top-30 candidates per query, then exact
+    cosine re-rank of only those candidates to top-10. Deterministic
+    integer/IEEE arithmetic end-to-end, so even the approximation
+    hash-matches the DuckDB oracle."""
+    from etl_pyspark_spark.similarity.quantize import quantized_rerank_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantized_rerank_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=10, expand=30
+    )

@@ -49,3 +49,17 @@ def test_ivf_recall_vs_exact(spark, oracle_sf_dir):
     assert len(a) > 0
     recall = len(a & e) / len(e)
     assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_quantized_rerank_recall_vs_exact(spark, oracle_sf_dir):
+    """int8-coarse + exact-rerank top-10 must recover nearly all of
+    the exact brute-force top-10: with expand=3x k, the only losses
+    are neighbors whose quantized rank falls below 30 — rare, since
+    int8 keeps ~2 decimal digits of cosine resolution."""
+    exact = QUERIES["similarity_cosine_topk"](spark, oracle_sf_dir)
+    approx = QUERIES["similarity_quantized_rerank"](spark, oracle_sf_dir)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a) == len(e)
+    recall = len(a & e) / len(e)
+    assert recall >= 0.8, f"quantized-rerank recall too low: {recall}"
