@@ -4434,3 +4434,248 @@ def q_similarity_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame
     return quantized_rerank_topk(
         emb, emb.where(F.col("vec_id") < 8), k=10, expand=30
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship LLM-data pipeline: quality gate -> exact dedup -> near dedup,
+# composed as ONE Spark DAG (the production shape: cheap narrow filters
+# first, the expensive near-dedup only over survivors).
+# ---------------------------------------------------------------------------
+
+
+def _sql_quality_inline(col: str) -> str:
+    """DuckDB quality-score expression (twin of text.quality_score,
+    same term grouping as the text_quality oracle)."""
+    from etl_pyspark_spark.functions.compat import sql_pround
+    from etl_pyspark_spark.functions.text import LANG_STOPWORDS
+
+    n_chars = f"CAST(length({col}) AS DOUBLE)"
+    n_words = f"CAST(len({_WS_TOKENS_SQL.format(col=col)}) AS DOUBLE)"
+    n_stop = (
+        f"CAST({_STOP_HITS_SQL.format(col=col, stops=_sql_str_list(LANG_STOPWORDS['en']))}"
+        " AS DOUBLE)"
+    )
+    n_punct = (
+        f"CAST(length(regexp_replace({col}, '[A-Za-z0-9 ]', '', 'g'))"
+        " AS DOUBLE)"
+    )
+    raw = (
+        f"0.3 * least({n_chars} / 400.0, 1.0)"
+        f" + 0.3 * least({n_words} / 60.0, 1.0)"
+        f" + 0.3 * least((CASE WHEN {n_words} > 0 THEN {n_stop} / {n_words}"
+        f" ELSE 0.0 END) * 8.0, 1.0)"
+        f" + 0.1 * (1.0 - CASE WHEN {n_chars} > 0 THEN {n_punct} / {n_chars}"
+        f" ELSE 0.0 END)"
+    )
+    return sql_pround(raw)
+
+
+def _sql_lang_inline(col: str) -> str:
+    """DuckDB language-vote expression (twin of text.language_id; tie
+    order en > de > es > fr, all-zero -> 'und')."""
+    from etl_pyspark_spark.functions.text import LANG_STOPWORDS
+
+    sc = {
+        lang: _STOP_HITS_SQL.format(col=col, stops=_sql_str_list(words))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    top = f"greatest({', '.join(sc.values())})"
+    whens = " ".join(
+        f"WHEN {expr} = {top} AND {expr} > 0 THEN '{lang}'"
+        for lang, expr in sc.items()
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+def _corpus_prep_oracle() -> str:
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_minhash_pairs,
+        sql_shingles_cte,
+    )
+
+    return f"""
+    WITH enriched AS (
+      SELECT doc_id, text,
+             {_sql_lang_inline('text')} AS lang_pred,
+             {_sql_quality_inline('text')} AS quality,
+             ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                                                ' +', ' ', 'g')),
+                             1, 15))::BIGINT AS fingerprint,
+             len({_WS_TOKENS_SQL.format(col='text')}) AS n_words,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+               AS n_bpe_tokens
+      FROM documents),
+    gated AS (SELECT * FROM enriched
+              WHERE quality >= 0.4 AND lang_pred <> 'und'),
+    kept AS (SELECT * FROM gated
+             QUALIFY row_number() OVER (PARTITION BY fingerprint
+                                        ORDER BY doc_id) = 1),
+    {sql_shingles_cte(table='kept')},
+    {sql_minhash_pairs(final_name='pairs')}
+    SELECT doc_id, lang_pred, quality, n_words, n_bpe_tokens
+    FROM kept
+    WHERE doc_id NOT IN (SELECT doc_id_b FROM pairs)
+    """
+
+
+@query("corpus_prep_pipeline", oracle=_corpus_prep_oracle())
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data prep pipeline as ONE Spark DAG:
+    language-ID + quality scoring (narrow codegen'd expressions) gate
+    the corpus FIRST, exact fingerprint dedup keeps one doc per
+    normalized text (single hash shuffle), and MinHash-LSH near-dedup
+    runs only over those survivors, dropping the higher doc_id of each
+    verified pair (Jaccard >= 0.5). Cheap-first ordering is the 100 TB
+    shape: the expensive shingle/signature stages see only the gated,
+    exact-deduped fraction of the corpus. Deterministic md5/LCG/IEEE
+    arithmetic end-to-end -> the whole composition hash-matches one
+    DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        T.language_id(c).alias("lang_pred"),
+        pround(T.quality_score(c), 6).alias("quality"),
+        T.doc_fingerprint(c).alias("fingerprint"),
+        T.ws_token_count(c).alias("n_words"),
+        T.bpe_token_count(c).alias("n_bpe_tokens"),
+    )
+    gated = enriched.where(
+        (F.col("quality") >= 0.4) & (F.col("lang_pred") != "und")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    near_drops = (
+        verified_near_duplicates(kept)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(near_drops, "doc_id", "left_anti").select(
+        "doc_id", "lang_pred", "quality", "n_words", "n_bpe_tokens"
+    )
+
+
+@query(
+    "rebalance_hint_write",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_events,
+           {_dec_sum_sql("value", "sum_value")}
+    FROM events GROUP BY event_type
+    """,
+)
+def q_rebalance_hint_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE rebalance write: ``hint("rebalance")`` lets the adaptive
+    engine pick output partitioning from RUNTIME sizes — splitting
+    skewed partitions and merging tiny ones — instead of a hand-tuned
+    ``repartition(N)`` that is wrong at every other scale. The written
+    lake files come out uniformly sized whether the input is 60 MB or
+    60 TB; the read-back aggregate proves losslessness."""
+    dst = f"{_SCRATCH}/rebalance_write"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    ev.hint("rebalance").write.mode("overwrite").parquet(dst)
+    return (
+        spark.read.parquet(dst)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+def _docgen_oracle() -> str:
+    from etl_pyspark_spark.sources.pyds import sql_docgen_cte
+
+    return f"""
+    WITH {sql_docgen_cte(2000)}
+    SELECT split_part(text, ' ', 1) AS first_word,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS n_unique_texts
+    FROM gen GROUP BY 1
+    """
+
+
+@query("python_datasource_docgen", oracle=_docgen_oracle())
+def q_python_datasource_docgen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API,
+    sources/pyds.py): the engine-native replacement for the
+    reference's HTTP-fetch + file-slicing connector (SURVEY §2.1
+    S1/S3) — the source declares a schema and a partition plan and
+    each task materializes only its own split, driver-free. The
+    deterministic LCG content makes even the connector path
+    value-hash-checkable against a SQL replay."""
+    from etl_pyspark_spark.sources.pyds import register_docgen
+
+    if not register_docgen(spark):  # pragma: no cover - Spark 4 here
+        raise RuntimeError("Python DataSource API unavailable")
+    df = (
+        spark.read.format("docgen")
+        .option("n", 2000)
+        .option("numpartitions", 8)
+        .load()
+    )
+    return df.groupBy(
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_word")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("text")).alias("n_unique_texts"),
+    )
+
+
+@query(
+    "range_clustered_layout",
+    oracle=f"""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           count(*) AS n_lines,
+           {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_range_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout (sources/io.write_range_clustered):
+    lineitem rewritten with repartitionByRange(l_shipdate) +
+    sortWithinPartitions, so each parquet file owns a disjoint
+    l_shipdate interval (pinned in tests/test_plans.py by reading the
+    footers). The three-month scan below then skips all but the
+    matching files via min/max statistics — the pay-once layout that
+    makes every later time-windowed query read ~1/N of the data."""
+    from etl_pyspark_spark.sources.io import write_range_clustered
+
+    dst = f"{_SCRATCH}/range_clustered_lineitem"
+    li = read_table(spark, sf_dir, "lineitem")
+    write_range_clustered(li, dst, "l_shipdate", num_files=8)
+    back = spark.read.parquet(dst)
+    return (
+        back.where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )

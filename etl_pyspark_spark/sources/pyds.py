@@ -1,0 +1,109 @@
+"""Custom Python DataSource (Spark 4 DataSource API): synthetic
+document generator.
+
+The reference's only "connector" is an HTTP fetch + manual row-range
+slicing staged through the filesystem (parquet-slicer-v1.0/app/
+parquet_slicer.py:24-58). This module re-expresses that idea as a
+first-class pluggable Spark source: the engine declares a schema and a
+partition plan, and each TASK generates (or in a real connector,
+fetches) only its own split — no driver-side download, no intermediate
+files, no size limit.
+
+The generator is a deterministic 64-bit LCG over the row id, so the
+source's full output is reproducible in ANSI SQL (``generate_series``
++ identical modular arithmetic) and therefore DuckDB-oracle-checkable
+end-to-end — connector plumbing verified by value hash, not just row
+counts.
+"""
+
+from __future__ import annotations
+
+#: vocabulary the LCG samples from; index arithmetic is pure modular
+#: math so both engines pick identical words.
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+    "golf", "hotel", "india", "juliet", "kilo", "lima",
+]
+
+#: Lehmer/MINSTD constants: 48271 * (2^31-1) ~ 1.0e14 stays far below
+#: int64, so the same expression runs overflow-free under Spark ANSI
+#: mode, DuckDB's checked arithmetic, and plain Python.
+_M = 2**31 - 1
+_A = 48271
+_C = 11
+WORDS_PER_DOC = 5
+
+
+def lcg_word_index(doc_id: int, j: int) -> int:
+    """Word index for position j of doc doc_id (shared math)."""
+    x = (_A * (doc_id * WORDS_PER_DOC + j) + _C) % _M
+    return x % len(VOCAB)
+
+
+def sql_docgen_cte(n_docs: int, name: str = "gen") -> str:
+    """DuckDB CTE replaying the generator: ``(doc_id, text)``."""
+    word = (
+        f"VOCAB[1 + CAST((({_A} * (i * {WORDS_PER_DOC} + {{j}}) + {_C}) "
+        f"% {_M}) % {len(VOCAB)} AS INT)]"
+    )
+    words = ", ".join(word.format(j=j) for j in range(WORDS_PER_DOC))
+    vocab = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+    return (
+        f"{name} AS (SELECT i AS doc_id, "
+        f"concat_ws(' ', {words}) AS text "
+        f"FROM (SELECT {vocab} AS VOCAB), "
+        f"generate_series(0, {n_docs - 1}) AS g(i))"
+    )
+
+
+def register_docgen(spark) -> bool:
+    """Register the ``docgen`` Python DataSource; False if this Spark
+    build lacks the Python DataSource API (pyspark < 4)."""
+    try:
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceReader,
+            InputPartition,
+        )
+    except ImportError:  # pragma: no cover - Spark 4 everywhere here
+        return False
+
+    class _Split(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _DocGenReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.num_partitions = int(options.get("numpartitions", 8))
+
+        def partitions(self):
+            # even row-range splits — the slicer's chunking, planned
+            # by the source instead of materialized as files
+            per = -(-self.n // self.num_partitions)
+            return [
+                _Split(lo, min(lo + per, self.n))
+                for lo in range(0, self.n, per)
+            ]
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                text = " ".join(
+                    VOCAB[lcg_word_index(i, j)]
+                    for j in range(WORDS_PER_DOC)
+                )
+                yield (i, text)
+
+    class DocGenDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "docgen"
+
+        def schema(self):
+            return "doc_id bigint, text string"
+
+        def reader(self, schema):
+            return _DocGenReader(self.options)
+
+    spark.dataSource.register(DocGenDataSource)
+    return True

@@ -148,3 +148,53 @@ def test_salted_join_shuffles_on_salted_key(spark, oracle_sf_dir):
     assert "BroadcastHashJoin" not in plan
     parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
     assert any("_salt" in p for p in parts), parts
+
+
+def test_range_clustered_files_have_disjoint_intervals(spark, oracle_sf_dir):
+    """Each output file of the range-clustered layout must own a
+    disjoint l_shipdate interval (that's what makes min/max footer
+    skipping effective)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    QUERIES["range_clustered_layout"](spark, oracle_sf_dir).count()
+    files = sorted(
+        glob.glob("/root/repo/.scratch/range_clustered_lineitem/part-*.parquet")
+    )
+    assert len(files) >= 6  # repartitionByRange(8) modulo empty ranges
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.to_arrow_schema().names
+        idx = names.index("l_shipdate")
+        lo = min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        # ranges may touch at a boundary value but never interleave
+        assert hi_a <= lo_b, (spans,)
+
+
+def test_aqe_coalesces_small_shuffle(spark, oracle_sf_dir):
+    """Scale hygiene both directions: shuffle.partitions is sized for
+    big inputs, and AQE's runtime coalescing must collapse the
+    post-shuffle partitions of a tiny aggregate so small stages don't
+    pay 8 near-empty tasks."""
+    from etl_pyspark_spark.sources.io import read_table
+
+    df = (
+        read_table(spark, oracle_sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
