@@ -4566,6 +4566,129 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM documents,
+           UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS u(t)),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             floor((CAST(tf.tf AS DOUBLE)
+                    * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM tf JOIN df USING (term), n)
+    SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rk
+    FROM scored
+    QUALIFY rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: TF x rational IDF
+    ``(N - df + 0.5) / (df + 0.5)`` (the BM25 idf core without the
+    log — pure IEEE division, so scores are bit-identical
+    cross-engine), top-3 terms per doc. Shape at scale: explode ->
+    (doc, term) count, term document-frequency as a re-aggregate of
+    that SAME table (no second corpus scan), tiny df/N sides broadcast
+    back, one window for the per-doc rank."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = pround(
+        F.col("tf").cast("double")
+        * (
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("score"))
+        .select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           count(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           count(*) FILTER (o_custkey IS NULL),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           count(*) FILTER (o_orderstatus IS NULL),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           count(*) FILTER (o_totalprice IS NULL),
+           count(DISTINCT o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           count(*) FILTER (o_orderdate IS NULL),
+           count(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           count(*) FILTER (o_orderpriority IS NULL),
+           count(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column null count + exact distinct
+    count for every column of a table, in ONE pass. Spark plans the
+    N-distinct aggregate with a single Expand(N) over the scan — one
+    read of the table, not N — then unpivots the wide result row to
+    (column, stats) long form. The scan-once property is what matters
+    at 100 TB; swap count_distinct for approx_count_distinct when the
+    exact cardinality isn't worth the expand."""
+    o = read_table(spark, sf_dir, "orders")
+    cols = o.columns
+    wide = o.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in cols
+        ],
+        *[F.count_distinct(F.col(c)).alias(f"dist_{c}") for c in cols],
+    )
+    per_col = [
+        wide.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"nulls_{c}").alias("n_nulls"),
+            F.col(f"dist_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "rebalance_hint_write",
     oracle=f"""
     SELECT event_type, count(*) AS n_events,

@@ -94,6 +94,54 @@ def register_docgen(spark) -> bool:
                 )
                 yield (i, text)
 
+    try:
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+    except ImportError:  # pragma: no cover
+        SimpleDataSourceStreamReader = None
+
+    if SimpleDataSourceStreamReader is not None:
+
+        class _DocGenStreamReader(SimpleDataSourceStreamReader):
+            """Micro-batch reader: the 'remote feed' is the same LCG
+            document space consumed ``batchrows`` docs per batch up to
+            ``n``; offsets are plain row positions, so restarts resume
+            exactly (the checkpoint stores the committed offset)."""
+
+            def __init__(self, options):
+                self.n = int(options.get("n", 1000))
+                self.batch_rows = int(options.get("batchrows", 250))
+
+            def initialOffset(self):
+                return {"pos": 0}
+
+            def latestOffset(self):
+                # poll: advance by one batch until the feed is drained
+                return {"pos": self.n}
+
+            def read(self, start):
+                pos = start["pos"]
+                end = min(pos + self.batch_rows, self.n)
+                # a list ITERATOR: Spark pickles the prefetched rows
+                # for exactly-once replay (generators can't pickle) and
+                # calls next() on it when the feed is drained (a bare
+                # list fails that check)
+                return (iter(self._rows(pos, end)), {"pos": end})
+
+            def readBetweenOffsets(self, start, end):
+                return self._rows(start["pos"], end["pos"])
+
+            def _rows(self, lo, hi):
+                return [
+                    (
+                        i,
+                        " ".join(
+                            VOCAB[lcg_word_index(i, j)]
+                            for j in range(WORDS_PER_DOC)
+                        ),
+                    )
+                    for i in range(lo, hi)
+                ]
+
     class DocGenDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -104,6 +152,11 @@ def register_docgen(spark) -> bool:
 
         def reader(self, schema):
             return _DocGenReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            if SimpleDataSourceStreamReader is None:  # pragma: no cover
+                raise NotImplementedError("needs pyspark >= 4")
+            return _DocGenStreamReader(self.options)
 
     spark.dataSource.register(DocGenDataSource)
     return True

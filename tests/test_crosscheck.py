@@ -1,0 +1,42 @@
+"""Cross-implementation consistency on generated data.
+
+The registry pins both as-of join implementations to ONE DuckDB oracle
+on the fixture tables; this file additionally runs them against each
+other on a generated dataset with a different shape — unmatched keys,
+left/right timestamp collisions, dense per-key histories — so a
+semantics drift that happens to be invisible on the fixtures still
+fails."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_asof_impls_agree_on_generated_data(spark):
+    from etl_pyspark_spark.operators.joins import asof_join, asof_join_cogroup
+
+    # left: 800 rows over 50 keys; keys 40-49 have NO right-side rows.
+    # lts is hash-scattered so many rows tie exactly with an rts value
+    # (exercising the <= boundary).
+    left = spark.range(0, 800).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 50).alias("k"),
+        F.pmod(F.hash(F.col("id")), F.lit(300)).cast("long").alias("lts"),
+    )
+    # right: 300 rows over keys 0-39, rts unique per key (no right-side
+    # ties — at equal (key, ts) the winning right row would be
+    # implementation-defined in both engines)
+    right = spark.range(0, 300).select(
+        (F.col("id") % 40).alias("k"),
+        F.col("id").cast("long").alias("rts"),
+        (F.col("id") * 3 + 1).alias("payload"),
+    )
+    a = asof_join(left, right, "k", "lts", "rts", ["rts", "payload"])
+    b = asof_join_cogroup(left, right, "k", "lts", "rts", ["rts", "payload"])
+    assert a.count() == 800 and b.count() == 800
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # sanity: unmatched keys surface as nulls, matched ones obey <=
+    nulls = a.where(F.col("k") >= 40)
+    assert nulls.count() == nulls.where(F.col("asof_payload").isNull()).count()
+    assert a.where(F.col("asof_rts") > F.col("lts")).count() == 0
