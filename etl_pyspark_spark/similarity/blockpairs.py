@@ -58,13 +58,21 @@ def block_cosine_pairs(
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold, exactly.
 
-    ``num_blocks=None`` sizes blocks from the corpus count (one cheap
-    count job) so per-task memory is constant at any scale and small
-    corpora don't pay 36 tasks of replication overhead for work one
-    GEMM finishes instantly. The result is block-count invariant."""
+    ``num_blocks=None`` sizes blocks two ways and takes the max:
+    (a) corpus count / _BLOCK_ROWS, so per-task GEMM memory is
+    constant at any scale; (b) a parallelism floor — enough blocks
+    that the ~num_blocks^2/2 block pairs fill the cluster's task
+    slots (without it, a corpus that fits 2 blocks runs 3 tasks on 32
+    cores and the exact-dedup pass serializes). The result is
+    block-count invariant."""
     if num_blocks is None:
+        import math
+
         n = emb.count()
-        num_blocks = max(1, -(-n // _BLOCK_ROWS))
+        size_blocks = -(-n // _BLOCK_ROWS)
+        p = emb.sparkSession.sparkContext.defaultParallelism
+        par_blocks = math.ceil((math.sqrt(8 * p + 1) - 1) / 2)
+        num_blocks = max(1, size_blocks, par_blocks)
     spark = emb.sparkSession
     blocked = emb.select(
         F.col(id_col).alias("vid"),

@@ -198,3 +198,19 @@ def test_aqe_coalesces_small_shuffle(spark, oracle_sf_dir):
     df.collect()  # finalize the adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+def test_returned_item_ranking_is_top_n(spark, oracle_sf_dir):
+    # Q10's top-20 must stay a TakeOrderedAndProject, never a global sort
+    plan = plan_of(QUERIES["returned_item_ranking"](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_forecast_revenue_predicates_pushed(spark, oracle_sf_dir):
+    # Q6 is the pushdown-only query: all three predicates must reach
+    # the parquet scan so row groups outside the window never load
+    plan = plan_of(QUERIES["forecast_revenue_change"](spark, oracle_sf_dir))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
