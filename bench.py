@@ -41,7 +41,12 @@ def main() -> None:
     from etl_pyspark_spark.registry import QUERIES
     from etl_pyspark_spark.session import get_session
 
-    spark = get_session(app_name="etl-pyspark-spark-bench")
+    spark = get_session(
+        app_name="etl-pyspark-spark-bench",
+        # no stage progress bars on stderr — they flood the driver's
+        # captured output and bury the result line
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen paths AND the Python worker pool (numpy
@@ -56,7 +61,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             _force(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 4)
+            timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # pragma: no cover - surfaced in JSON
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
@@ -69,20 +74,29 @@ def main() -> None:
         # between every query of one session.
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-                "n_queries": len(timings),
-                "n_failed": sum(1 for t in timings.values() if t < 0),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_of(sf_dir),
+            "n_queries": len(timings),
+            "n_failed": sum(1 for t in timings.values() if t < 0),
+        },
+        separators=(",", ":"),
     )
+    # Stop Spark BEFORE printing: the JSON must be the LAST thing on
+    # stdout (shutdown logs after it can push the line out of a
+    # tail-capture buffer — round 1's BENCH json was truncated that
+    # way). A file copy is the belt-and-braces record.
     spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_last.json"), "w") as fh:
+        fh.write(line + "\n")
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -28,9 +28,12 @@ Config choices (and why):
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger("etl_pyspark_spark")
 
 
 def _cpus() -> int:
@@ -51,12 +54,33 @@ RUNTIME_COMPAT_CONF = {
 
 
 def ensure_compat(spark: SparkSession) -> SparkSession:
-    """Pin the runtime confs the engine's semantics rely on."""
+    """Pin the runtime confs the engine's semantics rely on.
+
+    Failures are LOUD (warning log, once per session): a silently
+    dropped conf is how round 1 shipped the events.ts NTZ bug. Note a
+    successful ``conf.set`` is still no guarantee of *effect* —
+    ``nanosAsLong`` only matters at session build — which is why
+    schema-sensitive code branches on the observed dtype
+    (``sources.io.normalize_event_ts``) instead of trusting confs.
+    """
+    failed: dict[str, str] = {}
     for k, v in RUNTIME_COMPAT_CONF.items():
         try:
             spark.conf.set(k, v)
+            got = spark.conf.get(k, None)
+            if got != v:
+                failed[k] = f"set ok but reads back {got!r}"
+        except Exception as e:  # static conf on some build
+            failed[k] = repr(e)
+    if failed and not getattr(spark, "_graft_compat_warned", False):
+        _LOG.warning(
+            "compat confs not applied (dtype normalizers still cover "
+            "the schema surface, but semantics may drift): %s", failed,
+        )
+        try:
+            spark._graft_compat_warned = True
         except Exception:
-            pass  # static conf on some build: session.py defaults cover it
+            pass
     return spark
 
 

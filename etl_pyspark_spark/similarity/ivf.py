@@ -85,13 +85,20 @@ def ivf_topk(
     )
     cnorm = np.sqrt((centroids * centroids).sum(axis=1))
 
-    def probes_of(qv: list[float]) -> list[int]:
-        q = np.asarray(qv)
-        qn = np.sqrt(q @ q)
-        sims = (centroids @ q) / (cnorm * qn + 1e-12)
-        return [int(i) for i in np.argsort(-sims)[:nprobe]]
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(qv):
+        # one GEMM over the whole Arrow batch of queries (n x d @ d x k)
+        # instead of a per-row Python call — ArrowEvalPython, not
+        # BatchEvalPython (pinned by tests/test_plans.py)
+        import pandas as pd
 
-    probe_udf = F.udf(probes_of, T.ArrayType(T.IntegerType()))
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.stack(qv.values)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        sims = (Q @ centroids.T) / (np.outer(qn, cnorm) + 1e-12)
+        idx = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([r.astype("int32").tolist() for r in idx])
     probed = q_rows.select(
         "query_id", "qv", F.explode(probe_udf("qv")).alias("cell")
     )

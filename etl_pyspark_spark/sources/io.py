@@ -53,27 +53,52 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events fixture's parquet TIMESTAMP(NANOS) column to
+    a microsecond TIMESTAMP, whatever surface the session's reader gave
+    it. ``spark.sql.legacy.parquet.nanosAsLong`` only takes effect when
+    present at session *build* time — a caller-provided session (the
+    verify driver's, a notebook's) built with Spark 4 defaults surfaces
+    nano parquet as TIMESTAMP_NTZ instead, and setting the conf at
+    runtime does not change that. So branch on the observed dtype:
+
+    - ``bigint``        (nanosAsLong took)  -> ``timestamp_micros(ts div
+      1000)``. Integer ``div``: a double ``/ 1000`` would round epoch
+      nanos (> 2^53) and shift some timestamps by 1 us.
+    - ``timestamp_ntz`` (Spark 4 default)   -> cast to TIMESTAMP. The
+      reader already truncated nanos to micros; with the session TZ
+      pinned UTC (ensure_compat) the cast is value-identical — verified
+      bit-exact against DuckDB's ``epoch_us`` read.
+    - ``timestamp``     -> already the target surface; no-op.
+
+    Every event-time consumer (batch ``read_table`` and streaming
+    ``stream_events``) goes through this one helper — per-query
+    handling is how the NTZ surface slipped through in round 1.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table, e.g. ``read_table(spark, sf, 'lineitem')``.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark surfaces
-    as an epoch-nano long (``spark.sql.legacy.parquet.nanosAsLong``);
-    it is normalized here to a microsecond timestamp — the same
-    truncation DuckDB applies on read, so oracles agree.
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; ``normalize_event_ts``
+    maps every reader surface (nano-long, TIMESTAMP_NTZ, TIMESTAMP) to
+    one microsecond TIMESTAMP — the same truncation DuckDB applies on
+    read, so oracles agree.
 
-    ``ensure_compat`` pins ANSI-off/UTC/nanos confs because the caller
+    ``ensure_compat`` pins ANSI-off/UTC confs because the caller
     (e.g. the verify driver) may pass a session built with Spark 4
     defaults.
     """
     ensure_compat(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # integer division: a double `/ 1000` would round epoch
-            # nanos (> 2^53) and shift some timestamps by 1 us
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+    if "ts" in df.columns:
+        df = normalize_event_ts(df, "ts")
     return df
 
 

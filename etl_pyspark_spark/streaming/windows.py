@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pyspark_spark.session import ensure_compat
+from etl_pyspark_spark.sources.io import normalize_event_ts
 
 _MEM_IDS = itertools.count()
 
@@ -63,7 +64,12 @@ def stream_shuffle_partitions(spark: SparkSession):
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events fixture (schema from the batch
-    reader's parquet footer — metadata only, no data job)."""
+    reader's parquet footer — metadata only, no data job).
+
+    ``normalize_event_ts`` maps every reader surface of the nano-parquet
+    ``ts`` (bigint from nanosAsLong sessions, TIMESTAMP_NTZ from
+    default-built Spark 4 sessions, TIMESTAMP) to a microsecond
+    TIMESTAMP — ``withWatermark`` requires TIMESTAMP and rejects NTZ."""
     ensure_compat(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sdf = (
@@ -71,10 +77,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":  # nanosAsLong surface
-        # `div`, not `/`: double division rounds epoch nanos (> 2^53)
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return sdf
+    return normalize_event_ts(sdf, "ts")
 
 
 def run_to_memory_table(

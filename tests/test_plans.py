@@ -200,6 +200,15 @@ def test_aqe_coalesces_small_shuffle(spark, oracle_sf_dir):
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
 
 
+def test_ivf_probe_is_arrow_not_row_udf(spark, oracle_sf_dir):
+    """The IVF query-probe step must run as an Arrow-batched pandas UDF
+    (ArrowEvalPython, one GEMM per batch), never a per-row Python UDF
+    (BatchEvalPython) — the round-1 weak spot."""
+    tree = tree_of(QUERIES["similarity_ivf_topk"](spark, oracle_sf_dir))
+    assert "BatchEvalPython" not in tree, tree
+    assert "ArrowEvalPython" in tree, tree
+
+
 def test_returned_item_ranking_is_top_n(spark, oracle_sf_dir):
     # Q10's top-20 must stay a TakeOrderedAndProject, never a global sort
     plan = plan_of(QUERIES["returned_item_ranking"](spark, oracle_sf_dir))

@@ -51,6 +51,138 @@ def test_streaming_tumbling_equals_batch(spark, oracle_sf_dir):
     ).count() == 0
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark correctness at the boundary: a row arriving AFTER the
+    watermark passed its window must be dropped, not re-aggregated.
+    The fixture replays never exercise this (no late data), so this
+    test injects it: input files consumed one per micro-batch
+    (maxFilesPerTrigger=1); file 1 advances the watermark past the
+    10:00 window's end, a later file contains a late row inside that
+    window. Append-mode output must show the window finalized WITHOUT
+    the late row.
+
+    Spark's two-watermark nuance (verified empirically on 4.1, visible
+    in StateStoreSave's plan): batch N filters LATE ROWS with the
+    watermark from the end of batch N-2 but EVICTS/emits state with the
+    one from batch N-1. So the late row must arrive two batches after
+    the watermark-advancing row to see a drop — hence three files, with
+    file 2 a filler batch that promotes the advanced watermark into the
+    late-row filter."""
+    import os
+    import shutil
+    from datetime import datetime, timezone
+
+    indir = tmp_path / "late_in"
+    indir.mkdir()
+
+    def write_file(rows, name, mtime):
+        staged = str(tmp_path / f"_stage_{name}")
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(
+            p for p in os.listdir(staged)
+            if p.endswith(".parquet") and not p.startswith("_")
+        )
+        dst = str(indir / name)
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (mtime, mtime))  # file source picks oldest first
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+    # batch 0: two rows in the 10:00 window + one at 12:00 that pushes
+    # the watermark to 11:50 (> the 10:00 window's 11:00 end)
+    write_file([(1, t(10, 5)), (2, t(10, 10)), (3, t(12, 0))], "b1.parquet", 1_000)
+    # batch 1: filler — evicts/emits the 10:00 window (n=2) and rolls
+    # the 11:50 watermark into the late-row filter for batch 2
+    write_file([(4, t(12, 30))], "b2.parquet", 2_000)
+    # batch 2: a LATE row back inside the finalized 10:00 window, plus
+    # a fresh row to drive the batch
+    write_file([(5, t(10, 20)), (6, t(12, 40))], "b3.parquet", 3_000)
+
+    sdf = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "late_data_check"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    rows = {
+        (r["window"]["start"].hour, r["n"])
+        for r in spark.table(name).collect()
+    }
+    # the 10:00 window finalized with the two on-time rows only — the
+    # late id=5 was discarded at the watermark (observable in metrics),
+    # and no second emission of the window appears
+    assert dropped == 1
+    assert rows == {(10, 2)}
+
+
+def test_event_ts_ntz_surface_end_to_end():
+    """Exactly the round-1 driver scenario: a session built with Spark 4
+    DEFAULTS (no nanosAsLong -> events.ts surfaces as TIMESTAMP_NTZ)
+    must still run event-time queries, both streaming (withWatermark
+    rejects NTZ) and batch, with values matching the nanos-long path.
+    Needs its own JVM because nanosAsLong is build-time-only — hence a
+    subprocess."""
+    import json
+    import subprocess
+    import sys
+
+    code = r"""
+import json
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[4]")
+         .appName("ntz-e2e")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sf = "/root/testdata/sf0.001"
+surface = dict(spark.read.parquet(f"{sf}/events.parquet").dtypes)["ts"]
+from etl_pyspark_spark.registry import QUERIES
+stream = QUERIES["stream_tumbling_agg"](spark, sf)
+sess = QUERIES["sessionize_events"](spark, sf)
+from etl_pyspark_spark.sources.io import read_table
+ev = read_table(spark, sf, "events")
+batch = (ev.groupBy(F.window("ts", "1 hour"), "event_type")
+         .agg(F.count(F.lit(1)).alias("n_events"))
+         .select(F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+                 "event_type", "n_events"))
+cols = ["window_start_s", "event_type", "n_events"]
+diff = (stream.select(*cols).exceptAll(batch).count()
+        + batch.exceptAll(stream.select(*cols)).count())
+print(json.dumps({"surface": surface, "stream_rows": stream.count(),
+                  "session_rows": sess.count(), "stream_vs_batch_diff": diff}))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    # the whole point: the default-built session really does surface NTZ
+    assert res["surface"] == "timestamp_ntz", res
+    assert res["stream_rows"] > 0 and res["session_rows"] > 0, res
+    assert res["stream_vs_batch_diff"] == 0, res
+
+
 def test_transform_with_state_gated(spark, oracle_sf_dir):
     """Spark 4 Arbitrary State API v2: runs (and equals the batch
     GROUP BY) where google.protobuf exists; cleanly gated where not."""
