@@ -55,6 +55,21 @@ def main() -> None:
     for warm in ("reference_pipeline", "multimodal_byte_features"):
         if warm in QUERIES:
             _force(QUERIES[warm](spark, sf_dir))
+    try:
+        # the Python DataSource path has its own worker pool + one-time
+        # source-class distribution (~7s); warm it like the others so
+        # the per-query number measures the connector, not first-use
+        from etl_pyspark_spark.sources.pyds import register_docgen
+
+        if register_docgen(spark):
+            _force(
+                spark.read.format("docgen")
+                .option("n", 64)
+                .option("numpartitions", 2)
+                .load()
+            )
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

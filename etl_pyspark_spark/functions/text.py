@@ -122,6 +122,36 @@ def language_id(col: Column) -> Column:
     return expr
 
 
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-grams as space-joined strings (empty array when the doc
+    has fewer than ``n`` tokens). Pure JVM: tokenize once, then one
+    ``transform`` over an index sequence — no explode, no UDF, so the
+    n-gram construction stays inside whole-stage codegen and the only
+    data growth is the output array itself."""
+    toks = ws_tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Fraction of repeated word ``n``-grams (0 when no n-grams) — the
+    Gopher-style boilerplate/repetition quality signal: spammy or
+    templated documents repeat phrases, natural text rarely does."""
+    g = word_ngrams(col, n)
+    total = F.size(g).cast("double")
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Whole-document fingerprint: portable 60-bit hash of the
     whitespace-normalized, lowercased text (format-insensitive exact

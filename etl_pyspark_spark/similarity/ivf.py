@@ -6,13 +6,15 @@ quantizer partitions the corpus into ``k`` cells; a query searches
 only its ``nprobe`` nearest cells. Recall/cost is tuned by
 ``k`` x ``nprobe`` instead of bands x bits.
 
-Implementation is Spark-native end-to-end: the quantizer is
-``pyspark.ml.clustering.KMeans`` (fixed seed — deterministic within
-an engine run, but estimator-specific, so the registry entry is a
-rows-only check; tests/test_sketches.py bounds recall against the
-exact brute-force result instead of a SQL oracle). Cell search runs
-as one GEMM per (cell, query-batch) via ``applyInPandas`` — the same
-vectorized pattern as similarity/blockpairs.py.
+The quantizer is trained FAISS-style: a deterministic hash-top-k
+sample of the corpus (bounded driver memory) fits a numpy Lloyd loop
+with a fixed seed — deterministic within an engine run, but
+estimator-specific, so the registry entry is a rows-only check;
+tests/test_sketches.py bounds recall against the exact brute-force
+result instead of a SQL oracle. Cell assignment is one Arrow-batched
+pandas-UDF GEMM; cell search runs as one GEMM per (cell, query-batch)
+via ``applyInPandas`` — the same vectorized pattern as
+similarity/blockpairs.py.
 
 Scale shape: corpus shuffles once on cell id (k cells ~ k partitions);
 queries broadcast to their probed cells; no cross join, no driver
@@ -46,39 +48,59 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 13,
 ) -> DataFrame:
-    """Approximate per-query top-k by cosine over probed IVF cells."""
+    """Approximate per-query top-k by cosine over probed IVF cells.
+
+    The coarse quantizer is trained FAISS-style on a bounded sample,
+    not the full corpus: a deterministic hash-top-k draw (global
+    TakeOrderedAndProject — no full sort, no extra shuffle) feeds a
+    driver-side numpy Lloyd loop, so quantizer training costs ONE
+    corpus pass regardless of scale instead of ``maxIter`` full passes
+    of an ML pipeline. Cell boundaries only gate which cells a query
+    probes — nprobe covers boundary error (recall bounded by
+    tests/test_sketches.py) — so sample-trained centroids lose nothing
+    that matters. Assignment is one Arrow-batched pandas UDF GEMM."""
+    import pandas as pd
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window
-
-    spark = corpus.sparkSession
 
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    ml_df = vecs.withColumn("features", array_to_vector("vec"))
-    # coarse quantizer: 8 Lloyd rounds are plenty — cell boundaries only
-    # gate which cells a query probes, and nprobe covers boundary error
-    # (recall is bounded by tests/test_sketches.py); each extra round is
-    # a full corpus pass at scale
-    model = KMeans(
-        k=k_cells, seed=seed, maxIter=8, featuresCol="features"
-    ).fit(ml_df)
-    assigned = model.transform(ml_df).select(
-        "vid", "vec", F.col("prediction").alias("cell")
-    )
 
-    # nprobe nearest centroids per query, computed from the (tiny)
-    # centroid matrix — numpy on the driver is fine: k_cells rows only.
-    centroids = np.stack(
+    # --- train the coarse quantizer on a deterministic sample ---
+    train_rows = max(2048, 64 * k_cells)
+    sample = np.stack(
         [
-            c.toArray() if hasattr(c, "toArray") else np.asarray(c)
-            for c in model.clusterCenters()
+            r["vec"]
+            for r in vecs.orderBy(F.xxhash64(F.col("vid")))
+            .limit(train_rows)
+            .collect()
         ]
     )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=k_cells, replace=False)]
+    for _ in range(8):  # Lloyd on the sample: k_cells x dim x |sample|
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        for c in range(k_cells):
+            m = labels == c
+            if m.any():
+                centroids[c] = sample[m].mean(axis=0)
+
+    cn2 = (centroids * centroids).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_cell(vec):
+        if len(vec) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(vec.values)
+        # argmin ||x-c||^2 == argmax (2 x.c - |c|^2): one GEMM per batch
+        cell = (2.0 * (X @ centroids.T) - cn2).argmax(axis=1)
+        return pd.Series(cell.astype("int32"))
+
+    assigned = vecs.select("vid", "vec", assign_cell("vec").alias("cell"))
     q_rows = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),

@@ -87,12 +87,25 @@ def register_docgen(spark) -> bool:
             ]
 
         def read(self, part):
-            for i in range(part.start, part.end):
-                text = " ".join(
-                    VOCAB[lcg_word_index(i, j)]
-                    for j in range(WORDS_PER_DOC)
-                )
-                yield (i, text)
+            # one Arrow RecordBatch per split (vectorized LCG), not
+            # per-row tuples: batch transfer is the scale pattern for
+            # a Python connector — pickling cost per BATCH, not row
+            import numpy as np
+            import pyarrow as pa
+
+            ids = np.arange(part.start, part.end, dtype=np.int64)
+            vocab = np.asarray(VOCAB)
+            cols = [
+                vocab[(_A * (ids * WORDS_PER_DOC + j) + _C) % _M % len(VOCAB)]
+                for j in range(WORDS_PER_DOC)
+            ]
+            text = cols[0]
+            for c in cols[1:]:
+                text = np.char.add(np.char.add(text, " "), c)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(text.astype(object))],
+                names=["doc_id", "text"],
+            )
 
     try:
         from pyspark.sql.datasource import SimpleDataSourceStreamReader

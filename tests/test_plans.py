@@ -200,6 +200,15 @@ def test_aqe_coalesces_small_shuffle(spark, oracle_sf_dir):
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
 
 
+def test_dpp_prunes_fact_partitions(spark, oracle_sf_dir):
+    """The dim-side year filter must reach the partitioned fact scan as
+    a runtime partition filter (dynamic partition pruning) — no literal
+    predicate mentions the fact partitions, yet only the matching ones
+    may be read."""
+    plan = plan_of(QUERIES["dpp_join_pruning"](spark, oracle_sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_ivf_probe_is_arrow_not_row_udf(spark, oracle_sf_dir):
     """The IVF query-probe step must run as an Arrow-batched pandas UDF
     (ArrowEvalPython, one GEMM per batch), never a per-row Python UDF
