@@ -37,10 +37,12 @@ def simhash(
     zero tokens get fingerprint 0 via the left join)."""
     from etl_pyspark_spark.sources.io import spread
 
+    # hash staged as a projected column: all 32 vote expressions
+    # reference it, and md5 must run once per token, not once per bit
     toks = spread(df).select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
-    )
-    h = portable_hash60(F.col("tok"))
+    ).select(F.col(id_col), portable_hash60(F.col("tok")).alias("h"))
+    h = F.col("h")
     votes = [
         F.sum(
             F.when((F.shiftright(h, i).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)

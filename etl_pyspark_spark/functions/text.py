@@ -53,13 +53,17 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0))
 
 
-def stopword_hits(col: Column, lang: str = "en") -> Column:
+def stopword_hits(
+    col: Column, lang: str = "en", ltoks: Column | None = None
+) -> Column:
     """Number of tokens that are stopwords of ``lang`` (with
-    multiplicity)."""
+    multiplicity). Pass ``ltoks`` (a PROJECTED lowercased-token array
+    column) on hot paths — inlining re-lowercases and re-splits the
+    text once per consumer (language_id alone has 4)."""
     stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
-    return F.size(
-        F.filter(ws_tokens(F.lower(col)), lambda t: F.array_contains(stops, t))
-    )
+    if ltoks is None:
+        ltoks = ws_tokens(F.lower(col))
+    return F.size(F.filter(ltoks, lambda t: F.array_contains(stops, t)))
 
 
 def punct_count(col: Column) -> Column:
@@ -67,7 +71,11 @@ def punct_count(col: Column) -> Column:
     return F.length(F.regexp_replace(col, "[A-Za-z0-9 ]", ""))
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(
+    col: Column,
+    toks: Column | None = None,
+    ltoks: Column | None = None,
+) -> Column:
     """Composite quality score in [0, 1] from cheap signals:
 
     - length_score: saturating n_chars / 400
@@ -78,12 +86,17 @@ def quality_score(col: Column) -> Column:
     score = 0.3*length + 0.3*words + 0.3*stopwords + 0.1*(1 - punct)
 
     The exact formula matters less than determinism: every term is
-    double arithmetic both engines evaluate identically.
+    double arithmetic both engines evaluate identically. ``toks`` /
+    ``ltoks`` take pre-projected token arrays so pipelines computing
+    several signals tokenize once (values are identical either way).
     """
     n_chars = F.length(col).cast("double")
-    n_words = ws_token_count(col).cast("double")
+    n_words = (
+        F.size(toks) if toks is not None else ws_token_count(col)
+    ).cast("double")
     stop_ratio = F.when(
-        n_words > 0, stopword_hits(col).cast("double") / n_words
+        n_words > 0,
+        stopword_hits(col, "en", ltoks=ltoks).cast("double") / n_words,
     ).otherwise(F.lit(0.0))
     punct_ratio = F.when(
         n_chars > 0, punct_count(col).cast("double") / n_chars
@@ -99,15 +112,21 @@ def quality_score(col: Column) -> Column:
     )
 
 
-def language_scores(col: Column) -> dict[str, Column]:
+def language_scores(
+    col: Column, ltoks: Column | None = None
+) -> dict[str, Column]:
     """Stopword-vote score per language."""
-    return {lang: stopword_hits(col, lang) for lang in LANG_STOPWORDS}
+    return {
+        lang: stopword_hits(col, lang, ltoks=ltoks)
+        for lang in LANG_STOPWORDS
+    }
 
 
-def language_id(col: Column) -> Column:
+def language_id(col: Column, ltoks: Column | None = None) -> Column:
     """Pick the language with the most stopword hits; ties resolve in
-    the fixed key order of LANG_STOPWORDS; all-zero scores -> 'und'."""
-    scores = language_scores(col)
+    the fixed key order of LANG_STOPWORDS; all-zero scores -> 'und'.
+    ``ltoks``: see :func:`stopword_hits`."""
+    scores = language_scores(col, ltoks=ltoks)
     langs = list(LANG_STOPWORDS)
     best = F.greatest(*[scores[lang] for lang in langs])
     expr = F.lit("und")
@@ -122,13 +141,16 @@ def language_id(col: Column) -> Column:
     return expr
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Word n-grams as space-joined strings (empty array when the doc
-    has fewer than ``n`` tokens). Pure JVM: tokenize once, then one
-    ``transform`` over an index sequence — no explode, no UDF, so the
-    n-gram construction stays inside whole-stage codegen and the only
-    data growth is the output array itself."""
-    toks = ws_tokens(col)
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined) from an ALREADY-TOKENIZED array
+    column — no explode, no UDF; empty array below ``n`` tokens.
+
+    Pass a *projected column* (``.select(ws_tokens(...).alias("toks"))``
+    first), not the tokenizer expression itself: the lambda references
+    the token array 3n times per row, and higher-order-function lambdas
+    get no common-subexpression elimination — inlining the tokenizer
+    re-splits the string once per referenced element (measured 20x
+    slower on the fixture corpus)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
@@ -140,16 +162,29 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     )
 
 
-def repetition_ratio(col: Column, n: int = 3) -> Column:
-    """Fraction of repeated word ``n``-grams (0 when no n-grams) — the
-    Gopher-style boilerplate/repetition quality signal: spammy or
-    templated documents repeat phrases, natural text rarely does."""
-    g = word_ngrams(col, n)
-    total = F.size(g).cast("double")
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-grams straight from a text column. Convenience for small
+    inputs/tests; hot paths should project ``ws_tokens`` once and use
+    :func:`ngrams_from_tokens` (see its docstring for why)."""
+    return ngrams_from_tokens(ws_tokens(col), n)
+
+
+def repetition_from_grams(grams: Column) -> Column:
+    """Fraction of repeated n-grams in a projected gram-array column
+    (0 when empty) — the Gopher-style boilerplate/repetition quality
+    signal: spammy or templated documents repeat phrases, natural text
+    rarely does."""
+    total = F.size(grams).cast("double")
     return F.when(
         total > 0,
-        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
     ).otherwise(F.lit(0.0))
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Repetition signal straight from text (convenience form; hot
+    paths project the grams once — see :func:`ngrams_from_tokens`)."""
+    return repetition_from_grams(word_ngrams(col, n))
 
 
 def doc_fingerprint(col: Column) -> Column:

@@ -273,6 +273,34 @@ def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_shuffle_hash",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           {_dec_sum_sql("l_extendedprice", "total_price")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with the SHUFFLE_HASH strategy: both sides
+    shuffle on the key but NEITHER sorts — the smaller side builds a
+    hash map per partition. For high-cardinality, evenly-distributed
+    keys this beats sort-merge (no two n-log-n sorts) and beats
+    broadcast when no side fits in memory; plan-pinned as
+    ShuffledHashJoin in tests/test_plans.py."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum(F.col("l_extendedprice"), "total_price"),
+        )
+    )
+
+
+@query(
     "join_left_outer",
     oracle="""
     SELECT c_custkey, c_name,
@@ -951,10 +979,23 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document quality score (length/word/stopword/punct
     signals), deterministic double arithmetic on both engines."""
     from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
 
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", pround(T.quality_score(F.col("text")), 6).alias("quality")
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id",
+        "text",
+        T.ws_tokens(F.col("text")).alias("__toks"),
+        T.ws_tokens(F.lower(F.col("text"))).alias("__ltoks"),
+    )
+    return staged.select(
+        "doc_id",
+        pround(
+            T.quality_score(
+                F.col("text"), toks=F.col("__toks"), ltoks=F.col("__ltoks")
+            ),
+            6,
+        ).alias("quality"),
     )
 
 
@@ -988,17 +1029,23 @@ def _ngram_sql(tok_expr: str, n: int) -> str:
 def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: fraction of duplicated word
     trigrams per document (templated/spammy text repeats phrases).
-    Pure codegen'd array expressions — tokenize once, one transform,
-    no explode, no shuffle: a straight map over the corpus at any
-    scale."""
+    Pure array expressions, no explode, no shuffle — and staged as
+    tokenize-once -> grams-once projections (inlining the tokenizer
+    into the gram lambda re-splits the text per element; measured 20x).
+    ``spread`` fans the single-row-group fixture scan out to all cores
+    — on a real many-file lake it is a no-op."""
     from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
 
-    docs = read_table(spark, sf_dir, "documents")
-    tri = T.word_ngrams(F.col("text"), 3)
-    return docs.select(
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", T.ws_tokens(F.col("text")).alias("toks"))
+    gramd = toked.select(
+        "doc_id", T.ngrams_from_tokens(F.col("toks"), 3).alias("tri")
+    )
+    return gramd.select(
         "doc_id",
-        F.size(tri).alias("n_trigrams"),
-        pround(T.repetition_ratio(F.col("text"), 3), 6).alias("repetition"),
+        F.size("tri").alias("n_trigrams"),
+        pround(T.repetition_from_grams(F.col("tri")), 6).alias("repetition"),
     )
 
 
@@ -1022,11 +1069,13 @@ def q_ngram_corpus_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation collapses them before the exchange —
     the shuffle carries only distinct bigrams per partition."""
     from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toked = docs.select(T.ws_tokens(F.col("text")).alias("toks"))
     return (
-        docs.select(
-            F.explode(T.word_ngrams(F.col("text"), 2)).alias("bigram")
+        toked.select(
+            F.explode(T.ngrams_from_tokens(F.col("toks"), 2)).alias("bigram")
         )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_docs_x_occurrences"))
@@ -1075,6 +1124,113 @@ def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_words",
         pround(ratio, 6).alias("unique_ratio"),
+    )
+
+
+@query(
+    "doc_chunk_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks,
+                 unnest(generate_series(0,
+                        CAST(ceil(len(toks)/32.0) AS INT) - 1)) AS chunk_id
+          FROM t)
+    SELECT doc_id, chunk_id,
+           array_to_string(
+             toks[chunk_id*32+1 : least((chunk_id+1)*32, len(toks))],
+             ' ') AS chunk_text,
+           least((chunk_id+1)*32, len(toks)) - chunk_id*32 AS n_tokens
+    FROM c
+    """,
+)
+def q_doc_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking for training-sample prep: each document's
+    token stream splits into fixed 32-token windows (doc_id, chunk_id,
+    text, length) — the stage that turns a cleaned corpus into
+    trainer-shaped rows. Narrow plan: tokenize once, explode a chunk
+    index, slice — the only data growth is the chunk count and there
+    is ZERO shuffle, so it streams at scan speed at any corpus size."""
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(32.0)).cast("int") - 1,
+            )
+        ).alias("chunk_id"),
+    )
+    width = F.least(
+        (F.col("chunk_id") + 1) * 32, F.size("toks")
+    ) - F.col("chunk_id") * 32
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("chunk_id") * 32 + 1, width)
+        ).alias("chunk_text"),
+        width.cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "benchmark_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
+               FROM documents),
+    g AS (SELECT doc_id, unnest({_ngram_sql('toks', 4)}) AS gram FROM t),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM g
+      WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench))
+    SELECT d.doc_id, d.lang,
+           (d.doc_id IN (SELECT doc_id FROM contaminated))
+             AS is_contaminated
+    FROM documents d WHERE d.doc_id % 97 <> 0
+    """,
+)
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 4-gram with a held-out benchmark set (here the doc_id % 97
+    slice stands in for the eval suite). The benchmark's distinct
+    grams are TINY next to the corpus, so the membership probe is a
+    broadcast semi-join against the exploded training grams — the
+    fact side shuffles nothing, which is the only shape that survives
+    a 100 TB corpus x benchmark-suite sweep."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id", F.explode(T.ngrams_from_tokens(F.col("toks"), 4)).alias("gram")
+    )
+    bench_grams = (
+        grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench_grams), "gram", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("is_contaminated", F.lit(False)).alias(
+                "is_contaminated"
+            ),
+        )
     )
 
 
@@ -1128,14 +1284,21 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-voting language ID (n-gram-free heuristic; ties resolve
     en > de > es > fr)."""
     from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        T.ws_tokens(F.lower(F.col("text"))).alias("__ltoks"),
+    )
     c = F.col("text")
-    scores = T.language_scores(c)
-    return docs.select(
+    scores = T.language_scores(c, ltoks=F.col("__ltoks"))
+    return staged.select(
         "doc_id",
         F.col("lang").alias("lang_meta"),
-        T.language_id(c).alias("lang_pred"),
+        T.language_id(c, ltoks=F.col("__ltoks")).alias("lang_pred"),
         scores["en"].alias("sc_en"),
         scores["de"].alias("sc_de"),
         scores["es"].alias("sc_es"),
@@ -1855,6 +2018,67 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.col("l_quantity").cast("double").alias("l_quantity"),
     )
+
+
+@query("hll_sketch_rollup")  # no oracle: sketch estimate is estimator-specific
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Spark 4 Datasketches HLL):
+    per-(year, month) customer sketches union into per-year estimates
+    WITHOUT touching raw data again. This is the continuous-aggregate
+    pattern at 100 TB — monthly rollups store a few-KB sketch instead
+    of a customer set, and any coarser grain (year, lifetime) is a
+    sketch merge, not a re-scan. Rows-only driver check;
+    tests/test_sketches.py bounds the estimates against exact
+    countDistinct (HLL lgk=12 => ~1.6% standard error)."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
+    return (
+        monthly.groupBy("order_year")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_customers"
+            ),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "observed_quality_gate",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars >= 200
+    """,
+)
+def q_observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline audit counters via ``Dataset.observe``: the gate both
+    filters AND accumulates pass/fail metrics in the SAME job — no
+    second pass over the data to know what a 100 TB filter dropped.
+    The observation rides the existing plan as accumulator-style
+    metrics (collected on the driver at job end); the returned rows
+    are plain filter output, so the query stays fully oracle-checked
+    while tests/test_sketches.py asserts the metrics agree with the
+    oracle counts."""
+    from pyspark.sql import Observation
+
+    docs = read_table(spark, sf_dir, "documents")
+    obs = Observation("quality_gate")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("n_chars") >= 200).cast("long")).alias("n_pass"),
+    )
+    out = observed.where(F.col("n_chars") >= 200).select(
+        "doc_id", "lang", "n_chars"
+    )
+    # stash the Observation so tests can read the metrics after an action
+    out._graft_observation = obs
+    return out
 
 
 @query("approx_count_distinct")  # no oracle: estimator-specific result
@@ -4747,26 +4971,47 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
     from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
 
-    docs = read_table(spark, sf_dir, "documents")
+    # the scoring projection is CPU-bound per row; fan the single-row-
+    # group fixture scan out to all cores (no-op on a many-file lake),
+    # and tokenize ONCE into projected arrays — every signal derives
+    # from the same two token columns instead of re-splitting the text
+    # (language_id alone otherwise re-splits 4x per row)
+    docs = spread(read_table(spark, sf_dir, "documents"))
     c = F.col("text")
-    enriched = docs.select(
+    staged = docs.select(
         "doc_id",
         "text",
-        T.language_id(c).alias("lang_pred"),
-        pround(T.quality_score(c), 6).alias("quality"),
+        T.ws_tokens(c).alias("__toks"),
+        T.ws_tokens(F.lower(c)).alias("__ltoks"),
+    )
+    enriched = staged.select(
+        "doc_id",
+        "text",
+        T.language_id(c, ltoks=F.col("__ltoks")).alias("lang_pred"),
+        pround(
+            T.quality_score(c, toks=F.col("__toks"), ltoks=F.col("__ltoks")),
+            6,
+        ).alias("quality"),
         T.doc_fingerprint(c).alias("fingerprint"),
-        T.ws_token_count(c).alias("n_words"),
+        F.size("__toks").alias("n_words"),
         T.bpe_token_count(c).alias("n_bpe_tokens"),
     )
     gated = enriched.where(
         (F.col("quality") >= 0.4) & (F.col("lang_pred") != "und")
     )
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    # cache at the pipeline boundary: the exact-deduped survivor set
+    # feeds BOTH the LSH branch and the final anti-join, and its
+    # lineage (scoring projection + fingerprint window) is the most
+    # expensive recompute in the DAG. Size is the post-gate corpus
+    # slice — the thing you'd checkpoint to the lake at 100 TB.
     kept = (
         gated.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
+        .cache()
     )
     near_drops = (
         verified_near_duplicates(kept)

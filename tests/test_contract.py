@@ -30,8 +30,16 @@ def test_contract_shapes(spark):
     assert isinstance(qs, dict) and len(qs) >= 80
     assert isinstance(os_, dict)
     assert set(os_) <= set(qs)  # every oracle has a query
-    # at most a handful of rows-only queries (each must be justified)
-    assert len(set(qs) - set(os_)) <= 3
+    # rows-only queries are a CLOSED, justified set (estimator- or
+    # batching-specific outputs; each has an invariant/error-bound/
+    # recall test instead of a SQL oracle) — growing it is a deliberate
+    # decision, not drift
+    assert set(qs) - set(os_) == {
+        "approx_count_distinct",      # HLL estimate, engine-specific
+        "hll_sketch_rollup",          # Datasketches estimate, error-bound-tested
+        "similarity_ivf_topk",        # k-means quantizer, recall-tested
+        "stream_dedup_within_watermark",  # batching-dependent state bound
+    }
     df = mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0

@@ -200,6 +200,14 @@ def test_aqe_coalesces_small_shuffle(spark, oracle_sf_dir):
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
 
 
+def test_shuffle_hash_join_strategy(spark, oracle_sf_dir):
+    """The shuffle_hash hint must produce a ShuffledHashJoin — hash
+    build per partition, no per-side sort (the SMJ cost it avoids)."""
+    tree = tree_of(QUERIES["join_shuffle_hash"](spark, oracle_sf_dir))
+    assert "ShuffledHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
 def test_dpp_prunes_fact_partitions(spark, oracle_sf_dir):
     """The dim-side year filter must reach the partitioned fact scan as
     a runtime partition filter (dynamic partition pruning) — no literal

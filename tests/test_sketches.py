@@ -21,6 +21,39 @@ def test_approx_count_distinct_error_bound(spark, oracle_sf_dir):
     assert abs(approx.approx_orders - exact.k) / exact.k < 0.06
 
 
+def test_hll_rollup_error_bound(spark, oracle_sf_dir):
+    """Merged monthly HLL sketches must estimate yearly distinct
+    customers within the sketch's error envelope (lgk=12 => ~1.6%
+    standard error; allow 5%), proving the union path re-aggregates
+    correctly without raw data."""
+    est = {
+        r.order_year: r.approx_customers
+        for r in QUERIES["hll_sketch_rollup"](spark, oracle_sf_dir).collect()
+    }
+    o = read_table(spark, oracle_sf_dir, "orders")
+    exact = {
+        r.y: r.c
+        for r in o.groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.countDistinct("o_custkey").alias("c"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for y, e in est.items():
+        assert abs(e - exact[y]) / exact[y] < 0.05, (y, e, exact[y])
+
+
+def test_observe_metrics_match_filter(spark, oracle_sf_dir):
+    """Dataset.observe audit counters must agree with the data: the
+    pass counter equals the returned row count, the total equals the
+    corpus size — one job, no second scan."""
+    out = QUERIES["observed_quality_gate"](spark, oracle_sf_dir)
+    n_rows = out.count()  # action -> observation materializes
+    metrics = out._graft_observation.get
+    n_docs = read_table(spark, oracle_sf_dir, "documents").count()
+    assert metrics["n_pass"] == n_rows
+    assert metrics["n_total"] == n_docs
+
+
 def test_lsh_candidates_subset_of_exact(spark, oracle_sf_dir):
     """Every LSH-verified pair must appear in the exact all-pairs
     result at the same threshold (LSH trades recall, never precision)."""
