@@ -1235,6 +1235,252 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orders_totalprice_positive' AS rule,
+           count(*) FILTER (WHERE o_totalprice <= 0) AS n_violations,
+           count(*) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain',
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50),
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1),
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))),
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (deequ-style, engine-
+    native): domain, range, and referential-integrity rules evaluated
+    as conditional aggregates — ONE pass per table for all row-level
+    rules (no per-rule scans), plus one broadcast anti-join for the
+    foreign-key rule. The violations table is the pipeline gate a
+    100 TB ingest runs before publishing a partition."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    orders_rules = o.agg(
+        F.lit("orders_totalprice_positive").alias("rule"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    ).unionByName(
+        o.agg(
+            F.lit("orders_status_domain").alias("rule"),
+            F.sum(
+                (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+            ).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+    )
+    li_rules = li.agg(
+        F.lit("lineitem_quantity_range").alias("rule"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    ).unionByName(
+        li.agg(
+            F.lit("lineitem_discount_range").alias("rule"),
+            F.sum(
+                ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                    "long"
+                )
+            ).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+    )
+    # the FK probe shuffles on orderkey (both sides are fact-sized at
+    # scale — broadcasting the dim would lie about the 100 TB shape);
+    # the distinct and the anti-join share the same key partitioning
+    lkeys = li.select("l_orderkey").distinct()
+    orphans = lkeys.join(
+        o.select("o_orderkey"),
+        lkeys.l_orderkey == o.o_orderkey,
+        "left_anti",
+    )
+    fk_rule = orphans.agg(
+        F.lit("lineitem_orphan_orderkey").alias("rule"),
+        F.count(F.lit(1)).alias("n_violations"),
+    ).crossJoin(
+        lkeys.agg(F.count(F.lit(1)).alias("n_checked"))
+    )
+    return orders_rules.unionByName(li_rules).unionByName(fk_rule)
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH e AS (SELECT * FROM events
+               WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+    u AS (SELECT DISTINCT user_id FROM e),
+    v AS (SELECT user_id, min(ts) AS t FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e2.user_id, min(e2.ts) AS t FROM e e2
+          JOIN v ON e2.user_id = v.user_id AND e2.ts > v.t
+          WHERE e2.event_type = 'click' GROUP BY 1),
+    p AS (SELECT e2.user_id, min(e2.ts) AS t FROM e e2
+          JOIN c ON e2.user_id = c.user_id AND e2.ts > c.t
+          WHERE e2.event_type = 'purchase' GROUP BY 1)
+    SELECT u.user_id,
+           (v.user_id IS NOT NULL) AS reached_view,
+           (c.user_id IS NOT NULL) AS reached_click,
+           (p.user_id IS NOT NULL) AS reached_purchase
+    FROM u LEFT JOIN v USING (user_id)
+           LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase within day
+    one): each stage's first-event time must follow the previous
+    stage's. Three stage aggregations keyed by user_id share one
+    partitioning, and every per-stage table is orders of magnitude
+    smaller than the event log — the joins broadcast. The classic
+    product-analytics query, expressed so the event scan happens
+    once per stage with pushed predicates."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_t"))
+    )
+    c = (
+        ev.alias("e")
+        .join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("v_t")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_t"))
+    )
+    p = (
+        ev.alias("e")
+        .join(c, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_t"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_t"))
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("v_t").isNotNull().alias("reached_view"),
+            F.col("c_t").isNotNull().alias("reached_click"),
+            F.col("p_t").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cw
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+          FROM events)
+    SELECT f.cw AS cohort_week, a.w - f.cw AS week_offset,
+           count(*) AS n_users
+    FROM f JOIN a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted in every later week they stayed active. Two aggregations
+    keyed by user_id reuse one partitioning; the per-user summary
+    tables are tiny next to the event log, so the cohort join
+    broadcasts. At 100 TB the event scan is the only heavy pass."""
+    ev = read_table(spark, sf_dir, "events")
+    week = lambda col: F.floor(F.unix_timestamp(col) / 604800).cast("bigint")
+    first = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    active = ev.select(
+        "user_id", week(F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        first.join(active, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "feature_hashing_vectorize",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS tok
+                  FROM documents),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 AS bucket,
+                 count(*) AS cnt
+          FROM toks GROUP BY doc_id, bucket)
+    SELECT doc_id,
+           string_agg(bucket || ':' || cnt, ',' ORDER BY bucket)
+             AS features
+    FROM b GROUP BY doc_id
+    """,
+)
+def q_feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): tokens hash into 32
+    buckets, per-doc bucket counts form a fixed-width sparse vector —
+    vocabulary-free featurization, the property that matters at
+    100 TB where a global vocabulary is itself a big-data problem.
+    Serialized as a canonical 'bucket:count' string so the sparse
+    vector is hash-comparable across engines. Explode -> two
+    aggregations on the same doc_id partitioning."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("tok")
+    )
+    b = (
+        toks.select(
+            "doc_id", (T.portable_hash60(F.col("tok")) % 32).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return b.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("bucket", "cnt"))
+                ),
+                lambda s: F.concat_ws(
+                    ":", s["bucket"].cast("string"), s["cnt"].cast("string")
+                ),
+            ),
+        ).alias("features")
+    )
+
+
+@query(
     "pii_scrub",
     oracle="""
     SELECT event_id,
