@@ -1235,6 +1235,97 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "basket_part_pairs",
+    oracle="""
+    WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+              FROM parts a JOIN parts b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, count(*) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the recommendation-mining
+    primitive): part pairs appearing in the same order, counted and
+    top-20 ranked. The pair explosion is a self-join keyed on
+    l_orderkey, so work scales with sum(basket_size^2) — bounded by
+    real basket sizes, never corpus^2 — and the two sides share one
+    orderkey shuffle. Top-20 via TakeOrderedAndProject, never a
+    global sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.alias("a")
+    b = parts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "concurrent_sessions_peak",
+    oracle="""
+    WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+                FROM events),
+    pts AS (SELECT s AS t, 1 AS d FROM iv
+            UNION ALL
+            SELECT e AS t, -1 AS d FROM iv),
+    sw AS (SELECT CAST(t AS DATE) AS day, t, d,
+                  sum(d) OVER (PARTITION BY CAST(t AS DATE)
+                               ORDER BY t, d
+                               ROWS UNBOUNDED PRECEDING) AS conc
+           FROM pts)
+    SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM sw GROUP BY day
+    """,
+)
+def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep-line pattern: each event opens a
+    30-minute activity interval; interval starts are +1 points, ends
+    are -1, and a running sum ordered by time gives the live count —
+    max per day is the peak. The window partitions by DAY, so no
+    global single-partition sort exists at any scale (the classic
+    mistake here is one unpartitioned ORDER BY over the whole event
+    log). Ends sort before starts at a tie: half-open intervals."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy(F.to_date("t"))
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sw = pts.select(
+        F.to_date("t").alias("day"), F.sum("d").over(w).alias("conc")
+    )
+    return sw.groupBy("day").agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency")
+    )
+
+
+@query(
     "dq_expectations",
     oracle="""
     SELECT 'orders_totalprice_positive' AS rule,
@@ -5199,6 +5290,36 @@ def _corpus_prep_oracle() -> str:
     FROM kept
     WHERE doc_id NOT IN (SELECT doc_id_b FROM pairs)
     """
+
+
+def _stream_corpus_prep_oracle() -> str:
+    return f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             {_sql_lang_inline('text')} AS lang_pred,
+             {_sql_quality_inline('text')} AS quality,
+             ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                                                ' +', ' ', 'g')),
+                             1, 15))::BIGINT AS fingerprint
+      FROM documents)
+    SELECT lang_pred, count(DISTINCT fingerprint) AS n_accepted
+    FROM enriched
+    WHERE quality >= 0.4 AND lang_pred <> 'und'
+    GROUP BY lang_pred
+    """
+
+
+@query("stream_corpus_prep", oracle=_stream_corpus_prep_oracle())
+def q_stream_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus prep (streaming/corpus.py): the flagship
+    gate + exact dedup running as a stateful stream — score, gate,
+    ``dropDuplicates`` keyed by fingerprint (16-byte state rows), then
+    summarize accepted docs per predicted language. The summary is
+    order-independent, so bounded replay hash-matches a plain SQL
+    oracle even though micro-batch arrival order is not pinned."""
+    from etl_pyspark_spark.streaming.corpus import incremental_corpus_prep
+
+    return incremental_corpus_prep(spark, sf_dir)
 
 
 @query("corpus_prep_pipeline", oracle=_corpus_prep_oracle())

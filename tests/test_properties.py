@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): the engine's portable primitives
+checked against independent pure-Python references on random inputs.
+
+The oracle suite (tests/test_oracle.py) proves Spark == DuckDB on the
+fixtures; these prove the *primitive definitions themselves* match a
+third, trivially-auditable implementation on adversarial inputs (empty
+docs, unicode, single tokens, repeated tokens) — the cases fixture
+data never covers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# A pool of smallish tokens, plus some unicode and numerics
+_TOKENS = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters=" ", exclude_categories=("Cs", "Cc")
+    ),
+    min_size=1,
+    max_size=8,
+)
+_DOCS = st.lists(_TOKENS, min_size=0, max_size=30)
+
+_SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _py_ngrams(toks: list[str], n: int) -> list[str]:
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+@given(docs=st.lists(_DOCS, min_size=1, max_size=8), n=st.integers(2, 4))
+@_SETTINGS
+def test_ngrams_match_python_reference(spark, docs, n):
+    from pyspark.sql import functions as F
+
+    from etl_pyspark_spark.functions.text import ngrams_from_tokens
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, toks array<string>"
+    )
+    got = {
+        r["id"]: list(r["g"])
+        for r in df.select(
+            "id", ngrams_from_tokens(F.col("toks"), n).alias("g")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _py_ngrams(d, n), (d, n)
+
+
+@given(words=st.lists(_TOKENS, min_size=1, max_size=10, unique=True))
+@_SETTINGS
+def test_portable_hash60_matches_python_md5(spark, words):
+    from pyspark.sql import functions as F
+
+    from etl_pyspark_spark.functions.text import portable_hash60
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["h"]
+        for r in df.select(
+            "w", portable_hash60(F.col("w")).alias("h")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _py_hash60(w), w
+
+
+@given(docs=st.lists(_DOCS, min_size=1, max_size=8))
+@_SETTINGS
+def test_repetition_ratio_bounds_and_zero_iff_unique(spark, docs):
+    from pyspark.sql import functions as F
+
+    from etl_pyspark_spark.functions.text import (
+        ngrams_from_tokens,
+        repetition_from_grams,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, toks array<string>"
+    )
+    gramd = df.select(
+        "id", ngrams_from_tokens(F.col("toks"), 2).alias("g")
+    )
+    rows = gramd.select(
+        "id", "g", repetition_from_grams(F.col("g")).alias("r")
+    ).collect()
+    for r in rows:
+        grams = list(r["g"])
+        assert 0.0 <= r["r"] < 1.0 or (not grams and r["r"] == 0.0)
+        # zero repetition exactly when all n-grams are distinct
+        assert (r["r"] == 0.0) == (len(set(grams)) == len(grams)), grams
+
+
+def test_minhash_jaccard_planted_duplicates(spark):
+    """Planted-pair sanity (SURVEY §7.3): a document and its light
+    edit must surface as a verified near-duplicate pair with high
+    Jaccard; two unrelated documents must not."""
+    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(40) if i != 7)  # drop one word
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in verified_near_duplicates(df).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert (1, 3) not in pairs and (2, 3) not in pairs
