@@ -1412,6 +1412,106 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest({_WS_TOKENS_SQL.format(col='text')}) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok FROM toks GROUP BY tok
+              ORDER BY count(*) DESC, tok LIMIT 20),
+    flagged AS (SELECT t.doc_id,
+                       (v.tok IS NULL) AS oov
+                FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE oov) AS n_oov,
+           {sql_pround("count(*) FILTER (WHERE oov) * 1.0 / count(*)")}
+             AS oov_rate
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-20 corpus vocabulary (count
+    desc, token tiebreak — deterministic), then score every document's
+    out-of-vocabulary token rate — the tokenizer-fit signal a training
+    pipeline tracks when corpus and tokenizer drift apart. The vocab
+    is aggregated output (tiny) so the membership probe broadcasts;
+    the corpus-side explode never shuffles except the final per-doc
+    count, which reuses the doc_id grouping."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.col("in_vocab").isNull()
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov.cast("long")).alias("n_oov"),
+        pround(
+            F.sum(oov.cast("long")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                                                ' +', ' ', 'g')),
+                             1, 15))::BIGINT AS fingerprint
+      FROM documents),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+    batch AS (SELECT * FROM fp WHERE doc_id >= 250
+              QUALIFY row_number() OVER (PARTITION BY fingerprint
+                                         ORDER BY doc_id) = 1)
+    SELECT b.doc_id, b.fingerprint
+    FROM batch b WHERE b.fingerprint NOT IN
+      (SELECT fingerprint FROM hist)
+    """,
+)
+def q_dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (doc_id >= 250) dedupes
+    within itself (keep lowest doc_id per fingerprint) and then
+    anti-joins against the HISTORICAL accepted fingerprints (doc_id <
+    250 stands in for the lake's fingerprint table). This is the
+    every-day shape of production dedup at 100 TB: the history side is
+    a narrow (fingerprint) table read from the lake, the join is keyed
+    by the 60-bit fingerprint, and no document text crosses the
+    shuffle — only hashes."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    hist = fp.where(F.col("doc_id") < 250).select("fingerprint").distinct()
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch = (
+        fp.where(F.col("doc_id") >= 250)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return batch.join(hist, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
     "funnel_conversion",
     oracle="""
     WITH e AS (SELECT * FROM events
@@ -5580,6 +5680,54 @@ def q_python_datasource_docgen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct(F.col("text")).alias("n_unique_texts"),
+    )
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    SELECT count(*) AS n_lines,
+           {_dec_sum_sql("l_extendedprice", "total_price")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_partkey BETWEEN 100 AND 600
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered (Morton-curve) layout: lineitem rewritten clustered on
+    the interleaved bits of (ship-day, partkey), so each parquet file
+    owns a compact 2-D region — footer min/max stays tight on BOTH
+    columns (pinned by tests/test_plans.py reading the footers), and a
+    predicate on either dimension skips most files. The multi-column
+    complement to range_clustered_layout; written once per sf_dir
+    (marker), every 2-D-windowed scan afterwards prunes."""
+    import os as _os
+
+    from etl_pyspark_spark.sources.io import write_zordered
+
+    dst = f"{_SCRATCH}/zorder_lineitem"
+    marker = f"{dst}/.built_for"
+    want = _os.path.abspath(sf_dir)
+    try:
+        with open(marker) as fh:
+            have = fh.read().strip()
+    except OSError:
+        have = None
+    if have != want:
+        li = read_table(spark, sf_dir, "lineitem")
+        day = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01"))
+        write_zordered(li, dst, day, "l_partkey", num_files=8)
+        with open(marker, "w") as fh:
+            fh.write(want)
+    back = spark.read.parquet(dst)
+    return back.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        & F.col("l_partkey").between(100, 600)
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dec_sum(F.col("l_extendedprice"), "total_price"),
     )
 
 

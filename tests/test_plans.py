@@ -183,6 +183,49 @@ def test_range_clustered_files_have_disjoint_intervals(spark, oracle_sf_dir):
         assert hi_a <= lo_b, (spans,)
 
 
+def test_zorder_files_have_2d_locality(spark, oracle_sf_dir):
+    """Each Z-ordered file must own a compact 2-D region: bounded span
+    in BOTH dimensions (a single-column range cluster pins one dim and
+    leaves the other at 100%). Footer min/max is what the scan planner
+    prunes with, so that's what we assert on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    QUERIES["zorder_layout"](spark, oracle_sf_dir).count()
+    files = sorted(
+        glob.glob("/root/repo/.scratch/zorder_lineitem/part-*.parquet")
+    )
+    assert len(files) >= 6
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.to_arrow_schema().names
+        di, pi = names.index("l_shipdate"), names.index("l_partkey")
+        stats = lambda i, fn: fn(
+            getattr(md.row_group(g).column(i).statistics, fn.__name__)
+            for g in range(md.num_row_groups)
+        )
+        spans.append(
+            (
+                stats(di, min), stats(di, max),
+                stats(pi, min), stats(pi, max),
+            )
+        )
+    d_span = (
+        max(s[1] for s in spans) - min(s[0] for s in spans)
+    ).total_seconds()
+    p_span = max(s[3] for s in spans) - min(s[2] for s in spans)
+    areas = [
+        ((s[1] - s[0]).total_seconds() / d_span) * ((s[3] - s[2]) / p_span)
+        for s in spans
+    ]
+    # every file bounded on the date dim; mean 2-D area well below the
+    # full square (naive layout = 1.0 per file)
+    assert all((s[1] - s[0]).total_seconds() / d_span < 0.6 for s in spans)
+    assert sum(areas) / len(areas) < 0.4, areas
+
+
 def test_aqe_coalesces_small_shuffle(spark, oracle_sf_dir):
     """Scale hygiene both directions: shuffle.partitions is sized for
     big inputs, and AQE's runtime coalescing must collapse the
