@@ -82,11 +82,19 @@ def connected_components(
     )
 
 
-def sql_components_over_pairs(pairs_cte: str = "pairs") -> str:
+def sql_components_over_pairs(
+    pairs_cte: str = "pairs", final_name: str | None = None
+) -> str:
     """Recursive-CTE oracle fragment: same (doc_id, component_id)
     labeling from a ``{pairs_cte}(doc_id_a, doc_id_b, ...)`` CTE.
-    Embed under ``WITH RECURSIVE``."""
-    return f"""
+    Embed under ``WITH RECURSIVE``. With ``final_name``, the final
+    SELECT is emitted as one more named CTE so downstream oracles
+    (e.g. canonical selection) keep composing at the same WITH level."""
+    final = (
+        "SELECT node AS doc_id, min(lbl) AS component_id "
+        "FROM reach GROUP BY node"
+    )
+    ctes = f"""
     edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM {pairs_cte}
               UNION ALL
               SELECT doc_id_b, doc_id_a FROM {pairs_cte}),
@@ -95,6 +103,7 @@ def sql_components_over_pairs(pairs_cte: str = "pairs") -> str:
         UNION
         SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
     )
-    SELECT node AS doc_id, min(lbl) AS component_id
-    FROM reach GROUP BY node
     """
+    if final_name is not None:
+        return f"{ctes}, {final_name} AS ({final})"
+    return f"{ctes} {final}"

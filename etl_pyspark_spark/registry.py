@@ -5392,6 +5392,131 @@ def _corpus_prep_oracle() -> str:
     """
 
 
+def _canonical_oracle() -> str:
+    from etl_pyspark_spark.dedup.components import sql_components_over_pairs
+    from etl_pyspark_spark.dedup.minhash import sql_minhash_pairs, sql_shingles_cte
+
+    return (
+        "WITH RECURSIVE "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + ", "
+        + sql_components_over_pairs("pairs", final_name="comp")
+        + f""",
+    scored AS (SELECT doc_id, {_sql_quality_inline('text')} AS quality
+               FROM documents),
+    ranked AS (SELECT c.component_id, s.doc_id,
+                      row_number() OVER (PARTITION BY c.component_id
+                                         ORDER BY s.quality DESC, s.doc_id)
+                        AS rk
+               FROM comp c JOIN scored s ON s.doc_id = c.doc_id)
+    SELECT component_id,
+           count(*) AS n_members,
+           min(doc_id) FILTER (WHERE rk = 1) AS canonical_doc_id
+    FROM ranked GROUP BY component_id
+    """
+    )
+
+
+@query("dedup_canonical_selection", oracle=_canonical_oracle())
+def q_dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: label duplicate clusters
+    (MinHash-LSH pairs -> connected components), then keep each
+    cluster's HIGHEST-quality member (doc_id tiebreak) instead of the
+    arbitrary min-id — the policy step that decides which copy of a
+    near-duplicate group enters the training set. One window over the
+    component partitioning; the cluster table is tiny next to the
+    corpus, so the quality join broadcasts."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.dedup.components import connected_components
+    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        verified_near_duplicates(docs, threshold=0.5)
+    )
+    scored = docs.select(
+        "doc_id", pround(T.quality_score(F.col("text")), 6).alias("quality")
+    )
+    members = comp.join(scored, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("rk", F.row_number().over(w))
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
+        )
+    )
+
+
+def _media_prep_oracle() -> str:
+    from etl_pyspark_spark.functions.compat import sql_pround
+
+    return f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             strlen(text) AS n_bytes,
+             md5(text) AS checksum,
+             text
+      FROM documents),
+    gated AS (SELECT * FROM meta WHERE n_bytes >= 200),
+    kept AS (SELECT * FROM gated
+             QUALIFY row_number() OVER (PARTITION BY checksum
+                                        ORDER BY doc_id) = 1),
+    bytes AS (SELECT doc_id, unicode(substr(text, i, 1)) AS b
+              FROM kept, UNNEST(generate_series(1, strlen(text))) AS g(i)),
+    feats AS (SELECT doc_id,
+                     {sql_pround('CAST(sum(b) AS DOUBLE) / count(*)', 6)}
+                       AS mean_byte
+              FROM bytes GROUP BY doc_id)
+    SELECT k.doc_id, k.media_type, CAST(k.n_bytes AS INT) AS n_bytes,
+           f.mean_byte
+    FROM kept k JOIN feats f ON f.doc_id = k.doc_id
+    """
+
+
+@query("media_prep_pipeline", oracle=_media_prep_oracle())
+def q_media_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship multimodal prep DAG (the media twin of
+    corpus_prep_pipeline): metadata extraction (JVM expressions on the
+    binary payload) -> size gate -> checksum exact dedup (one hash
+    window) -> Arrow-batched feature extraction on the SURVIVORS only.
+    Cheap-first ordering again: bytes cross into Python exactly once,
+    for the gated deduped subset; at 100 TB of media that ordering is
+    the difference between decoding everything and decoding what you
+    keep."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.multimodal.assets import byte_features, with_payload
+
+    docs = read_table(spark, sf_dir, "documents")
+    assets = with_payload(docs)
+    gated = assets.where(F.col("n_bytes") >= 200)
+    w = Window.partitionBy("checksum").orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    feats = byte_features(kept)
+    return kept.select("doc_id", "media_type", "n_bytes").join(
+        feats.select(
+            "doc_id", pround(F.col("mean_byte"), 6).alias("mean_byte")
+        ),
+        "doc_id",
+    )
+
+
 def _stream_corpus_prep_oracle() -> str:
     return f"""
     WITH enriched AS (

@@ -50,6 +50,9 @@ RUNTIME_COMPAT_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.compression.codec": "zstd",
+    # UDTFs evaluate Arrow-batched (ArrowEvalPythonUDTF), keeping the
+    # engine's no-row-at-a-time-Python rule true for the UDTF surface
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
 
@@ -108,6 +111,7 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS); Spark 4 rejects it
         # unless nanos are surfaced as epoch-nano longs (we convert to
         # microsecond timestamps in the reader, matching DuckDB's read)
