@@ -1326,6 +1326,43 @@ def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk(part, node, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part
+      UNION ALL
+      SELECT part, node // 2, depth + 1 FROM walk WHERE node > 1
+    ),
+    depths AS (SELECT part, max(depth) AS root_depth
+               FROM walk GROUP BY part)
+    SELECT root_depth, count(*) AS n_parts
+    FROM depths GROUP BY root_depth
+    """,
+)
+def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk each part up a
+    binary ancestor chain (node -> node div 2) to the root and
+    histogram the depths — the BOM-explosion / org-hierarchy shape
+    that needed iterative driver loops before Spark 4. Iterations are
+    internal unions driven until the frontier empties; per-round work
+    is one hash aggregate, bounded by log2(max key) rounds here."""
+    _register_views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(part, node, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM part
+          UNION ALL
+          SELECT part, node DIV 2, depth + 1 FROM walk WHERE node > 1
+        ),
+        depths AS (SELECT part, max(depth) AS root_depth
+                   FROM walk GROUP BY part)
+        SELECT root_depth, count(*) AS n_parts
+        FROM depths GROUP BY root_depth
+        """
+    )
+
+
+@query(
     "dq_expectations",
     oracle="""
     SELECT 'orders_totalprice_positive' AS rule,
@@ -1981,6 +2018,57 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=10)
+
+
+def _assign_centroid_oracle() -> str:
+    cos = _sql_cos("v.embedding", "c.embedding")
+    return f"""
+    WITH sims AS (
+      SELECT v.vec_id, c.vec_id AS centroid_id, {cos} AS cos_sim
+      FROM embeddings v
+      JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c ON true),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, centroid_id ASC)
+               AS rk
+      FROM sims)
+    SELECT vec_id, centroid_id, cos_sim FROM ranked WHERE rk = 1
+    """
+
+
+@query("embedding_assign_nearest_centroid", oracle=_assign_centroid_oracle())
+def q_embedding_assign_nearest_centroid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic clustering assignment: every vector labeled with
+    its nearest of 8 FIXED centroids (the first 8 vectors) by cosine —
+    the assignment half of k-means, made oracle-checkable by pinning
+    the centroids instead of fitting them (the fitted variant is
+    similarity_ivf_topk's quantizer, recall-tested). Plan: broadcast
+    nested-loop of the 8-row centroid set against the corpus scan (the
+    corpus never shuffles for the join), one window shuffle for the
+    argmax — identical shape at any corpus size."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.similarity.cosine import as_double, cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
+    c = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    sim = pround(cosine(F.col("vv"), F.col("cv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        v.crossJoin(F.broadcast(c))
+        .select("vec_id", "centroid_id", sim.alias("cos_sim"))
+        .select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
 
 
 def _ann_pairs_oracle(threshold: float) -> str:

@@ -106,6 +106,67 @@ def test_repetition_ratio_bounds_and_zero_iff_unique(spark, docs):
         assert (r["r"] == 0.0) == (len(set(grams)) == len(grams)), grams
 
 
+def test_empty_input_through_dedup_pipeline(spark):
+    """Zero-row inputs must flow through the dedup/text stack without
+    errors — the empty-partition case every 100 TB job hits on some
+    task."""
+    from pyspark.sql import functions as F
+
+    from etl_pyspark_spark.dedup.components import connected_components
+    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+    from etl_pyspark_spark.functions.text import (
+        language_id,
+        quality_score,
+        word_ngrams,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert verified_near_duplicates(empty).count() == 0
+    edges = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    assert connected_components(edges).count() == 0
+    out = empty.select(
+        language_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        word_ngrams(F.col("text"), 3).alias("g"),
+    )
+    assert out.count() == 0
+
+
+def test_single_doc_edge_cases(spark):
+    """One-token and empty-string documents: n-grams empty, repetition
+    0, quality defined (no division blowups), fingerprint stable."""
+    from pyspark.sql import functions as F
+
+    from etl_pyspark_spark.functions.text import (
+        doc_fingerprint,
+        quality_score,
+        repetition_ratio,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "   "), (4, "a a a a")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            word_ngrams(F.col("text"), 3).alias("g"),
+            repetition_ratio(F.col("text"), 2).alias("rep"),
+            quality_score(F.col("text")).alias("q"),
+            doc_fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert list(rows[1]["g"]) == [] and rows[1]["rep"] == 0.0
+    assert list(rows[2]["g"]) == [] and rows[2]["rep"] == 0.0
+    assert rows[3]["q"] is not None and rows[3]["fp"] is not None
+    # "a a a a" -> bigrams all identical -> repetition 2/3
+    assert abs(rows[4]["rep"] - (1.0 - 1.0 / 3.0)) < 1e-9
+    for r in rows.values():
+        assert r["q"] is not None and 0.0 <= r["q"] <= 1.0
+
+
 def test_minhash_jaccard_planted_duplicates(spark):
     """Planted-pair sanity (SURVEY §7.3): a document and its light
     edit must surface as a verified near-duplicate pair with high
