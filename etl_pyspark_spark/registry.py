@@ -1449,6 +1449,115 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "train_test_split_assign",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 100 AS bucket
+      FROM documents)
+    SELECT source,
+           count(*) FILTER (WHERE bucket < 95) AS n_train,
+           count(*) FILTER (WHERE bucket >= 95) AS n_test
+    FROM assigned GROUP BY source
+    """,
+)
+def q_train_test_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 95/5 train/test split: the salted portable hash of
+    the stable doc key picks the side, so membership never changes
+    across runs, machines, or engines — the property a held-out set
+    must have (a random() split silently leaks test docs into training
+    on every re-run). Per-source counts verify the rate lands evenly;
+    one narrow pass, one tiny aggregate."""
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        T.portable_hash60(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    assigned = docs.select("doc_id", "source", bucket.alias("bucket"))
+    return assigned.groupBy("source").agg(
+        F.sum((F.col("bucket") < 95).cast("long")).alias("n_train"),
+        F.sum((F.col("bucket") >= 95).cast("long")).alias("n_test"),
+    )
+
+
+@query(
+    "event_dedup_time_window",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT event_id, user_id, event_type
+    FROM seq
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 60 SECOND
+    """,
+)
+def q_event_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: drop an event when the SAME (user, type)
+    fired within the previous 60 seconds (lag-based throttle — the
+    standard window-expressible form; exact keep-from-last-EMITTED
+    needs sequential state, which is the streaming
+    dropDuplicatesWithinWatermark path). One window shuffle keyed by
+    (user, type)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts",
+                  gap_us.alias("gap_us"))
+        .where(F.col("gap_us").isNull() | (F.col("gap_us") > 60_000_000))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "shard_assignment",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 8 AS shard_id
+      FROM documents)
+    SELECT shard_id, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM s GROUP BY shard_id
+    """,
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: hash docs into 8 shards and report
+    the balance (docs + chars per shard) — the pre-write check before
+    a partitioned export feeds N data-loader workers. Hash placement
+    gives even shards without a shuffle-heavy sort; the same shard_id
+    expression would drive ``partitionBy`` on the export write."""
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    shard = (
+        T.portable_hash60(
+            F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+        )
+        % 8
+    )
+    return (
+        docs.select(shard.alias("shard_id"), "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "vocab_oov_rate",
     oracle=f"""
     WITH toks AS (SELECT doc_id,
@@ -3031,6 +3140,39 @@ def q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = QUERIES["reference_pipeline"](spark, sf_dir)
     write_parquet(df, out, max_records_per_file=5000)
     return read_parquet(spark, out)
+
+
+@query(
+    "xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink (new in Spark 4 — previously the
+    external spark-xml package): write the nation dim as row-tagged
+    XML, read it back with an explicit schema. Rounds out the text-
+    format surface (CSV/JSON/text/XML) the ingest edge of a lake
+    needs; like the CSV path, the pinned read schema makes the round
+    trip lossless."""
+    out = f"{_SCRATCH}/xml_roundtrip"
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        n.write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(out)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .load(out)
+    )
 
 
 @query(
