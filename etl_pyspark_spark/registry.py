@@ -3276,6 +3276,75 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_cdc_upsert",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS latest_epoch_s, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (MERGE without a table format): each
+    micro-batch upserts into a keyed lake table via foreachBatch —
+    current-state read + union + keep-latest-per-key window + atomic
+    directory swap. Bounded replay converges to exactly the batch
+    latest-per-key result (the oracle). On a real lake this becomes
+    ``MERGE INTO`` on Delta/Iceberg; the plan shape per batch — keyed
+    window over current ∪ delta, rewrite only the table — is what
+    foreachBatch exists for. The swap (write tmp, rename) keeps
+    readers from seeing a half-written table; per-key partitioning
+    would bound the rewrite to touched partitions at scale."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.streaming.windows import (
+        stream_events,
+        stream_shuffle_partitions,
+    )
+
+    out = f"{_SCRATCH}/stream_cdc_upsert"
+    shutil.rmtree(out, ignore_errors=True)
+    sdf = stream_events(spark, sf_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df
+        if os.path.exists(out):
+            cur = spark.read.parquet(out)
+            new = cur.unionByName(batch_df)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            new.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = f"{out}__tmp{batch_id}"
+        latest.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            sdf.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        F.unix_timestamp("ts").alias("latest_epoch_s"),
+        "value",
+    )
+
+
+@query(
     "stream_foreach_batch_sink",
     oracle="""
     SELECT event_id, user_id,
