@@ -40,3 +40,28 @@ def test_asof_impls_agree_on_generated_data(spark):
     nulls = a.where(F.col("k") >= 40)
     assert nulls.count() == nulls.where(F.col("asof_payload").isNull()).count()
     assert a.where(F.col("asof_rts") > F.col("lts")).count() == 0
+
+
+def test_minhash_recall_against_exact_jaccard(spark, oracle_sf_dir):
+    """Two independent near-dup implementations checked against each
+    other on the corpus: MinHash-LSH verified pairs must be a SUBSET
+    of the exact inverted-index Jaccard pairs (verification makes
+    precision exact; LSH only costs recall), and the 8x2-band layout
+    must keep recall high at the 0.5 threshold (catch probability
+    1-(1-j^2)^8 >= 0.90 at j=0.5)."""
+    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+    from etl_pyspark_spark.dedup.ngram import ngram_jaccard_pairs
+    from etl_pyspark_spark.sources.io import read_table
+
+    docs = read_table(spark, oracle_sf_dir, "documents")
+    lsh = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in verified_near_duplicates(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # exact verification: no false positives ever
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
