@@ -1449,6 +1449,76 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "length_bucket_batching",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents)
+    SELECT bucket, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM b GROUP BY bucket
+    """,
+)
+def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-quantile bucketing for training-batch packing: ntile(8)
+    over (n_chars, doc_id) groups similar-length documents so padded
+    batches waste minimal compute — the classic seq-len bucketing
+    trick. NOTE the deliberate trade-off: a global ntile is a
+    single-partition sort, fine for planning STATISTICS (this query's
+    output is 8 rows) but never for labeling 100 TB of rows — the
+    scale path for per-row labels is fixed boundaries from
+    approx_percentile, one narrow pass."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    b = docs.select(
+        "doc_id", "n_chars", F.ntile(8).over(w).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_normalize_clean",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter({_WS_TOKENS_SQL.format(col='lower(text)')},
+                         t -> NOT list_contains(
+                           ['the','and','of','to','a','in','is','that'], t)),
+             ' ') AS clean_text
+    FROM documents
+    """,
+)
+def q_text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass every corpus pipeline starts with: lowercase,
+    whitespace-tokenize, strip (en) stopwords, re-join — pure array
+    expressions, zero shuffle, scan-speed. The output column feeds
+    shingling/fingerprinting so dedup keys ignore case and stopword
+    noise."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    stops = F.array(
+        *[F.lit(s) for s in T.LANG_STOPWORDS["en"]]
+    )
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = T.ws_tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(toks, lambda t: ~F.array_contains(stops, t)),
+        ).alias("clean_text"),
+    )
+
+
+@query(
     "train_test_split_assign",
     oracle="""
     WITH assigned AS (
