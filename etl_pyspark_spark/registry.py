@@ -1280,15 +1280,21 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "concurrent_sessions_peak",
     oracle="""
-    WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
-                FROM events),
-    pts AS (SELECT s AS t, 1 AS d FROM iv
+    WITH iv AS (SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+    seg AS (
+      SELECT CAST(s AS DATE) AS day, s,
+             least(e, CAST(CAST(s AS DATE) + 1 AS TIMESTAMP)) AS e
+      FROM iv
+      UNION ALL
+      SELECT CAST(s AS DATE) + 1 AS day,
+             CAST(CAST(s AS DATE) + 1 AS TIMESTAMP) AS s, e
+      FROM iv WHERE e > CAST(CAST(s AS DATE) + 1 AS TIMESTAMP)
+    ),
+    pts AS (SELECT day, s AS t, 1 AS d FROM seg
             UNION ALL
-            SELECT e AS t, -1 AS d FROM iv),
-    sw AS (SELECT CAST(t AS DATE) AS day, t, d,
-                  sum(d) OVER (PARTITION BY CAST(t AS DATE)
-                               ORDER BY t, d
-                               ROWS UNBOUNDED PRECEDING) AS conc
+            SELECT day, e AS t, -1 AS d FROM seg),
+    sw AS (SELECT day, sum(d) OVER (PARTITION BY day ORDER BY t, d
+                                    ROWS UNBOUNDED PRECEDING) AS conc
            FROM pts)
     SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency
     FROM sw GROUP BY day
@@ -1298,10 +1304,14 @@ def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency via the sweep-line pattern: each event opens a
     30-minute activity interval; interval starts are +1 points, ends
     are -1, and a running sum ordered by time gives the live count —
-    max per day is the peak. The window partitions by DAY, so no
-    global single-partition sort exists at any scale (the classic
-    mistake here is one unpartitioned ORDER BY over the whole event
-    log). Ends sort before starts at a tie: half-open intervals."""
+    max per day is the peak. Intervals are CLIPPED at midnight into
+    per-day segments (an interval spans ≤ 2 days at this length), so
+    each day's sweep starts seeded with the sessions still open at
+    midnight — exact at day boundaries (advice r02: the unclipped
+    per-day partition undercounted peaks near midnight). Each point
+    carries its segment's owning day, so the window still partitions
+    by DAY — no global single-partition sort at any scale. Ends sort
+    before starts at a tie: half-open intervals."""
     ev = read_table(spark, sf_dir, "events")
     from pyspark.sql.window import Window
 
@@ -1309,17 +1319,27 @@ def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("s"),
         (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
     )
-    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
-        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    day_end = F.date_add(F.to_date("s"), 1).cast("timestamp")
+    seg = iv.select(
+        F.to_date("s").alias("day"),
+        F.col("s"),
+        F.least(F.col("e"), day_end).alias("e"),
+    ).unionAll(
+        iv.where(F.col("e") > day_end).select(
+            F.date_add(F.to_date("s"), 1).alias("day"),
+            day_end.alias("s"),
+            F.col("e"),
+        )
+    )
+    pts = seg.select("day", F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        seg.select("day", F.col("e").alias("t"), F.lit(-1).alias("d"))
     )
     w = (
-        Window.partitionBy(F.to_date("t"))
+        Window.partitionBy("day")
         .orderBy("t", "d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sw = pts.select(
-        F.to_date("t").alias("day"), F.sum("d").over(w).alias("conc")
-    )
+    sw = pts.select("day", F.sum("d").over(w).alias("conc"))
     return sw.groupBy("day").agg(
         F.max("conc").cast("bigint").alias("peak_concurrency")
     )
@@ -1598,7 +1618,8 @@ def q_event_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
                              1, 15))::BIGINT % 8 AS shard_id
       FROM documents)
-    SELECT shard_id, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM s GROUP BY shard_id
     """,
 )
@@ -3359,16 +3380,22 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
 def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply (MERGE without a table format): each
     micro-batch upserts into a keyed lake table via foreachBatch —
-    current-state read + union + keep-latest-per-key window + atomic
-    directory swap. Bounded replay converges to exactly the batch
-    latest-per-key result (the oracle). On a real lake this becomes
-    ``MERGE INTO`` on Delta/Iceberg; the plan shape per batch — keyed
-    window over current ∪ delta, rewrite only the table — is what
-    foreachBatch exists for. The swap (write tmp, rename) keeps
-    readers from seeing a half-written table; per-key partitioning
-    would bound the rewrite to touched partitions at scale."""
+    current-state read + union + keep-latest-per-key window + a
+    versioned-directory commit. Bounded replay converges to exactly
+    the batch latest-per-key result (the oracle). On a real lake this
+    becomes ``MERGE INTO`` on Delta/Iceberg; the plan shape per batch
+    — keyed window over current ∪ delta, rewrite only the table — is
+    what foreachBatch exists for. Commit protocol (the one-file
+    miniature of a Delta/Iceberg snapshot log): each batch writes a
+    NEW version dir ``v{batch_id}``, then flips a ``CURRENT`` manifest
+    with one atomic rename — readers resolve through the manifest, so
+    the table is never observed missing or half-written, and a crash
+    between write and flip simply leaves the previous version current.
+    Per-key partitioning would bound the rewrite to touched partitions
+    at scale."""
     import os
     import shutil
+    import tempfile
 
     from pyspark.sql.window import Window
 
@@ -3379,12 +3406,24 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = f"{_SCRATCH}/stream_cdc_upsert"
     shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    manifest = os.path.join(out, "CURRENT")
+
+    def current_version_dir() -> str | None:
+        try:
+            with open(manifest) as fh:
+                p = os.path.join(out, fh.read().strip())
+            return p if os.path.isdir(p) else None
+        except OSError:
+            return None
+
     sdf = stream_events(spark, sf_dir)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df
-        if os.path.exists(out):
-            cur = spark.read.parquet(out)
+        cur_dir = current_version_dir()
+        if cur_dir is not None:
+            cur = spark.read.parquet(cur_dir)
             new = cur.unionByName(batch_df)
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
@@ -3394,10 +3433,17 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .drop("rn")
         )
-        tmp = f"{out}__tmp{batch_id}"
-        latest.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(out, ignore_errors=True)
-        os.rename(tmp, out)
+        vname = f"v{batch_id}"
+        latest.write.mode("overwrite").parquet(os.path.join(out, vname))
+        # atomic flip: the only mutation readers can observe
+        fd, tmp = tempfile.mkstemp(dir=out, prefix=".manifest.")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(vname)
+        os.replace(tmp, manifest)
+        # retire superseded versions (best-effort vacuum)
+        for d in os.listdir(out):
+            if d.startswith("v") and d != vname:
+                shutil.rmtree(os.path.join(out, d), ignore_errors=True)
 
     with stream_shuffle_partitions(spark):
         q = (
@@ -3406,7 +3452,7 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(out).select(
+    return spark.read.parquet(current_version_dir()).select(
         "user_id",
         F.col("event_id").alias("latest_event_id"),
         F.unix_timestamp("ts").alias("latest_epoch_s"),
@@ -3641,27 +3687,24 @@ def _ensure_orders_by_year(spark: SparkSession, sf_dir: str) -> str:
     """Hive-partitioned orders layout under scratch — written once per
     sf_dir (marker file), so repeat queries time the pruned SCAN, not
     the one-time layout build (same pay-once pattern as bucketing)."""
-    import os as _os
-
-    from etl_pyspark_spark.sources.io import write_parquet
+    from etl_pyspark_spark.sources.io import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+        write_parquet,
+    )
 
     out = f"{_SCRATCH}/orders_by_year"
     marker = f"{out}/.built_for"
-    want = _os.path.abspath(sf_dir)
-    try:
-        with open(marker) as fh:
-            have = fh.read().strip()
-    except OSError:
-        have = None
-    if have != want:
+    want = fixture_fingerprint(sf_dir, "orders")
+    if not marker_current(marker, want):
         o = read_table(spark, sf_dir, "orders")
         write_parquet(
             o.withColumn("order_year", F.year("o_orderdate")),
             out,
             partition_by=["order_year"],
         )
-        with open(marker, "w") as fh:
-            fh.write(want)
+        write_marker(marker, want)
     return out
 
 
@@ -6177,6 +6220,46 @@ def q_python_datasource_docgen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_zorder_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture fingerprint) the Z-ordered lineitem
+    copy. Split out of the query so the bench warm-up pays the
+    ingest-time rewrite untimed and ``zorder_layout`` times the pruned
+    SCAN — the operator's actual point (advice r02 #3)."""
+    from etl_pyspark_spark.sources.io import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+        write_zordered,
+    )
+
+    dst = f"{_SCRATCH}/zorder_lineitem"
+    marker = f"{dst}/.built_for"
+    want = fixture_fingerprint(sf_dir, "lineitem")
+    if not marker_current(marker, want):
+        li = read_table(spark, sf_dir, "lineitem")
+        day = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01"))
+        # The Morton interleave uses the low 16 bits of each dimension.
+        # Quantize any dimension whose max overflows that (shiftright
+        # by excess bit-length — integer-exact, order-preserving) so
+        # large partkeys keep 2-D locality instead of silently
+        # truncating to their low 16 bits (advice r02). One tiny
+        # build-time agg; shift 0 == no-op at small sf.
+        mx = li.agg(
+            F.max(day).alias("a"), F.max("l_partkey").alias("b")
+        ).first()
+        sh_a = max(0, int(mx["a"] or 0).bit_length() - 16)
+        sh_b = max(0, int(mx["b"] or 0).bit_length() - 16)
+        write_zordered(
+            li,
+            dst,
+            F.shiftright(day.cast("bigint"), sh_a),
+            F.shiftright(F.col("l_partkey").cast("bigint"), sh_b),
+            num_files=8,
+        )
+        write_marker(marker, want)
+    return dst
+
+
 @query(
     "zorder_layout",
     oracle=f"""
@@ -6189,31 +6272,14 @@ def q_python_datasource_docgen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-ordered (Morton-curve) layout: lineitem rewritten clustered on
-    the interleaved bits of (ship-day, partkey), so each parquet file
-    owns a compact 2-D region — footer min/max stays tight on BOTH
-    columns (pinned by tests/test_plans.py reading the footers), and a
+    """Z-ordered (Morton-curve) layout scan: lineitem rewritten (once,
+    untimed — ensure_zorder_lineitem) clustered on the interleaved
+    bits of (ship-day, partkey-bucket), so each parquet file owns a
+    compact 2-D region — footer min/max stays tight on BOTH columns
+    (pinned by tests/test_plans.py reading the footers), and a
     predicate on either dimension skips most files. The multi-column
-    complement to range_clustered_layout; written once per sf_dir
-    (marker), every 2-D-windowed scan afterwards prunes."""
-    import os as _os
-
-    from etl_pyspark_spark.sources.io import write_zordered
-
-    dst = f"{_SCRATCH}/zorder_lineitem"
-    marker = f"{dst}/.built_for"
-    want = _os.path.abspath(sf_dir)
-    try:
-        with open(marker) as fh:
-            have = fh.read().strip()
-    except OSError:
-        have = None
-    if have != want:
-        li = read_table(spark, sf_dir, "lineitem")
-        day = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01"))
-        write_zordered(li, dst, day, "l_partkey", num_files=8)
-        with open(marker, "w") as fh:
-            fh.write(want)
+    complement to range_clustered_layout."""
+    dst = ensure_zorder_lineitem(spark, sf_dir)
     back = spark.read.parquet(dst)
     return back.where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -6223,6 +6289,27 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dec_sum(F.col("l_extendedprice"), "total_price"),
     )
+
+
+def ensure_range_clustered_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture fingerprint) the range-clustered
+    lineitem copy — pay-once ingest layout, untimed in bench warm-up
+    so the query times the pruned scan."""
+    from etl_pyspark_spark.sources.io import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+        write_range_clustered,
+    )
+
+    dst = f"{_SCRATCH}/range_clustered_lineitem"
+    marker = f"{dst}/.built_for"
+    want = fixture_fingerprint(sf_dir, "lineitem")
+    if not marker_current(marker, want):
+        li = read_table(spark, sf_dir, "lineitem")
+        write_range_clustered(li, dst, "l_shipdate", num_files=8)
+        write_marker(marker, want)
+    return dst
 
 
 @query(
@@ -6246,27 +6333,7 @@ def q_range_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     footers). The three-month scan below then skips all but the
     matching files via min/max statistics — the pay-once layout that
     makes every later time-windowed query read ~1/N of the data."""
-    import os as _os
-
-    from etl_pyspark_spark.sources.io import write_range_clustered
-
-    dst = f"{_SCRATCH}/range_clustered_lineitem"
-    # pay-once layout, priced accordingly: rewrite only when the
-    # clustered copy doesn't exist yet for THIS sf_dir (same lazy
-    # pattern as sources/bucketed.ensure_bucketed_fixtures) — repeat
-    # runs measure the clustered SCAN, which is the operator's point
-    marker = f"{dst}/.built_for"
-    want = _os.path.abspath(sf_dir)
-    try:
-        with open(marker) as fh:
-            have = fh.read().strip()
-    except OSError:
-        have = None
-    if have != want:
-        li = read_table(spark, sf_dir, "lineitem")
-        write_range_clustered(li, dst, "l_shipdate", num_files=8)
-        with open(marker, "w") as fh:
-            fh.write(want)
+    dst = ensure_range_clustered_lineitem(spark, sf_dir)
     back = spark.read.parquet(dst)
     return (
         back.where(
@@ -6285,3 +6352,18 @@ def q_range_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def ensure_layouts(spark: SparkSession, sf_dir: str) -> None:
+    """Build every pay-once lake layout (hive-partitioned, bucketed,
+    range-clustered, Z-ordered) for ``sf_dir`` if missing or stale.
+    Called from bench.py's untimed warm-up so the per-query numbers
+    measure the pruned/co-located SCANS — mirroring production, where
+    layout is paid at ingest, not per query. Queries still self-ensure
+    lazily, so correctness runs need no warm-up."""
+    from etl_pyspark_spark.sources.bucketed import ensure_bucketed_fixtures
+
+    _ensure_orders_by_year(spark, sf_dir)
+    ensure_zorder_lineitem(spark, sf_dir)
+    ensure_range_clustered_lineitem(spark, sf_dir)
+    ensure_bucketed_fixtures(spark, sf_dir)

@@ -71,14 +71,21 @@ def ivf_topk(
 
     # --- train the coarse quantizer on a deterministic sample ---
     train_rows = max(2048, 64 * k_cells)
-    sample = np.stack(
-        [
-            r["vec"]
-            for r in vecs.orderBy(F.xxhash64(F.col("vid")))
-            .limit(train_rows)
-            .collect()
-        ]
-    )
+    sample_rows = [
+        r["vec"]
+        for r in vecs.orderBy(F.xxhash64(F.col("vid")))
+        .limit(train_rows)
+        .collect()
+    ]
+    if not sample_rows:
+        # empty corpus: no cells to probe, result is structurally empty
+        return corpus.sparkSession.createDataFrame([], _TOPK_SCHEMA)
+    sample = np.stack(sample_rows)
+    # tiny corpora can have fewer rows than requested cells; clamp so
+    # the no-replacement seed draw (and Lloyd) stay well-defined —
+    # with n cells for n points IVF degrades to exact search, which is
+    # the right behavior at that size
+    k_cells = min(k_cells, len(sample))
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=k_cells, replace=False)]
     for _ in range(8):  # Lloyd on the sample: k_cells x dim x |sample|

@@ -83,16 +83,18 @@ def ensure_bucketed_fixtures(
     which is exactly the economics bucketing buys at scale."""
     import os
 
-    from etl_pyspark_spark.sources.io import read_table
+    from etl_pyspark_spark.sources.io import (
+        fixture_fingerprint,
+        marker_current,
+        read_table,
+        write_marker,
+    )
 
     marker = os.path.join(base_path, ".built_for")
-    want = f"{os.path.abspath(sf_dir)}|{num_buckets}"
-    try:
-        with open(marker) as fh:
-            have = fh.read().strip()
-    except OSError:
-        have = None
-    if have == want:
+    # fingerprint (mtime/size), not just path: regenerated fixture data
+    # at the same path must invalidate the layout
+    want = f"{fixture_fingerprint(sf_dir, 'orders', 'customer')}|{num_buckets}"
+    if marker_current(marker, want):
         # Files already bucketed for this (sf, buckets). A fresh session
         # has an empty in-memory catalog, so re-REGISTER the existing
         # layout (metadata-only DDL — Spark reads bucket ids from the
@@ -127,9 +129,7 @@ def ensure_bucketed_fixtures(
         sort_cols=["c_custkey"],
         path=f"{base_path}/customer_bkt",
     )
-    os.makedirs(base_path, exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write(want)
+    write_marker(marker, want)
 
 
 __all__ = [

@@ -52,6 +52,75 @@ def _norm_rows(cols, rows):
     return [c for _, c in sorted(zip(cols, cols))], out
 
 
+def _canon_duck_type(t) -> str:
+    """Canonical dtype token for a DuckDB column type.
+
+    Integer widths i8..i64 collapse to ``int`` (they stringify and
+    hash identically on the driver), but HUGEINT stays distinct: the
+    driver's pandas conversion turns int128 into float64, which is
+    exactly the value-hash trap that broke ``shard_assignment`` in
+    round 2. Any oracle whose ``sum()`` lands on HUGEINT must CAST."""
+    t = str(t).upper()
+    if t.endswith("[]"):
+        return f"array<{_canon_duck_type(t[:-2])}>"
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    m = {
+        "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+        "BIGINT": "int", "UTINYINT": "int", "USMALLINT": "int",
+        "UINTEGER": "int", "UBIGINT": "int",
+        "HUGEINT": "hugeint", "UHUGEINT": "hugeint",
+        "DOUBLE": "f64", "FLOAT": "f32",
+        "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+    }
+    return m.get(t, t.lower())
+
+
+def _canon_spark_type(dt) -> str:
+    s = dt.simpleString()
+    if s.startswith("array<") and s.endswith(">"):
+        inner = s[len("array<"):-1]
+        return f"array<{_canon_spark_simple(inner)}>"
+    return _canon_spark_simple(s)
+
+
+def _canon_spark_simple(s: str) -> str:
+    if s.startswith("decimal"):
+        return s.replace(" ", "")
+    if s.startswith("timestamp"):
+        return "ts"
+    m = {
+        "tinyint": "int", "smallint": "int", "int": "int",
+        "bigint": "int", "double": "f64", "float": "f32",
+        "string": "str", "boolean": "bool", "date": "date",
+    }
+    return m.get(s, s)
+
+
+def dtype_problems(spark_df, rel) -> list[str]:
+    """Driver-parity dtype check: oracle column types must map onto
+    the Spark schema under the canonical token mapping (see
+    ``_canon_duck_type``); catches HUGEINT/decimal/float drift that
+    value stringification hides locally but the driver's hash sees."""
+    s_types = {f.name: _canon_spark_type(f.dataType)
+               for f in spark_df.schema.fields}
+    d_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    problems = []
+    for name, dt in sorted(d_types.items()):
+        st = s_types.get(name)
+        if st is None:
+            continue  # schema mismatch reported separately
+        ct = _canon_duck_type(dt)
+        if ct != st:
+            problems.append(
+                f"dtype[{name}]: spark={st} duckdb={dt} (canon {ct}) — "
+                f"add a CAST in the oracle (HUGEINT trap?)"
+            )
+    return problems
+
+
 def compare(spark_df, con, sql: str, max_diff_show: int = 5) -> list[str]:
     """Return a list of mismatch descriptions ([] == match)."""
     problems: list[str] = []
@@ -64,6 +133,7 @@ def compare(spark_df, con, sql: str, max_diff_show: int = 5) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"schema: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         return problems
+    problems.extend(dtype_problems(spark_df, rel))
     if len(s_rows) != len(d_rows):
         problems.append(f"rowcount: spark={len(s_rows)} duckdb={len(d_rows)}")
     _, sn = _norm_rows(s_cols, s_rows)

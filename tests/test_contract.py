@@ -45,8 +45,13 @@ def test_contract_shapes(spark):
     assert len(df.schema.fields) > 0
 
 
-def test_bench_emits_one_json_line():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+def test_bench_emits_one_json_line(tmp_path):
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        # keep the driver's sf0.1 bench_last.json intact
+        SPARK_GRAFT_BENCH_OUT=str(tmp_path / "bench_last.json"),
+    )
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,
