@@ -283,6 +283,8 @@ def verified_near_duplicates(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    sh: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard
     verification: (doc_id_a, doc_id_b, jaccard).
@@ -291,16 +293,24 @@ def verified_near_duplicates(
     *sorted hash arrays* (built once by a groupBy) and intersects them
     vectorized in numpy (``mapInPandas``) — the shingle table is never
     re-joined per candidate, so verify cost is O(candidates * doc
-    shingle count), independent of corpus size."""
+    shingle count), independent of corpus size.
+
+    ``sh`` / ``sets`` accept precomputed (id, h60) shingle hashes and
+    (id, hs) sorted hash-set stages (see dedup/shared.py) so a family
+    of queries in one session derives them once."""
     from pyspark.sql import types as T
 
-    sh = hashed_shingles(df, text_col, id_col, n).cache()
+    if sh is None:
+        sh = hashed_shingles(df, text_col, id_col, n).cache()
     sig = minhash_signatures_hashed(sh, id_col)
     cand = minhash_candidate_pairs(sig, id_col)
 
-    sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("h60")).alias("hs")
-    )
+    if sets is None:
+        sets = sh.groupBy(id_col).agg(
+            F.sort_array(F.collect_set("h60")).alias("hs")
+        )
+    else:
+        sets = sets.select(id_col, "hs")
     joined = (
         cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")

@@ -26,18 +26,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """All (id_a < id_b, jaccard) pairs with exact shingle-set Jaccard
     >= threshold.
 
     Joins on the 60-bit shingle *hash* (int64), not the string — a
     ~10x cheaper shuffle key — and caches the hashed postings, which
-    are read three times (sizes + both join sides)."""
-    sh = (
-        hashed_shingles(df, text_col, id_col, n)
-        .dropDuplicates([id_col, "h60"])
-        .cache()
-    )
+    are read three times (sizes + both join sides). ``sh`` accepts a
+    precomputed DISTINCT (id, h60) posting table (dedup/shared.py)."""
+    if sh is None:
+        sh = (
+            hashed_shingles(df, text_col, id_col, n)
+            .dropDuplicates([id_col, "h60"])
+            .cache()
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "h60")
     b = sh.select(F.col(id_col).alias("id_b"), "h60")
@@ -70,6 +73,7 @@ def ngram_jaccard_pairs_prefix(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Same exact result as :func:`ngram_jaccard_pairs`, via **prefix
     filtering** (Chaudhuri et al. ICDE'06 / PPJoin): with tokens in a
@@ -95,13 +99,17 @@ def ngram_jaccard_pairs_prefix(
     version that re-joined the posting table per candidate was 4x
     slower than the plain inverted index at sf0.1.
     """
-    docs = (
-        hashed_shingles(df, text_col, id_col, n)
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("h60")).alias("hs"))
-        .withColumn("n_sh", F.size("hs"))
-        .cache()
-    )
+    if sets is not None:
+        # precomputed (id, hs, n_sh) stage from dedup/shared.py
+        docs = sets
+    else:
+        docs = (
+            hashed_shingles(df, text_col, id_col, n)
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_set("h60")).alias("hs"))
+            .withColumn("n_sh", F.size("hs"))
+            .cache()
+        )
     plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = docs.select(
         F.col(id_col),

@@ -1,0 +1,138 @@
+"""Session-scoped shared stages for the dedup family.
+
+The registry's dedup queries (MinHash-LSH, n-gram Jaccard, prefix
+filter, connected components, canonical selection, SimHash pairs) all
+derive from the same expensive intermediates over the ``documents``
+fixture: hashed shingles, per-doc sorted hash sets, verified near-dup
+pairs, the dup-cluster labels, SimHash fingerprints. Before round 3
+each query rebuilt its chain from the raw text (~18 s of the sf0.1
+bench was pure re-derivation). This module memoizes each stage ONCE
+per (session, fixture) as a cached DataFrame, so within a session the
+family pays each stage once — the same economics as materializing the
+shingle/pair tables to the lake between pipeline steps at 100 TB
+(where these would be checkpointed parquet, not executor cache).
+
+Memo keys include the Spark ``applicationId`` (a new session
+re-derives everything) and the fixture fingerprint from
+``sources/io.fixture_fingerprint`` (regenerated fixture data
+invalidates the memo — same staleness rule as the layout markers).
+
+Every cached stage is a derived artifact (int64 hashes, id pairs,
+labels — never raw text), orders of magnitude smaller than the
+corpus, so pinning them in executor storage is safe at any scale the
+session itself can handle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _memo(
+    spark: SparkSession,
+    sf_dir: str,
+    stage: str,
+    builder: Callable[[], DataFrame],
+) -> DataFrame:
+    from etl_pyspark_spark.sources.io import fixture_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        fixture_fingerprint(sf_dir, "documents"),
+        stage,
+    )
+    df = _CACHE.get(key)
+    if df is None:
+        df = builder().cache()
+        _CACHE[key] = df
+    return df
+
+
+def shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h60): 60-bit hashes of distinct word-3-gram shingles
+    of ``documents`` — the root intermediate of the whole family."""
+    from etl_pyspark_spark.dedup.minhash import hashed_shingles
+    from etl_pyspark_spark.sources.io import read_table
+
+    return _memo(
+        spark,
+        sf_dir,
+        "shingle_hashes",
+        lambda: hashed_shingles(read_table(spark, sf_dir, "documents")),
+    )
+
+
+def doc_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs sorted array<h60>, n_sh): per-doc shingle-hash SET —
+    the verify-side structure for both MinHash verification and the
+    PPJoin prefix filter."""
+
+    def build() -> DataFrame:
+        return (
+            shingle_hashes(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("h60")).alias("hs"))
+            .withColumn("n_sh", F.size("hs"))
+        )
+
+    return _memo(spark, sf_dir, "doc_hash_sets", build)
+
+
+def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_a, doc_id_b, jaccard): MinHash-LSH candidates verified
+    by exact Jaccard at threshold 0.5 — shared by the LSH query,
+    components, and canonical selection."""
+    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+    from etl_pyspark_spark.sources.io import read_table
+
+    def build() -> DataFrame:
+        return verified_near_duplicates(
+            read_table(spark, sf_dir, "documents"),
+            threshold=0.5,
+            sh=shingle_hashes(spark, sf_dir),
+            sets=doc_hash_sets(spark, sf_dir),
+        )
+
+    return _memo(spark, sf_dir, "verified_pairs", build)
+
+
+def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id): connected components over the verified
+    pair graph — the label-propagation iteration runs once per
+    session, not once per consuming query."""
+    from etl_pyspark_spark.dedup.components import connected_components
+
+    return _memo(
+        spark,
+        sf_dir,
+        "dup_components",
+        lambda: connected_components(verified_pairs(spark, sf_dir)),
+    )
+
+
+def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 32-bit fingerprints — shared by the
+    fingerprint query and the Hamming-pair query."""
+    from etl_pyspark_spark.dedup.simhash import simhash
+    from etl_pyspark_spark.sources.io import read_table
+
+    return _memo(
+        spark,
+        sf_dir,
+        "simhash_sigs",
+        lambda: simhash(read_table(spark, sf_dir, "documents")),
+    )
+
+
+__all__ = [
+    "shingle_hashes",
+    "doc_hash_sets",
+    "verified_pairs",
+    "dup_components",
+    "simhash_sigs",
+]

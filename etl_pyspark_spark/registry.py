@@ -2061,11 +2061,13 @@ def _ngram_oracle() -> str:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (16 perms, 8 bands x 2 rows) with
     exact-Jaccard verification at threshold 0.5; candidate space is the
-    LSH buckets, never the O(n^2) pair grid (dedup/minhash.py)."""
-    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+    LSH buckets, never the O(n^2) pair grid (dedup/minhash.py). The
+    shingle/signature/pair stages are session-shared (dedup/shared.py)
+    with components/canonical/ngram — each derived once, like
+    checkpointed intermediate tables in a production dedup DAG."""
+    from etl_pyspark_spark.dedup.shared import verified_pairs
 
-    docs = read_table(spark, sf_dir, "documents")
-    return verified_near_duplicates(docs, threshold=0.5)
+    return verified_pairs(spark, sf_dir)
 
 
 def _components_oracle() -> str:
@@ -2087,23 +2089,27 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster labeling: MinHash-LSH pairs -> connected
     components via distributed hash-min propagation (the keep-one-per-
     cluster step of corpus dedup); oracle replays it as a recursive
-    CTE (dedup/components.py)."""
-    from etl_pyspark_spark.dedup.components import connected_components
-    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+    CTE (dedup/components.py). Pairs and labels are session-shared
+    stages (dedup/shared.py)."""
+    from etl_pyspark_spark.dedup.shared import dup_components
 
-    docs = read_table(spark, sf_dir, "documents")
-    return connected_components(verified_near_duplicates(docs, threshold=0.5))
+    return dup_components(spark, sf_dir)
 
 
 @query("dedup_ngram_jaccard", oracle=_ngram_oracle())
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs >= 0.5 via the shingle inverted
     index (complete candidates: any positive-Jaccard pair shares a
-    shingle). The exact-recall twin of dedup_minhash_lsh."""
+    shingle). The exact-recall twin of dedup_minhash_lsh. Postings
+    come from the session-shared hash-set stage (dedup/shared.py)."""
     from etl_pyspark_spark.dedup.ngram import ngram_jaccard_pairs
+    from etl_pyspark_spark.dedup.shared import doc_hash_sets
 
+    sh = doc_hash_sets(spark, sf_dir).select(
+        "doc_id", F.explode("hs").alias("h60")
+    )
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.5)
+    return ngram_jaccard_pairs(docs, threshold=0.5, sh=sh)
 
 
 @query("dedup_ngram_prefix", oracle=_ngram_oracle())
@@ -2113,9 +2119,12 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     against full sets — provably the same pairs as dedup_ngram_jaccard
     (shared oracle) with ~4x fewer candidate comparisons at t=0.5."""
     from etl_pyspark_spark.dedup.ngram import ngram_jaccard_pairs_prefix
+    from etl_pyspark_spark.dedup.shared import doc_hash_sets
 
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+    return ngram_jaccard_pairs_prefix(
+        docs, threshold=0.5, sets=doc_hash_sets(spark, sf_dir)
+    )
 
 
 def _simhash_oracle() -> str:
@@ -2133,21 +2142,21 @@ def _simhash_pairs_oracle() -> str:
 @query("dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (token-hash bit voting;
-    dedup/simhash.py)."""
-    from etl_pyspark_spark.dedup.simhash import simhash
+    dedup/simhash.py, session-shared stage)."""
+    from etl_pyspark_spark.dedup.shared import simhash_sigs
 
-    docs = read_table(spark, sf_dir, "documents")
-    return simhash(docs)
+    return simhash_sigs(spark, sf_dir)
 
 
 @query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= 6, candidates from
-    the 4-byte-band pigeonhole join (Manku et al., WWW'07)."""
-    from etl_pyspark_spark.dedup.simhash import simhash, simhash_pairs
+    the 4-byte-band pigeonhole join (Manku et al., WWW'07); the
+    fingerprint stage is session-shared with dedup_simhash."""
+    from etl_pyspark_spark.dedup.shared import simhash_sigs
+    from etl_pyspark_spark.dedup.simhash import simhash_pairs
 
-    docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(simhash(docs))
+    return simhash_pairs(simhash_sigs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -5842,14 +5851,11 @@ def q_dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so the quality join broadcasts."""
     from pyspark.sql.window import Window
 
-    from etl_pyspark_spark.dedup.components import connected_components
-    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
+    from etl_pyspark_spark.dedup.shared import dup_components
     from etl_pyspark_spark.functions import text as T
 
     docs = read_table(spark, sf_dir, "documents")
-    comp = connected_components(
-        verified_near_duplicates(docs, threshold=0.5)
-    )
+    comp = dup_components(spark, sf_dir)
     scored = docs.select(
         "doc_id", pround(T.quality_score(F.col("text")), 6).alias("quality")
     )
