@@ -283,3 +283,47 @@ def test_forecast_revenue_predicates_pushed(spark, oracle_sf_dir):
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_lateral_topn_compiles_to_window_group_limit(spark, oracle_sf_dir):
+    """The correlated LATERAL ... ORDER BY ... LIMIT 3 must compile to
+    a partitioned WindowGroupLimit (rank pushed into the shuffle read),
+    never a per-nation re-sort or a nested-loop re-execution of the
+    subquery."""
+    tree = tree_of(QUERIES["lateral_topn_join"](spark, oracle_sf_dir))
+    assert "WindowGroupLimit" in tree, tree
+    assert "CartesianProduct" not in tree
+
+
+def test_pagination_is_take_ordered_with_offset(spark, oracle_sf_dir):
+    """LIMIT k OFFSET n must run as global top-(n+k)
+    (TakeOrderedAndProject), never a full global sort."""
+    plan = plan_of(QUERIES["sort_limit_offset"](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_skyline_broadcasts_frontier(spark, oracle_sf_dir):
+    """The per-day frontier (≤ |days| rows) must broadcast back onto
+    orders — a shuffle join here would move the whole fact table for a
+    dimension the size of a calendar."""
+    tree = tree_of(QUERIES["skyline_orders"](spark, oracle_sf_dir))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_asof_nearest_uses_window_group_limit(spark, oracle_sf_dir):
+    """rn=1 over the per-purchase candidate ranking must become a
+    WindowGroupLimit (top-1 per group during the shuffle read), not a
+    full rank-then-filter of every candidate pair."""
+    tree = tree_of(QUERIES["join_asof_nearest"](spark, oracle_sf_dir))
+    assert "WindowGroupLimit" in tree, tree
+
+
+def test_fuzzy_blocked_never_cartesian(spark, oracle_sf_dir):
+    """The blocked fuzzy join must be an equi-join on the block keys
+    (hash or broadcast) — a cartesian/nested-loop plan means the
+    blocking keys fell out of the join condition and the O(n^2) grid
+    is back."""
+    tree = tree_of(QUERIES["fuzzy_name_match_blocked"](spark, oracle_sf_dir))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
