@@ -81,12 +81,26 @@ def main() -> None:
     except Exception:
         pass
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named queries
+    # (solo A/B debugging); SPARK_GRAFT_BENCH_REPS>1 re-times each and
+    # keeps the median, isolating plan cost from one-off jitter.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
+        if only and name not in only:
+            continue
         try:
-            _force(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
         except Exception as exc:  # pragma: no cover - surfaced in JSON
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)

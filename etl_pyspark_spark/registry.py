@@ -7286,3 +7286,434 @@ def ensure_layouts(spark: SparkSession, sf_dir: str) -> None:
     ensure_zorder_lineitem(spark, sf_dir)
     ensure_range_clustered_lineitem(spark, sf_dir)
     ensure_bucketed_fixtures(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: training-data growth surface — exact substring-duplication
+# spans, BM25 search, per-source quota caps, incremental aggregate
+# state merge, integer-exact anomaly detection, rare-token scoring.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
+               FROM documents),
+    g AS (SELECT doc_id, unnest({_ngram_sql('toks', 8)}) AS gram FROM t),
+    c AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY gram),
+    d AS (SELECT g.doc_id,
+                 count(*) AS n_grams,
+                 count(*) FILTER (c.n_occ >= 2) AS n_dup_grams
+          FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+    SELECT documents.doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           COALESCE(n_dup_grams, 0) AS n_dup_grams,
+           {sql_pround(
+               'CAST(COALESCE(n_dup_grams, 0) AS DOUBLE)'
+               ' / GREATEST(COALESCE(n_grams, 0), 1)'
+           )} AS dup_ratio
+    FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+    """,
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): the fraction of each
+    document's token 8-grams that occur at least twice anywhere in the
+    corpus — the span-level dup measure that doc-level fingerprints
+    miss (boilerplate, quoted passages, templated spans).
+
+    Suffix arrays don't distribute; rolling k-gram occurrence counts
+    do, and are the standard scale-out approximation. Shape at 100 TB:
+    grams are 60-bit-hashed BEFORE the shuffle (an 8-word string would
+    ~40x the exchange payload), occurrence counts collapse map-side
+    (partial agg), the gram->count join is key-partitioned on the same
+    hash, and the per-doc rollup is one more keyed shuffle. No windows,
+    no driver state; the oracle groups the raw gram strings — parity
+    holds unless md5 collides within the corpus (2^-60 per pair)."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = read_table(spark, sf_dir, "documents")
+    toked = spread(docs).select(
+        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
+    )
+    g = toked.select(
+        "doc_id",
+        F.explode(T.ngrams_from_tokens(F.col("toks"), 8)).alias("gram"),
+    ).select("doc_id", T.portable_hash60(F.col("gram")).alias("gh"))
+    c = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
+    d = (
+        g.join(c, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("n_occ") >= 2, 1)).alias("n_dup_grams"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    n_grams = F.coalesce(F.col("n_grams"), zero)
+    n_dup = F.coalesce(F.col("n_dup_grams"), zero)
+    return (
+        docs.select("doc_id")
+        .join(d, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_dup.alias("n_dup_grams"),
+            pround(
+                n_dup.cast("double") / F.greatest(n_grams, F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "bm25_rank_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
+               FROM documents),
+    n AS (SELECT count(*) AS n_docs,
+                 CAST(sum(CAST(len(toks) AS DOUBLE)) AS DOUBLE)
+                   / count(*) AS avgdl
+          FROM t),
+    tok AS (SELECT doc_id, len(toks) AS dl, u.term
+            FROM t, UNNEST(toks) AS u(term)
+            WHERE u.term IN ('spark', 'join', 'window')),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           FROM tok GROUP BY 1, 2, 3),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             {sql_pround(
+                 '((n.n_docs - df.df + 0.5) / (df.df + 0.5))'
+                 ' * (CAST(tf.tf AS DOUBLE) * 2.2)'
+                 ' / (CAST(tf.tf AS DOUBLE)'
+                 '    + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE))'
+                 '                    / n.avgdl))'
+             )} AS tscore
+      FROM tf JOIN df USING (term), n)
+    SELECT doc_id,
+           CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_rank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search: BM25 top-20 documents for the fixed query
+    {spark, join, window} (k1=1.2, b=0.75), with the rational-IDF core
+    ``(N - df + 0.5) / (df + 0.5)`` (the BM25 idf without the log —
+    pure IEEE division, bit-identical cross-engine; same trick as
+    tfidf_top_terms).
+
+    Shape at scale: the query-term filter lands INSIDE the token
+    explode's output before any shuffle, so the tf table carries only
+    matching (doc, term) rows — for a 3-term query that's a vanishing
+    fraction of the corpus. df and the corpus stats are tiny
+    broadcasts; per-term scores round then sum as DECIMAL so the
+    3-term addition is order-exact; the final top-20 is
+    TakeOrderedAndProject, never a full sort."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    terms = ["spark", "join", "window"]
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
+    )
+    n = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size("toks").cast("double")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tok = toked.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode(
+            F.filter(
+                F.col("toks"),
+                lambda x: x.isin(*terms),
+            )
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfd = F.col("tf").cast("double")
+    tscore = pround(
+        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (tfd * 2.2)
+        / (
+            tfd
+            + 1.2
+            * (0.25 + (0.75 * F.col("dl").cast("double")) / F.col("avgdl"))
+        ),
+        6,
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", tscore.alias("tscore"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tscore").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "source_quota_cap",
+    oracle="""
+    SELECT doc_id, source, rk
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT,
+                        doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 15
+    """,
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (corpus balancing): keep at most 15
+    documents per source, chosen by deterministic hash order — the
+    "no single domain dominates the training mix" rule (C4/Gopher
+    keep per-domain caps for exactly this reason). Hash-order
+    selection is an order-free uniform sample: no RNG state, stable
+    under re-runs and insertion order.
+
+    Shape at scale: rank-limit (rk <= 15) collapses to
+    WindowGroupLimit, so each partition keeps only its local top-15
+    per source before the exchange — the shuffle carries O(sources x
+    15), not the corpus. Skewed mega-domains cost one partition's
+    top-15 scan, not a global sort."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = T.portable_hash60(
+        F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 15)
+    )
+
+
+@query(
+    "agg_incremental_state_merge",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate refresh: last night's per-month partial
+    state (count + exact DECIMAL sum over ~80% of orders) merged with
+    today's delta partials (the other ~20%) by RE-AGGREGATING the
+    union — never rescanning history. The oracle aggregates the whole
+    table directly, proving state-merge == full recompute.
+
+    This is THE 100 TB pattern for daily rollups: partials are
+    algebraic (count/sum merge by addition), so yesterday's state
+    table (|months| rows) plus a delta scan replaces a full-history
+    scan. DECIMAL keeps the merged sums exact regardless of merge
+    order; the split predicate stands in for the ingest-date
+    partition pruning a production lake would use."""
+    orders = read_table(spark, sf_dir, "orders")
+    month = F.to_date(F.date_trunc("month", "o_orderdate")).alias(
+        "month_start"
+    )
+    partial = lambda df: df.groupBy(month).agg(  # noqa: E731
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("psum"),
+    )
+    state = partial(orders.where(F.col("o_orderkey") % 10 < 8))
+    delta = partial(orders.where(F.col("o_orderkey") % 10 >= 8))
+    return (
+        state.unionByName(delta)
+        .groupBy("month_start")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.sum("psum").cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "anomaly_daily_counts",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, n_events,
+             count(*) OVER tw AS n_prior,
+             CAST(sum(n_events) OVER tw AS BIGINT) AS s_prior,
+             CAST(sum(n_events * n_events) OVER tw AS BIGINT) AS q_prior
+      FROM d
+      WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT day, n_events,
+           (n_prior = 7 AND
+            (7 * n_events - s_prior) * (7 * n_events - s_prior)
+              > 4 * (7 * q_prior - s_prior * s_prior))
+             AS is_anomaly
+    FROM w
+    """,
+)
+def q_anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the event firehose: flag days whose
+    count deviates from the trailing 7-day mean by more than 2
+    trailing standard deviations — entirely in BIGINT algebra.
+    ``|x - S/7| > 2*sqrt(Q/7 - (S/7)^2)`` cross-multiplies (by 49) to
+    ``(7x - S)^2 > 4 * (7Q - S^2)``; no division, no sqrt, no
+    floating point, so both engines compare identical integers (float
+    z-scores differ in last-ulp across engines).
+
+    Shape at scale: the raw stream reduces to one row per day FIRST
+    (partial count map-side), then the window runs over the |days|
+    table — the sliding frame never touches event rows. Integer
+    overflow headroom: 1e12 events/day still fits the squared terms
+    in int64 comparisons? No — but DECIMAL(38,0) would; at fixture
+    scale (1e5/day) int64 has 9 orders of headroom, and the oracle
+    mirrors the same widths."""
+    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    from pyspark.sql.window import Window
+
+    tw = Window.orderBy("day").rowsBetween(-7, -1)
+    x = F.col("n_events")
+    s = F.sum("n_events").over(tw).cast("bigint")
+    q = F.sum(x * x).over(tw).cast("bigint")
+    npr = F.count(F.lit(1)).over(tw)
+    dev = 7 * x - s
+    flag = (npr == 7) & (dev * dev > 4 * (7 * q - s * s))
+    return d.select("day", "n_events", flag.alias("is_anomaly"))
+
+
+@query(
+    "rare_token_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, u.term FROM t, UNNEST(toks) AS u(term)),
+    freq AS (SELECT term, count(*) AS n_occ FROM tok GROUP BY term),
+    corpus AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total,
+                      count(*) AS n_vocab
+               FROM freq),
+    d AS (
+      SELECT tok.doc_id,
+             count(*) AS n_toks,
+             count(*) FILTER (4 * freq.n_occ * corpus.n_vocab < corpus.total)
+               AS n_rare
+      FROM tok JOIN freq USING (term), corpus
+      GROUP BY tok.doc_id)
+    SELECT documents.doc_id,
+           COALESCE(n_toks, 0) AS n_toks,
+           COALESCE(n_rare, 0) AS n_rare,
+           {sql_pround(
+               'CAST(COALESCE(n_rare, 0) AS DOUBLE)'
+               ' / GREATEST(COALESCE(n_toks, 0), 1)'
+           )} AS rare_ratio
+    FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+    """,
+)
+def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token density — the cheap unigram-LM surprisal proxy:
+    fraction of a document's tokens whose corpus frequency is below a
+    quarter of the uniform share (``4 * n_occ * |vocab| < total``,
+    pure integer cross-multiplication; a log-prob score would hit
+    cross-engine libm last-ulp differences). High ratios mark docs
+    full of out-of-distribution tokens (OCR noise, codes, off-corpus
+    jargon) — a standard pre-training quality gate.
+
+    Shape at scale: the token frequency table is vocabulary-sized
+    (tiny vs the corpus) and broadcast back onto the exploded tokens;
+    corpus totals are a one-row broadcast. One explode, one map-side-
+    collapsed count shuffle, one per-doc rollup."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id",
+        F.explode(T.ws_tokens(F.col("text"))).alias("term"),
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+    corpus = freq.agg(
+        F.sum("n_occ").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    d = (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.count(
+                F.when(
+                    4 * F.col("n_occ") * F.col("n_vocab") < F.col("total"), 1
+                )
+            ).alias("n_rare"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    n_toks = F.coalesce(F.col("n_toks"), zero)
+    n_rare = F.coalesce(F.col("n_rare"), zero)
+    return (
+        docs.select("doc_id")
+        .join(d, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_toks.alias("n_toks"),
+            n_rare.alias("n_rare"),
+            pround(
+                n_rare.cast("double") / F.greatest(n_toks, F.lit(1)), 6
+            ).alias("rare_ratio"),
+        )
+    )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start_s,
+           n.n_name,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN nation n ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment against a static dimension (stream-static
+    broadcast join; AvailableNow replay == the batch join the oracle
+    computes). See streaming/windows.static_enrich_counts for the
+    zero-shuffle join shape."""
+    from etl_pyspark_spark.streaming.windows import static_enrich_counts
+
+    return static_enrich_counts(spark, sf_dir)

@@ -164,3 +164,44 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return run_to_memory_table(dd, spark, mode="append")
+
+
+def static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast
+    dimension (nation, keyed by ``user_id % 25``), then count into
+    1-day event-time tumbling windows per nation.
+
+    The static side is re-read per micro-batch by Spark (picking up
+    dim updates between batches); with a broadcast hint the join adds
+    ZERO shuffle to the stream — each task probes the dim hash map in
+    place, which is the production shape for slowly-changing
+    dimension enrichment at firehose rates. State exists only for the
+    windowed count downstream, never for the join itself."""
+    from etl_pyspark_spark.sources.io import read_table
+
+    sdf = stream_events(spark, sf_dir)
+    dim = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = sdf.withColumn(
+        "nkey", (F.col("user_id") % 25).cast("int")
+    ).join(
+        F.broadcast(dim), F.col("nkey") == F.col("n_nationkey"), "inner"
+    )
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = run_to_memory_table(agg, spark)
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("day_start_s"),
+        "n_name",
+        "n_events",
+        "sum_value",
+    )

@@ -327,3 +327,118 @@ def test_fuzzy_blocked_never_cartesian(spark, oracle_sf_dir):
     tree = tree_of(QUERIES["fuzzy_name_match_blocked"](spark, oracle_sf_dir))
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def _scoped_conf(spark, pairs: dict):
+    """Set confs, return a restore map (None = was unset)."""
+    old = {}
+    for k, v in pairs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    return old
+
+
+def _restore_conf(spark, old: dict):
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected(spark, oracle_sf_dir):
+    """Runtime row-level filtering — the shuffle-join cousin of DPP:
+    when a selective dim-side filter exists and the fact side would
+    shuffle, Catalyst builds a bloom filter from the dim keys and
+    applies ``might_contain`` on the fact scan side, discarding
+    non-joining rows BEFORE the exchange. At 100 TB this turns an
+    all-rows fact shuffle into a candidates-only shuffle. Local
+    fixtures sit under the production size thresholds, so the test
+    scopes them down to prove the plan shape Spark will pick at
+    scale."""
+    from etl_pyspark_spark.sources.io import read_table
+
+    old = _scoped_conf(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        part = read_table(spark, oracle_sf_dir, "part").where(
+            "p_size = 1"
+        )
+        li = read_table(spark, oracle_sf_dir, "lineitem")
+        df = li.join(part, li.l_partkey == part.p_partkey).groupBy(
+            "p_size"
+        ).count()
+        # the injected filter lives in a scalar subquery on the fact
+        # side, which the formatted physical tree elides — assert on
+        # the optimized logical plan, where both halves are visible
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        _restore_conf(spark, old)
+
+
+def test_aqe_splits_skewed_join_partition(spark, oracle_sf_dir):
+    """AQE skew-join handling: a sort-merge join whose shuffle has one
+    oversized key partition must be re-planned at runtime into
+    multiple sub-partitions (``skew=true`` in the final plan) instead
+    of one straggler task — the no-manual-salting path for moderate
+    skew (the salted_join query remains the extreme-skew pattern).
+    Thresholds are scoped down so fixture-sized data exhibits what a
+    hot key does to a 1000-executor shuffle."""
+    from pyspark.sql import functions as F
+
+    from etl_pyspark_spark.sources.io import read_table
+
+    old = _scoped_conf(
+        spark,
+        {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin."
+            "skewedPartitionThresholdInBytes": "32KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
+    try:
+        # Shape constraints that make (or break) the optimization,
+        # worth knowing at 100 TB too:
+        # - a skewed reduce partition splits along MAPPER boundaries,
+        #   so a single-map-task input (one fixture file) can never be
+        #   split — repartition(8) gives the rule mappers to cut at;
+        # - both SMJ children must be bare Sort(ShuffleStage) — an
+        #   agg between (e.g. .distinct()) defeats the pattern match;
+        # - a downstream operator requiring the join's hash
+        #   partitioning (groupBy on the join key) vetoes the split,
+        #   because sub-partitions break the clustering guarantee.
+        li = read_table(spark, oracle_sf_dir, "lineitem").repartition(8)
+        # one hot key holding ~4/5 of all rows (a celebrity key)
+        skewed = li.select(
+            F.when(F.col("l_orderkey") % 5 > 0, F.lit(0))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        )
+        dim = (
+            read_table(spark, oracle_sf_dir, "lineitem")
+            .repartition(8)
+            .select(F.col("l_orderkey").alias("k"), "l_linenumber")
+        )
+        df = skewed.join(dim, "k").agg(F.sum("l_quantity").alias("s"))
+        df.collect()  # finalize the adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        _restore_conf(spark, old)
