@@ -346,3 +346,84 @@ def verified_near_duplicates(
             )
 
     return joined.mapInPandas(jaccard_batches, schema=schema)
+
+
+def band_entries(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_key) LSH bucket entries from a signature table —
+    the shared candidate-generation primitive for both self-join
+    (minhash_candidate_pairs) and cross-batch (incremental) dedup.
+    One explode of an inline struct array; see minhash_candidate_pairs
+    for why not a per-band union."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{band * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for band in range(BANDS)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        F.col(id_col),
+        F.col("e.band").alias("band"),
+        F.col("e.band_key").alias("band_key"),
+    )
+
+
+def sql_minhash_cross_pairs(
+    new_pred: str,
+    old_pred: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> str:
+    """SELECT over the ``sh`` CTE: incremental MinHash-LSH — new-batch
+    docs (rows matching ``new_pred``) banded against the historical
+    band index (``old_pred``), verified by exact Jaccard. Twin of the
+    engine's band_entries cross join; emits
+    (new_doc_id, dup_of, jaccard)."""
+    from etl_pyspark_spark.functions.compat import sql_pround
+
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(PERM_CONSTANTS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT {id_col}, {band} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_key FROM sig"
+        for band in range(BANDS)
+    )
+    jac = "CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)"
+    return f"""
+    hashed AS (SELECT DISTINCT {id_col},
+                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h60
+               FROM sh),
+    sig AS (SELECT {id_col}, {mins} FROM
+            (SELECT {id_col}, h60 % {P} AS h FROM hashed) GROUP BY {id_col}),
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
+             FROM (SELECT * FROM bands WHERE {new_pred}) l
+             JOIN (SELECT * FROM bands WHERE {old_pred}) r
+               ON l.band = r.band AND l.band_key = r.band_key),
+    sizes AS (SELECT {id_col}, count(*) AS n_sh FROM hashed GROUP BY {id_col}),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN hashed a ON a.{id_col} = c.id_a
+              JOIN hashed b ON b.{id_col} = c.id_b AND b.h60 = a.h60
+              GROUP BY c.id_a, c.id_b),
+    sized AS (SELECT i.id_a, i.id_b, i.n_inter, na.n_sh AS n_a, nb.n_sh AS n_b
+              FROM inter i
+              JOIN sizes na ON na.{id_col} = i.id_a
+              JOIN sizes nb ON nb.{id_col} = i.id_b)
+    SELECT id_a AS new_doc_id, id_b AS dup_of, {sql_pround(jac)} AS jaccard
+    FROM sized WHERE {jac} >= {threshold}
+    """

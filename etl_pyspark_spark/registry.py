@@ -7717,3 +7717,365 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pyspark_spark.streaming.windows import static_enrich_counts
 
     return static_enrich_counts(spark, sf_dir)
+
+
+def _incremental_minhash_oracle() -> str:
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_minhash_cross_pairs,
+        sql_shingles_cte,
+    )
+
+    return (
+        f"WITH {sql_shingles_cte()}, "
+        + sql_minhash_cross_pairs("doc_id % 5 = 4", "doc_id % 5 < 4")
+    )
+
+
+@query("dedup_incremental_minhash", oracle=_incremental_minhash_oracle())
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup: today's ingest batch (docs with
+    ``doc_id % 5 == 4``, ~20%) LSH-banded against the HISTORICAL band
+    index (the other 80%), then exact-Jaccard verified — the
+    production shape where each new batch probes an accumulating
+    index instead of re-deduping the whole corpus
+    (dedup_incremental_ingest is the exact-fingerprint twin; this is
+    the near-dup one).
+
+    Scale: candidate generation joins |new| band rows against the
+    historical index — cost tracks the BATCH, not the corpus; the
+    historical band table is exactly what a production pipeline keeps
+    materialized between runs. Signature/shingle stages come from the
+    session-shared dedup cache (dedup/shared.py), mirroring that
+    persisted index. Verification intersects the two docs' sorted
+    hash sets JVM-side (array_intersect, hash-set probe, codegen) —
+    only candidate pairs are touched."""
+    from etl_pyspark_spark.dedup import shared
+    from etl_pyspark_spark.dedup.minhash import (
+        band_entries,
+        minhash_signatures_hashed,
+    )
+
+    sh = shared.shingle_hashes(spark, sf_dir)
+    sets = shared.doc_hash_sets(spark, sf_dir).select("doc_id", "hs", "n_sh")
+    sig = minhash_signatures_hashed(sh)
+    entries = band_entries(sig)
+    new_e = entries.where(F.col("doc_id") % 5 == 4)
+    old_e = entries.where(F.col("doc_id") % 5 < 4)
+    cand = (
+        new_e.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+        .join(
+            old_e.select(F.col("doc_id").alias("id_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    jac = inter.cast("double") / (
+        F.col("n_a") + F.col("n_b") - inter
+    ).cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(jac >= 0.5)
+        .select(
+            F.col("id_a").alias("new_doc_id"),
+            F.col("id_b").alias("dup_of"),
+            pround(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT x AS node, count(*) AS d
+      FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY x),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v)
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM o e1
+    JOIN o e2 ON e2.s = e1.t
+    JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t
+    """,
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts sharing
+    an order are adjacent) — the clustering-coefficient/cohesion
+    primitive for graph analytics over relational data.
+
+    The scalable algorithm, not the naive one: every edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, so each
+    triangle is counted exactly once AND the wedge join's fan-out per
+    node is bounded by O(sqrt(E)) instead of the max raw degree —
+    degree orientation is what keeps hub nodes (every graph has them)
+    from exploding the intermediate wedge table at scale. Shape:
+    edges once (distinct self-join within order), degree table (tiny)
+    joined back, wedges = oriented x oriented on the middle node,
+    closed by a semi-join-shaped equi-join with the oriented edge
+    set. All keyed shuffles, no windows, no iteration."""
+    lp = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = lp.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = o.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
+    e2 = o.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
+    e3 = o.select(F.col("s").alias("s3"), F.col("t").alias("t3"))
+    tri = (
+        e1.join(e2, F.col("s2") == F.col("t1"))
+        .join(
+            e3,
+            (F.col("s3") == F.col("s1")) & (F.col("t3") == F.col("t2")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_edges.crossJoin(tri)
+
+
+@query(
+    "importance_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len({_WS_TOKENS_SQL.format(col='text')}) AS DOUBLE) AS n_words,
+             CAST({_STOP_HITS_SQL.format(col='text',
+                    stops=_sql_str_list(['the','and','of','to','a','in','is','that']))}
+                  AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                  AS DOUBLE) AS n_punct
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             floor((0.3 * least(n_chars / 400.0, 1.0)
+                  + 0.3 * least(n_words / 60.0, 1.0)
+                  + 0.3 * least((CASE WHEN n_words > 0 THEN n_stop / n_words
+                                      ELSE 0.0 END) * 8.0, 1.0)
+                  + 0.1 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                                      ELSE 0.0 END)) * 1000000.0 + 0.5)
+               / 1000000.0 AS quality
+      FROM t)
+    SELECT doc_id, quality
+    FROM q
+    WHERE ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < CAST(floor(quality * 1152921504606846976.0) AS BIGINT)
+    """,
+)
+def q_importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep each document with
+    probability equal to its quality score, using hash thresholding
+    instead of an RNG — ``hash60(doc) < floor(quality * 2^60)`` keeps
+    a p-fraction of a uniform 60-bit hash space, so the sample is
+    exactly reproducible, order-independent, and re-runnable (the
+    training-mix upsampling/downsampling primitive; RNG-based
+    sampling can't give a stable doc set across retries or
+    repartitions). 2^60 is a power of two, so the threshold multiply
+    is the same IEEE operation on both engines.
+
+    Scale: embarrassingly parallel — one narrow scan, no shuffle, no
+    state; the filter rides the parquet scan like any predicate."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id",
+        "text",
+        T.ws_tokens(F.col("text")).alias("__toks"),
+        T.ws_tokens(F.lower(F.col("text"))).alias("__ltoks"),
+    )
+    q = staged.select(
+        "doc_id",
+        pround(
+            T.quality_score(
+                F.col("text"), toks=F.col("__toks"), ltoks=F.col("__ltoks")
+            ),
+            6,
+        ).alias("quality"),
+    )
+    h = T.portable_hash60(
+        F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))
+    )
+    thresh = F.floor(F.col("quality") * F.lit(float(1 << 60))).cast("bigint")
+    return q.where(h < thresh)
+
+
+@query("hll_intersection_estimate")
+def q_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra: estimated distinct-user overlap between the
+    'click' and 'purchase' event populations by inclusion-exclusion
+    over HLL sketches — ``|A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)``
+    (HLLs union losslessly but can't intersect directly; I-E is the
+    standard estimator). rows-only by design: DuckDB has no
+    Datasketches-compatible HLL, and the whole point of a sketch is
+    an approximation no exact SQL reproduces.
+
+    Scale: one pass builds both sketches as conditional aggregates
+    (no second scan, no distinct shuffle — each sketch is a few KB
+    merged associatively map-side), and the union happens on the
+    merged sketches, not the data."""
+    ev = read_table(spark, sf_dir, "events")
+    sketches = ev.agg(
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'click'"
+            " THEN user_id END)"
+        ).alias("sk_click"),
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'purchase'"
+            " THEN user_id END)"
+        ).alias("sk_purchase"),
+    )
+    return sketches.select(
+        F.expr("hll_sketch_estimate(sk_click)")
+        .cast("bigint")
+        .alias("est_click_users"),
+        F.expr("hll_sketch_estimate(sk_purchase)")
+        .cast("bigint")
+        .alias("est_purchase_users"),
+        (
+            F.expr("hll_sketch_estimate(sk_click)")
+            + F.expr("hll_sketch_estimate(sk_purchase)")
+            - F.expr(
+                "hll_sketch_estimate(hll_union(sk_click, sk_purchase))"
+            )
+        )
+        .cast("bigint")
+        .alias("est_overlap_users"),
+    )
+
+
+@query(
+    "stream_quota_drop",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start_s
+    FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id, floor(epoch(ts) / 3600)
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn <= 2
+    """,
+)
+def q_stream_quota_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rate limiting: admit at most 2 events per user per
+    hour at ingest, drop the rest — a stateful quota no built-in
+    streaming aggregate expresses (aggregates summarize; this must
+    pass/drop individual rows on a running count). Custom GroupState
+    via applyInPandasWithState keyed by (user, hour): the state is
+    one int per active key, rows within each micro-batch are
+    processed in event-time order so admission is deterministic and
+    matches the batch row_number oracle under replay.
+
+    Scale: state is bounded by |active (user, hour) keys| x 8 bytes
+    and naturally expires as event time advances (production adds a
+    state timeout at watermark + 1h; replay here sees all data, so
+    no eviction fires). The quota check never shuffles more than the
+    keyed exchange any per-user operator already pays."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from etl_pyspark_spark.streaming.windows import (
+        run_to_memory_table,
+        stream_events,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("hour_start_s", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def admit(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (n,) = state.get if state.exists else (0,)
+        admitted = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid in pdf["event_id"]:
+                if n < 2:
+                    admitted.append(int(eid))
+                n += 1
+        state.update((n,))
+        user_id, hour_s = key
+        yield pd.DataFrame(
+            {
+                "event_id": admitted,
+                "user_id": [int(user_id)] * len(admitted),
+                "hour_start_s": [int(hour_s)] * len(admitted),
+            }
+        )
+
+    sdf = stream_events(spark, sf_dir)
+    keyed = sdf.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("bigint")
+        .alias("hour_start_s"),
+    )
+    admitted = keyed.groupBy("user_id", "hour_start_s").applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory_table(admitted, spark, mode="append")
