@@ -117,7 +117,17 @@ def get_session(
         # microsecond timestamps in the reader, matching DuckDB's read)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode heap: 32 task threads + accumulated caches (the
+        # dedup family's shared stages, layout warm-ups, streaming
+        # state) thrash an 8g heap once a session has run a few dozen
+        # queries — measured 2-3x session-wide slowdown from GC at the
+        # tail of a 200-query run; 20g removes it entirely. On a real
+        # cluster this is spark.executor.memory sizing, same rule:
+        # heap must cover concurrent-task working set + cached state.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"),
+        )
     )
     if master is not None:
         builder = builder.master(master)
