@@ -8109,3 +8109,122 @@ def q_stream_quota_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory_table(admitted, spark, mode="append")
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT c.click_id, c.user_id, p.purchase_id,
+             (epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 1000000 AS delay_s
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.p_ts >= c.c_ts
+        AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE),
+    unmatched AS (
+      SELECT c.click_id, c.user_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS BIGINT) AS delay_s
+      FROM c, mx
+      WHERE NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.p_ts >= c.c_ts
+                AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE)
+        AND c.c_ts + INTERVAL 30 MINUTE < mx.m - INTERVAL 1 HOUR)
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join (click -> purchase-or-null). The
+    oracle's unmatched branch applies the engine's own eviction rule —
+    a click's null row exists iff ``c_ts + window`` is strictly below
+    the final watermark (max event time, ms-floored, minus the 1h
+    delay); younger unmatched clicks are still buffered when bounded
+    input ends. See streaming/joins.click_purchase_left_outer."""
+    from etl_pyspark_spark.streaming.joins import click_purchase_left_outer
+
+    return click_purchase_left_outer(spark, sf_dir)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (``|>``, SPARK-49555): the same
+    scan -> filter -> aggregate -> order pipeline written as sequenced
+    pipe stages — reads in execution order like the DataFrame API but
+    stays pure SQL. Compiles to the identical Catalyst plan as the
+    classic form (same pushdown, same partial aggregation), so this is
+    a front-end surface, not a different engine path; the oracle is
+    the classic spelling."""
+    from etl_pyspark_spark.sources.io import read_table
+
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |> AGGREGATE count(*) AS n_lines,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "collated_group_count",
+    oracle="""
+    SELECT lower(CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                      ELSE o_orderpriority END) AS priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_collated_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support (SPARK-46830): grouping under the
+    ``UTF8_LCASE`` collation folds case variants into one group at the
+    COMPARISON level — no normalizing rewrite of the data, and every
+    downstream comparison/join on the column inherits the semantics.
+    The fixture is case-uniform, so a deterministic mixed-case variant
+    is derived first (upper-case the even order keys); the output
+    labels go through lower() because a collated group's
+    representative value is whichever variant a partition saw first.
+    The oracle is the classic lower()-rewrite, which is exactly what
+    collations exist to replace."""
+    from etl_pyspark_spark.sources.io import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    mixed = F.when(
+        F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+    ).otherwise(F.col("o_orderpriority"))
+    return (
+        orders.select(F.collate(mixed, "UTF8_LCASE").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            # back to the default collation for the output contract —
+            # the collated type was a grouping-semantics tool, not a
+            # result type
+            F.collate(F.lower("p"), "UTF8_BINARY").alias("priority"),
+            "n_orders",
+        )
+    )

@@ -68,3 +68,58 @@ def click_purchase_attribution(
         ),
     )
     return run_to_memory_table(out, spark, mode="append")
+
+
+def click_purchase_left_outer(
+    spark: SparkSession, sf_dir: str, window: str = "30 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click emits — paired rows
+    as matches arrive, and a null-purchase row once the watermark
+    passes ``c_ts + window`` and proves no match can still come.
+
+    The outer side is the genuinely stateful part: a click's null row
+    CANNOT be emitted eagerly (a matching purchase may still arrive),
+    so the engine buffers it until eviction time. Consequence under
+    bounded replay: clicks younger than (max event time - watermark
+    delay - window) are still buffered when input ends and never emit
+    their null row — the registry oracle applies the same event-time
+    cutoff to its unmatched-rows branch (a no-data micro-batch at the
+    end flushes everything older). At 100 TB the same cutoff is why
+    outer-join results trail the stream by exactly
+    watermark + window."""
+    sdf = stream_events(spark, sf_dir)
+    clicks = (
+        sdf.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        sdf.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window}")),
+        "leftOuter",
+    )
+    out = joined.select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "purchase_id",
+        F.expr(
+            "CASE WHEN p_ts IS NOT NULL THEN"
+            " (unix_micros(p_ts) - unix_micros(c_ts)) div 1000000 END"
+        ).alias("delay_s"),
+    )
+    return run_to_memory_table(out, spark, mode="append")

@@ -37,6 +37,7 @@ def test_contract_shapes(spark):
     assert set(qs) - set(os_) == {
         "approx_count_distinct",      # HLL estimate, engine-specific
         "hll_sketch_rollup",          # Datasketches estimate, error-bound-tested
+        "hll_intersection_estimate",  # sketch inclusion-exclusion, estimate
         "similarity_ivf_topk",        # k-means quantizer, recall-tested
         "stream_dedup_within_watermark",  # batching-dependent state bound
     }
