@@ -2005,6 +2005,68 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _dedup_shared_build_oracle() -> str:
+    from etl_pyspark_spark.dedup.components import sql_components_over_pairs
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_minhash_pairs,
+        sql_shingles_cte,
+    )
+
+    return (
+        "WITH RECURSIVE "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + ", "
+        + sql_components_over_pairs("pairs", final_name="comp")
+        + """
+    SELECT CAST((SELECT count(*) FROM hashed) AS BIGINT)
+             AS n_shingle_hashes,
+           CAST((SELECT count(DISTINCT doc_id) FROM hashed) AS BIGINT)
+             AS n_docs_shingled,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT)
+             AS n_verified_pairs,
+           CAST((SELECT count(DISTINCT component_id) FROM comp) AS BIGINT)
+             AS n_dup_clusters
+    """
+    )
+
+
+@query("dedup_shared_build", oracle=_dedup_shared_build_oracle())
+def q_dedup_shared_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the dedup family's shared intermediates (shingle
+    hashes, per-doc hash sets, verified near-dup pairs, dup-cluster
+    labels — dedup/shared.py) and return their summary counts.
+
+    Registered AHEAD of the family so a sequential run (the driver's
+    bench, or a production DAG) pays the derivation exactly once,
+    visibly, HERE — and every downstream dedup query's number measures
+    its own logic over the shared tables. This is the zorder_build /
+    zorder_scan split applied to the dedup pipeline: at 100 TB these
+    intermediates are checkpointed parquet between pipeline stages,
+    and this entry is the stage that writes them. The summary counts
+    are oracle-checked end-to-end (the DuckDB twin re-derives the
+    whole chain, recursive-CTE components included), so the build is
+    verified, not just timed."""
+    from etl_pyspark_spark.dedup import shared
+
+    sh = shared.shingle_hashes(spark, sf_dir)
+    shared.doc_hash_sets(spark, sf_dir)
+    pairs = shared.verified_pairs(spark, sf_dir)
+    comp = shared.dup_components(spark, sf_dir)
+    a = sh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingle_hashes"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_shingled"),
+    )
+    b = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_verified_pairs")
+    )
+    c = comp.agg(
+        F.countDistinct("component_id").cast("bigint").alias("n_dup_clusters")
+    )
+    return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -8227,4 +8289,39 @@ def q_collated_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collate(F.lower("p"), "UTF8_BINARY").alias("priority"),
             "n_orders",
         )
+    )
+
+
+@query(
+    "heavy_hitters_topk",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    LIMIT 5
+    """,
+)
+def q_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark 4.1's ``approx_top_k`` (Datasketches
+    frequent-items): the streaming-friendly answer to "top values of a
+    high-cardinality column" — one sketch per partition, merged
+    associatively map-side, no per-value groupBy shuffle. The sketch
+    is EXACT while distinct values fit its tracking capacity (here 6
+    event types vs the 10k default — zero evictions), which is what
+    makes this oracle-checkable; past capacity it degrades gracefully
+    to guaranteed-error estimates, which is the 100 TB trade: a
+    skewed URL/token column with 1e9 distincts gets its top-k for a
+    few KB of state instead of a 1e9-row exchange. Output re-sorted
+    (count desc, value) so ordering never depends on sketch
+    internals."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.col("n_events").desc(), "event_type")
     )
