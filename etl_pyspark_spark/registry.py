@@ -8325,3 +8325,47 @@ def q_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_events").desc(), "event_type")
     )
+
+
+@query(
+    "python_datasource_jsonl_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_id % 20 = 0
+    """,
+)
+def q_python_datasource_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITE path (Spark 4 DataSource API):
+    a task-parallel JSON-lines sink with a two-phase commit (per-task
+    tmp+rename, driver-side manifest of exactly the committed files —
+    see sources/pyds.register_jsonl_sink). The query writes a
+    deterministic slice of events through the sink, then reads back
+    ONLY the manifest-listed files; matching the plain-SQL oracle
+    proves the distributed write committed losslessly. Columns are
+    int/string only — JSON round-trips them exactly (doubles would
+    re-parse, a different correctness question than the commit
+    protocol under test)."""
+    import json as _json
+    import shutil
+
+    from etl_pyspark_spark.sources.pyds import register_jsonl_sink
+
+    if not register_jsonl_sink(spark):  # pragma: no cover - pyspark < 4
+        raise NotImplementedError("Python DataSource writer needs pyspark>=4")
+    dst = f"{_SCRATCH}/jsonl_sink"
+    shutil.rmtree(dst, ignore_errors=True)
+    (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select("event_id", "user_id", "event_type")
+        .write.format("jsonlsink")
+        .option("path", dst)
+        .mode("append")
+        .save()
+    )
+    with open(f"{dst}/_MANIFEST") as fh:
+        files = _json.load(fh)["files"]
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string"
+    ).json(files)

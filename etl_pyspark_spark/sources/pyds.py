@@ -173,3 +173,83 @@ def register_docgen(spark) -> bool:
 
     spark.dataSource.register(DocGenDataSource)
     return True
+
+
+def register_jsonl_sink(spark) -> bool:
+    """Register the ``jsonlsink`` Python DataSource WRITER (Spark 4
+    DataSource API, write path) — the sink half of the connector
+    story: each TASK serializes its partition to one JSON-lines file
+    and returns a commit message; the DRIVER finalizes by writing a
+    manifest listing exactly the committed files (the standard
+    two-phase commit that makes a distributed write all-or-nothing:
+    readers trust the manifest, never the directory listing, so a
+    failed/speculative task's orphan file is invisible).
+
+    Returns False (and the registry entry self-skips) on pyspark < 4."""
+    try:
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceWriter,
+            WriterCommitMessage,
+        )
+    except ImportError:  # pragma: no cover - pyspark < 4
+        return False
+
+    import json
+    import os
+    from dataclasses import dataclass
+
+    @dataclass
+    class _FileMsg(WriterCommitMessage):
+        path: str
+        n_rows: int
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            # task writes tmp then renames: a crashed task never
+            # leaves a half-written file under the final name
+            final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            tmp = final + ".tmp"
+            n = 0
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict(), sort_keys=True))
+                    fh.write("\n")
+                    n += 1
+            os.replace(tmp, final)
+            return _FileMsg(path=final, n_rows=n)
+
+        def commit(self, messages):
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "n_rows": sum(m.n_rows for m in messages),
+            }
+            tmp = os.path.join(self.path, "_MANIFEST.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+
+        def abort(self, messages):  # pragma: no cover - failure path
+            for m in messages or []:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonlsink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options)
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    return True

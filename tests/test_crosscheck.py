@@ -65,3 +65,39 @@ def test_minhash_recall_against_exact_jaccard(spark, oracle_sf_dir):
     assert lsh <= exact  # exact verification: no false positives ever
     assert len(exact) > 0
     assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
+def test_jsonl_sink_manifest_isolates_orphans(spark, oracle_sf_dir, tmp_path):
+    """The sink's commit protocol: readers trust the manifest, so a
+    file that lands in the directory WITHOUT being committed (failed
+    task, speculative duplicate, stray copy) never reaches a reader."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pyspark_spark.sources.io import read_table
+    from etl_pyspark_spark.sources.pyds import register_jsonl_sink
+
+    assert register_jsonl_sink(spark)
+    dst = str(tmp_path / "sink")
+    (
+        read_table(spark, oracle_sf_dir, "events")
+        .where(F.col("event_id") % 100 == 0)
+        .select("event_id", "user_id", "event_type")
+        .write.format("jsonlsink")
+        .option("path", dst)
+        .mode("append")
+        .save()
+    )
+    with open(os.path.join(dst, "_MANIFEST")) as fh:
+        manifest = json.load(fh)
+    schema = "event_id bigint, user_id bigint, event_type string"
+    committed = spark.read.schema(schema).json(manifest["files"]).count()
+    assert committed == manifest["n_rows"] > 0
+    # an uncommitted orphan appears in the directory but not the manifest
+    orphan = os.path.join(dst, "part-99999.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"event_id": -1, "user_id": -1, "event_type": "orphan"}\n')
+    again = spark.read.schema(schema).json(manifest["files"]).count()
+    assert again == committed  # manifest-scoped read is unchanged
