@@ -8369,3 +8369,131 @@ def q_python_datasource_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.read.schema(
         "event_id bigint, user_id bigint, event_type string"
     ).json(files)
+
+
+@query(
+    "udtf_partitioned_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, u.term
+      FROM documents,
+           UNNEST({_WS_TOKENS_SQL.format(col='text')}) AS u(term)),
+    counts AS (SELECT lang, term, count(*) AS n_occ
+               FROM tok GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, term, n_occ,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_occ DESC, term) AS rk
+      FROM counts)
+    SELECT lang, term, CAST(n_occ AS BIGINT) AS n_occ, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_udtf_partitioned_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument + PARTITION BY (Spark 4
+    SPARK-44503): the engine hash-partitions the input table by lang
+    and feeds each partition's rows to one UDTF instance — the
+    eval/terminate lifecycle IS per group, so cross-row state (here a
+    token counter emitting a per-language top-3) needs no manual
+    re-keying. This is the polymorphic escape hatch for per-group
+    logic that aggregates can't express; Arrow-batched like every
+    Python surface in this engine. The equivalent built-in plan
+    (explode -> count -> rank) is what a hot path should use —
+    ngram_corpus_top and tfidf_top_terms pin it."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, term string, n_occ bigint, rk int")
+    class TopTokens:
+        def __init__(self):
+            from collections import Counter
+
+            self.counts = Counter()
+            self.lang = None
+
+        def eval(self, row):
+            self.lang = row["lang"]
+            for tok in row["text"].split(" "):
+                if tok != "":
+                    self.counts[tok] += 1
+
+        def terminate(self):
+            top = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            for rk, (term, n) in enumerate(top[:3], start=1):
+                yield self.lang, term, n, rk
+
+    spark.udtf.register("top_tokens_by_lang", TopTokens)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs_part"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM top_tokens_by_lang(
+          TABLE(SELECT lang, text FROM udtf_docs_part)
+          PARTITION BY lang)
+        """
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (SPARK-41271): named bind parameters instead
+    of string interpolation — the injection-safe, plan-cache-friendly
+    way applications pass literals (the parameter arrives as a typed
+    literal in the plan, so Catalyst folds/pushes it exactly like an
+    inline constant)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders_param
+        WHERE o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000.0},
+    )
+
+
+@query(
+    "try_arithmetic_safe",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN minute(ts) <> 0 THEN value / CAST(minute(ts) AS DOUBLE)
+           END AS per_minute,
+           TRY_CAST(event_type AS BIGINT) AS type_as_num,
+           CASE WHEN user_id <> 0 THEN CAST(event_id % user_id AS BIGINT)
+           END AS id_mod_user
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def q_try_arithmetic_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_*`` function family (try_divide / try_cast /
+    try_mod): NULL-on-failure arithmetic that behaves identically
+    whether the session runs ANSI on or off — the portable way to
+    write guarded expressions now that Spark 4 defaults ANSI on
+    (this engine pins ANSI off for DuckDB parity, but callers with
+    default sessions hit errors from bare ``/`` and ``CAST``; try_*
+    is the contract that works in both worlds)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.minute("ts").cast("double")).alias(
+            "per_minute"
+        ),
+        F.try_to_number(F.col("event_type"), F.lit("999999")).cast(
+            "bigint"
+        ).alias("type_as_num"),
+        F.try_mod(F.col("event_id"), F.col("user_id")).cast("bigint").alias(
+            "id_mod_user"
+        ),
+    )

@@ -442,3 +442,42 @@ def test_aqe_splits_skewed_join_partition(spark, oracle_sf_dir):
         assert "skew=true" in plan, plan
     finally:
         _restore_conf(spark, old)
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, oracle_sf_dir):
+    """AQE's second re-planning lever (alongside skew split and
+    coalesce): the static planner, blind to selectivity, picks a
+    sort-merge join; at runtime the filtered side's shuffle stats
+    reveal it fits the adaptive broadcast threshold and the join is
+    rewritten to BroadcastHashJoin mid-query. At 100 TB this is what
+    saves the day when a dimension filter is far more selective than
+    the optimizer estimated — no manual hint needed."""
+    from pyspark.sql import functions as F
+
+    from etl_pyspark_spark.sources.io import read_table
+
+    old = _scoped_conf(
+        spark,
+        {
+            # static planner must not broadcast ...
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # ... but AQE may, once runtime sizes are known
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+        },
+    )
+    try:
+        orders = read_table(spark, oracle_sf_dir, "orders").where(
+            "o_totalprice > 350000.0"  # runtime-tiny side
+        )
+        li = read_table(spark, oracle_sf_dir, "lineitem")
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "SortMergeJoin" in tree_of(df)  # static plan: SMJ
+        df.collect()  # finalize the adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        _restore_conf(spark, old)
