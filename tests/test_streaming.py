@@ -288,3 +288,44 @@ def test_python_datasource_stream_drains_exactly(spark, tmp_path):
     assert got.count() == 1000
     assert got.select("doc_id").distinct().count() == 1000
     assert got.exceptAll(batch).count() == 0
+
+
+def test_rocksdb_state_store_provider(spark, oracle_sf_dir):
+    """The production state backend at scale: HDFSBackedStateStore
+    holds every key in executor heap (fine for thousands of keys,
+    fatal for the billions a 100 TB stream accumulates); RocksDB
+    spills state to local disk with incremental checkpointing. The
+    provider is pluggable config, not code — this pins that every
+    stateful operator produces IDENTICAL results under RocksDB, so
+    flipping the backend in production is a config change with no
+    semantic risk. (Conf is read at stream start; scoped set+restore
+    is safe, same pattern as stream_shuffle_partitions.)"""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key)
+    spark.conf.set(key, rocks)
+    try:
+        # windowed aggregation state + custom GroupState, both on RocksDB
+        agg = QUERIES["stream_tumbling_agg"](spark, oracle_sf_dir)
+        quota = QUERIES["stream_quota_drop"](spark, oracle_sf_dir)
+        ev = read_table(spark, oracle_sf_dir, "events")
+        batch_groups = ev.groupBy(
+            F.window("ts", "1 hour"), "event_type"
+        ).count()
+        assert agg.count() == batch_groups.count()
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(
+            "user_id", F.floor(F.unix_timestamp("ts") / 3600)
+        ).orderBy("ts", "event_id")
+        batch_admitted = (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 2)
+            .count()
+        )
+        assert quota.count() == batch_admitted
+    finally:
+        spark.conf.set(key, old)
