@@ -8497,3 +8497,16 @@ def q_try_arithmetic_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_mod_user"
         ),
     )
+
+
+@query("similarity_pq_topk")
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: 8 query vectors against the corpus scanned
+    as 8-byte PQ codes (asymmetric-distance LUT scoring), exact
+    cosine rerank of the shortlist (similarity/pq.py). rows-only like
+    the other trained estimators; recall vs exact brute force bounded
+    in tests/test_sketches.py."""
+    from etl_pyspark_spark.similarity.pq import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.where(F.col("vec_id") < 8), topk=10)

@@ -96,3 +96,19 @@ def test_quantized_rerank_recall_vs_exact(spark, oracle_sf_dir):
     assert len(a) == len(e)
     recall = len(a & e) / len(e)
     assert recall >= 0.8, f"quantized-rerank recall too low: {recall}"
+
+
+def test_pq_recall_vs_exact(spark, oracle_sf_dir):
+    """PQ + exact rerank must recover most of the true top-10 (the
+    compressed scan only gates the shortlist; rerank is exact)."""
+    from etl_pyspark_spark.registry import QUERIES
+
+    approx = QUERIES["similarity_pq_topk"](spark, oracle_sf_dir)
+    exact = QUERIES["similarity_cosine_topk"](spark, oracle_sf_dir)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {
+        (r["query_id"], r["neighbor_id"])
+        for r in exact.collect()
+    }
+    recall = len(a & e) / len(e)
+    assert recall >= 0.8, f"PQ recall too low: {recall}"  # measured 0.925
