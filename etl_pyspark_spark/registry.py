@@ -7914,17 +7914,18 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = lp.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = lp.select("l_orderkey", F.col("l_partkey").alias("v"))
     # edges feeds the degree table, both orientation joins and the
-    # final count; o feeds three wedge-join sides. Cache both: without
-    # it every reference recomputes the whole derivation subtree
-    # (measured 3x the query cost) — at 100 TB these are the
-    # checkpointed edge/orientation tables every graph pipeline
-    # materializes before iterating.
+    # final count; o feeds three wedge-join sides. Eagerly checkpoint
+    # both: a lazy .cache() leaves the first action's parallel
+    # subtrees racing to fill it (each recomputes the derivation —
+    # measured 3x the query cost, and nondeterministically so); the
+    # eager materialization is the checkpointed edge/orientation
+    # table every graph pipeline writes before iterating anyway.
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -7944,7 +7945,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .cache()
+        .localCheckpoint()
     )
     e1 = o.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
     e2 = o.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
