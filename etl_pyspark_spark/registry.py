@@ -8511,3 +8511,135 @@ def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.where(F.col("vec_id") < 8), topk=10)
+
+
+@query(
+    "multimodal_shard_pack",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             ('0x' || substr(md5('shardpack:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 8 AS shard_id
+      FROM documents)
+    SELECT doc_id, shard_id, n_bytes,
+           CAST(COALESCE(sum(n_bytes) OVER (
+                  PARTITION BY shard_id ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS byte_offset
+    FROM a
+    """,
+)
+def q_multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing index: assign each media asset
+    to one of 8 shard files by hash, and compute its byte offset
+    within the shard as the running sum of preceding payload lengths
+    — the (shard, offset, length) manifest a tar/ArrayRecord-style
+    training loader seeks by, built BEFORE any bytes move so the
+    physical shard write is a pure sequential append per shard.
+
+    Scale shape: one narrow scan derives (shard, length); the only
+    shuffle is the per-shard window, and shards are the parallel unit
+    — a 100 TB media lake packs into ~bytes/shard_size shards, each
+    an independent ordered append. Offsets use the payload length
+    the binary column reports (here the deterministic text-derived
+    payload, multimodal/assets.with_payload)."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.multimodal.assets import with_payload
+
+    from pyspark.sql.window import Window
+
+    assets = with_payload(read_table(spark, sf_dir, "documents"))
+    shard = (
+        T.portable_hash60(
+            F.concat(F.lit("shardpack:"), F.col("doc_id").cast("string"))
+        )
+        % 8
+    ).alias("shard_id")
+    sized = assets.select(
+        "doc_id", F.col("n_bytes").cast("bigint").alias("n_bytes"), shard
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sized.select(
+        "doc_id",
+        "shard_id",
+        "n_bytes",
+        F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("byte_offset"),
+    )
+
+
+@query(
+    "sequence_packing_concat",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_toks,
+             ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 32 AS packer_id
+      FROM documents),
+    o AS (
+      SELECT doc_id, packer_id, n_toks,
+             CAST(COALESCE(sum(n_toks) OVER (
+                    PARTITION BY packer_id ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_offset
+      FROM t)
+    SELECT doc_id, packer_id, n_toks, tok_offset,
+           CAST(tok_offset // 512 AS BIGINT) AS bin_id,
+           CAST(tok_offset % 512 AS BIGINT) AS offset_in_bin
+    FROM o
+    """,
+)
+def q_sequence_packing_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-pretraining packing
+    scheme): documents stream into 32 hash-assigned packers, each
+    packer concatenates its docs in deterministic order and cuts
+    512-token training sequences — every doc gets (bin, offset)
+    coordinates from a running token sum, with no per-bin search.
+    Complements doc_chunk_packing (split one long doc) and
+    length_bucket_batching (group similar lengths): this one packs
+    SHORT docs densely so no sequence pads.
+
+    Scale shape: the running sum is a per-packer window — packers are
+    the parallel unit, sized so each holds a trainer shard; assignment
+    is stateless hash placement, so re-runs and late-arriving shards
+    place identically. A doc spanning a bin boundary continues into
+    the next bin, exactly like the attention-masked concat corpus a
+    trainer consumes."""
+    from etl_pyspark_spark.functions import text as T
+
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    packer = (
+        T.portable_hash60(
+            F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+        )
+        % 32
+    ).alias("packer_id")
+    t = docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        packer,
+    )
+    w = (
+        Window.partitionBy("packer_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("bigint")
+    return t.select(
+        "doc_id",
+        "packer_id",
+        "n_toks",
+        off.alias("tok_offset"),
+        F.floor(off / 512).cast("bigint").alias("bin_id"),
+        (off % 512).cast("bigint").alias("offset_in_bin"),
+    )
