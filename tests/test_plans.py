@@ -481,3 +481,52 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, oracle_sf_dir):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         _restore_conf(spark, old)
+
+
+def test_source_quota_cap_is_window_group_limit(spark, oracle_sf_dir):
+    # rk <= 15 must push into the sort as a group limit: each
+    # partition ships O(sources x 15) rows, never the corpus
+    plan = plan_of(QUERIES["source_quota_cap"](spark, oracle_sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_importance_sample_is_narrow(spark, oracle_sf_dir):
+    # hash-threshold sampling is a pure filter — no keyed exchange.
+    # The one allowed shuffle is spread()'s round-robin fan-out of the
+    # single-row-group fixture scan (a no-op on a real many-file lake)
+    from etl_pyspark_spark.plans import shuffle_count
+
+    df = QUERIES["importance_weighted_sample"](spark, oracle_sf_dir)
+    assert shuffle_count(df) <= 1
+    plan = plan_of(df)
+    assert "hashpartitioning" not in plan  # never a keyed shuffle
+    assert "SinglePartition" not in plan
+
+
+def test_bm25_top20_never_global_sorts(spark, oracle_sf_dir):
+    plan = plan_of(QUERIES["bm25_rank_search"](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # df / corpus-stats sides broadcast; tf never SMJs against them
+    assert "SortMergeJoin" not in tree_of(
+        QUERIES["bm25_rank_search"](spark, oracle_sf_dir)
+    )
+
+
+def test_substring_dup_grams_hashed_before_shuffle(spark, oracle_sf_dir):
+    """The 8-gram strings must be reduced to int64 hashes BEFORE the
+    occurrence-count exchange — shipping ~40-byte gram strings through
+    the shuffle is the scale mistake this pin prevents."""
+    plan = plan_of(QUERIES["substring_dup_spans"](spark, oracle_sf_dir))
+    import re
+
+    for part in re.findall(r"hashpartitioning\(gh#\d+L?", plan):
+        assert "gh" in part  # every gram exchange keys on the hash
+    assert "hashpartitioning(gram" not in plan
+
+
+def test_packing_windows_partition_by_packer(spark, oracle_sf_dir):
+    # running sums must partition by packer/shard — a global-order
+    # window (SinglePartition) would serialize the whole corpus
+    for name in ("sequence_packing_concat", "multimodal_shard_pack"):
+        tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
+        assert "SinglePartition" not in tree, name
