@@ -8643,3 +8643,115 @@ def q_sequence_packing_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(off / 512).cast("bigint").alias("bin_id"),
         (off % 512).cast("bigint").alias("offset_in_bin"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey,
+             ('0x' || substr(md5(concat_ws('|', CAST(o_orderstatus AS VARCHAR),
+                                           CAST(o_totalprice AS VARCHAR),
+                                           o_orderpriority)), 1, 15))::BIGINT
+               AS row_hash
+      FROM orders WHERE o_orderkey % 50 <> 0),
+    v2 AS (
+      SELECT o_orderkey,
+             ('0x' || substr(md5(concat_ws('|', CAST(o_orderstatus AS VARCHAR),
+                                           CAST(o_totalprice AS VARCHAR),
+             CASE WHEN o_orderkey % 5 = 0 THEN '0-REPRIORITIZED'
+                  ELSE o_orderpriority END)), 1, 15))::BIGINT AS row_hash
+      FROM orders WHERE o_orderkey % 50 <> 1)
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.row_hash <> v2.row_hash
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff — the pipeline-regression primitive:
+    given two snapshots of a keyed table, emit each key that was
+    added, removed, or changed (payload compared by a row hash, so
+    wide rows diff at 8 bytes/row through the join). The fixtures
+    stand in for two runs: v1 drops keys % 50 = 0, v2 drops % 50 = 1
+    and reprioritizes keys % 5 = 0.
+
+    Scale shape: both sides reduce to (key, hash64) AT THE SCAN
+    (column pruning keeps only diffed columns), the full-outer join
+    is key-partitioned, and unchanged rows — the overwhelming
+    majority between real runs — are filtered before anything wide is
+    fetched. Diffing a 100 TB table costs two narrow scans and one
+    keyed shuffle of 16-byte rows."""
+    orders = read_table(spark, sf_dir, "orders")
+
+    def snap(df, reprioritize: bool):
+        prio = (
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.lit("0-REPRIORITIZED")
+            ).otherwise(F.col("o_orderpriority"))
+            if reprioritize
+            else F.col("o_orderpriority")
+        )
+        from etl_pyspark_spark.functions.text import portable_hash60
+
+        return df.select(
+            "o_orderkey",
+            portable_hash60(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus").cast("string"),
+                    F.col("o_totalprice").cast("string"),
+                    prio,
+                )
+            ).alias("row_hash"),
+        )
+
+    v1 = snap(orders.where(F.col("o_orderkey") % 50 != 0), False)
+    v2 = snap(orders.where(F.col("o_orderkey") % 50 != 1), True)
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full"
+    )
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.where(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.row_hash") != F.col("b.row_hash"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        change.alias("change_type"),
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS group_size,
+           (count(*) < 5) AS reident_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release runs next to pii_scrub: any (nation,
+    segment) combination shared by fewer than k=5 individuals is a
+    re-identification risk (the quasi-identifier tuple alone narrows
+    to a handful of people), and downstream policy suppresses or
+    generalizes those groups. One partial-agg groupBy; the audit
+    costs the same as any histogram regardless of table width because
+    only the quasi-identifier columns are scanned."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < 5).alias("reident_risk"),
+    )
