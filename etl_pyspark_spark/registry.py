@@ -8755,3 +8755,149 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) < 5).alias("reident_risk"),
     )
+
+
+@query(
+    "winsorize_values",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, value,
+             row_number() OVER (ORDER BY value, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events),
+    cuts AS (
+      SELECT max(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
+                      THEN value END) AS lo,
+             max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                      THEN value END) AS hi
+      FROM ranked)
+    SELECT e.event_id,
+           CAST(e.value AS DOUBLE) AS value,
+           CAST(least(greatest(e.value, c.lo), c.hi) AS DOUBLE)
+             AS value_winsorized,
+           (e.value < c.lo OR e.value > c.hi) AS clipped
+    FROM events e, cuts c
+    """,
+)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-statistics preprocessing step: clip
+    the value column at its P1/P99 so downstream means/regressions
+    aren't hostage to tail outliers (the alternative to dropping
+    rows). Cut points use the DISCRETE quantile (value at rank
+    ceil(q*n), exact order statistics) rather than interpolated
+    percentiles, so both engines select the identical stored value —
+    interpolation arithmetic differs in last-ulp across engines.
+
+    Scale shape: finding two order statistics needs a rank, but only
+    the (value, id) pair column enters the sort, and the two cut
+    points then broadcast back onto the unsorted scan — the wide
+    event rows are never sorted. (An approx_percentile pre-pass that
+    brackets the exact rank search is the refinement at extreme
+    scale.)"""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    ranked = ev.select("value", "event_id").select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    cuts = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.01 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.99 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+    )
+    return ev.crossJoin(F.broadcast(cuts)).select(
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+        .cast("double")
+        .alias("value_winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .alias("clipped"),
+    )
+
+
+@query(
+    "quality_classifier_margin",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.term
+      FROM documents,
+           UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS u(term)),
+    feat AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('feat:' || term), 1, 15))::BIGINT % 64
+               AS bucket,
+             count(*) AS tf
+      FROM tok GROUP BY 1, 2),
+    w AS (
+      SELECT bucket,
+             CAST((('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)),
+                                   1, 15))::BIGINT % 2001) - 1000 AS BIGINT)
+               AS w_milli
+      FROM (SELECT DISTINCT bucket FROM feat))
+    SELECT f.doc_id,
+           CAST(sum(f.tf * w.w_milli) AS BIGINT) AS margin_milli,
+           (sum(f.tf * w.w_milli) > 0) AS keep
+    FROM feat f JOIN w USING (bucket)
+    GROUP BY f.doc_id
+    """,
+)
+def q_quality_classifier_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at scan speed — the
+    fastText-style keep/drop gate most corpus pipelines run: hashed
+    bag-of-words features (64 buckets, same hashing trick as
+    feature_hashing_vectorize) dotted with a broadcast weight vector;
+    the sign of the margin is the decision. Weights here are a
+    deterministic hash-derived stand-in (integer milli-units, so the
+    dot product is exact BIGINT arithmetic — a trained model would
+    broadcast real weights the same way); the pipeline shape is the
+    production one: no UDF, no model server, the model IS a 64-row
+    broadcast join."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("term")
+    )
+    feat = tok.select(
+        "doc_id",
+        (T.portable_hash60(F.concat(F.lit("feat:"), F.col("term"))) % 64)
+        .alias("bucket"),
+    ).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    w = feat.select("bucket").distinct().select(
+        "bucket",
+        (
+            T.portable_hash60(
+                F.concat(F.lit("w:"), F.col("bucket").cast("string"))
+            )
+            % 2001
+            - 1000
+        )
+        .cast("bigint")
+        .alias("w_milli"),
+    )
+    return (
+        feat.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w_milli"))
+            .cast("bigint")
+            .alias("margin_milli"),
+            (F.sum(F.col("tf") * F.col("w_milli")) > 0).alias("keep"),
+        )
+    )
