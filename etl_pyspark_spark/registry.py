@@ -8354,7 +8354,10 @@ def q_python_datasource_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFram
 
     if not register_jsonl_sink(spark):  # pragma: no cover - pyspark < 4
         raise NotImplementedError("Python DataSource writer needs pyspark>=4")
-    dst = f"{_SCRATCH}/jsonl_sink"
+    # session-scoped destination: two sessions running this query
+    # concurrently (driver bench + a local pytest) must not race one
+    # directory's rmtree/write/manifest cycle
+    dst = f"{_SCRATCH}/jsonl_sink_{spark.sparkContext.applicationId}"
     shutil.rmtree(dst, ignore_errors=True)
     (
         read_table(spark, sf_dir, "events")
