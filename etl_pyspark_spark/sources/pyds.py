@@ -185,6 +185,12 @@ def register_jsonl_sink(spark) -> bool:
     readers trust the manifest, never the directory listing, so a
     failed/speculative task's orphan file is invisible).
 
+    Local-FS paths are correct in local mode only; on a real cluster
+    each task must target shared storage (object store / DFS) for the
+    driver's manifest to reference readable files — the commit
+    protocol (task tmp+rename, driver manifest) is the portable part
+    and is exactly how object-store committers work.
+
     Returns False (and the registry entry self-skips) on pyspark < 4."""
     try:
         from pyspark.sql.datasource import (
