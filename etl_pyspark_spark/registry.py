@@ -7653,11 +7653,10 @@ def q_anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: the raw stream reduces to one row per day FIRST
     (partial count map-side), then the window runs over the |days|
-    table — the sliding frame never touches event rows. Integer
-    overflow headroom: 1e12 events/day still fits the squared terms
-    in int64 comparisons? No — but DECIMAL(38,0) would; at fixture
-    scale (1e5/day) int64 has 9 orders of headroom, and the oracle
-    mirrors the same widths."""
+    table — the sliding frame never touches event rows. The squared
+    BIGINT terms hold exactly up to ~1e9 events/day (S^2 < 2^63);
+    beyond that, cast the sums to DECIMAL(38,0) on both engines —
+    same algebra, wider lanes."""
     day = F.to_date(F.date_trunc("day", "ts")).alias("day")
     d = (
         read_table(spark, sf_dir, "events")
@@ -8763,61 +8762,65 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "winsorize_values",
     oracle="""
-    WITH ranked AS (
-      SELECT event_id, value,
-             row_number() OVER (ORDER BY value, event_id) AS rn,
-             count(*) OVER () AS n
-      FROM events),
+    WITH d AS (
+      SELECT value, count(*) AS cnt FROM events GROUP BY value),
+    c AS (
+      SELECT value,
+             CAST(sum(cnt) OVER (ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM d),
     cuts AS (
-      SELECT max(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
-                      THEN value END) AS lo,
-             max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
-                      THEN value END) AS hi
-      FROM ranked)
+      SELECT min(CASE WHEN cum >= ceil(0.01 * n) THEN value END) AS lo,
+             min(CASE WHEN cum >= ceil(0.99 * n) THEN value END) AS hi
+      FROM c)
     SELECT e.event_id,
            CAST(e.value AS DOUBLE) AS value,
-           CAST(least(greatest(e.value, c.lo), c.hi) AS DOUBLE)
+           CAST(least(greatest(e.value, t.lo), t.hi) AS DOUBLE)
              AS value_winsorized,
-           (e.value < c.lo OR e.value > c.hi) AS clipped
-    FROM events e, cuts c
+           (e.value < t.lo OR e.value > t.hi) AS clipped
+    FROM events e, cuts t
     """,
 )
 def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization — the robust-statistics preprocessing step: clip
     the value column at its P1/P99 so downstream means/regressions
     aren't hostage to tail outliers (the alternative to dropping
-    rows). Cut points use the DISCRETE quantile (value at rank
-    ceil(q*n), exact order statistics) rather than interpolated
-    percentiles, so both engines select the identical stored value —
-    interpolation arithmetic differs in last-ulp across engines.
+    rows). Cut points use the DISCRETE quantile (smallest value whose
+    cumulative count reaches ceil(q*n) — an exact order statistic)
+    rather than interpolated percentiles, so both engines select the
+    identical stored value; interpolation arithmetic differs in
+    last-ulp across engines.
 
-    Scale shape: finding two order statistics needs a rank, but only
-    the (value, id) pair column enters the sort, and the two cut
-    points then broadcast back onto the unsorted scan — the wide
-    event rows are never sorted. (An approx_percentile pre-pass that
-    brackets the exact rank search is the refinement at extreme
-    scale.)"""
+    Scale shape: reduce-first — the raw rows collapse to (distinct
+    value, count) via a partial-agg groupBy, the cumulative window
+    orders only that distinct-value table (never a global sort of the
+    events), and the two cut points broadcast back onto the unsorted
+    scan. The distinct-value table is the quantile sketch's exact
+    cousin; when even IT is too wide, approx_percentile brackets an
+    exact rank search."""
     from pyspark.sql.window import Window
 
     ev = read_table(spark, sf_dir, "events")
-    ranked = ev.select("value", "event_id").select(
-        "value",
-        F.row_number()
-        .over(Window.orderBy("value", "event_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    d = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    cw = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    cuts = ranked.agg(
-        F.max(
+    c = d.select(
+        "value",
+        F.sum("cnt").over(cw).cast("bigint").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    cuts = c.agg(
+        F.min(
             F.when(
-                F.col("rn") == F.ceil(0.01 * F.col("n")).cast("bigint"),
-                F.col("value"),
+                F.col("cum") >= F.ceil(0.01 * F.col("n")), F.col("value")
             )
         ).alias("lo"),
-        F.max(
+        F.min(
             F.when(
-                F.col("rn") == F.ceil(0.99 * F.col("n")).cast("bigint"),
-                F.col("value"),
+                F.col("cum") >= F.ceil(0.99 * F.col("n")), F.col("value")
             )
         ).alias("hi"),
     )
