@@ -89,3 +89,13 @@ def test_observe_metrics_without_extra_pass(spark, oracle_sf_dir):
     n = observed.where(F.col("l_quantity") > 0).count()  # one action
     m = obs.get
     assert m["rows"] >= n and m["null_qty"] == 0
+
+
+def test_driver_memory_default_covers_long_sessions(spark):
+    """The 200-query bench session thrashes an 8g heap (measured 2-3x
+    session-wide GC slowdown, round 3); the 20g default is
+    load-bearing. Env override still wins for constrained hosts."""
+    import os
+
+    expected = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
+    assert spark.conf.get("spark.driver.memory") == expected
