@@ -25,6 +25,13 @@ REPRESENTATIVES = [
     "embedding_norms",       # embeddings: array<float> math
     "agg_pricing_summary",   # lineitem: decimal sums, date filter
     "join_inner_broadcast",  # orders x customer: join + agg
+    # round-3 families, one each: stateful streaming quota (event-time
+    # + applyInPandasWithState under default confs), hashed-gram
+    # dedup, Python DataSource write path, Spark 4 SQL front-end
+    "stream_quota_drop",
+    "substring_dup_spans",
+    "python_datasource_jsonl_sink",
+    "sql_pipe_syntax",
 ]
 
 
