@@ -8907,3 +8907,46 @@ def q_quality_classifier_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("tf") * F.col("w_milli")) > 0).alias("keep"),
         )
     )
+
+
+@query(
+    "stream_session_timeout_custom",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    lagd AS (
+      SELECT user_id, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                    OR tus - lag(tus) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+    s AS (
+      SELECT user_id, tus,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagd),
+    sess AS (
+      SELECT user_id, min(tus) AS session_start_us,
+             max(tus) AS last_us, count(*) AS n_events,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY min(tus) DESC) AS rk_desc
+      FROM s GROUP BY user_id, sid),
+    mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m FROM events)
+    SELECT user_id, session_start_us, n_events
+    FROM sess, mx
+    WHERE rk_desc > 1
+       OR (last_us + 1800000000) // 1000 < epoch_ms(mx.m) - 3600000
+    """,
+)
+def q_stream_session_timeout_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization with event-time TIMEOUT
+    callbacks (GroupStateTimeout.EventTimeTimeout) — idle sessions
+    emit from the timeout path when the watermark passes
+    ``last + gap``, with no closing event. The oracle rebuilds
+    sessions batch-side and applies the engine's own eviction rule to
+    each user's final session (ms-floored timeout clock vs terminal
+    watermark). See streaming/windows.session_windows_custom_timeout."""
+    from etl_pyspark_spark.streaming.windows import (
+        session_windows_custom_timeout,
+    )
+
+    return session_windows_custom_timeout(spark, sf_dir)

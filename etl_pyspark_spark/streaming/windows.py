@@ -205,3 +205,93 @@ def static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def session_windows_custom_timeout(
+    spark: SparkSession, sf_dir: str, gap_us: int = 1800 * 1000000
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUTS — the
+    applyInPandasWithState surface ``session_window`` hides: state is
+    an explicit (start, last, n) record per user, a session closed by
+    a later event emits immediately, and an IDLE session emits from
+    the timeout callback once the watermark passes ``last + gap`` —
+    no new event required. That callback is the piece every custom
+    stateful operator with eviction needs (TTL caches, abandoned-cart
+    timers, device-offline detection); built-in session_window gives
+    the same result for plain counting but no hook to run logic at
+    eviction time.
+
+    Under bounded replay the final no-data micro-batch fires timeouts
+    for every session whose ``last + gap`` fell below the terminal
+    watermark; each user's still-open tail session (watermark never
+    passed it) stays buffered — the registry oracle applies the same
+    cutoff to its last-session branch, mirroring
+    stream_stream_left_outer's eviction-aware oracle."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def sessionize(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            s, l, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [s],
+                    "n_events": [n],
+                }
+            )
+            return
+        s, l, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("tus")
+            for t in pdf["tus"]:
+                t = int(t)
+                if s is None:
+                    s, l, n = t, t, 1
+                elif t - l >= gap_us:
+                    closed.append((s, n))
+                    s, l, n = t, t, 1
+                else:
+                    l, n = t, n + 1
+        state.update((s, l, n))
+        # ms precision: the state store's timeout clock is epoch-ms
+        state.setTimeoutTimestamp((l + gap_us) // 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start_us": [c[0] for c in closed],
+                "n_events": [c[1] for c in closed],
+            }
+        )
+
+    sdf = stream_events(spark, sf_dir)
+    keyed = sdf.withWatermark("ts", "1 hour").select(
+        "user_id", F.unix_micros("ts").alias("tus"), "ts"
+    )
+    res = keyed.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory_table(res, spark, mode="append")
