@@ -182,3 +182,62 @@ def read_binary_assets(spark, in_dir: str) -> DataFrame:
         F.length(F.col("content")).alias("n_bytes"),
         F.md5(F.col("content")).alias("checksum"),
     )
+
+
+def perceptual_hash_bands(assets: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per binary payload, packed as four
+    16-bit band keys — the perceptual-dedup primitive for media: real
+    image pipelines decode + grayscale + downsample to an 8x8 tile
+    first, then take exactly this bits-vs-mean fingerprint; with
+    codecs stubbed in this container, the tile is a 64-bucket byte
+    partition of the raw payload, which keeps every downstream stage
+    (banding, Hamming verify, pair semantics) production-shaped.
+
+    Bit b is 1 iff bucket b's byte mean exceeds the payload mean,
+    compared by exact integer cross-multiplication
+    (``sum_b * n_total > sum_total * cnt_b``) so the oracle replays
+    it bit-for-bit. Arrow-batched; one numpy pass per payload."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("k0", T.IntegerType()),
+            T.StructField("k1", T.IntegerType()),
+            T.StructField("k2", T.IntegerType()),
+            T.StructField("k3", T.IntegerType()),
+        ]
+    )
+
+    def hash_batches(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "k0": [], "k1": [], "k2": [], "k3": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                if n == 0:
+                    bits = np.zeros(64, dtype=np.int64)
+                else:
+                    idx = (np.arange(n) * 64) // n
+                    sums = np.bincount(idx, weights=b, minlength=64).astype(
+                        np.int64
+                    )
+                    cnts = np.bincount(idx, minlength=64).astype(np.int64)
+                    total, cnt_all = int(b.sum()), n
+                    # exact integer compare, no float means
+                    bits = (sums * cnt_all > total * cnts).astype(np.int64)
+                keys = [
+                    int((bits[j * 16 : (j + 1) * 16] << np.arange(16)).sum())
+                    for j in range(4)
+                ]
+                out["doc_id"].append(int(did))
+                for j in range(4):
+                    out[f"k{j}"].append(keys[j])
+            yield pd.DataFrame(out)
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        hash_batches, schema=schema
+    )

@@ -8950,3 +8950,124 @@ def q_stream_session_timeout_custom(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     return session_windows_custom_timeout(spark, sf_dir)
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, strlen(text) AS n, g.i AS i,
+             unicode(substr(text, i, 1)) AS b
+      FROM documents, UNNEST(generate_series(1, strlen(text))) AS g(i)),
+    buckets AS (
+      SELECT doc_id, n, ((i - 1) * 64) // n AS bucket,
+             CAST(sum(b) AS BIGINT) AS s, count(*) AS c
+      FROM bytes GROUP BY 1, 2, 3),
+    totals AS (
+      SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
+             CAST(sum(c) AS BIGINT) AS cnt_all
+      FROM buckets GROUP BY doc_id),
+    bits AS (
+      SELECT bk.doc_id, bk.bucket,
+             CASE WHEN bk.s * t.cnt_all > t.total * bk.c
+                  THEN 1 ELSE 0 END AS bit
+      FROM buckets bk JOIN totals t USING (doc_id)),
+    keys AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bucket // 16 = 0
+                           THEN bit << (bucket % 16) END) AS INT) AS k0,
+             CAST(sum(CASE WHEN bucket // 16 = 1
+                           THEN bit << (bucket % 16) END) AS INT) AS k1,
+             CAST(sum(CASE WHEN bucket // 16 = 2
+                           THEN bit << (bucket % 16) END) AS INT) AS k2,
+             CAST(sum(CASE WHEN bucket // 16 = 3
+                           THEN bit << (bucket % 16) END) AS INT) AS k3
+      FROM bits GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.doc_id < b.doc_id
+       AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3))
+    SELECT c.id_a AS doc_id_a, c.id_b AS doc_id_b,
+           CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
+              + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
+                AS INT) AS hamming
+    FROM cand c
+    JOIN keys a ON a.doc_id = c.id_a
+    JOIN keys b ON b.doc_id = c.id_b
+    WHERE bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
+        + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 6
+    """,
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary payloads —
+    the image-dedup pipeline shape (aHash -> banded candidate
+    generation -> Hamming verify), with the stubbed-codec byte tile
+    standing in for the decoded 8x8 grayscale (multimodal/assets.
+    perceptual_hash_bands). Pairs sharing any 16-bit band are
+    candidates (a <= 6-bit Hamming distance must leave at least one of
+    the 4 bands identical — same pigeonhole as SimHash byte-banding);
+    only candidates pay the Hamming check, JVM-side via bit_count(xor).
+
+    At 100 TB of images this is the standard two-stage: hashing touches
+    each payload once behind Arrow, the band self-join is bucket-sized,
+    and no pixel data crosses a shuffle — 8 bytes of hash per asset
+    do."""
+    from etl_pyspark_spark.multimodal.assets import (
+        perceptual_hash_bands,
+        with_payload,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    keys = perceptual_hash_bands(with_payload(docs)).localCheckpoint()
+    # candidate generation MUST be an equi-join on (band, key) bucket
+    # entries — an OR of 4 key equalities compiles to a
+    # BroadcastNestedLoopJoin (O(n^2) pair grid, the exact thing
+    # banding exists to avoid; caught by the plan check below in
+    # review). Same explode shape as dedup/minhash.band_entries.
+    entries = keys.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"k{j}").alias("key"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+    cand = (
+        entries.select(F.col("doc_id").alias("id_a"), "band", "key")
+        .join(
+            entries.select(F.col("doc_id").alias("id_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = keys.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"k{j}").alias(f"a{j}") for j in range(4)],
+    )
+    b = keys.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"k{j}").alias(f"b{j}") for j in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        for j in range(4)
+    ).cast("int")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(hamming <= 6)
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+    )

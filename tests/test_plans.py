@@ -530,3 +530,14 @@ def test_packing_windows_partition_by_packer(spark, oracle_sf_dir):
     for name in ("sequence_packing_concat", "multimodal_shard_pack"):
         tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
         assert "SinglePartition" not in tree, name
+
+
+def test_phash_dedup_never_nested_loop(spark, oracle_sf_dir):
+    """Perceptual-hash candidate generation must stay a banded
+    equi-join — an OR of band-key equalities silently compiles to
+    BroadcastNestedLoopJoin (the O(n^2) grid banding exists to
+    avoid; this pin exists because the first implementation did
+    exactly that)."""
+    tree = tree_of(QUERIES["multimodal_phash_dedup"](spark, oracle_sf_dir))
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
