@@ -8955,10 +8955,14 @@ def q_stream_session_timeout_custom(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "multimodal_phash_dedup",
     oracle="""
-    WITH bytes AS (
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 100 = 7),
+    bytes AS (
       SELECT doc_id, strlen(text) AS n, g.i AS i,
              unicode(substr(text, i, 1)) AS b
-      FROM documents, UNNEST(generate_series(1, strlen(text))) AS g(i)),
+      FROM corpus, UNNEST(generate_series(1, strlen(text))) AS g(i)),
     buckets AS (
       SELECT doc_id, n, ((i - 1) * 64) // n AS bucket,
              CAST(sum(b) AS BIGINT) AS s, count(*) AS c
@@ -8996,7 +9000,7 @@ def q_stream_session_timeout_custom(spark: SparkSession, sf_dir: str) -> DataFra
     JOIN keys a ON a.doc_id = c.id_a
     JOIN keys b ON b.doc_id = c.id_b
     WHERE bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
-        + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 6
+        + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 3
     """,
 )
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9005,9 +9009,13 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation -> Hamming verify), with the stubbed-codec byte tile
     standing in for the decoded 8x8 grayscale (multimodal/assets.
     perceptual_hash_bands). Pairs sharing any 16-bit band are
-    candidates (a <= 6-bit Hamming distance must leave at least one of
-    the 4 bands identical — same pigeonhole as SimHash byte-banding);
-    only candidates pay the Hamming check, JVM-side via bit_count(xor).
+    candidates; at threshold 3 the pigeonhole guarantee is EXACT —
+    <= 3 differing bits across 4 bands must leave one band identical
+    (same argument as SimHash byte-banding), so banding loses no pair
+    within threshold. Only candidates pay the Hamming check, JVM-side
+    via bit_count(xor). The corpus carries a deterministic re-crawl
+    slice (docs % 100 = 7 re-appended under shifted ids) so the
+    duplicate-payload path is exercised at every fixture scale.
 
     At 100 TB of images this is the standard two-stage: hashing touches
     each payload once behind Arrow, the band self-join is bucket-sized,
@@ -9019,7 +9027,11 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    keys = perceptual_hash_bands(with_payload(docs)).localCheckpoint()
+    recrawl = docs.where(F.col("doc_id") % 100 == 7).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(recrawl)
+    keys = perceptual_hash_bands(with_payload(corpus)).localCheckpoint()
     # candidate generation MUST be an equi-join on (band, key) bucket
     # entries — an OR of 4 key equalities compiles to a
     # BroadcastNestedLoopJoin (O(n^2) pair grid, the exact thing
@@ -9064,7 +9076,7 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .where(hamming <= 6)
+        .where(hamming <= 3)
         .select(
             F.col("id_a").alias("doc_id_a"),
             F.col("id_b").alias("doc_id_b"),
