@@ -9083,3 +9083,62 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
     )
+
+
+@query(
+    "cdc_log_to_scd2",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey AS key, o_orderkey AS change_id,
+             CAST(o_orderdate AS DATE) AS ts,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderpriority AS attr
+      FROM orders),
+    seq AS (
+      SELECT key, change_id, ts, op, attr,
+             lead(ts) OVER w AS next_ts
+      FROM log WINDOW w AS (PARTITION BY key ORDER BY ts, change_id)
+    )
+    SELECT key AS o_custkey, change_id AS o_orderkey, attr AS priority,
+           ts AS valid_from, next_ts AS valid_to,
+           (next_ts IS NULL) AS is_current
+    FROM seq WHERE op = 'U'
+    """,
+)
+def q_cdc_log_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a CDC change log (upserts + DELETES) into SCD2 validity
+    intervals — the piece scd2_intervals leaves out: a delete closes
+    the key's open version WITHOUT opening a successor, so the key
+    goes dark (no is_current row) until a later upsert revives it;
+    interval gaps in the output are exactly the deleted spans. The
+    log is derived deterministically from orders (every 17th change
+    is a delete).
+
+    Mechanics: one lead() over the full per-key change sequence (U
+    and D interleaved) assigns each upsert its closing timestamp —
+    whether the closer was a newer version or a delete — then delete
+    rows drop out. One window shuffle on the dimension key, same
+    cost envelope as scd2_intervals; a 100 TB change log partitions
+    by key exactly like any CDC consumer."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("change_id"),
+        F.to_date("o_orderdate").alias("ts"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderpriority").alias("attr"),
+    )
+    w = Window.partitionBy("key").orderBy("ts", "change_id")
+    seq = log.withColumn("next_ts", F.lead("ts").over(w))
+    return seq.where(F.col("op") == "U").select(
+        F.col("key").alias("o_custkey"),
+        F.col("change_id").alias("o_orderkey"),
+        F.col("attr").alias("priority"),
+        F.col("ts").alias("valid_from"),
+        F.col("next_ts").alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
