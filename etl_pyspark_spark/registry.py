@@ -9142,3 +9142,81 @@ def q_cdc_log_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_ts").alias("valid_to"),
         F.col("next_ts").isNull().alias("is_current"),
     )
+
+
+@query(
+    "json_corrupt_records_dlq",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 0
+                  THEN substr(props, 1, strlen(props) - 2)
+                  ELSE props END AS props
+      FROM events),
+    parsed AS (
+      SELECT event_id, props,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT)
+             END AS k,
+             NOT json_valid(props) AS is_corrupt
+      FROM raw)
+    SELECT CAST(count(*) FILTER (NOT is_corrupt) AS BIGINT) AS n_ok,
+           CAST(count(*) FILTER (is_corrupt) AS BIGINT) AS n_dlq,
+           CAST(sum(k) FILTER (NOT is_corrupt) AS BIGINT) AS sum_k,
+           CAST(min(event_id) FILTER (is_corrupt) AS BIGINT)
+             AS first_dlq_event
+    FROM parsed
+    """,
+)
+def q_json_corrupt_records_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record routing — what a production ingest does when
+    upstream JSON goes bad mid-stream: parse permissively, send
+    unparseable rows to a dead-letter path WITH their raw payload
+    (never dropped silently), and keep the clean path typed. Here a
+    deterministic slice of the props column is truncated to simulate
+    upstream corruption; ``from_json`` yields NULL on failure, the
+    raw string distinguishes corrupt from genuinely-null, and the
+    summary audits both paths (counts + first offending id for triage).
+
+    At scale this costs nothing beyond the parse itself: no second
+    pass, the corrupt/ok split is a projection-level CASE riding the
+    same scan, and the DLQ branch would be a partitioned write of the
+    raw column."""
+    ev = read_table(spark, sf_dir, "events")
+    mangled = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.expr("substring(props, 1, length(props) - 2)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = mangled.select(
+        "event_id",
+        "props",
+        # PERMISSIVE from_json never yields a NULL struct — malformed
+        # input gives an all-null struct, indistinguishable from a
+        # legitimately-null field. The corrupt-record column is the
+        # contract: non-null there == parse failure, and it carries
+        # the raw payload the DLQ write needs.
+        F.from_json(
+            "props",
+            "k bigint, _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    ).select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.col("j._corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+    return parsed.agg(
+        F.count(F.when(~F.col("is_corrupt"), 1)).cast("bigint").alias("n_ok"),
+        F.count(F.when(F.col("is_corrupt"), 1)).cast("bigint").alias("n_dlq"),
+        F.sum(F.when(~F.col("is_corrupt"), F.col("k")))
+        .cast("bigint")
+        .alias("sum_k"),
+        F.min(F.when(F.col("is_corrupt"), F.col("event_id")))
+        .cast("bigint")
+        .alias("first_dlq_event"),
+    )
