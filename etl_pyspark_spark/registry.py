@@ -9220,3 +9220,84 @@ def q_json_corrupt_records_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_dlq_event"),
     )
+
+
+def _ensure_orders_mixed_spec(spark: SparkSession, sf_dir: str) -> tuple:
+    """Two-generation lake layout under scratch: orders before 1998
+    partitioned by year only (the original spec), 1998 onward by
+    year/month (the evolved spec; the fixture spans 1995-2001) —
+    written once per fixture fingerprint, same pay-once marker
+    discipline as the other layouts."""
+    from etl_pyspark_spark.sources.io import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+        write_parquet,
+    )
+
+    old_out = f"{_SCRATCH}/orders_spec_v1"
+    new_out = f"{_SCRATCH}/orders_spec_v2"
+    marker = f"{old_out}/.built_for"
+    want = fixture_fingerprint(sf_dir, "orders")
+    if not marker_current(marker, want):
+        o = read_table(spark, sf_dir, "orders").withColumn(
+            "order_year", F.year("o_orderdate")
+        )
+        write_parquet(
+            o.where(F.col("order_year") < 1998),
+            old_out,
+            partition_by=["order_year"],
+        )
+        write_parquet(
+            o.where(F.col("order_year") >= 1998).withColumn(
+                "order_month", F.month("o_orderdate")
+            ),
+            new_out,
+            partition_by=["order_year", "order_month"],
+        )
+        write_marker(marker, want)
+    return old_out, new_out
+
+
+@query(
+    "partition_spec_migration",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_partition_spec_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution WITHOUT rewriting history — the lake
+    migration every long-lived table eventually faces: old data stays
+    under the original year-only spec, new data lands under the
+    evolved year/month spec, and one logical view unions the two
+    generations (unionByName with the missing partition column
+    null-filled). Predicates prune BOTH layouts through their own
+    directory structure; history is rewritten never, or lazily during
+    scheduled compaction. (Table formats with partition-spec
+    evolution do exactly this under a manifest; plain parquet does it
+    with a two-path union view.)"""
+    from etl_pyspark_spark.sources.io import read_parquet
+
+    old_out, new_out = _ensure_orders_mixed_spec(spark, sf_dir)
+    v1 = read_parquet(spark, old_out)
+    v2 = read_parquet(spark, new_out)
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        unioned.where(
+            (F.col("order_year") >= 1996) & (F.col("order_year") <= 1999)
+        )
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
