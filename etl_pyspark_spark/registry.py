@@ -7345,6 +7345,7 @@ def ensure_layouts(spark: SparkSession, sf_dir: str) -> None:
     from etl_pyspark_spark.sources.bucketed import ensure_bucketed_fixtures
 
     _ensure_orders_by_year(spark, sf_dir)
+    _ensure_orders_mixed_spec(spark, sf_dir)
     ensure_zorder_lineitem(spark, sf_dir)
     ensure_range_clustered_lineitem(spark, sf_dir)
     ensure_bucketed_fixtures(spark, sf_dir)
