@@ -8137,15 +8137,22 @@ def q_stream_quota_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         cur_hour, n = state.get if state.exists else (-1, 0)
         out_eid, out_hour = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, h in zip(pdf["event_id"], pdf["hour_start_s"]):
-                if h != cur_hour:
-                    cur_hour, n = h, 0
-                if n < 2:
-                    out_eid.append(int(eid))
-                    out_hour.append(int(h))
-                n += 1
+        # One group's rows can arrive as SEVERAL Arrow chunks (when the
+        # group exceeds arrow.maxRecordsPerBatch) in arbitrary shuffle
+        # order — sorting each chunk independently would make admission
+        # depend on chunk boundaries. Concatenate, THEN sort once: the
+        # buffered frame is one user's one-micro-batch slice, bounded
+        # by per-key batch volume, not the corpus.
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for eid, h in zip(pdf["event_id"], pdf["hour_start_s"]):
+            if h != cur_hour:
+                cur_hour, n = h, 0
+            if n < 2:
+                out_eid.append(int(eid))
+                out_hour.append(int(h))
+            n += 1
         state.update((int(cur_hour), int(n)))
         yield pd.DataFrame(
             {
@@ -9159,7 +9166,11 @@ def q_cdc_log_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN json_valid(props)
                   THEN CAST(json_extract(props, '$.k') AS BIGINT)
              END AS k,
-             NOT json_valid(props) AS is_corrupt
+             -- COALESCE: json_valid(NULL) is NULL, which the FILTER
+             -- clauses would silently exclude from BOTH paths; the
+             -- engine's _corrupt_record contract classifies a NULL
+             -- payload as ok (from_json of NULL is not a parse error)
+             COALESCE(NOT json_valid(props), FALSE) AS is_corrupt
       FROM raw)
     SELECT CAST(count(*) FILTER (NOT is_corrupt) AS BIGINT) AS n_ok,
            CAST(count(*) FILTER (is_corrupt) AS BIGINT) AS n_dlq,
@@ -9238,9 +9249,12 @@ def _ensure_orders_mixed_spec(spark: SparkSession, sf_dir: str) -> tuple:
 
     old_out = f"{_SCRATCH}/orders_spec_v1"
     new_out = f"{_SCRATCH}/orders_spec_v2"
-    marker = f"{old_out}/.built_for"
+    # one marker PER output directory, both written only after both
+    # layouts exist: a deleted/partial v2 with a surviving v1 marker
+    # must trigger a rebuild, not a read of the stale layout
+    markers = [f"{old_out}/.built_for", f"{new_out}/.built_for"]
     want = fixture_fingerprint(sf_dir, "orders")
-    if not marker_current(marker, want):
+    if not all(marker_current(m, want) for m in markers):
         o = read_table(spark, sf_dir, "orders").withColumn(
             "order_year", F.year("o_orderdate")
         )
@@ -9256,7 +9270,8 @@ def _ensure_orders_mixed_spec(spark: SparkSession, sf_dir: str) -> tuple:
             new_out,
             partition_by=["order_year", "order_month"],
         )
-        write_marker(marker, want)
+        for m in markers:
+            write_marker(m, want)
     return old_out, new_out
 
 

@@ -209,6 +209,7 @@ def register_jsonl_sink(spark) -> bool:
     class _FileMsg(WriterCommitMessage):
         path: str
         n_rows: int
+        partition_id: int
 
     class _JsonlWriter(DataSourceWriter):
         def __init__(self, options):
@@ -217,11 +218,19 @@ def register_jsonl_sink(spark) -> bool:
         def write(self, iterator):
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            att = ctx.taskAttemptId()
             os.makedirs(self.path, exist_ok=True)
-            # task writes tmp then renames: a crashed task never
-            # leaves a half-written file under the final name
-            final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            # ATTEMPT-unique names end to end: a zombie/speculative
+            # attempt writing `final + ".tmp"` could interleave bytes
+            # into another attempt's tmp and then os.replace over an
+            # already-committed file. With the attempt id in both the
+            # tmp and the final name, attempts never share a path; the
+            # driver's manifest picks exactly one winner per partition.
+            final = os.path.join(
+                self.path, f"part-{pid:05d}-{att}.jsonl"
+            )
             tmp = final + ".tmp"
             n = 0
             with open(tmp, "w") as fh:
@@ -230,12 +239,26 @@ def register_jsonl_sink(spark) -> bool:
                     fh.write("\n")
                     n += 1
             os.replace(tmp, final)
-            return _FileMsg(path=final, n_rows=n)
+            return _FileMsg(path=final, n_rows=n, partition_id=pid)
 
         def commit(self, messages):
+            # One winner per partition: duplicate commit messages for a
+            # partition (speculative attempts both reporting success)
+            # must not double-list files or double-count rows. First
+            # message per partition wins; losers' files are removed.
+            by_pid: dict[int, _FileMsg] = {}
+            for m in messages:
+                if m.partition_id in by_pid and m.path != by_pid[m.partition_id].path:
+                    try:
+                        os.remove(m.path)
+                    except OSError:
+                        pass
+                else:
+                    by_pid[m.partition_id] = m
+            winners = by_pid.values()
             manifest = {
-                "files": sorted(m.path for m in messages),
-                "n_rows": sum(m.n_rows for m in messages),
+                "files": sorted(m.path for m in winners),
+                "n_rows": sum(m.n_rows for m in winners),
             }
             tmp = os.path.join(self.path, "_MANIFEST.tmp")
             with open(tmp, "w") as fh:

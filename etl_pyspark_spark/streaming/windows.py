@@ -261,17 +261,21 @@ def session_windows_custom_timeout(
             return
         s, l, n = state.get if state.exists else (None, None, 0)
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("tus")
-            for t in pdf["tus"]:
-                t = int(t)
-                if s is None:
-                    s, l, n = t, t, 1
-                elif t - l >= gap_us:
-                    closed.append((s, n))
-                    s, l, n = t, t, 1
-                else:
-                    l, n = t, n + 1
+        # A group spanning several Arrow chunks arrives in arbitrary
+        # chunk order — concatenate and sort ONCE so session assignment
+        # is independent of arrow.maxRecordsPerBatch. The buffered
+        # frame is one user's one-micro-batch slice (bounded), not the
+        # stream.
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("tus")
+        for t in pdf["tus"]:
+            t = int(t)
+            if s is None:
+                s, l, n = t, t, 1
+            elif t - l >= gap_us:
+                closed.append((s, n))
+                s, l, n = t, t, 1
+            else:
+                l, n = t, n + 1
         state.update((s, l, n))
         # ms precision: the state store's timeout clock is epoch-ms
         state.setTimeoutTimestamp((l + gap_us) // 1000)

@@ -329,3 +329,30 @@ def test_rocksdb_state_store_provider(spark, oracle_sf_dir):
         assert quota.count() == batch_admitted
     finally:
         spark.conf.set(key, old)
+
+
+def test_stateful_groups_spanning_arrow_chunks(spark, oracle_sf_dir):
+    """A group larger than arrow.maxRecordsPerBatch reaches the
+    applyInPandasWithState callback as SEVERAL chunks in arbitrary
+    shuffle order. The operators concatenate-then-sort (one frame per
+    key per micro-batch) so admission/session assignment must be
+    chunk-boundary-independent; with per-chunk sorting this test fails
+    (the regression it pins, ADVICE round 3)."""
+    from tests.oracle_utils import compare, duckdb_connect
+
+    from etl_pyspark_spark.registry import ORACLES
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    # sf0.01 events: ~60k rows over ~1.5k users — 7-row batches force
+    # every multi-event user across chunk boundaries
+    spark.conf.set(key, "7")
+    try:
+        con = duckdb_connect(oracle_sf_dir)
+        for name in ("stream_quota_drop", "stream_session_timeout_custom"):
+            problems = compare(
+                QUERIES[name](spark, oracle_sf_dir), con, ORACLES[name]
+            )
+            assert not problems, (name, problems)
+    finally:
+        spark.conf.set(key, old)
