@@ -9297,3 +9297,187 @@ def q_partition_spec_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: SemDeDup semantic dedup, substring span removal, corpus
+# tokenizer (vocabulary build + greedy segmentation), distributed
+# order statistics demo.
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle(threshold: float) -> str:
+    cos = _sql_cos("v.embedding", "c.embedding")
+    cos_ab = _sql_cos("ea.embedding", "eb.embedding")
+    return f"""
+    WITH sims AS (
+      SELECT v.vec_id, c.vec_id AS centroid_id, {cos} AS cos_sim
+      FROM embeddings v
+      JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c ON true),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC,
+                                              centroid_id ASC) AS rk
+        FROM sims) WHERE rk = 1),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {cos_ab} >= {threshold})
+    SELECT a.vec_id, a.centroid_id,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    """
+
+
+@query("dedup_semantic", oracle=_semantic_dedup_oracle(0.3))
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): cluster
+    every embedding to its nearest FIXED centroid (first 8 vectors —
+    the engine's oracle-checkable stand-in for fitted k-means, same
+    pinning as embedding_assign_nearest_centroid), then flag a vector
+    as a semantic duplicate iff a lower-id vector in ITS OWN cluster
+    is within cosine 0.3 — candidate generation provably
+    intra-cluster, the property that makes semantic dedup tractable
+    at 100 TB (Σ|cluster|² pairs, not n²; each (cluster, block-pair)
+    group is one bounded-memory BLAS GEMM). See
+    similarity/semantic.py; threshold 0.3 calibrated to the
+    near-random fixture embeddings (a production run on real
+    embeddings uses ~0.95+)."""
+    from etl_pyspark_spark.similarity.semantic import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, emb.where(F.col("vec_id") < 8), threshold=0.3
+    )
+
+
+def _substring_dup_remove_oracle() -> str:
+    ws = _WS_TOKENS_SQL.format(col="text")
+    return f"""
+    WITH t AS (SELECT doc_id, {ws} AS toks FROM documents),
+    g AS (SELECT doc_id, {_ngram_sql('toks', 8)} AS grams FROM t),
+    gp AS (SELECT doc_id, u.i AS p, grams[u.i] AS gram
+           FROM g, UNNEST(range(1, len(grams) + 1)) AS u(i)),
+    c AS (SELECT gram, count(*) AS n_occ FROM gp GROUP BY gram),
+    ds AS (SELECT gp.doc_id, gp.p
+           FROM gp JOIN c USING (gram) WHERE c.n_occ >= 2),
+    m AS (SELECT doc_id, p,
+                 CASE WHEN max(p + 7) OVER w IS NULL
+                        OR p > max(p + 7) OVER w
+                      THEN 1 ELSE 0 END AS new_grp
+          FROM ds
+          WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)),
+    s AS (SELECT doc_id, p,
+                 sum(new_grp) OVER (PARTITION BY doc_id ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS gid
+          FROM m),
+    iv AS (SELECT doc_id, gid, min(p) AS lo, max(p) + 7 AS hi
+           FROM s GROUP BY doc_id, gid),
+    tok AS (SELECT t.doc_id, u.i, toks[u.i] AS tok
+            FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+    rem AS (SELECT DISTINCT tok.doc_id, tok.i
+            FROM tok JOIN iv ON tok.doc_id = iv.doc_id
+                            AND tok.i BETWEEN iv.lo AND iv.hi),
+    clean AS (
+      SELECT tok.doc_id,
+             count(*) AS n_tokens,
+             count(*) FILTER (rem.i IS NULL) AS n_kept,
+             COALESCE(string_agg(tok.tok, ' ' ORDER BY tok.i)
+                        FILTER (rem.i IS NULL), '') AS clean_text
+      FROM tok LEFT JOIN rem
+        ON tok.doc_id = rem.doc_id AND tok.i = rem.i
+      GROUP BY tok.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_tokens - c.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
+    """
+
+
+@query("substring_dup_remove", oracle=_substring_dup_remove_oracle())
+def q_substring_dup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL — the second half of Lee et al.'s substring
+    dedup, completing substring_dup_spans (which only measures): every
+    token covered by a corpus-duplicated 8-gram is cut and the
+    document re-emitted as cleaned text. Overlapping dup grams are
+    first merged into maximal per-doc intervals (classic running-max
+    interval merge — the window partitions by doc, so state is
+    per-document, never corpus-wide), then one JVM higher-order
+    filter drops covered tokens; the text never crosses into Python.
+
+    Scale shape: grams are 60-bit-hashed BEFORE the occurrence-count
+    shuffle (as in substring_dup_spans), dup-start rows are two ints,
+    the interval list per doc is bounded by doc length, and the final
+    pass is scan + broadcast-free keyed join + projection. Oracle
+    computes the identical interval merge in SQL on the raw gram
+    strings."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = read_table(spark, sf_dir, "documents")
+    toked = spread(docs).select(
+        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
+    )
+    g = toked.select(
+        "doc_id",
+        F.posexplode(T.ngrams_from_tokens(F.col("toks"), 8)).alias(
+            "pos", "gram"
+        ),
+    ).select("doc_id", "pos", T.portable_hash60(F.col("gram")).alias("gh"))
+    c_dup = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+    )
+    starts = g.join(c_dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + 7).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = starts.withColumn(
+        "new_grp",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end), 1
+        ).otherwise(0),
+    )
+    grouped = marked.withColumn(
+        "gid",
+        F.sum("new_grp").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = grouped.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("lo"), (F.max("pos") + 7).alias("hi")
+    )
+    iv = merged.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("lo"), F.col("hi")))
+        ).alias("iv")
+    )
+    joined = toked.join(iv, "doc_id", "left")
+    ivc = F.coalesce(
+        F.col("iv"),
+        F.expr("CAST(array() AS array<struct<lo:int,hi:int>>)"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            ivc, lambda v: (i >= v["lo"]) & (i <= v["hi"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -55,6 +55,7 @@ def block_cosine_pairs(
     num_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cluster_col: str | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold, exactly.
 
@@ -64,7 +65,13 @@ def block_cosine_pairs(
     that the ~num_blocks^2/2 block pairs fill the cluster's task
     slots (without it, a corpus that fits 2 blocks runs 3 tasks on 32
     cores and the exact-dedup pass serializes). The result is
-    block-count invariant."""
+    block-count invariant.
+
+    ``cluster_col`` scopes the pair space: only pairs WITHIN the same
+    cluster value are generated (the SemDeDup shape — candidate cost
+    drops from O(n^2) to Σ|cluster|^2), by keying the GEMM groups on
+    (cluster, block pair). Per-task memory stays two blocks of one
+    cluster."""
     if num_blocks is None:
         import math
 
@@ -74,10 +81,14 @@ def block_cosine_pairs(
         par_blocks = math.ceil((math.sqrt(8 * p + 1) - 1) / 2)
         num_blocks = max(1, size_blocks, par_blocks)
     spark = emb.sparkSession
+    cluster_expr = (
+        F.col(cluster_col) if cluster_col is not None else F.lit(0)
+    )
     blocked = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         (F.col(id_col) % num_blocks).cast("int").alias("blk"),
+        cluster_expr.cast("bigint").alias("cl"),
     )
     pairs = spark.createDataFrame(
         [(i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j],
@@ -86,10 +97,14 @@ def block_cosine_pairs(
 
     left = blocked.join(
         F.broadcast(pairs), blocked.blk == pairs.bi
-    ).select("pair_id", F.lit("L").alias("role"), "vid", "vec", "bi", "bj")
+    ).select(
+        "cl", "pair_id", F.lit("L").alias("role"), "vid", "vec", "bi", "bj"
+    )
     right = blocked.join(
         F.broadcast(pairs), blocked.blk == pairs.bj
-    ).select("pair_id", F.lit("R").alias("role"), "vid", "vec", "bi", "bj")
+    ).select(
+        "cl", "pair_id", F.lit("R").alias("role"), "vid", "vec", "bi", "bj"
+    )
     both = left.unionByName(right)
 
     def gemm(pdf):
@@ -126,4 +141,6 @@ def block_cosine_pairs(
             sim = sims[ia, ib]
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": sim})
 
-    return both.groupBy("pair_id").applyInPandas(gemm, schema=_PAIR_SCHEMA)
+    return both.groupBy("cl", "pair_id").applyInPandas(
+        gemm, schema=_PAIR_SCHEMA
+    )
