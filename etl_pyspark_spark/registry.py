@@ -25,6 +25,7 @@ Cross-engine determinism rules used throughout (FIXTURES.md §C):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -7336,15 +7337,45 @@ def q_orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gc_scratch(max_age_s: int = 3600) -> int:
+    """Sweep stale session-scoped sink directories (``jsonl_sink_*``)
+    from ``.scratch``: each run rmtree's only its OWN applicationId
+    dir, so crashed/abandoned sessions leak one directory apiece —
+    harmless locally, a storage leak in production (round-3 review,
+    What's wrong #3). Age-based so a concurrently RUNNING session's
+    fresh directory is never raced; returns the number removed."""
+    import shutil
+    import time
+
+    removed = 0
+    root = _SCRATCH
+    if not os.path.isdir(root):
+        return 0
+    cutoff = time.time() - max_age_s
+    for name in os.listdir(root):
+        if not name.startswith("jsonl_sink_"):
+            continue
+        path = os.path.join(root, name)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
+
+
 def ensure_layouts(spark: SparkSession, sf_dir: str) -> None:
     """Build every pay-once lake layout (hive-partitioned, bucketed,
     range-clustered, Z-ordered) for ``sf_dir`` if missing or stale.
     Called from bench.py's untimed warm-up so the per-query numbers
     measure the pruned/co-located SCANS — mirroring production, where
     layout is paid at ingest, not per query. Queries still self-ensure
-    lazily, so correctness runs need no warm-up."""
+    lazily, so correctness runs need no warm-up. Also GCs stale
+    session-scoped sink scratch (the ingest-time janitor job)."""
     from etl_pyspark_spark.sources.bucketed import ensure_bucketed_fixtures
 
+    gc_scratch()
     _ensure_orders_by_year(spark, sf_dir)
     _ensure_orders_mixed_spec(spark, sf_dir)
     ensure_zorder_lineitem(spark, sf_dir)
@@ -9481,3 +9512,389 @@ def q_substring_dup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def _vocab_build_oracle(k: int, max_len: int) -> str:
+    ws = _WS_TOKENS_SQL.format(col="text")
+    return f"""
+    WITH occ AS (SELECT u.term FROM documents,
+                 UNNEST({ws}) AS u(term)),
+    sl AS (SELECT term, s.s AS s, l.l AS l
+           FROM occ,
+                UNNEST(range(1, length(term) + 1)) AS s(s),
+                UNNEST(range(1, least({max_len},
+                                      length(term) - s.s + 1) + 1))
+                  AS l(l)),
+    p AS (SELECT substr(term, s, l) AS piece, count(*) AS n_occ
+          FROM sl GROUP BY 1)
+    SELECT piece, CAST(n_occ AS BIGINT) AS n_occ
+    FROM p ORDER BY n_occ DESC, piece ASC LIMIT {k}
+    """
+
+
+@query("tokenizer_vocab_build", oracle=_vocab_build_oracle(512, 8))
+def q_tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived subword vocabulary: the top-512 most frequent
+    substrings (length ≤ 8) of the corpus's whitespace words — the
+    deterministic unigram-LM seed vocabulary of SentencePiece,
+    computed as a plain corpus statistic (no RNG, no EM), with
+    (count DESC, piece ASC) as the total order so both engines pick
+    an identical vocabulary. Substring enumeration explodes BEFORE
+    the exchange but map-side partial aggregation collapses it, and
+    the top-K plans as TakeOrderedAndProject — never a global sort.
+    See functions/tokenizer.py; the segmentation consumer is
+    tokenizer_segment."""
+    from etl_pyspark_spark.functions.tokenizer import top_pieces
+
+    docs = read_table(spark, sf_dir, "documents")
+    return top_pieces(docs, 512)
+
+
+@query("tokenizer_segment")  # rows-only: greedy matching is iterative
+def q_tokenizer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match (WordPiece) segmentation of every
+    document with the corpus-derived vocabulary: per doc, word count
+    and subword-piece count. Declared rows-only — the greedy loop is
+    inherently iterative (no SQL twin); its invariants are pinned in
+    tests/test_tokenizer.py instead: round-trip (pieces rejoin to the
+    word), total coverage (single-char fallback — the vocabulary
+    contains every corpus character), the greedy longest-match
+    property against the vocab, and in-engine consistency of the
+    distributed counts with a driver-side recomputation.
+
+    Scale shape: vocabulary = one bounded collect (K + |alphabet|
+    strings) broadcast once per executor; documents cross into Python
+    exactly once via Arrow mapInPandas.
+
+    K=64 here, calibrated to the synthetic fixture's 31-word lexicon
+    so greedy matching actually composes (top-64 pieces leave most
+    words out-of-vocab; avg ≈ 3 pieces/word with multi-char pieces
+    like 'er'); a production corpus uses the vocab_build K (~32k)."""
+    from etl_pyspark_spark.functions.tokenizer import (
+        collect_vocab,
+        segment_documents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = collect_vocab(docs, 64)
+    return segment_documents(docs, vocab)
+
+
+@query(
+    "corpus_shuffle_assign",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY ('0x' || substr(md5('shuffle:'
+                                          || CAST(doc_id AS VARCHAR)),
+                                      1, 15))::BIGINT,
+                      doc_id) AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_corpus_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle — the epoch-ordering step of every
+    training-data loader: each document gets a reproducible position
+    in a pseudo-random permutation (rank of its keyed 60-bit hash; the
+    'shuffle:' salt decouples this permutation from every other
+    hash-derived assignment in the engine). Computed with
+    operators/ranks.with_global_rank — range exchange + per-partition
+    offsets, NEVER a SinglePartition window — so assigning 100 TB of
+    shuffle positions costs exactly one sort-shaped shuffle. The
+    hash is RNG-free: re-running on the same corpus yields the same
+    permutation (resumable data loading)."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.operators.ranks import with_global_rank
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "hk",
+        T.portable_hash60(
+            F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+        ),
+    )
+    return with_global_rank(keyed, ["hk", "doc_id"], "shuffle_pos").select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH s AS (SELECT source, count(*) AS n_docs
+               FROM documents GROUP BY source),
+    t AS (SELECT source, n_docs,
+                 pow(CAST(n_docs AS DOUBLE), 0.7) AS w FROM s),
+    z AS (SELECT sum(w) AS z FROM t)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           {sql_pround('w / z', 6)} AS weight
+    FROM t, z
+    """,
+)
+def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-LM
+    sampling trick, T=1/0.7): per-source counts raised to α=0.7 and
+    normalized, flattening the source distribution so small sources
+    are not drowned at training time. One partial-agg groupBy over
+    the corpus, a 1-row broadcast for the normalizer, 20 output rows;
+    pow's last-ulp libm-vs-JVM variance is absorbed by pround(6) on
+    both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = s.select(
+        "source",
+        "n_docs",
+        F.pow(F.col("n_docs").cast("double"), 0.7).alias("w"),
+    )
+    z = t.agg(F.sum("w").alias("z"))
+    return t.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        pround(F.col("w") / F.col("z"), 6).alias("weight"),
+    )
+
+
+@query(
+    "late_supplier_blame",
+    oracle="""
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    mx AS (
+      SELECT l_orderkey, max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supps
+      FROM l1 GROUP BY l_orderkey),
+    late AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM l1 JOIN mx USING (l_orderkey)
+      WHERE l1.l_shipdate = mx.max_ship AND mx.n_supps >= 2),
+    solo AS (
+      SELECT l_orderkey FROM late GROUP BY l_orderkey
+      HAVING count(*) = 1)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late JOIN solo USING (l_orderkey)
+    JOIN supplier s ON late.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (suppliers-who-kept-orders-waiting) adapted
+    to the fixture columns: on completed multi-supplier orders, blame
+    the supplier whose line shipped last — but only when it was the
+    SOLE latest shipper (Q21's exists/not-exists double correlation,
+    decorrelated into two aggregates instead of two correlated
+    subqueries). Both 'exists' legs reuse ONE keyed aggregation over
+    the filtered fact (max shipdate + distinct-supplier count in the
+    same pass); the final rollup is a 20-row TakeOrderedAndProject.
+    Every shuffle keys on l_orderkey — AQE coalesces the tiny tail."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    su = read_table(spark, sf_dir, "supplier")
+    fo = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = li.join(fo, li.l_orderkey == fo.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    mx = l1.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+    late = (
+        l1.join(mx, "l_orderkey")
+        .where(
+            (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_supps") >= 2)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    solo = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_latest"))
+        .where(F.col("n_latest") == 1)
+    )
+    blamed = late.join(solo.select("l_orderkey"), "l_orderkey")
+    return (
+        blamed.join(su, blamed.l_suppkey == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "excess_stock_suppliers",
+    oracle="""
+    WITH small AS (SELECT p_partkey FROM part WHERE p_size <= 10),
+    ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+      FROM lineitem JOIN small ON l_partkey = p_partkey
+      GROUP BY 1, 2),
+    a AS (SELECT l_partkey, avg(CAST(qty AS DOUBLE)) AS avg_qty
+          FROM ps GROUP BY 1),
+    excess AS (
+      SELECT DISTINCT ps.l_suppkey
+      FROM ps JOIN a USING (l_partkey)
+      WHERE CAST(qty AS DOUBLE) > 1.5 * avg_qty)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's shape (excess-stock suppliers) on the fixture:
+    suppliers who shipped > 1.5× the per-part average quantity of any
+    small part. The nested-aggregate chain (per-(part,supplier)
+    decimal-exact sums → per-part average → threshold semi-join)
+    reuses one partial aggregation; the part-size dim filter
+    broadcasts into the fact scan; the final IN compiles to
+    left-semi. Decimal sums keep the distributed totals exact; only
+    the final avg comparison is floating, on identical inputs in both
+    engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pa = read_table(spark, sf_dir, "part")
+    su = read_table(spark, sf_dir, "supplier")
+    small = pa.where(F.col("p_size") <= 10).select("p_partkey")
+    ps = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+    )
+    avg_qty = ps.groupBy("l_partkey").agg(
+        F.avg(F.col("qty").cast("double")).alias("avg_qty")
+    )
+    excess = (
+        ps.join(avg_qty, "l_partkey")
+        .where(F.col("qty").cast("double") > 1.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(excess, su.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "group_quantiles_exact",
+    oracle="""
+    WITH d AS (SELECT lang, n_chars, count(*) AS cnt
+               FROM documents GROUP BY 1, 2),
+    c AS (SELECT lang, n_chars,
+                 CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM d)
+    SELECT lang,
+           min(CASE WHEN cum >= ceil(0.5 * n) THEN n_chars END)
+             AS p50_chars,
+           min(CASE WHEN cum >= ceil(0.9 * n) THEN n_chars END)
+             AS p90_chars,
+           max(n) AS n_docs
+    FROM c GROUP BY lang
+    """,
+)
+def q_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact discrete quantiles (P50/P90 document length by
+    language) — the per-group complement of winsorize_values' global
+    cuts. Reduce-first per group: distinct (lang, value) counts from
+    one partial-agg groupBy, cumulative windows PARTITIONED BY LANG
+    (state per group, never corpus-wide), cut selection as a
+    conditional min. Same discrete-quantile definition as
+    operators/quantiles (smallest value reaching ceil(q·n)), so both
+    engines pick identical stored values."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("lang")
+    c = d.select(
+        "lang",
+        "n_chars",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+        F.sum("cnt").over(tot).cast("bigint").alias("n"),
+    )
+    return c.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.5 * F.col("n")), F.col("n_chars")
+            )
+        ).alias("p50_chars"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.9 * F.col("n")), F.col("n_chars")
+            )
+        ).alias("p90_chars"),
+        F.max("n").alias("n_docs"),
+    )
+
+
+@query(
+    "value_quantiles_exact",
+    oracle="""
+    WITH d AS (SELECT value, count(*) AS cnt FROM events GROUP BY value),
+    c AS (SELECT value,
+                 CAST(sum(cnt) OVER (ORDER BY value
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS n
+          FROM d),
+    p AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE)
+            AS prob)
+    SELECT p.prob,
+           (SELECT min(value) FROM c
+            WHERE cum >= greatest(1, ceil(p.prob
+                                          * (SELECT max(n) FROM c))))
+             AS value
+    FROM p
+    """,
+)
+def q_value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantile PROFILE of events.value (P1/P25/P50/
+    P75/P99) through operators/quantiles.exact_discrete_quantiles —
+    the approx-bracketed exact rank search runs all five probes with
+    TWO corpus scans total (one for n + all brackets, one for all
+    below-bracket counts) plus per-probe bracket slivers; the oracle
+    computes the same order statistics the exhaustive way. Output is
+    5 rows assembled driver-side from the (bounded) cut values —
+    this is the engine's quantile API surface as a query."""
+    from etl_pyspark_spark.operators.quantiles import (
+        exact_discrete_quantiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    cuts = exact_discrete_quantiles(ev, "value", probs)
+    return spark.createDataFrame(
+        [(p, v) for p, v in zip(probs, cuts)], "prob double, value double"
+    )
+
+
+@query("embedding_pca_whiten")  # rows-only: eigendecomposition has no
+# SQL twin; invariants pinned in tests/test_pca.py
+def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embedding corpus (top-8 components):
+    per-partition moment accumulation (one summary row per partition,
+    |partitions|-bounded driver combine), driver-side 64×64 eigh with
+    sign-fixed eigenvectors (reproducible basis), broadcast projection
+    via one Arrow-batched GEMM — see similarity/pca.py. Rows-only by
+    necessity; test_pca.py pins whitened-covariance ≈ I, agreement
+    with a single-shot reference PCA, and determinism."""
+    from etl_pyspark_spark.similarity.pca import pca_whiten
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_whiten(emb, k=8)
