@@ -54,15 +54,17 @@ def exact_discrete_quantiles(
     vals = df.where(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
     lo_p = [max(0.0, q - eps) for q in probs]
     hi_p = [min(1.0, q + eps) for q in probs]
+    # one GK sketch serves both bracket ends (the sketch build
+    # dominates this job; querying it twice per probe is free)
     head = vals.agg(
         F.count("_v").alias("n"),
-        F.percentile_approx("_v", lo_p, accuracy).alias("lo"),
-        F.percentile_approx("_v", hi_p, accuracy).alias("hi"),
+        F.percentile_approx("_v", lo_p + hi_p, accuracy).alias("lohi"),
     ).collect()[0]
     n = int(head["n"])
     if n == 0:
         return [None for _ in probs]
-    brackets = list(zip(head["lo"], head["hi"]))
+    k = len(probs)
+    brackets = list(zip(head["lohi"][:k], head["lohi"][k:]))
     # exact below-bracket counts for every prob in ONE scan
     below_row = vals.agg(
         *[
@@ -70,31 +72,100 @@ def exact_discrete_quantiles(
             for i, (a, _) in enumerate(brackets)
         ]
     ).collect()[0]
+    ranks = [max(1, math.ceil(q * n)) for q in probs]
+    belows = [int(below_row[f"b{i}"]) for i in range(len(probs))]
+    # the sliver is sketch-bounded at ~6·k·n/accuracy rows: size the
+    # cumsum's range exchange to that, not the global shuffle conf
+    # (a 50-row sliver at sf0.1 doesn't need 32 tasks × 3 stages)
+    est_rows = max(1, (6 * len(probs) * n) // accuracy)
+    spark = vals.sparkSession
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = max(1, min(cap, -(-est_rows // 65536)))
+    cuts = _rank_search_all(
+        spark, vals, brackets, belows, ranks, n_part
+    )
     out = []
-    for i, q in enumerate(probs):
-        a, b = brackets[i]
-        r = max(1, math.ceil(q * n))
-        c_a = int(below_row[f"b{i}"])
-        cut = _rank_search(vals, a, b, c_a, r)
+    for i, cut in enumerate(cuts):
         if cut is None:  # pragma: no cover - outside sketch guarantee
-            cut = _rank_search(vals, None, None, 0, r)
+            cut = _rank_search_all(
+                vals.sparkSession,
+                vals,
+                [(None, None)],
+                [0],
+                [ranks[i]],
+                None,
+            )[0]
         out.append(cut)
     return out
 
 
-def _rank_search(vals: DataFrame, a, b, c_below: int, r: int):
-    """Smallest value v in [a, b] with c_below + cum_count(≤ v) ≥ r."""
-    scoped = vals
-    if a is not None:
-        scoped = scoped.where((F.col("_v") >= a) & (F.col("_v") <= b))
-    d = scoped.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"))
-    cum = with_global_cumsum(d, ["_v"], "_cnt", "_cum")
-    hit = (
-        cum.where(F.col("_cum") + F.lit(c_below) >= r)
-        .agg(F.min("_v").alias("v"))
-        .collect()[0]["v"]
+def _rank_search_all(
+    spark, vals: DataFrame, brackets, belows, ranks, n_part=None
+):
+    """For each probe i: smallest value v in brackets[i] with
+    belows[i] + cum_count(≤ v within the bracket) ≥ ranks[i].
+
+    ALL probes share ONE distributed pass: bracket-sliver rows are
+    tagged with their probe id (a value inside two overlapping
+    brackets is duplicated per probe — bracket mass is sketch-bounded
+    either way), one range-partitioned cumsum runs over
+    (probe, value), and the per-probe base (total sliver mass of the
+    preceding probes, a len(probs)-row driver prefix) converts the
+    global running sum into per-probe cumulative counts. Jobs stay
+    constant in len(probs)."""
+    probe_filters = []
+    for i, (a, b) in enumerate(brackets):
+        cond = (
+            F.lit(True)
+            if a is None
+            else (F.col("_v") >= a) & (F.col("_v") <= b)
+        )
+        probe_filters.append(
+            F.when(cond, F.lit(i)).otherwise(F.lit(None))
+        )
+    tagged = (
+        vals.select(
+            "_v",
+            F.explode(
+                F.array_compact(F.array(*probe_filters))
+            ).alias("_probe"),
+        )
+        .groupBy("_probe", "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
-    return hit
+    cum = with_global_cumsum(
+        tagged, ["_probe", "_v"], "_cnt", "_cum", num_partitions=n_part
+    )
+    # per-probe exclusive base of the GLOBAL running sum
+    totals = {
+        int(r["_probe"]): int(r["_t"])
+        for r in tagged.groupBy("_probe")
+        .agg(F.sum("_cnt").alias("_t"))
+        .collect()
+    }
+    bases, acc = {}, 0
+    for i in sorted(totals):
+        bases[i] = acc
+        acc += totals[i]
+    params = spark.createDataFrame(
+        [
+            (i, bases.get(i, 0), belows[i], ranks[i])
+            for i in range(len(brackets))
+        ],
+        "_probe int, _base bigint, _below bigint, _rank bigint",
+    )
+    hits = {
+        int(r["_probe"]): r["v"]
+        for r in cum.join(F.broadcast(params), "_probe")
+        .where(
+            F.col("_cum") - F.col("_base") + F.col("_below")
+            >= F.col("_rank")
+        )
+        .groupBy("_probe")
+        .agg(F.min("_v").alias("v"))
+        .collect()
+    }
+    return [hits.get(i) for i in range(len(brackets))]
 
 
 def clip_to_quantiles(

@@ -9898,3 +9898,177 @@ def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return pca_whiten(emb, k=8)
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             {_sql_cos('q.embedding', 'c.embedding')} AS cos_sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < 16) q
+      JOIN (SELECT * FROM embeddings WHERE vec_id >= 16) c ON true),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC,
+                                              neighbor_id ASC) AS rk
+        FROM sims) WHERE rk <= 5),
+    votes AS (
+      SELECT query_id, label, count(*) AS n_votes
+      FROM top GROUP BY 1, 2)
+    SELECT query_id AS vec_id, label AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY n_votes DESC,
+                                                label ASC) AS rk
+          FROM votes)
+    WHERE rk = 1
+    """,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification — the label-propagation /
+    weak-labeling step of many data-curation pipelines: each query
+    vector (vec_id < 16) takes the modal label of its 5 nearest
+    corpus neighbors by cosine, ties toward the smaller label. Built
+    on brute_force_topk (broadcast query set against the corpus scan
+    — corpus never shuffles for the join), one window shuffle for the
+    per-query rank, one keyed agg for the vote; rounded cosine makes
+    the neighbor set cross-engine identical."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.similarity.cosine import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 16)
+    corpus = emb.where(F.col("vec_id") >= 16)
+    top = brute_force_topk(corpus, q, k=5)
+    lab = top.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+        "neighbor_id",
+    )
+    votes = lab.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("label").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+
+
+@query(
+    "kmeans_update_step",
+    oracle=f"""
+    WITH sims AS (
+      SELECT v.vec_id, c.vec_id AS centroid_id,
+             {_sql_cos('v.embedding', 'c.embedding')} AS cos_sim
+      FROM embeddings v
+      JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c ON true),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC,
+                                              centroid_id ASC) AS rk
+        FROM sims) WHERE rk = 1),
+    vals AS (
+      SELECT a.centroid_id, u.i - 1 AS dim,
+             CAST(e.embedding[u.i] AS DOUBLE) AS val
+      FROM assigned a JOIN embeddings e USING (vec_id),
+           UNNEST(range(1, len(e.embedding) + 1)) AS u(i))
+    SELECT centroid_id, CAST(dim AS INT) AS dim,
+           CAST(sum(CAST(floor(val * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e9) AS mean_val
+    FROM vals GROUP BY 1, 2
+    """,
+)
+def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means UPDATE step on the fixed-centroid assignment: new
+    centroid = per-cluster elementwise mean, in long form
+    (centroid_id, dim, mean_val) so the 8×64 result is plainly
+    relational. Means use the engine's integer-exact idiom (cf.
+    regression_by_group): values nano-quantized to BIGINT before the
+    sum — distributed addition is then partitioning-independent and
+    the final double division runs on identical integers in both
+    engines. With assignment (embedding_assign_nearest_centroid) this
+    is a full Lloyd iteration expressed as two dataflow passes — the
+    iterative loop lives in the caller, state in checkpointed
+    centroid tables, exactly how distributed k-means runs at scale."""
+    from etl_pyspark_spark.similarity.semantic import (
+        assign_nearest_centroid,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = assign_nearest_centroid(
+        emb, emb.where(F.col("vec_id") < 8)
+    ).select("vec_id", "centroid_id")
+    vals = emb.join(assigned, "vec_id").select(
+        "centroid_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    )
+    qv = F.floor(F.col("val") * 1e9 + F.lit(0.5)).cast("bigint")
+    return vals.groupBy("centroid_id", "dim").agg(
+        (
+            F.sum(qv).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1e9)
+        ).alias("mean_val")
+    )
+
+
+@query(
+    "time_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT min(CAST(ts AS DATE)) AS d0,
+                    max(CAST(ts AS DATE)) AS d1 FROM events),
+    cal AS (SELECT unnest(generate_series(d0, d1,
+                                          INTERVAL 1 DAY))::DATE AS day
+            FROM span),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT cal.day, types.event_type,
+           CAST(COALESCE(daily.n_events, 0) AS BIGINT) AS n_events
+    FROM cal CROSS JOIN types
+    LEFT JOIN daily ON cal.day = daily.day
+                   AND types.event_type = daily.event_type
+    """,
+)
+def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap fill — time-series densification (missing days
+    emitted as zeros) that every dashboard/forecast consumer needs
+    before windowed math. The calendar derives from a 1-row min/max
+    aggregate exploded through sequence() (never a driver loop), the
+    (day × type) grid is a broadcast cross of two tiny sides, and
+    observed counts left-join in with one keyed shuffle. Grid size is
+    days × types regardless of event volume — the scan dominates, as
+    it should."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    cal = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = cal.crossJoin(types)
+    return grid.join(daily, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("n_events"), F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+    )
