@@ -10072,3 +10072,204 @@ def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_events"),
     )
+
+
+@query(
+    "robust_zscore_outliers",
+    oracle=f"""
+    WITH d AS (SELECT value, count(*) AS cnt FROM events GROUP BY value),
+    c AS (SELECT value,
+                 CAST(sum(cnt) OVER (ORDER BY value
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS n
+          FROM d),
+    med AS (SELECT min(value) AS m FROM c
+            WHERE cum >= greatest(1, ceil(0.5 * (SELECT max(n) FROM c)))),
+    dd AS (SELECT abs(value - (SELECT m FROM med)) AS dv, count(*) AS cnt
+           FROM events GROUP BY 1),
+    dc AS (SELECT dv,
+                  CAST(sum(cnt) OVER (ORDER BY dv
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM dd),
+    mad AS (SELECT min(dv) AS m FROM dc
+            WHERE cum >= greatest(1, ceil(0.5 * (SELECT max(n) FROM dc))))
+    SELECT event_id,
+           CAST(value AS DOUBLE) AS value,
+           {sql_pround("(value - (SELECT m FROM med))"
+                       " / (1.4826 * (SELECT m FROM mad))", 6)}
+             AS robust_z,
+           abs({sql_pround("(value - (SELECT m FROM med))"
+                           " / (1.4826 * (SELECT m FROM mad))", 6)}) > 3.5
+             AS is_outlier
+    FROM events
+    """,
+)
+def q_robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags via the median/MAD z-score (the
+    estimator that, unlike mean/stddev, outliers can't poison —
+    standard data-quality gate before training-metric aggregation):
+    z = (x − median) / (1.4826·MAD), |z| > 3.5 flags (Iglewicz &
+    Hoaglin's threshold). BOTH order statistics (median, then median
+    of absolute deviations) run through the bracketed exact-rank
+    search (operators/quantiles) — two quantile passes, no
+    SinglePartition window, cuts land as literals so the scoring pass
+    is scan-speed projection. |x−median| is exact IEEE arithmetic on
+    identical inputs, so the derived second-pass quantile is
+    cross-engine identical too."""
+    from etl_pyspark_spark.operators.quantiles import (
+        exact_discrete_quantiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    med = exact_discrete_quantiles(ev, "value", [0.5])[0]
+    dev = ev.select((F.abs(F.col("value") - F.lit(med))).alias("d"))
+    mad = exact_discrete_quantiles(dev, "d", [0.5])[0]
+    scale = 1.4826 * mad
+    z = pround((F.col("value") - F.lit(med)) / F.lit(scale), 6)
+    return ev.select(
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        z.alias("robust_z"),
+        (F.abs(z) > 3.5).alias("is_outlier"),
+    )
+
+
+def _bigram_lm_oracle() -> str:
+    ws = _WS_TOKENS_SQL.format(col="text")
+    return f"""
+    WITH t AS (SELECT doc_id, {ws} AS toks FROM documents),
+    bg AS (SELECT doc_id, unnest({_ngram_sql('toks', 2)}) AS g FROM t),
+    c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+    c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1
+           FROM bg GROUP BY 1),
+    scored AS (
+      SELECT bg.doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(CAST({sql_pround(
+                 "CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)", 6
+             )} AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS avg_bigram_prob
+      FROM bg
+      JOIN c2 USING (g)
+      JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
+      GROUP BY bg.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           COALESCE(s.avg_bigram_prob, 0.0) AS avg_bigram_prob
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+
+
+@query("bigram_lm_score", oracle=_bigram_lm_oracle())
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM fluency score — the cheap statistical
+    language-model filter (docs whose word transitions are rare in
+    the corpus read as noise/boilerplate): per doc, the average
+    corpus conditional probability c(w1,w2)/c(w1·) over its bigrams.
+    Log-free by design (cross-engine libm drift): each conditional
+    probability is a rational rounded via pround(6), summed as
+    DECIMAL (order-independent, partitioning-proof), divided once as
+    double. Bigram counts collapse map-side; the prefix table joins
+    on the bigram's first token; one keyed rollup per doc."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = read_table(spark, sf_dir, "documents")
+    toked = spread(docs).select(
+        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
+    )
+    bg = toked.select(
+        "doc_id",
+        F.explode(T.ngrams_from_tokens(F.col("toks"), 2)).alias("g"),
+    )
+    c2 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        bg.select(F.substring_index("g", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    ratio = pround(
+        F.col("c2").cast("double") / F.col("c1").cast("double"), 6
+    )
+    scored = (
+        bg.join(c2, "g")
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(ratio.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bigram_prob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.coalesce(F.col("avg_bigram_prob"), F.lit(0.0)).alias(
+                "avg_bigram_prob"
+            ),
+        )
+    )
+
+
+@query(
+    "value_histogram",
+    oracle=f"""
+    WITH span AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    b AS (SELECT least(19, CAST(floor((value - lo) * 20.0 / (hi - lo))
+                                AS BIGINT)) AS bin, lo, hi
+          FROM events, span)
+    SELECT CAST(bin AS INT) AS bin, count(*) AS n_events,
+           {sql_pround('min(lo + bin * (hi - lo) / 20.0)', 6)} AS bin_lo
+    FROM b GROUP BY bin
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin histogram of events.value — the profiling
+    scan behind every distribution dashboard. The [min, max] span is
+    a 1-row aggregate broadcast onto the unsorted scan (no sort, no
+    quantiles needed for equal-WIDTH bins), binning is a pure
+    projection, counts collapse map-side. Bins are data-driven;
+    identical IEEE arithmetic on both engines makes bin edges and
+    assignment cross-engine exact (absorbed to 1e-6 at the reported
+    edge). Empty bins are legitimately absent (17 of 20 occupied on
+    the fixture's skewed values)."""
+    ev = read_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(span)).select(
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * 20.0
+                / (F.col("hi") - F.col("lo"))
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(
+            F.min(
+                F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 20.0
+            ),
+            6,
+        ).alias("bin_lo"),
+    )
+
+
+# (GROUP BY ALL is already covered by q_sql_group_by_all above —
+# registry.py:6940.)

@@ -559,3 +559,32 @@ def test_order_statistics_never_single_partition(spark, oracle_sf_dir):
     assert "Window" not in tree_of(
         QUERIES["winsorize_values"](spark, oracle_sf_dir)
     )
+
+
+def test_span_remove_grams_hashed_before_shuffle(spark, oracle_sf_dir):
+    # same pin as substring_dup_spans: the occurrence-count exchange
+    # must carry 60-bit hashes, never the 8-word gram strings
+    plan = plan_of(QUERIES["substring_dup_remove"](spark, oracle_sf_dir))
+    assert "hashpartitioning(gram" not in plan
+
+
+def test_semantic_dedup_intra_cluster_gemm(spark, oracle_sf_dir):
+    """SemDeDup candidate generation must stay (cluster, block-pair)
+    GEMM groups — never a corpus-sized cartesian; the only
+    nested-loop join allowed is the 8-row centroid broadcast."""
+    tree = tree_of(QUERIES["dedup_semantic"](spark, oracle_sf_dir))
+    assert "CartesianProduct" not in tree
+    assert "FlatMapGroupsInPandas" in tree  # the per-group GEMM
+
+
+def test_corpus_shuffle_is_range_exchange_no_window(spark, oracle_sf_dir):
+    """Global shuffle-position assignment must plan as ONE range
+    exchange plus projections — no Window operator at all (the
+    monotonically_increasing_id + offset form), hence nothing that
+    could serialize on a single partition."""
+    df = QUERIES["corpus_shuffle_assign"](spark, oracle_sf_dir)
+    tree = tree_of(df)
+    # the exchange detail lives inside the cached relation's subplan
+    assert "rangepartitioning" in plan_of(df)
+    assert "Window" not in tree
+    assert "SinglePartition" not in tree
