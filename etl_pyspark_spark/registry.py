@@ -10273,3 +10273,94 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (GROUP BY ALL is already covered by q_sql_group_by_all above —
 # registry.py:6940.)
+
+
+_PR_SCALE = 10**12
+
+
+def _pagerank_oracle() -> str:
+    s = _PR_SCALE
+    step = """
+c{k} AS (SELECT dst, sum(r // deg) AS s
+         FROM ed JOIN r{p} ON ed.src = r{p}.part GROUP BY dst),
+r{k} AS (SELECT part,
+                (15 * {s}) // (100 * (SELECT n FROM n))
+                + (COALESCE(s, 0) * 85) // 100 AS r
+         FROM nodes LEFT JOIN c{k} ON part = dst)"""
+    steps = ",".join(
+        step.format(k=k, p=k - 1, s=s) for k in (1, 2, 3)
+    )
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    nodes AS (SELECT DISTINCT src AS part FROM edges),
+    n AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT part, {s} // (SELECT n FROM n) AS r FROM nodes),
+    {steps}
+    SELECT part, CAST(r AS BIGINT) AS rank_micro FROM r3
+    """
+
+
+@query("graph_pagerank_unrolled", oracle=_pagerank_oracle())
+def q_graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three PageRank iterations (d=0.85) over the part co-purchase
+    graph, unrolled as pure dataflow — how iterative graph algorithms
+    actually run on Spark: the loop lives in the driver building the
+    plan, per-iteration state is a keyed rank table, and lineage is
+    truncated at the iteration boundary (localCheckpoint on the edge
+    and node tables — production would checkpoint rank_k to parquet).
+
+    INTEGER-EXACT by construction: ranks live in 1e-12 units
+    (BIGINT), per-neighbor contributions use integer division
+    (r DIV deg), the damping multiply is (s*85) DIV 100 — distributed
+    sums of integers are partitioning-independent, so three rounds of
+    float accumulation can't drift between engines (the reason the
+    oracle can be an exact three-level CTE chain rather than a
+    tolerance check). Co-purchase edges derive from distinct
+    (order, part) pairs self-joined per order — bounded fan-out per
+    basket; each iteration is one keyed join + one keyed agg, the
+    same two shuffles at any graph size."""
+    li = read_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint()
+    nodes = (
+        ed.select(F.col("src").alias("part")).distinct().localCheckpoint()
+    )
+    n = nodes.count()
+    base = (15 * _PR_SCALE) // (100 * n)
+    r = nodes.select("part", F.lit(_PR_SCALE // n).alias("r"))
+    for _ in range(3):
+        contrib = (
+            ed.join(r, ed.src == r.part)
+            .select("dst", F.expr("r DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = nodes.join(
+            contrib, nodes.part == contrib.dst, "left"
+        ).select(
+            "part",
+            (
+                F.lit(base)
+                + F.expr("(COALESCE(s, CAST(0 AS BIGINT)) * 85) DIV 100")
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    return r.select("part", F.col("r").alias("rank_micro"))
