@@ -10275,56 +10275,34 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry.py:6940.)
 
 
-_PR_SCALE = 10**12
+def _copurchase_pagerank_oracle() -> str:
+    from etl_pyspark_spark.operators.graph import sql_pagerank_int
 
-
-def _pagerank_oracle() -> str:
-    s = _PR_SCALE
-    step = """
-c{k} AS (SELECT dst, sum(r // deg) AS s
-         FROM ed JOIN r{p} ON ed.src = r{p}.part GROUP BY dst),
-r{k} AS (SELECT part,
-                (15 * {s}) // (100 * (SELECT n FROM n))
-                + (COALESCE(s, 0) * 85) // 100 AS r
-         FROM nodes LEFT JOIN c{k} ON part = dst)"""
-    steps = ",".join(
-        step.format(k=k, p=k - 1, s=s) for k in (1, 2, 3)
-    )
-    return f"""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    edges_sql = """
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey <> b.l_partkey),
-    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-    ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
-    nodes AS (SELECT DISTINCT src AS part FROM edges),
-    n AS (SELECT count(*) AS n FROM nodes),
-    r0 AS (SELECT part, {s} // (SELECT n FROM n) AS r FROM nodes),
-    {steps}
-    SELECT part, CAST(r AS BIGINT) AS rank_micro FROM r3
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
     """
+    nodes_sql = f"SELECT DISTINCT src AS node FROM ({edges_sql})"
+    inner = sql_pagerank_int(nodes_sql, edges_sql, iterations=3)
+    return f"SELECT node AS part, rank_int FROM ({inner})"
 
 
-@query("graph_pagerank_unrolled", oracle=_pagerank_oracle())
-def q_graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three PageRank iterations (d=0.85) over the part co-purchase
-    graph, unrolled as pure dataflow — how iterative graph algorithms
-    actually run on Spark: the loop lives in the driver building the
-    plan, per-iteration state is a keyed rank table, and lineage is
-    truncated at the iteration boundary (localCheckpoint on the edge
-    and node tables — production would checkpoint rank_k to parquet).
+@query("pagerank_copurchase", oracle=_copurchase_pagerank_oracle())
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a DATA-DERIVED graph: part co-purchase edges
+    (distinct (order, part) pairs self-joined per order — bounded
+    fan-out per basket, symmetric so every node has outdegree), 3
+    rounds through the existing integer-quantized engine
+    (operators/graph.pagerank_int — same operator as
+    pagerank_iterative, which runs on a synthetic formula graph; this
+    entry exercises the edge-building half a real pipeline needs).
+    Bit-exact across engines because every step is bigint arithmetic;
+    the oracle unrolls the same 3 rounds via sql_pagerank_int."""
+    from etl_pyspark_spark.operators.graph import pagerank_int
 
-    INTEGER-EXACT by construction: ranks live in 1e-12 units
-    (BIGINT), per-neighbor contributions use integer division
-    (r DIV deg), the damping multiply is (s*85) DIV 100 — distributed
-    sums of integers are partitioning-independent, so three rounds of
-    float accumulation can't drift between engines (the reason the
-    oracle can be an exact three-level CTE chain rather than a
-    tolerance check). Co-purchase edges derive from distinct
-    (order, part) pairs self-joined per order — bounded fan-out per
-    basket; each iteration is one keyed join + one keyed agg, the
-    same two shuffles at any graph size."""
     li = read_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -10336,31 +10314,9 @@ def q_graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
+        .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(deg, "src").localCheckpoint()
-    nodes = (
-        ed.select(F.col("src").alias("part")).distinct().localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    return pagerank_int(nodes, edges, iterations=3).select(
+        F.col("node").alias("part"), "rank_int"
     )
-    n = nodes.count()
-    base = (15 * _PR_SCALE) // (100 * n)
-    r = nodes.select("part", F.lit(_PR_SCALE // n).alias("r"))
-    for _ in range(3):
-        contrib = (
-            ed.join(r, ed.src == r.part)
-            .select("dst", F.expr("r DIV deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        r = nodes.join(
-            contrib, nodes.part == contrib.dst, "left"
-        ).select(
-            "part",
-            (
-                F.lit(base)
-                + F.expr("(COALESCE(s, CAST(0 AS BIGINT)) * 85) DIV 100")
-            )
-            .cast("bigint")
-            .alias("r"),
-        )
-    return r.select("part", F.col("r").alias("rank_micro"))
