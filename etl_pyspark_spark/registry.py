@@ -10044,9 +10044,10 @@ def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar gap fill — time-series densification (missing days
-    emitted as zeros) that every dashboard/forecast consumer needs
-    before windowed math. The calendar derives from a 1-row min/max
+    """Calendar gap fill — GLOBAL (day x event_type) zero-fill, the
+    grid-shaped complement of timeseries_gapfill_locf (per-user spans,
+    last-observation-carried-forward): densification every
+    dashboard/forecast consumer needs before windowed math. The calendar derives from a 1-row min/max
     aggregate exploded through sequence() (never a driver loop), the
     (day × type) grid is a broadcast cross of two tiny sides, and
     observed counts left-join in with one keyed shuffle. Grid size is
@@ -10235,9 +10236,10 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-width 20-bin histogram of events.value — the profiling
-    scan behind every distribution dashboard. The [min, max] span is
-    a 1-row aggregate broadcast onto the unsorted scan (no sort, no
+    """Equal-width 20-bin histogram of events.value with DATA-DRIVEN
+    edges — the companion to histogram_fixed_bins (which pins constant
+    edges and needs no pre-pass): here the [min, max] span is first
+    computed as a 1-row aggregate and broadcast onto the unsorted scan (no sort, no
     quantiles needed for equal-WIDTH bins), binning is a pure
     projection, counts collapse map-side. Bins are data-driven;
     identical IEEE arithmetic on both engines makes bin edges and
