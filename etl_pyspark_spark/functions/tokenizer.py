@@ -85,15 +85,27 @@ def top_pieces(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
 def collect_vocab(docs: DataFrame, k: int = VOCAB_K) -> frozenset:
     """Driver-side vocabulary: top-k pieces ∪ every single character
     (total coverage — segmentation can always fall back to one char).
-    Bounded collect: k + |alphabet| short strings."""
-    pieces = {r["piece"] for r in top_pieces(docs, k).collect()}
-    chars = {
-        r["piece"]
-        for r in piece_counts(docs)
-        .where(F.length("piece") == 1)
-        .select("piece")
-        .collect()
-    }
+    Bounded collect: k + |alphabet| short strings. The substring
+    aggregation is materialized once (persist) and probed by both
+    branches — without it the double-explode count runs twice."""
+    pc = piece_counts(docs).persist()
+    try:
+        pieces = {
+            r["piece"]
+            for r in pc.orderBy(
+                F.col("n_occ").desc(), F.col("piece").asc()
+            )
+            .limit(k)
+            .collect()
+        }
+        chars = {
+            r["piece"]
+            for r in pc.where(F.length("piece") == 1)
+            .select("piece")
+            .collect()
+        }
+    finally:
+        pc.unpersist()
     return frozenset(pieces | chars)
 
 

@@ -86,3 +86,25 @@ def test_exact_quantiles_empty_and_null(spark):
     assert exact_discrete_quantiles(df, "v", [0.5]) == [None]
     one = spark.createDataFrame([(3.5,)], "v double")
     assert exact_discrete_quantiles(one, "v", [0.01, 0.99]) == [3.5, 3.5]
+
+
+def test_approx_bracket_contains_exact_cut(spark, oracle_sf_dir):
+    """The bracket guarantee exact_discrete_quantiles rests on:
+    percentile_approx at q±3/accuracy must bracket the exact discrete
+    cut (GK rank error ≤ n/accuracy). Checked directly against the
+    brute-force order statistic for several probes and accuracies."""
+    import math
+
+    ev = read_table(spark, oracle_sf_dir, "events")
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(vals)
+    for accuracy in (100, 1000, 10000):
+        for q in (0.01, 0.5, 0.99):
+            eps = 3.0 / accuracy
+            row = ev.agg(
+                F.percentile_approx(
+                    "value", [max(0.0, q - eps), min(1.0, q + eps)], accuracy
+                ).alias("b")
+            ).collect()[0]["b"]
+            exact = vals[max(1, math.ceil(q * n)) - 1]
+            assert row[0] <= exact <= row[1], (accuracy, q)
