@@ -185,3 +185,90 @@ def test_minhash_jaccard_planted_duplicates(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+@given(
+    vals=st.lists(
+        st.integers(-1000, 1000), min_size=1, max_size=120
+    ),
+    k=st.integers(1, 9),
+    parts=st.integers(1, 6),
+)
+@_SETTINGS
+def test_global_ntile_matches_python_reference(spark, vals, k, parts):
+    """Distributed ntile == the ANSI definition computed in pure
+    Python, on adversarial inputs (duplicates, n < k, one row),
+    across partition counts (the result must be partitioning-proof)."""
+    from etl_pyspark_spark.operators.ranks import with_global_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["t"]
+        for r in with_global_ntile(
+            df, ["v", "id"], k, "t", num_partitions=parts
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    n = len(order)
+    base, rem = n // k, n % k
+    want = {}
+    for rank0, (i, _) in enumerate(order):
+        if base == 0:
+            want[i] = rank0 + 1
+        elif rank0 < rem * (base + 1):
+            want[i] = rank0 // (base + 1) + 1
+        else:
+            want[i] = rem + (rank0 - rem * (base + 1)) // base + 1
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    q=st.sampled_from([0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999]),
+)
+@_SETTINGS
+def test_exact_quantile_matches_python_reference(spark, vals, q):
+    """Bracketed exact-rank quantile == the discrete order statistic
+    (smallest value whose cumulative count reaches ceil(q*n)) computed
+    by sorting in Python — including duplicate-heavy and one-value
+    inputs."""
+    import math
+
+    from etl_pyspark_spark.operators.quantiles import (
+        exact_discrete_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = exact_discrete_quantiles(df, "v", [q], accuracy=1000)
+    want = sorted(vals)[max(1, math.ceil(q * len(vals))) - 1]
+    assert got == [want]
+
+
+@given(
+    words=st.lists(_TOKENS, min_size=1, max_size=12),
+    k=st.integers(0, 40),
+)
+@_SETTINGS
+def test_greedy_segment_round_trips_any_vocab(spark, words, k):
+    """greedy_segment must round-trip and terminate for ANY word and
+    ANY vocab, provided single characters are present (the coverage
+    contract collect_vocab establishes) — unicode included."""
+    from etl_pyspark_spark.functions.tokenizer import greedy_segment
+
+    pieces = set()
+    for w in words[:k]:
+        pieces.add(w[: max(1, len(w) // 2)])
+    chars = {c for w in words for c in w}
+    vocab = frozenset(pieces | chars)
+    for w in words:
+        segs = greedy_segment(w, vocab)
+        assert "".join(segs) == w
+        assert all(p in vocab for p in segs)
