@@ -162,3 +162,127 @@ def segment_documents(
     return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
         seg, schema="doc_id bigint, n_words bigint, n_pieces bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule learning (byte-pair encoding, Sennrich et al. 2016) —
+# the iterative half of tokenizer training that the top-K piece
+# vocabulary (above) approximates in one shot.
+# ---------------------------------------------------------------------------
+
+
+def _merge_fold(sym, left: str, right: str):
+    """Apply ONE merge rule to a symbol array, left-to-right
+    non-overlapping, entirely JVM-side: a fold (F.aggregate) whose
+    accumulator replaces its last element with the merged token when
+    (last, current) == (left, right). No Python per row."""
+    merged = left + right
+    return F.aggregate(
+        sym,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 10, text_col: str = "text"):
+    """Learn ``n_merges`` BPE merge rules from the corpus. Returns
+    ``(rules, words)`` where rules is the driver-side list of
+    ``(step, left, right, pair_count)`` (inherently tiny — the same
+    bounded-artifact class as IVF centroids or the piece vocabulary)
+    and words is the final symbolized word table (term, weight, sym).
+
+    Deterministic: the argmax pair breaks ties by (count DESC, left
+    ASC, right ASC); no RNG anywhere.
+
+    Scale shape per iteration (the loop is driver-side, as for
+    pagerank_int): adjacent-pair extraction is a JVM zip of the
+    symbol array with its own tail (weights = word occurrence counts,
+    so the pair table is over DISTINCT words — bounded by vocabulary,
+    not corpus); counts collapse map-side; the argmax is a 1-row
+    TakeOrdered collect; the merge application is a whole-stage
+    codegen fold; localCheckpoint truncates the growing lineage."""
+    from etl_pyspark_spark.functions import text as T
+
+    words = (
+        docs.select(F.explode(T.ws_tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .select(
+            "term",
+            "weight",
+            # split("abc", "(?!^)") yields a trailing "" in Spark —
+            # drop empties so symbols == list(word) exactly
+            F.filter(
+                F.split(F.col("term"), "(?!^)"), lambda s: s != ""
+            ).alias("sym"),
+        )
+        .localCheckpoint()
+    )
+    rules = []
+    for step in range(1, n_merges + 1):
+        pairs = words.select(
+            "weight",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("sym"), 1, F.size("sym") - 1),
+                    F.slice(F.col("sym"), 2, F.size("sym") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("left"), b.alias("right")
+                    ),
+                )
+            ).alias("p"),
+        ).select("weight", "p.left", "p.right")
+        top = (
+            pairs.groupBy("left", "right")
+            .agg(F.sum("weight").alias("n"))
+            .orderBy(
+                F.col("n").desc(), F.col("left").asc(), F.col("right").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], int(top[0]["n"])
+        rules.append((step, left, right, n))
+        words = words.select(
+            "term", "weight", _merge_fold(F.col("sym"), left, right).alias("sym")
+        ).localCheckpoint()
+    return rules, words
+
+
+def py_bpe_reference(word_counts: dict, n_merges: int = 10):
+    """Pure-Python BPE twin of :func:`bpe_learn` for parity tests:
+    identical counting, tie-break, and left-to-right merge walk."""
+    words = {w: list(w) for w in word_counts}
+    rules = []
+    for step in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, sym in words.items():
+            wt = word_counts[w]
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wt
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((step, left, right, n))
+        merged = left + right
+        for w, sym in words.items():
+            out = []
+            for s in sym:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            words[w] = out
+    return rules, words

@@ -10322,3 +10322,93 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(nodes, edges, iterations=3).select(
         F.col("node").alias("part"), "rank_int"
     )
+
+
+@query("tokenizer_bpe_learn")  # rows-only: BPE is inherently
+# iterative (argmax + merge per step); parity with a pure-Python BPE
+# reference is pinned in tests/test_tokenizer.py — rules AND final
+# symbolizations must match exactly
+def q_tokenizer_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule learning (Sennrich et al. 2016), 10 merges —
+    the iterative half of subword-tokenizer training
+    (tokenizer_vocab_build is the one-shot seed statistic). Per
+    iteration: adjacent-pair counts over the DISTINCT-word table
+    (weights = corpus occurrence counts, so cost is bounded by
+    vocabulary, not corpus), a 1-row TakeOrdered argmax with a pinned
+    (count DESC, left ASC, right ASC) tie-break, and the merge
+    applied by a whole-stage-codegen fold over the symbol arrays —
+    no per-row Python anywhere; the loop and lineage truncation
+    follow the pagerank_int pattern. Output: the learned rule table
+    (step, left, right, pair_count)."""
+    from etl_pyspark_spark.functions.tokenizer import bpe_learn
+
+    docs = read_table(spark, sf_dir, "documents")
+    rules, _ = bpe_learn(docs, n_merges=10)
+    return spark.createDataFrame(
+        rules, "step int, left string, right string, pair_count bigint"
+    )
+
+
+_EQUIDEPTH_BINS = 10
+
+
+def _equidepth_oracle() -> str:
+    b = _EQUIDEPTH_BINS
+    return f"""
+    WITH d AS (SELECT value, count(*) AS cnt FROM events GROUP BY value),
+    c AS (SELECT value,
+                 CAST(sum(cnt) OVER (ORDER BY value
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS n
+          FROM d),
+    p AS (SELECT CAST(unnest(range(1, {b})) AS DOUBLE) / {b} AS prob),
+    cuts AS (
+      SELECT p.prob,
+             (SELECT min(value) FROM c
+              WHERE cum >= greatest(1, ceil(p.prob
+                                            * (SELECT max(n) FROM c))))
+               AS cut
+      FROM p),
+    bn AS (SELECT e.value,
+                  (SELECT count(*) FROM cuts WHERE cuts.cut < e.value)
+                    AS bin
+           FROM events e)
+    SELECT CAST(bin AS INT) AS bin, count(*) AS n_events,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM bn GROUP BY bin
+    """
+
+
+@query("value_histogram_equidepth", oracle=_equidepth_oracle())
+def q_value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 equal-population bins) — the optimizer
+    statistic / monitoring profile equal-WIDTH bins (value_histogram)
+    can't give on skewed data: bin edges are the exact discrete
+    deciles from operators/quantiles (bracketed exact-rank search,
+    never a SinglePartition window), landed as a literal cut array so
+    bin assignment is one scan-speed higher-order filter
+    (size(filter(cuts, c -> c < value))). The fixture's long-tailed
+    value column bins to ~N/10 rows each where the equal-width
+    histogram piles 85 % into two bins."""
+    from etl_pyspark_spark.operators.quantiles import (
+        exact_discrete_quantiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    probs = [i / _EQUIDEPTH_BINS for i in range(1, _EQUIDEPTH_BINS)]
+    cuts = exact_discrete_quantiles(ev, "value", probs)
+    arr = "array(" + ",".join(
+        f"CAST({c!r} AS DOUBLE)" for c in cuts
+    ) + ")"
+    bin_col = F.expr(f"size(filter({arr}, c -> c < value))")
+    return (
+        ev.select(bin_col.cast("int").alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+    )

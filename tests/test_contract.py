@@ -45,6 +45,9 @@ def test_contract_shapes(spark):
                                       # invariant-tested (test_tokenizer)
         "embedding_pca_whiten",       # eigendecomposition, invariant-
                                       # tested (test_pca)
+        "tokenizer_bpe_learn",        # iterative argmax+merge; exact
+                                      # parity with a pure-Python BPE
+                                      # pinned in test_tokenizer
     }
     df = mod.entry(spark)
     assert df.count() > 0

@@ -83,3 +83,28 @@ def test_vocab_is_deterministic_total_order(spark, oracle_sf_dir):
     assert a == b
     counts = [c for _, c in a]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_learn_matches_python_reference(spark, oracle_sf_dir):
+    """The distributed BPE learner must match a pure-Python BPE run
+    exactly: the 10 learned rules (with counts and tie-breaks) AND
+    every word's final symbolization — this is the rows-only entry's
+    de-facto oracle."""
+    from etl_pyspark_spark.functions.tokenizer import (
+        bpe_learn,
+        py_bpe_reference,
+    )
+
+    docs = read_table(spark, oracle_sf_dir, "documents")
+    rules, words = bpe_learn(docs, n_merges=10)
+    assert len(rules) == 10
+    wc = {
+        r["term"]: r["weight"]
+        for r in words.select("term", "weight").collect()
+    }
+    py_rules, py_words = py_bpe_reference(wc, 10)
+    assert rules == py_rules
+    got = {r["term"]: list(r["sym"]) for r in words.collect()}
+    assert got == py_words
+    # merges actually compose (multi-char tokens appear)
+    assert any(len(left) > 1 or len(right) > 1 for _, left, right, _ in rules)
