@@ -149,6 +149,57 @@ def with_global_ntile(
     ).drop("_grank")
 
 
+def with_global_cumsum_multi(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running totals of SEVERAL integer weight columns in one
+    pass (one range exchange, one per-partition-id window computing k
+    running sums) — the two-sample-CDF accumulator: comparing k
+    empirical distributions needs k cumulative counts over the SAME
+    sorted distinct-value axis, and running ``with_global_cumsum`` k
+    times would repeat the exchange k times. Emits ``cum_<w>`` per
+    weight column. Same contract as the single-weight form: integer
+    weights, total order, never SinglePartition."""
+    part = _range_partitioned(df, order_cols, num_partitions)
+    rows = (
+        part.groupBy("_pid")
+        .agg(
+            *[F.sum(w).alias(f"_w{i}") for i, w in enumerate(weight_cols)],
+            F.min("_mid").alias("_m"),
+        )
+        .collect()
+    )
+    stats, accs = [], [0] * len(weight_cols)
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        stats.append((int(r["_pid"]), *accs))
+        accs = [
+            a + int(r[f"_w{i}"] or 0) for i, a in enumerate(accs)
+        ]
+    if not stats:
+        stats = [(0, *([0] * len(weight_cols)))]
+    schema = "_pid int, " + ", ".join(
+        f"_o{i} bigint" for i in range(len(weight_cols))
+    )
+    dim = F.broadcast(df.sparkSession.createDataFrame(stats, schema))
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = part.join(dim, "_pid")
+    for i, wc in enumerate(weight_cols):
+        out = out.withColumn(
+            f"cum_{wc}",
+            F.sum(wc).over(w).cast("bigint") + F.col(f"_o{i}"),
+        )
+    return out.drop(
+        "_pid", "_mid", *[f"_o{i}" for i in range(len(weight_cols))]
+    )
+
+
 def with_global_cumsum(
     df: DataFrame,
     order_cols: list[str],

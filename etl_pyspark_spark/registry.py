@@ -10412,3 +10412,396 @@ def q_value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").cast("double").alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation / distribution statistics (SURVEY §2.9 growth: the
+# exact-order-statistics machinery applied to model-eval and
+# data-drift gates a training pipeline runs per snapshot)
+# ---------------------------------------------------------------------------
+
+_AUC_POS = "('purchase', 'signup')"
+
+
+@query(
+    "roc_auc_exact",
+    oracle=f"""
+    WITH d AS (SELECT value, count(*) AS cnt,
+                      sum(CASE WHEN event_type IN {_AUC_POS}
+                               THEN 1 ELSE 0 END) AS pos
+               FROM events WHERE value IS NOT NULL GROUP BY value),
+    c AS (SELECT value, cnt, pos,
+                 CAST(sum(cnt) OVER (ORDER BY value
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum
+          FROM d),
+    g AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                 CAST(sum(cnt) - sum(pos) AS BIGINT) AS n,
+                 sum(CAST(pos * (2 * cum - cnt + 1) AS DECIMAL(38,0))) AS s
+          FROM c)
+    SELECT p AS n_pos, n AS n_neg,
+           {sql_pround(
+               "(CAST(s AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE)"
+               " + 1.0)) / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE))", 9
+           )} AS auc
+    FROM g
+    """,
+)
+def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a score column against a binary label via the
+    tie-aware Mann-Whitney rank-sum identity — the eval gate a
+    quality-classifier pipeline runs on every corpus snapshot, as one
+    distributed aggregate instead of a sort-and-sweep. AUC =
+    (R_pos - P(P+1)/2) / (P*N) where R_pos is the sum of AVERAGE
+    ranks of positives; per distinct score v with count c and
+    inclusive cumulative count m, 2*avgrank = 2m - c + 1, so the
+    whole statistic reduces to one integer sum over DISTINCT scores
+    (reduce-first: the fixture's 10k events hold 6.6k distinct
+    values; ties are the reason avgrank matters). Cumulative counts
+    come from operators/ranks.with_global_cumsum (range exchange +
+    per-partition-id window — never SinglePartition); products
+    accumulate as DECIMAL(38,0) so the sum is exact and
+    overflow-safe at 100 TB row counts, then ONE double expression
+    at the end (IEEE ops identical in both engines, pround(9)).
+    No reference counterpart (SURVEY §2.9 eval-gate growth)."""
+    from etl_pyspark_spark.operators.ranks import with_global_cumsum
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    pos_types = ("purchase", "signup")
+    d = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.col("event_type").isin(*pos_types).cast("int")
+        ).alias("pos"),
+    )
+    c = with_global_cumsum(d, ["value"], "cnt", "cum")
+    g = c.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n"),
+        F.sum(
+            (
+                F.col("pos")
+                * (2 * F.col("cum") - F.col("cnt") + 1)
+            ).cast("decimal(38,0)")
+        ).alias("s"),
+    )
+    pd_ = F.col("p").cast("double")
+    nd = F.col("n").cast("double")
+    auc = (F.col("s").cast("double") - pd_ * (pd_ + 1.0)) / (
+        2.0 * pd_ * nd
+    )
+    return g.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        pround(auc, 9).alias("auc"),
+    )
+
+
+@query(
+    "ks_two_sample",
+    oracle=f"""
+    WITH d AS (SELECT value,
+                      sum(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS ca,
+                      sum(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS cb
+               FROM events WHERE value IS NOT NULL
+               GROUP BY value HAVING ca + cb > 0),
+    c AS (SELECT value,
+                 CAST(sum(ca) OVER (ORDER BY value
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_a,
+                 CAST(sum(cb) OVER (ORDER BY value
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_b
+          FROM d),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM d),
+    s AS (SELECT value,
+                 abs(CAST(cum_a AS DECIMAL(38,0)) * nb
+                     - CAST(cum_b AS DECIMAL(38,0)) * na) AS num,
+                 na, nb
+          FROM c, t)
+    SELECT {sql_pround(
+        "CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))", 9
+    )} AS ks_d,
+           CAST(value AS DOUBLE) AS at_value,
+           na AS n_a, nb AS n_b
+    FROM s ORDER BY num DESC, value ASC LIMIT 1
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic (max CDF gap)
+    between two event populations — the distribution-drift gate a
+    corpus refresh runs before retraining. Reduce-first: both
+    empirical CDFs live on the DISTINCT value axis; BOTH cumulative
+    counts come from one pass of with_global_cumsum_multi (one range
+    exchange, two per-partition running sums — never
+    SinglePartition). The gap is kept as the INTEGER cross-product
+    |cum_a*n_b - cum_b*n_a| (DECIMAL(38,0), overflow-safe, no
+    division inside the argmax) so the max and its arg are exact;
+    the single division to D happens once on the 1-row result.
+    Argmax is a TakeOrderedAndProject (num DESC, value ASC), never a
+    global sort. No reference counterpart (SURVEY §2.9)."""
+    from etl_pyspark_spark.operators.ranks import (
+        with_global_cumsum_multi,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = (
+        ev.groupBy("value")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("ca"),
+            F.sum(
+                (F.col("event_type") == "view").cast("int")
+            ).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    c = with_global_cumsum_multi(d, ["value"], ["ca", "cb"])
+    tot = F.broadcast(
+        d.agg(
+            F.sum("ca").cast("bigint").alias("na"),
+            F.sum("cb").cast("bigint").alias("nb"),
+        )
+    )
+    s = c.crossJoin(tot).select(
+        "value",
+        F.abs(
+            F.col("cum_ca").cast("decimal(38,0)") * F.col("nb")
+            - F.col("cum_cb").cast("decimal(38,0)") * F.col("na")
+        ).alias("num"),
+        "na",
+        "nb",
+    )
+    return (
+        s.orderBy(F.col("num").desc(), F.col("value").asc())
+        .limit(1)
+        .select(
+            pround(
+                F.col("num").cast("double")
+                / (
+                    F.col("na").cast("double")
+                    * F.col("nb").cast("double")
+                ),
+                9,
+            ).alias("ks_d"),
+            F.col("value").cast("double").alias("at_value"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+        )
+    )
+
+
+@query(
+    "weighted_median_groups",
+    oracle="""
+    WITH d AS (SELECT l_returnflag AS flag, l_quantity AS qty,
+                      sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS w
+               FROM lineitem GROUP BY 1, 2),
+    c AS (SELECT flag, qty, w,
+                 sum(w) OVER (PARTITION BY flag ORDER BY qty
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(w) OVER (PARTITION BY flag) AS tot
+          FROM d)
+    SELECT flag, CAST(min(qty) AS DOUBLE) AS weighted_median_qty,
+           CAST(min(tot) AS DOUBLE) AS total_weight
+    FROM c WHERE 2 * cum >= tot GROUP BY flag
+    """,
+)
+def q_weighted_median_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group WEIGHTED median: the smallest quantity at which
+    cumulative revenue weight reaches half the group's total — the
+    'median unit size by value' statistic plain medians
+    (grouped_median_udaf) can't give. Reduce-first: cumulative
+    weights run over DISTINCT (group, qty) pairs (lineitem's 50
+    distinct quantities per flag, not 60k rows), windows partition BY
+    GROUP (parallel across groups, never SinglePartition). Weights
+    accumulate as DECIMAL(18,6) so the running sum is exact and
+    order-independent; the half-total test is the integer-safe
+    ``2*cum >= tot`` (doubling a decimal is exact — no division,
+    no .5 threshold drift)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qty"),
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+        ).alias("w")
+    )
+    from pyspark.sql.window import Window as W
+
+    wc = (
+        W.partitionBy("flag")
+        .orderBy("qty")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("flag")
+    c = d.select(
+        "flag",
+        "qty",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("qty").cast("double").alias("weighted_median_qty"),
+            F.min("tot").cast("double").alias("total_weight"),
+        )
+    )
+
+
+def _token_class_oracle() -> str:
+    ws = _WS_TOKENS_SQL.format(col="text")
+    return f"""
+    WITH t AS (SELECT (lang = 'en') AS is_en, unnest({ws}) AS token
+               FROM documents WHERE text IS NOT NULL),
+    cnt AS (SELECT token,
+                   sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS b
+            FROM t GROUP BY token),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+                   CAST(sum(b) AS BIGINT) AS tb FROM cnt)
+    SELECT token, CAST(a AS BIGINT) AS cnt_en,
+           CAST(b AS BIGINT) AS cnt_other,
+           {sql_pround(
+               "((CAST(a AS DOUBLE) + 0.5) / (CAST(ta - a AS DOUBLE) + 0.5))"
+               " / ((CAST(b AS DOUBLE) + 0.5)"
+               " / (CAST(tb - b AS DOUBLE) + 0.5))", 6
+           )} AS assoc
+    FROM cnt, tot
+    WHERE a + b >= 20
+    ORDER BY assoc DESC, token ASC LIMIT 40
+    """
+
+
+@query("token_class_association", oracle=_token_class_oracle())
+def q_token_class_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-class keyness: which tokens mark the 'en' slice of the
+    corpus vs everything else — the feature-selection statistic
+    behind lightweight quality/domain classifiers (Monroe et al.'s
+    'Fightin' Words' odds-ratio form, Haldane-corrected with +0.5 so
+    zero counts stay finite). Log-free by the engine's standard
+    idiom (cross-engine libm drift): the odds ratio itself is
+    reported — the same ranking as log-odds since log is monotone —
+    computed from INTEGER token counts via three correctly-rounded
+    IEEE divisions both engines evaluate bit-identically, then
+    pround(6). One token-count shuffle; class totals ride a
+    broadcast 1-row aggregate; top-40 is TakeOrderedAndProject with
+    a total tiebreak. No reference counterpart (SURVEY §2.9)."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(ws_tokens(F.col("text"))).alias("token"),
+    )
+    cnt = toks.groupBy("token").agg(
+        F.sum(F.col("is_en").cast("int")).alias("a"),
+        F.sum((~F.col("is_en")).cast("int")).alias("b"),
+    )
+    tot = F.broadcast(
+        cnt.agg(
+            F.sum("a").cast("bigint").alias("ta"),
+            F.sum("b").cast("bigint").alias("tb"),
+        )
+    )
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    assoc = ((ad + 0.5) / ((F.col("ta") - F.col("a")).cast("double") + 0.5)) / (
+        (bd + 0.5) / ((F.col("tb") - F.col("b")).cast("double") + 0.5)
+    )
+    return (
+        cnt.filter(F.col("a") + F.col("b") >= 20)
+        .crossJoin(tot)
+        .select(
+            "token",
+            F.col("a").cast("bigint").alias("cnt_en"),
+            F.col("b").cast("bigint").alias("cnt_other"),
+            pround(assoc, 6).alias("assoc"),
+        )
+        .orderBy(F.col("assoc").desc(), F.col("token").asc())
+        .limit(40)
+    )
+
+
+@query(
+    "gini_customer_spend",
+    oracle=f"""
+    WITH s AS (SELECT o_custkey,
+                      sum(CAST(o_totalprice AS DECIMAL(18,6))) AS x
+               FROM orders GROUP BY 1),
+    r AS (SELECT x, CAST(x * 1000000 AS BIGINT) AS xi,
+                 row_number() OVER (ORDER BY x, o_custkey) AS rnk
+          FROM s),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(xi) AS BIGINT) AS sxi,
+                 sum(CAST(rnk AS DECIMAL(19,0))
+                     * CAST(xi AS DECIMAL(19,0))) AS srx
+          FROM r)
+    SELECT n AS n_customers, sx AS total_spend,
+           {sql_pround(
+               "2.0 * CAST(srx AS DOUBLE)"
+               " / (CAST(n AS DOUBLE) * CAST(sxi AS DOUBLE))"
+               " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)", 9
+           )} AS gini
+    FROM g
+    """,
+)
+def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer spend concentration — the
+    inequality/skew summary a sampling-quota planner reads before
+    assigning per-source budgets (a corpus whose weight is
+    Gini-0.9-concentrated in a few sources needs capping;
+    source_quota_cap is the enforcement half). G = 2*sum(r_i*x_i) /
+    (n*sum(x)) - (n+1)/n over spend sorted ascending: the per-row
+    global rank comes from operators/ranks.with_global_rank (range
+    exchange + broadcast offsets, never a SinglePartition window —
+    THE classic Gini scale-killer). Spend is micro-unit-quantized
+    (x*1e6 as BIGINT, exact since x is DECIMAL(18,6)) so rank*spend
+    products accumulate as DECIMAL(19,0)*DECIMAL(19,0) ->
+    DECIMAL(38,0): exact and overflow-safe at 100 TB customer
+    counts; ONE double expression at the end (correctly-rounded IEEE
+    in both engines), pround(9). No reference counterpart."""
+    from etl_pyspark_spark.operators.ranks import with_global_rank
+
+    orders = read_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.col("o_totalprice").cast("decimal(18,6)")
+        ).alias("x")
+    )
+    spend = spend.withColumn(
+        "xi", (F.col("x") * 1000000).cast("bigint")
+    )
+    ranked = with_global_rank(spend, ["x", "o_custkey"], "rnk")
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("xi").cast("bigint").alias("sxi"),
+        F.sum(
+            F.col("rnk").cast("decimal(19,0)")
+            * F.col("xi").cast("decimal(19,0)")
+        ).alias("srx"),
+    )
+    nd = F.col("n").cast("double")
+    gini = 2.0 * F.col("srx").cast("double") / (
+        nd * F.col("sxi").cast("double")
+    ) - (nd + 1.0) / nd
+    return g.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_spend"),
+        pround(gini, 9).alias("gini"),
+    )

@@ -588,3 +588,20 @@ def test_corpus_shuffle_is_range_exchange_no_window(spark, oracle_sf_dir):
     assert "rangepartitioning" in plan_of(df)
     assert "Window" not in tree
     assert "SinglePartition" not in tree
+
+
+def test_distribution_stats_never_single_partition(spark, oracle_sf_dir):
+    """The eval/drift statistics family (ROC-AUC, KS, Gini) runs its
+    cumulative/rank machinery through operators/ranks — range
+    exchange + per-partition-id windows + broadcast offsets. A
+    SinglePartition window anywhere would serialize the whole
+    distinct-value axis on one task; the KS/keyness argmax and
+    top-40 must plan as TakeOrderedAndProject, never a global
+    sort."""
+    for name in ("roc_auc_exact", "ks_two_sample", "gini_customer_spend"):
+        tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
+        assert "SinglePartition" not in tree, (name, tree)
+    for name in ("ks_two_sample", "token_class_association"):
+        assert "TakeOrderedAndProject" in plan_of(
+            QUERIES[name](spark, oracle_sf_dir)
+        ), name

@@ -108,3 +108,25 @@ def test_approx_bracket_contains_exact_cut(spark, oracle_sf_dir):
             ).collect()[0]["b"]
             exact = vals[max(1, math.ceil(q * n)) - 1]
             assert row[0] <= exact <= row[1], (accuracy, q)
+
+
+def test_global_cumsum_multi_matches_windows(spark, oracle_sf_dir):
+    from etl_pyspark_spark.operators.ranks import with_global_cumsum_multi
+
+    d = (
+        read_table(spark, oracle_sf_dir, "events")
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int")).alias("ca"),
+            F.sum((F.col("event_type") == "view").cast("int")).alias("cb"),
+        )
+    )
+    got = with_global_cumsum_multi(d, ["value"], ["ca", "cb"], num_partitions=6)
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = d.withColumn(
+        "cum_ca", F.sum("ca").over(w).cast("bigint")
+    ).withColumn("cum_cb", F.sum("cb").over(w).cast("bigint"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
