@@ -10805,3 +10805,385 @@ def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("total_spend"),
         pround(gini, 9).alias("gini"),
     )
+
+
+_LANGID_CASE_CTE = f"""
+      SELECT doc_id, lang AS meta,
+        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['the','and','of','to','a','in','is','that']))} AS sc_en,
+        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['der','die','das','und','ist','nicht','ein','zu']))} AS sc_de,
+        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['el','la','de','que','y','en','un','es']))} AS sc_es,
+        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['le','la','et','les','des','un','une','est']))} AS sc_fr
+      FROM documents
+"""
+
+
+@query(
+    "langid_agreement_kappa",
+    oracle=f"""
+    WITH s AS ({_LANGID_CASE_CTE}),
+    p AS (SELECT meta,
+           CASE WHEN sc_en = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_en > 0 THEN 'en'
+                WHEN sc_de = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_de > 0 THEN 'de'
+                WHEN sc_es = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_es > 0 THEN 'es'
+                WHEN sc_fr = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred
+          FROM s),
+    conf AS (SELECT meta, pred, count(*) AS cnt FROM p GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN meta = pred THEN cnt ELSE 0 END)
+                        AS BIGINT) AS diag
+            FROM conf),
+    r AS (SELECT meta AS cls, CAST(sum(cnt) AS BIGINT) AS rt
+          FROM conf GROUP BY 1),
+    c AS (SELECT pred AS cls, CAST(sum(cnt) AS BIGINT) AS ct
+          FROM conf GROUP BY 1),
+    rc AS (SELECT sum(CAST(rt AS DECIMAL(19,0)) * CAST(ct AS DECIMAL(19,0)))
+                    AS src
+           FROM r JOIN c USING (cls))
+    SELECT n AS n_docs, diag AS n_agree,
+           {sql_pround("CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS po,
+           {sql_pround(
+               "CAST(src AS DOUBLE)"
+               " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))", 9
+           )} AS pe,
+           {sql_pround(
+               "CAST(CAST(diag AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))"
+               " - src AS DOUBLE)"
+               " / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))"
+               " - src AS DOUBLE)", 9
+           )} AS kappa
+    FROM tot, rc
+    """,
+)
+def q_langid_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine's heuristic language-ID
+    (functions/text.language_id — the text_language_id query's
+    classifier) and the corpus's metadata label — the
+    annotator-agreement gate that tells a pipeline whether its cheap
+    classifier is trustworthy enough to route documents. Chance
+    agreement uses the integer identity kappa = (diag*n - sum(r_k*c_k))
+    / (n^2 - sum(r_k*c_k)): confusion cells, row/column marginals and
+    their products all stay integers (DECIMAL(19,0)*DECIMAL(19,0)
+    products, overflow-safe), with ONE double division at the end.
+    Shape at scale: the corpus reduces to the |classes|^2 confusion
+    table first; marginal products ride a |classes|-row join."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        F.col("lang").alias("meta"),
+        "text",
+        T.ws_tokens(F.lower(F.col("text"))).alias("__ltoks"),
+    )
+    p = staged.select(
+        "meta",
+        T.language_id(F.col("text"), ltoks=F.col("__ltoks")).alias("pred"),
+    )
+    conf = p.groupBy("meta", "pred").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = conf.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("meta") == F.col("pred"), F.col("cnt")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("diag"),
+    )
+    r = conf.groupBy(F.col("meta").alias("cls")).agg(
+        F.sum("cnt").cast("bigint").alias("rt")
+    )
+    c = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("cnt").cast("bigint").alias("ct")
+    )
+    rc = r.join(c, "cls").agg(
+        F.sum(
+            F.col("rt").cast("decimal(19,0)")
+            * F.col("ct").cast("decimal(19,0)")
+        ).alias("src")
+    )
+    g = tot.crossJoin(F.broadcast(rc))
+    nd = F.col("n").cast("double")
+    dd = F.col("diag").cast("double")
+    num = (
+        F.col("diag").cast("decimal(19,0)")
+        * F.col("n").cast("decimal(19,0)")
+        - F.col("src")
+    ).cast("double")
+    den = (
+        F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
+        - F.col("src")
+    ).cast("double")
+    return g.select(
+        F.col("n").alias("n_docs"),
+        F.col("diag").alias("n_agree"),
+        pround(dd / nd, 9).alias("po"),
+        pround(F.col("src").cast("double") / (nd * nd), 9).alias("pe"),
+        pround(num / den, 9).alias("kappa"),
+    )
+
+
+@query(
+    "chisq_event_type_drift",
+    oracle=f"""
+    WITH cells AS (SELECT event_type, user_id % 2 AS seg,
+                          count(*) AS o
+                   FROM events WHERE user_id IS NOT NULL
+                   GROUP BY 1, 2),
+    ty AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+    sg AS (SELECT seg, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS t,
+                   CAST(count(DISTINCT seg) AS BIGINT) AS s
+            FROM cells),
+    terms AS (
+      SELECT {sql_pround(
+          "((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+          " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+          " * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+          " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
+          " / ((CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+          " * CAST(n AS DOUBLE))", 6
+      )} AS term, n, t, s
+      FROM cells JOIN ty USING (event_type) JOIN sg USING (seg), tot),
+    g AS (SELECT max(n) AS n, max(t) AS t, max(s) AS s,
+                 CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+          FROM terms)
+    SELECT n AS n_events, t AS n_types, chi2,
+           {sql_pround(
+               "sqrt(chi2 / (CAST(n AS DOUBLE)"
+               " * CAST(least(t - 1, s - 1) AS DOUBLE)))", 9
+           )} AS cramers_v
+    FROM g
+    """,
+)
+def q_chisq_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity test of the event-type mix across two
+    user segments, plus Cramer's V effect size — the categorical
+    companion to ks_two_sample in a drift-gate suite (KS covers
+    numeric columns, chi-square the categorical ones). Per-cell terms
+    use the cross-multiplied identity (o*n - r*c)^2 / (r*c*n) ==
+    n*(o - e)^2/e: marginals and counts enter as exact integers,
+    each term is correctly-rounded IEEE double arithmetic written
+    IDENTICALLY on both sides, pround(6)-quantized, then
+    decimal-summed (order-independent — term order differs across
+    engines' partitionings). sqrt IS deterministic cross-engine
+    (IEEE 754 requires correct rounding for sqrt, unlike log/exp —
+    why V can be reported but PSI/G-test can't without the
+    engine's log-free idiom). Shape at scale: the stream reduces to
+    |types|x|segments| cells first; marginals ride broadcast
+    joins."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("seg")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ty = cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    sg = cells.groupBy("seg").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("t"),
+        F.countDistinct("seg").cast("bigint").alias("s"),
+    )
+    j = (
+        cells.join(F.broadcast(ty), "event_type")
+        .join(F.broadcast(sg), "seg")
+        .crossJoin(F.broadcast(tot))
+    )
+    od = F.col("o").cast("double")
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    term = pround(
+        ((od * nd - rd * cd) * (od * nd - rd * cd)) / ((rd * cd) * nd), 6
+    )
+    g = j.agg(
+        F.max("n").alias("n"),
+        F.max("t").alias("t"),
+        F.max("s").alias("s"),
+        F.sum(term.cast("decimal(18,6)")).cast("double").alias("chi2"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("n").cast("double")
+            * F.least(F.col("t") - 1, F.col("s") - 1).cast("double")
+        )
+    )
+    return g.select(
+        F.col("n").alias("n_events"),
+        F.col("t").alias("n_types"),
+        F.col("chi2"),
+        pround(v, 9).alias("cramers_v"),
+    )
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+
+
+def _countmin_oracle() -> str:
+    ws = _WS_TOKENS_SQL.format(col="text")
+    seeds = "[" + ", ".join(str(i) for i in range(_CM_DEPTH)) + "]"
+    return f"""
+    WITH toks AS (SELECT unnest({ws}) AS tok
+                  FROM documents WHERE text IS NOT NULL),
+    tokc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    sd AS (SELECT unnest({seeds}) AS seed),
+    hb AS (SELECT tok, cnt, seed,
+                  ('0x' || substr(md5('cm' || seed || ':' || tok), 1, 15))
+                    ::BIGINT % {_CM_WIDTH} AS bucket
+           FROM tokc, sd),
+    sk AS (SELECT seed, bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
+           FROM hb GROUP BY 1, 2),
+    top AS (SELECT tok, cnt FROM tokc
+            ORDER BY cnt DESC, tok ASC LIMIT 30)
+    SELECT top.tok AS token, CAST(top.cnt AS BIGINT) AS true_cnt,
+           CAST(min(sk.bcnt) AS BIGINT) AS est_cnt
+    FROM top JOIN hb ON top.tok = hb.tok
+    JOIN sk USING (seed, bucket)
+    GROUP BY 1, 2
+    """
+
+
+@query("countmin_frequency_estimate", oracle=_countmin_oracle())
+def q_countmin_frequency_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan) over the token
+    stream, probed for the 30 most frequent tokens and reported
+    against TRUE counts — the fixed-memory frequency estimator whose
+    one-sided error (est >= true, over-count only from collisions)
+    the side-by-side columns exhibit. The 4x1024 (_CM_DEPTH x
+    _CM_WIDTH) sketch hashes with the engine's portable 60-bit md5
+    (identical in
+    Spark/DuckDB/Python — why the whole sketch is EXACTLY
+    oracle-checkable, unlike engine-internal hash sketches such as
+    approx_count_distinct's HLL which get rows-only checks).
+    Shape at scale: counts collapse to DISTINCT tokens map-side
+    first, the depth-fold explodes distinct tokens (not occurrences),
+    and the sketch itself is a bounded d*w-row table — the broadcast
+    side of the probe join; top-30 is TakeOrderedAndProject."""
+    from etl_pyspark_spark.functions.text import portable_hash60, ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tokc = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seeds = F.array([F.lit(i) for i in range(_CM_DEPTH)])
+    hb = tokc.select(
+        "tok",
+        "cnt",
+        F.explode(seeds).alias("seed"),
+    ).withColumn(
+        "bucket",
+        portable_hash60(
+            F.concat(
+                F.lit("cm"),
+                F.col("seed").cast("string"),
+                F.lit(":"),
+                F.col("tok"),
+            )
+        )
+        % _CM_WIDTH,
+    )
+    sk = hb.groupBy("seed", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("bcnt")
+    )
+    top = tokc.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(30)
+    return (
+        top.join(hb, "tok")
+        .join(F.broadcast(sk), ["seed", "bucket"])
+        .groupBy(F.col("tok").alias("token"))
+        .agg(
+            F.max(top["cnt"]).cast("bigint").alias("true_cnt"),
+            F.min("bcnt").cast("bigint").alias("est_cnt"),
+        )
+    )
+
+
+@query(
+    "daily_event_correlation",
+    oracle=f"""
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      sum(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS x,
+                      sum(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS y
+               FROM events GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                   AS sxy,
+                 sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                   AS sxx,
+                 sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                   AS syy
+          FROM d)
+    SELECT n AS n_days,
+           {sql_pround(
+               "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+               " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+               " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+               " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+               " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+               " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 9
+           )} AS r_pearson
+    FROM g
+    """,
+)
+def q_daily_event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation between two daily event-count series
+    (clicks vs views) — the cheap do-these-signals-move-together
+    check run before building composite engagement metrics. Spark's
+    built-in corr() is a float accumulator whose partial-merge order
+    differs run to run; instead the five sufficient statistics
+    (sum x, sum y, sum xy, sum x^2, sum y^2) accumulate as EXACT
+    integers (DECIMAL(19,0) products -> DECIMAL(38,0) sums,
+    overflow-safe), and the textbook formula runs once on the 1-row
+    result — correctly-rounded IEEE mul/sub/div plus sqrt (IEEE
+    sqrt is correctly rounded, so cross-engine safe), pround(9).
+    Shape at scale: events reduce to one row per day map-side; the
+    moment aggregate is a second map-side collapse."""
+    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(day)
+        .agg(
+            F.sum(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("x"),
+            F.sum(
+                (F.col("event_type") == "view").cast("int")
+            ).alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    g = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    r = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+        * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return g.select(
+        F.col("n").alias("n_days"),
+        pround(r, 9).alias("r_pearson"),
+    )

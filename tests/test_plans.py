@@ -605,3 +605,12 @@ def test_distribution_stats_never_single_partition(spark, oracle_sf_dir):
         assert "TakeOrderedAndProject" in plan_of(
             QUERIES[name](spark, oracle_sf_dir)
         ), name
+
+
+def test_countmin_probe_broadcasts_sketch(spark, oracle_sf_dir):
+    """The count-min probe join must broadcast the bounded d*w sketch
+    (never shuffle the token table against it), and top-30 must stay
+    a TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["countmin_frequency_estimate"](spark, oracle_sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan

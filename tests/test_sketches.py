@@ -112,3 +112,14 @@ def test_pq_recall_vs_exact(spark, oracle_sf_dir):
     }
     recall = len(a & e) / len(e)
     assert recall >= 0.8, f"PQ recall too low: {recall}"  # measured 0.925
+
+
+def test_countmin_overestimates_only(spark, oracle_sf_dir):
+    """Count-min's one-sided error guarantee: every probe estimate is
+    >= the true count (equality unless the token collided in all 4
+    rows)."""
+    rows = QUERIES["countmin_frequency_estimate"](
+        spark, oracle_sf_dir
+    ).collect()
+    assert len(rows) == 30
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)
