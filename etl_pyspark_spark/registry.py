@@ -11187,3 +11187,350 @@ def q_daily_event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         pround(r, 9).alias("r_pearson"),
     )
+
+
+def _calibration_oracle() -> str:
+    b = _EQUIDEPTH_BINS
+    return f"""
+    WITH d AS (SELECT value, count(*) AS cnt FROM events
+               WHERE value IS NOT NULL GROUP BY value),
+    c AS (SELECT value,
+                 CAST(sum(cnt) OVER (ORDER BY value
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS n
+          FROM d),
+    p AS (SELECT CAST(unnest(range(1, {b})) AS DOUBLE) / {b} AS prob),
+    cuts AS (
+      SELECT p.prob,
+             (SELECT min(value) FROM c
+              WHERE cum >= greatest(1, ceil(p.prob
+                                            * (SELECT max(n) FROM c))))
+               AS cut
+      FROM p),
+    bn AS (SELECT e.value,
+                  CASE WHEN e.event_type IN {_AUC_POS}
+                       THEN 1 ELSE 0 END AS pos,
+                  (SELECT count(*) FROM cuts WHERE cuts.cut < e.value)
+                    AS bin
+           FROM events e WHERE e.value IS NOT NULL)
+    SELECT CAST(bin AS INT) AS bin,
+           count(*) AS n_events,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           {sql_pround(
+               "CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 9
+           )} AS pos_rate,
+           {sql_pround(
+               "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+               " / CAST(count(*) AS DOUBLE)", 9
+           )} AS mean_score
+    FROM bn GROUP BY bin
+    """
+
+
+@query("score_calibration_bins", oracle=_calibration_oracle())
+def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) curve for a score against a binary
+    label: equal-population score deciles x observed positive rate
+    vs mean score per bin — the companion readout to roc_auc_exact
+    (AUC says the ranking works; calibration says the score VALUES
+    mean what they claim — the gate before using scores as sampling
+    weights). Decile edges are the exact discrete quantiles from
+    operators/quantiles (bracketed rank search, never
+    SinglePartition), landed as literals so binning is a scan-speed
+    higher-order filter; per-bin stats are one keyed aggregate.
+    Means use the exact-decimal-sum / single-double-division idiom;
+    rates are one integer ratio, pround(9)."""
+    from etl_pyspark_spark.operators.quantiles import (
+        exact_discrete_quantiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    probs = [i / _EQUIDEPTH_BINS for i in range(1, _EQUIDEPTH_BINS)]
+    cuts = exact_discrete_quantiles(ev, "value", probs)
+    arr = "array(" + ",".join(
+        f"CAST({c!r} AS DOUBLE)" for c in cuts
+    ) + ")"
+    pos_types = ("purchase", "signup")
+    return (
+        ev.select(
+            F.expr(f"size(filter({arr}, c -> c < value))")
+            .cast("int")
+            .alias("bin"),
+            "value",
+            F.col("event_type").isin(*pos_types).cast("int").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            pround(
+                F.sum("pos").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("pos_rate"),
+            pround(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("mean_score"),
+        )
+    )
+
+
+def _containment_oracle() -> str:
+    from etl_pyspark_spark.dedup.minhash import sql_shingles_cte
+
+    cont = "CAST(n_inter AS DOUBLE) / CAST(n_self AS DOUBLE)"
+    return f"""
+    WITH {sql_shingles_cte()},
+    hashed AS (SELECT DISTINCT doc_id,
+                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h60
+               FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM hashed a JOIN hashed b
+                ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    directed AS (
+      SELECT id_a AS doc_id, id_b AS container_id, n_inter FROM inter
+      UNION ALL
+      SELECT id_b AS doc_id, id_a AS container_id, n_inter FROM inter),
+    sized AS (SELECT d.doc_id, d.container_id, d.n_inter,
+                     s.n_sh AS n_self
+              FROM directed d JOIN sizes s ON s.doc_id = d.doc_id)
+    SELECT doc_id, container_id,
+           {sql_pround(cont, 6)} AS containment
+    FROM sized WHERE {cont} >= 0.7
+    """
+
+
+@query("dedup_containment", oracle=_containment_oracle())
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle-set containment
+    C(A in B) = |A n B| / |A| — catches what Jaccard structurally
+    cannot: a short document wholly quoted inside a much longer one
+    scores high containment but low Jaccard (the union is dominated
+    by the big doc), the classic quoted-boilerplate / doc-in-doc
+    case in web corpora (Broder'97 distinguishes resemblance vs
+    containment for exactly this). Intersections come from the same
+    session-shared 60-bit-hash posting join as the Jaccard family
+    (dedup/shared.py — complete candidates: positive containment
+    requires a shared shingle), emitted in BOTH directions and
+    divided by each side's OWN set size; threshold 0.7."""
+    from etl_pyspark_spark.dedup.shared import doc_hash_sets
+
+    sets = doc_hash_sets(spark, sf_dir)
+    sh = sets.select("doc_id", F.explode("hs").alias("h60"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "h60")
+    b = sh.select(F.col("doc_id").alias("id_b"), "h60")
+    inter = (
+        a.join(b, "h60")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    directed = inter.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("container_id"),
+        "n_inter",
+    ).unionByName(
+        inter.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("container_id"),
+            "n_inter",
+        )
+    )
+    sizes = sets.select("doc_id", F.col("n_sh").alias("n_self"))
+    cont = F.col("n_inter").cast("double") / F.col("n_self").cast("double")
+    return (
+        directed.join(sizes, "doc_id")
+        .where(cont >= 0.7)
+        .select(
+            "doc_id",
+            "container_id",
+            pround(cont, 6).alias("containment"),
+        )
+    )
+
+
+_COLLOC_MIN_DF = 25
+_COLLOC_MIN_PAIR = 10
+
+
+def _collocation_oracle() -> str:
+    ws = _WS_TOKENS_SQL.format(col="text")
+    lift = (
+        "(CAST(cab AS DOUBLE) * CAST(nd AS DOUBLE))"
+        " / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))"
+    )
+    return f"""
+    WITH dt AS (SELECT DISTINCT doc_id, unnest({ws}) AS tok
+                FROM documents WHERE text IS NOT NULL),
+    dfreq AS (SELECT tok, count(*) AS c FROM dt GROUP BY tok
+              HAVING count(*) >= {_COLLOC_MIN_DF}),
+    nd AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
+    ft AS (SELECT dt.doc_id, dt.tok FROM dt JOIN dfreq USING (tok)),
+    pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS cab
+              FROM ft a JOIN ft b
+                ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2 HAVING count(*) >= {_COLLOC_MIN_PAIR}),
+    sized AS (SELECT p.tok_a, p.tok_b, p.cab,
+                     fa.c AS ca, fb.c AS cb, nd.nd
+              FROM pairs p
+              JOIN dfreq fa ON fa.tok = p.tok_a
+              JOIN dfreq fb ON fb.tok = p.tok_b, nd)
+    SELECT tok_a, tok_b, CAST(cab AS BIGINT) AS n_docs_both,
+           {sql_pround(lift, 6)} AS lift
+    FROM sized
+    ORDER BY {sql_pround(lift, 6)} DESC, tok_a ASC, tok_b ASC
+    LIMIT 30
+    """
+
+
+@query("token_collocation_lift", oracle=_collocation_oracle())
+def q_token_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery: token pairs that co-occur in documents
+    far more than independence predicts, ranked by LIFT
+    p(a,b)/(p(a)p(b)) = c_ab*N/(c_a*c_b) — the log-free monotone
+    twin of PMI (the engine's standard dodge of cross-engine libm
+    drift; same ranking). The pair space is support-PRUNED before
+    pairing (Apriori downward closure: a pair seen in >=
+    _COLLOC_MIN_PAIR docs needs both tokens in >= that many, so the
+    df >= _COLLOC_MIN_DF broadcast semi-filter loses nothing above
+    threshold while collapsing the quadratic per-doc blow-up to
+    frequent tokens only — THE knob that keeps per-doc pairing
+    bounded at 100 TB). Doc frequencies are distinct (doc, token)
+    counts; lift is three exact integers in one correctly-rounded
+    double expression, pround(6); top-30 is TakeOrderedAndProject
+    with full tiebreak."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    dt = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    dfreq = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _COLLOC_MIN_DF)
+    )
+    nd = F.broadcast(
+        dt.agg(F.countDistinct("doc_id").alias("nd"))
+    )
+    ft = dt.join(F.broadcast(dfreq.select("tok")), "tok")
+    a = ft.select("doc_id", F.col("tok").alias("tok_a"))
+    b = ft.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= _COLLOC_MIN_PAIR)
+    )
+    sized = (
+        pairs.join(
+            F.broadcast(
+                dfreq.select(
+                    F.col("tok").alias("tok_a"), F.col("c").alias("ca")
+                )
+            ),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(
+                dfreq.select(
+                    F.col("tok").alias("tok_b"), F.col("c").alias("cb")
+                )
+            ),
+            "tok_b",
+        )
+        .crossJoin(nd)
+    )
+    lift = pround(
+        (F.col("cab").cast("double") * F.col("nd").cast("double"))
+        / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+        6,
+    )
+    return (
+        sized.select(
+            "tok_a",
+            "tok_b",
+            F.col("cab").cast("bigint").alias("n_docs_both"),
+            lift.alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+        )
+        .limit(30)
+    )
+
+
+def _inverted_index_oracle() -> str:
+    ws = _WS_TOKENS_SQL.format(col="text")
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({ws}) AS tok
+                  FROM documents WHERE text IS NOT NULL),
+    tf AS (SELECT tok, doc_id, count(*) AS tf
+           FROM toks GROUP BY 1, 2)
+    SELECT tok AS term,
+           count(*) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS coll_freq,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+             AS postings
+    FROM tf GROUP BY tok HAVING count(*) >= 25
+    """
+
+
+@query("inverted_index_postings", oracle=_inverted_index_oracle())
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per term, document frequency,
+    collection frequency, and the doc_id-ordered posting list with
+    term frequencies — the materialized structure behind
+    bm25_rank_search (which computes scores on the fly; a serving
+    stack builds THIS once and probes it). One (doc, term) rollup,
+    one per-term rollup; the posting string is built
+    executor-side from collect_list + array_sort + transform (JVM
+    codegen, no Python, deterministic order by doc_id regardless of
+    partitioning — same idiom as feature_hashing_vectorize). The
+    df >= 25 floor bounds the emitted slice; at 100 TB the full
+    index would partition BY TERM RANGE into posting shards (the
+    natural bucketing for query-time term lookup)."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy(F.col("tok").alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").cast("bigint").alias("coll_freq"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "tf"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["doc_id"].cast("string"),
+                        s["tf"].cast("string"),
+                    ),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 25)
+    )

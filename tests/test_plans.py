@@ -614,3 +614,24 @@ def test_countmin_probe_broadcasts_sketch(spark, oracle_sf_dir):
     plan = plan_of(QUERIES["countmin_frequency_estimate"](spark, oracle_sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_calibration_cuts_are_literals_no_window(spark, oracle_sf_dir):
+    """Calibration decile edges must land as literals from the
+    bracketed rank search — no Window operator, no SinglePartition
+    in the scoring pass."""
+    tree = tree_of(QUERIES["score_calibration_bins"](spark, oracle_sf_dir))
+    assert "Window" not in tree
+    assert "SinglePartition" not in tree
+
+
+def test_collocation_prunes_before_pairing(spark, oracle_sf_dir):
+    """The per-doc token pairing must happen AFTER the broadcast
+    df-floor semi-filter (support pruning), and must never plan a
+    cartesian product."""
+    tree = tree_of(QUERIES["token_collocation_lift"](spark, oracle_sf_dir))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree
+    assert "TakeOrderedAndProject" in plan_of(
+        QUERIES["token_collocation_lift"](spark, oracle_sf_dir)
+    )
