@@ -11534,3 +11534,193 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_freq") >= 25)
     )
+
+
+@query(
+    "shard_source_diversity",
+    oracle=f"""
+    WITH s AS (
+      SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 8 AS shard_id,
+             source
+      FROM documents),
+    c AS (SELECT shard_id, source, count(*) AS c
+          FROM s GROUP BY 1, 2),
+    g AS (SELECT shard_id,
+                 CAST(sum(c) AS BIGINT) AS n,
+                 count(*) AS n_sources,
+                 sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                   AS s2
+          FROM c GROUP BY 1)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id, n AS n_docs, n_sources,
+           {sql_pround(
+               "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s2 AS DOUBLE))"
+               " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))", 9
+           )} AS simpson_diversity,
+           {sql_pround(
+               "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+               " / CAST(s2 AS DOUBLE)", 9
+           )} AS effective_sources
+    FROM g
+    """,
+)
+def q_shard_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing-quality check on the training-shard assignment: per
+    shard, the Gini-Simpson diversity 1 - sum(p_i^2) of document
+    SOURCES plus the effective source count 1/sum(p_i^2) — a
+    data-loader shard dominated by one source trains on correlated
+    batches even when doc counts balance (shard_assignment checks
+    size balance; this checks COMPOSITION balance). Simpson is the
+    engine's log-free stand-in for Shannon entropy (same monotone
+    diversity ordering, pure rational arithmetic — no cross-engine
+    libm): (n^2 - sum(c_i^2)) / n^2 from exact integer counts
+    (DECIMAL(19,0) squares, overflow-safe), one double expression
+    per shard, pround(9). Shape at scale: one (shard, source)
+    rollup, then a |shards|-row reduce."""
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    shard = (
+        T.portable_hash60(
+            F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+        )
+        % 8
+    )
+    c = docs.select(shard.alias("shard_id"), "source").groupBy(
+        "shard_id", "source"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("decimal(19,0)")
+    g = c.groupBy("shard_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(cd * cd).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s2d = F.col("s2").cast("double")
+    return g.select(
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("n").alias("n_docs"),
+        "n_sources",
+        pround((nd * nd - s2d) / (nd * nd), 9).alias("simpson_diversity"),
+        pround((nd * nd) / s2d, 9).alias("effective_sources"),
+    )
+
+
+_SKEW_DIAG_PARTS = 32
+
+
+@query(
+    "skew_join_diagnostics",
+    oracle=f"""
+    WITH k AS (SELECT l_partkey, count(*) AS c
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_keys
+          FROM k),
+    hot AS (SELECT l_partkey, c FROM k
+            ORDER BY c DESC, l_partkey ASC LIMIT 1)
+    SELECT hot.l_partkey AS hottest_key,
+           CAST(hot.c AS BIGINT) AS max_key_count,
+           t.n AS n_rows, t.n_keys,
+           {sql_pround(
+               "CAST(hot.c AS DOUBLE) / CAST(t.n AS DOUBLE)", 9
+           )} AS top_share,
+           {sql_pround(
+               "CAST(hot.c AS DOUBLE) * CAST(t.n_keys AS DOUBLE)"
+               " / CAST(t.n AS DOUBLE)", 6
+           )} AS skew_factor,
+           CAST((hot.c * {_SKEW_DIAG_PARTS} + t.n - 1) // t.n AS INT)
+             AS suggested_salt
+    FROM hot, t
+    """,
+)
+def q_skew_join_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew profiler for a join/agg key — the diagnostic a
+    pipeline runs BEFORE choosing between plain hash join, AQE skew
+    split, and explicit salting (the engine's salted_join /
+    agg_salted_hot_keys are the cures; this measures the disease):
+    hottest key, its share of rows, skew factor (hottest / mean key
+    mass = c_max * n_keys / n), and the salting fan-out that would
+    level the hot key across 32 shuffle partitions —
+    ceil(c_max * P / n) as pure integer arithmetic ((c*P + n-1) div
+    n, bit-identical in both engines; doubles only in the reported
+    ratios, pround'd). Shape at scale: one per-key rollup (partial
+    map-side), a 1-row TakeOrdered argmax, a broadcast of two
+    scalars."""
+    li = read_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    t = F.broadcast(
+        k.agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        )
+    )
+    hot = k.orderBy(F.col("c").desc(), F.col("l_partkey").asc()).limit(1)
+    j = hot.crossJoin(t)
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    return j.select(
+        F.col("l_partkey").alias("hottest_key"),
+        F.col("c").cast("bigint").alias("max_key_count"),
+        F.col("n").alias("n_rows"),
+        F.col("n_keys"),
+        pround(cd / nd, 9).alias("top_share"),
+        pround(cd * F.col("n_keys").cast("double") / nd, 6).alias(
+            "skew_factor"
+        ),
+        F.expr(
+            f"(c * {_SKEW_DIAG_PARTS} + n - 1) div n"
+        ).cast("int").alias("suggested_salt"),
+    )
+
+
+def _event_seq_oracle() -> str:
+    return f"""
+    WITH u AS (SELECT user_id,
+                      list(event_type ORDER BY ts, event_id) AS toks
+               FROM events WHERE user_id IS NOT NULL
+               GROUP BY user_id),
+    g AS (SELECT unnest({_ngram_sql('toks', 3)}) AS pattern FROM u)
+    SELECT pattern, count(*) AS n_occurrences
+    FROM g GROUP BY pattern
+    ORDER BY n_occurrences DESC, pattern ASC LIMIT 20
+    """
+
+
+@query("event_sequence_ngrams", oracle=_event_seq_oracle())
+def q_event_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, the counting core: the 20 most
+    frequent 3-step event-type journeys across all users (the
+    input to funnel design — user_event_sequence renders individual
+    journeys; this aggregates the corpus of them). Per user the
+    ordered type array comes from array_sort over (ts, event_id,
+    type) structs inside ONE groupBy (no window, total tiebreak so
+    both engines see identical sequences); trigrams come from the
+    shared JVM higher-order n-gram builder
+    (functions/text.ngrams_from_tokens — projected array first, the
+    documented CSE trap), then one count rollup. Top-20 is
+    TakeOrderedAndProject with pattern tiebreak. Per-user state is
+    the user's own event list — bounded fan-in, never a global
+    sort."""
+    from etl_pyspark_spark.functions.text import ngrams_from_tokens
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("toks")
+    )
+    g = u.select(
+        F.explode(ngrams_from_tokens(F.col("toks"), 3)).alias("pattern")
+    )
+    return (
+        g.groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pattern").asc())
+        .limit(20)
+    )
