@@ -11724,3 +11724,242 @@ def q_event_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pattern").asc())
         .limit(20)
     )
+
+
+@query(
+    "stream_drift_monitor",
+    oracle=f"""
+    WITH w AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                 AS window_start_s,
+               event_type, count(*) AS o
+          FROM events GROUP BY 1, 2),
+    base AS (SELECT event_type, count(*) AS ct FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM base),
+    wn AS (SELECT window_start_s, CAST(sum(o) AS BIGINT) AS nw
+           FROM w GROUP BY 1),
+    terms AS (
+      SELECT w.window_start_s,
+             {sql_pround(
+                 "((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)"
+                 " - CAST(nw AS DOUBLE) * CAST(ct AS DOUBLE))"
+                 " * (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)"
+                 " - CAST(nw AS DOUBLE) * CAST(ct AS DOUBLE)))"
+                 " / ((CAST(nw AS DOUBLE) * CAST(ct AS DOUBLE))"
+                 " * CAST(nn AS DOUBLE))", 6
+             )} AS term, nw
+      FROM w
+      JOIN base USING (event_type)
+      JOIN wn USING (window_start_s), tot)
+    SELECT window_start_s, max(nw) AS n_events,
+           CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+    FROM terms GROUP BY window_start_s
+    """,
+)
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per 1-hour event-time window, a
+    chi-square score of the window's event-type mix against the
+    whole-corpus baseline — the alert a serving pipeline fires when
+    the live traffic mix walks away from what the model trained on
+    (chisq_event_type_drift is the batch A/B form; this is the
+    per-window continuous form). The window counts come from the
+    REAL Structured Streaming tumbling aggregation (watermark +
+    AvailableNow replay, streaming/windows.tumbling_counts — batch
+    equivalence is the oracle); scoring joins the closed windows
+    against a BROADCAST static baseline — the production shape,
+    where the baseline is a published table and scoring runs on
+    window close. Same cross-multiplied integer identity and
+    pround-then-decimal-sum as the batch test; per-window terms are
+    |types| rows."""
+    from etl_pyspark_spark.streaming.windows import tumbling_counts
+
+    w = tumbling_counts(spark, sf_dir).select(
+        "window_start_s",
+        "event_type",
+        F.col("n_events").alias("o"),
+    )
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("ct"))
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    wn = w.groupBy("window_start_s").agg(
+        F.sum("o").cast("bigint").alias("nw")
+    )
+    j = (
+        w.join(F.broadcast(base), "event_type")
+        .join(wn, "window_start_s")
+        .crossJoin(F.broadcast(tot))
+    )
+    od = F.col("o").cast("double")
+    nnd = F.col("nn").cast("double")
+    nwd = F.col("nw").cast("double")
+    ctd = F.col("ct").cast("double")
+    term = pround(
+        ((od * nnd - nwd * ctd) * (od * nnd - nwd * ctd))
+        / ((nwd * ctd) * nnd),
+        6,
+    )
+    return j.groupBy("window_start_s").agg(
+        F.max("nw").alias("n_events"),
+        F.sum(term.cast("decimal(18,6)")).cast("double").alias("chi2"),
+    )
+
+
+def _cluster_histogram_oracle() -> str:
+    from etl_pyspark_spark.dedup.components import sql_components_over_pairs
+    from etl_pyspark_spark.dedup.minhash import sql_minhash_pairs, sql_shingles_cte
+
+    return (
+        "WITH RECURSIVE "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + ", "
+        + sql_components_over_pairs("pairs", final_name="comp")
+        + """,
+    csizes AS (SELECT component_id, count(*) AS cluster_size
+               FROM comp GROUP BY 1)
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM csizes GROUP BY cluster_size
+    """
+    )
+
+
+@query("dedup_cluster_size_histogram", oracle=_cluster_histogram_oracle())
+def q_dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedup REPORT: duplicate-cluster size distribution plus, per
+    size, how many documents the keep-one-per-cluster policy would
+    delete — the summary a data owner reads before approving a
+    corpus-shrinking dedup run (clusters of 2 are usually true dups;
+    a 500-doc cluster is usually boilerplate that needs a different
+    policy). Rolls up the session-shared component labels
+    (dedup/shared.py — pairs and labels derived once per session);
+    two keyed aggregates over the |duplicate-docs| table, never the
+    corpus."""
+    from etl_pyspark_spark.dedup.shared import dup_components
+
+    comp = dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
+
+
+@query(
+    "score_percentile_harmonize",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents)
+    SELECT doc_id, source, n_chars,
+           {sql_pround("pr", 9)} AS source_percentile
+    FROM r
+    """,
+)
+def q_score_percentile_harmonize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source score harmonization: replace a raw per-document
+    score with its percentile WITHIN its source — the rank transform
+    that makes scores comparable across sources whose raw scales
+    differ (a 0.6 from classifier A and a 0.9 from classifier B may
+    be the same quality; mixing corpora on raw scores silently
+    over-samples the generous scorer — this is the fix applied
+    before mixture_sampling_quota-style selection).
+    percent_rank = (rank-1)/(n_part-1) over a TOTAL order
+    ((n_chars, doc_id) tiebreak, the engine's standard rule) is one
+    exact integer ratio -> correctly-rounded double, pround(9).
+    The window partitions BY SOURCE — parallel across sources,
+    never SinglePartition; within one giant source the
+    with_global_rank machinery is the documented escape hatch."""
+    from pyspark.sql.window import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        pround(F.percent_rank().over(w), 9).alias("source_percentile"),
+    )
+
+
+@query(
+    "funnel_step_latency",
+    oracle="""
+    WITH c AS (SELECT user_id, min(epoch_us(ts)) AS c_us FROM events
+               WHERE event_type = 'click' AND user_id IS NOT NULL
+               GROUP BY 1),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+          GROUP BY 1),
+    d AS (SELECT p.p_us - c.c_us AS lat_us FROM p JOIN c USING (user_id)),
+    dd AS (SELECT lat_us, count(*) AS cnt FROM d GROUP BY 1),
+    cc AS (SELECT lat_us,
+                  CAST(sum(cnt) OVER (ORDER BY lat_us
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM dd)
+    SELECT (SELECT max(n) FROM cc) AS n_converted,
+           (SELECT min(lat_us) FROM cc
+            WHERE cum >= greatest(1, ceil(0.5 * (SELECT max(n) FROM cc))))
+             AS p50_latency_us,
+           (SELECT min(lat_us) FROM cc
+            WHERE cum >= greatest(1, ceil(0.9 * (SELECT max(n) FROM cc))))
+             AS p90_latency_us
+    """,
+)
+def q_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for the click -> purchase funnel step: exact
+    p50/p90 of (first purchase AFTER first click) - (first click)
+    per user, in microseconds — the latency half of
+    funnel_conversion's rate readout (rates say HOW MANY convert;
+    this says HOW FAST, which sets attribution-window and
+    stream-join watermark widths — e.g. stream_stream_join's 30-min
+    tolerance should cover ~p90). Latencies are exact integer
+    microsecond diffs; both order statistics run through the
+    bracketed exact-rank search (operators/quantiles — never a
+    SinglePartition window) and land as literals in a 1-row result.
+    Shape at scale: two per-user min-aggregates (map-side partial),
+    one keyed join, quantiles over the |converted-users| diff
+    table."""
+    from etl_pyspark_spark.operators.quantiles import (
+        exact_discrete_quantiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.unix_micros("ts") > F.col("c_us"))
+        .groupBy("user_id", "c_us")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    d = p.select((F.col("p_us") - F.col("c_us")).alias("lat_us"))
+    p50, p90 = exact_discrete_quantiles(d, "lat_us", [0.5, 0.9])
+    return d.agg(F.count(F.lit(1)).cast("bigint").alias("n_converted")).select(
+        "n_converted",
+        F.lit(p50).cast("bigint").alias("p50_latency_us"),
+        F.lit(p90).cast("bigint").alias("p90_latency_us"),
+    )

@@ -635,3 +635,12 @@ def test_collocation_prunes_before_pairing(spark, oracle_sf_dir):
     assert "TakeOrderedAndProject" in plan_of(
         QUERIES["token_collocation_lift"](spark, oracle_sf_dir)
     )
+
+
+def test_latency_and_harmonize_never_single_partition(spark, oracle_sf_dir):
+    """funnel_step_latency's quantiles come from the bracketed rank
+    search (literals, no Window); the percentile harmonization
+    window must partition by source, never SinglePartition."""
+    for name in ("funnel_step_latency", "score_percentile_harmonize"):
+        tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
+        assert "SinglePartition" not in tree, (name, tree)
