@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 # A pool of smallish tokens, plus some unicode and numerics
@@ -272,3 +273,111 @@ def test_greedy_segment_round_trips_any_vocab(spark, words, k):
         segs = greedy_segment(w, vocab)
         assert "".join(segs) == w
         assert all(p in vocab for p in segs)
+
+
+# ---------------------------------------------------------------------------
+# Distribution statistics vs brute-force definitions: the DuckDB
+# oracles share the engine's closed-form identities (rank-sum AUC,
+# cross-multiplied KS), so these tests check the DEFINITIONS
+# independently — pairwise comparisons and direct CDF sweeps in pure
+# Python over the sf0.001 fixture.
+# ---------------------------------------------------------------------------
+
+_TINY_SF = "/root/testdata/sf0.001"
+
+
+def _tiny_events(spark):
+    from etl_pyspark_spark.sources.io import read_table
+
+    return read_table(spark, _TINY_SF, "events").select(
+        "event_type", "value"
+    ).where(F.col("value").isNotNull()).collect()
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """AUC literally IS P(score_pos > score_neg) + 0.5*P(tie): check
+    the rank-sum implementation against the O(P*N) pairwise count."""
+    from etl_pyspark_spark.registry import QUERIES
+
+    rows = _tiny_events(spark)
+    pos = [r["value"] for r in rows if r["event_type"] in ("purchase", "signup")]
+    neg = [r["value"] for r in rows if r["event_type"] not in ("purchase", "signup")]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    got = QUERIES["roc_auc_exact"](spark, _TINY_SF).collect()[0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - want) < 1e-8
+
+
+def test_ks_matches_cdf_sweep(spark):
+    """KS D from the integer cross-product argmax must equal the
+    direct max |F_a(v) - F_b(v)| sweep over the pooled values."""
+    from etl_pyspark_spark.registry import QUERIES
+
+    rows = _tiny_events(spark)
+    a = sorted(r["value"] for r in rows if r["event_type"] == "click")
+    b = sorted(r["value"] for r in rows if r["event_type"] == "view")
+    import bisect
+
+    want = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in a + b
+    )
+    got = QUERIES["ks_two_sample"](spark, _TINY_SF).collect()[0]
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["ks_d"] - want) < 1e-8
+
+
+def test_gini_matches_direct_formula(spark):
+    """Gini from the distributed rank machinery must equal the
+    single-node sorted-sweep formula."""
+    from etl_pyspark_spark.registry import QUERIES
+    from etl_pyspark_spark.sources.io import read_table
+
+    spend = sorted(
+        (r["k"], r["x"])
+        for r in read_table(spark, _TINY_SF, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("x"))
+        .collect()
+    )
+    xs = sorted(float(x) for _, x in spend)
+    n = len(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    want = 2 * srx / (n * sum(xs)) - (n + 1) / n
+    got = QUERIES["gini_customer_spend"](spark, _TINY_SF).collect()[0]
+    assert got["n_customers"] == n
+    assert abs(got["gini"] - want) < 1e-6
+
+
+def test_weighted_median_matches_brute_force(spark):
+    """Per-group weighted median vs the direct cumulative sweep."""
+    from collections import defaultdict
+
+    from etl_pyspark_spark.registry import QUERIES
+    from etl_pyspark_spark.sources.io import read_table
+
+    li = read_table(spark, _TINY_SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    acc = defaultdict(lambda: defaultdict(float))
+    for r in li:
+        acc[r["l_returnflag"]][r["l_quantity"]] += r["l_extendedprice"]
+    want = {}
+    for flag, byq in acc.items():
+        tot = sum(byq.values())
+        cum = 0.0
+        for q in sorted(byq):
+            cum += byq[q]
+            if 2 * cum >= tot - 1e-6:
+                want[flag] = q
+                break
+    got = {
+        r["flag"]: r["weighted_median_qty"]
+        for r in QUERIES["weighted_median_groups"](spark, _TINY_SF).collect()
+    }
+    assert got == want
