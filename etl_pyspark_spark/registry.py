@@ -11963,3 +11963,337 @@ def q_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(p50).cast("bigint").alias("p50_latency_us"),
         F.lit(p90).cast("bigint").alias("p90_latency_us"),
     )
+
+
+_RRF_K = 60
+
+
+@query(
+    "rank_fusion_rrf",
+    oracle=f"""
+    WITH a AS (SELECT l_partkey,
+                      sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS rev
+               FROM lineitem GROUP BY 1),
+    b AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders
+          FROM lineitem GROUP BY 1),
+    ra AS (SELECT l_partkey,
+                  row_number() OVER (ORDER BY rev DESC, l_partkey) AS r_rev
+           FROM a),
+    rb AS (SELECT l_partkey,
+                  row_number() OVER (ORDER BY n_orders DESC, l_partkey)
+                    AS r_ord
+           FROM b),
+    f AS (SELECT l_partkey, r_rev, r_ord,
+                 1.0 / ({_RRF_K} + r_rev) + 1.0 / ({_RRF_K} + r_ord)
+                   AS rrf
+          FROM ra JOIN rb USING (l_partkey))
+    SELECT l_partkey AS part, CAST(r_rev AS BIGINT) AS r_rev,
+           CAST(r_ord AS BIGINT) AS r_ord,
+           {sql_pround("rrf", 9)} AS rrf_score
+    FROM f ORDER BY rrf DESC, l_partkey ASC LIMIT 10
+    """,
+)
+def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two part
+    rankings — by revenue and by breadth of demand (distinct
+    orders): rrf = sum_i 1/(60 + rank_i), the standard
+    score-scale-free way to merge heterogeneous retrieval/ranking
+    signals (the same fusion merges BM25 and embedding-cosine lists
+    in a retrieval stack; here both legs are aggregates so the
+    oracle is exact). Each leg's rank comes from
+    operators/ranks.with_global_rank over a DESC sort key (negated
+    exact decimals — never a SinglePartition window); the fused
+    score is a two-term sum of correctly-rounded IEEE divisions,
+    pround(9); top-10 is TakeOrderedAndProject with part
+    tiebreak."""
+    from etl_pyspark_spark.operators.ranks import with_global_rank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("rev")
+    )
+    b = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    ra = with_global_rank(
+        a.withColumn("negrev", -F.col("rev")),
+        ["negrev", "l_partkey"],
+        "r_rev",
+    ).select("l_partkey", "r_rev")
+    rb = with_global_rank(
+        b.withColumn("nego", -F.col("n_orders")),
+        ["nego", "l_partkey"],
+        "r_ord",
+    ).select("l_partkey", "r_ord")
+    f = ra.join(rb, "l_partkey")
+    rrf = 1.0 / (_RRF_K + F.col("r_rev")) + 1.0 / (
+        _RRF_K + F.col("r_ord")
+    )
+    return (
+        f.select(
+            F.col("l_partkey").alias("part"),
+            F.col("r_rev").cast("bigint").alias("r_rev"),
+            F.col("r_ord").cast("bigint").alias("r_ord"),
+            pround(rrf, 9).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("part").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "markov_prediction_accuracy",
+    oracle="""
+    WITH s AS (SELECT user_id, ts, event_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events WHERE user_id IS NOT NULL),
+    t AS (SELECT event_type AS cur, nxt FROM s WHERE nxt IS NOT NULL),
+    c AS (SELECT cur, nxt, count(*) AS c FROM t GROUP BY 1, 2),
+    pred AS (SELECT cur, nxt AS p FROM (
+               SELECT cur, nxt,
+                      row_number() OVER (PARTITION BY cur
+                                         ORDER BY c DESC, nxt ASC) AS rn
+               FROM c) WHERE rn = 1)
+    SELECT count(*) AS n_transitions,
+           CAST(sum(CASE WHEN t.nxt = pred.p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           floor(CAST(sum(CASE WHEN t.nxt = pred.p THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000000.0 + 0.5)
+             / 1000000000.0 AS accuracy
+    FROM t JOIN pred USING (cur)
+    """,
+)
+def q_markov_prediction_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval of the first-order Markov next-event model the
+    event_transition_matrix query trains: predict each transition's
+    next type as the corpus argmax for the current type (count DESC,
+    type ASC tiebreak) and score top-1 accuracy over all transitions
+    — the is-this-sequence-model-better-than-marginal baseline every
+    sequence-model eval starts from. Transitions come from a lead()
+    window partitioned BY USER (parallel, bounded per-user state);
+    the model is a |types|-row broadcast; accuracy is one integer
+    ratio, pround(9)."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    c = t.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    pw = W.partitionBy("cur").orderBy(
+        F.col("c").desc(), F.col("nxt").asc()
+    )
+    pred = (
+        c.withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("p"))
+    )
+    j = t.join(F.broadcast(pred), "cur")
+    correct = F.sum(
+        (F.col("nxt") == F.col("p")).cast("int")
+    ).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        correct.alias("n_correct"),
+        pround(
+            correct.cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH g AS (SELECT max(o_orderdate) AS mx FROM orders),
+    rfm AS (SELECT o_custkey,
+                   CAST(datediff('day', max(o_orderdate),
+                                 (SELECT mx FROM g)) AS INT)
+                     AS recency_days,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                        AS DOUBLE) AS monetary
+            FROM orders GROUP BY 1),
+    t AS (SELECT o_custkey, recency_days, n_orders, monetary,
+                 ntile(4) OVER (ORDER BY recency_days, o_custkey)
+                   AS r_tile,
+                 ntile(4) OVER (ORDER BY n_orders DESC, o_custkey)
+                   AS f_tile,
+                 ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+                   AS m_tile
+          FROM rfm)
+    SELECT o_custkey, recency_days, CAST(n_orders AS BIGINT) AS n_orders,
+           monetary, r_tile, f_tile, m_tile,
+           CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
+             || CAST(m_tile AS VARCHAR) AS segment
+    FROM t
+    """,
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic recency/frequency/monetary
+    quartile labeling ('111' = best segment on the
+    most-recent-first convention) that drives retention campaigns
+    and, in a data-engine context, stratified sampling by customer
+    value. All three quartile labelings run through
+    operators/ranks.with_global_ntile (range exchange + broadcast
+    offsets — NEVER the ntile-over-everything SinglePartition
+    window, the canonical RFM scale-killer), each under a total
+    order with the custkey tiebreak so both engines tile
+    identically. Monetary sums are exact decimals; recency is an
+    integer day diff from a broadcast 1-row max-date."""
+    from etl_pyspark_spark.operators.ranks import with_global_ntile
+
+    orders = read_table(spark, sf_dir, "orders")
+    g = F.broadcast(orders.agg(F.max("o_orderdate").alias("mx")))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(g)
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_order"))
+            .cast("int")
+            .alias("recency_days"),
+            "n_orders",
+            "monetary",
+        )
+        .withColumn("negf", -F.col("n_orders"))
+        .withColumn("negm", -F.col("monetary"))
+    )
+    r = with_global_ntile(
+        rfm, ["recency_days", "o_custkey"], 4, "r_tile"
+    ).select("o_custkey", "r_tile")
+    f_ = with_global_ntile(
+        rfm, ["negf", "o_custkey"], 4, "f_tile"
+    ).select("o_custkey", "f_tile")
+    m = with_global_ntile(
+        rfm, ["negm", "o_custkey"], 4, "m_tile"
+    ).select("o_custkey", "m_tile")
+    return (
+        rfm.select("o_custkey", "recency_days", "n_orders", "monetary")
+        .join(r, "o_custkey")
+        .join(f_, "o_custkey")
+        .join(m, "o_custkey")
+        .select(
+            "o_custkey",
+            "recency_days",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "monetary",
+            "r_tile",
+            "f_tile",
+            "m_tile",
+            F.concat(
+                F.col("r_tile").cast("string"),
+                F.col("f_tile").cast("string"),
+                F.col("m_tile").cast("string"),
+            ).alias("segment"),
+        )
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    from etl_pyspark_spark.dedup.minhash import (
+        NUM_PERM,
+        sql_minhash_pairs,
+        sql_shingles_cte,
+    )
+
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_PERM)
+    )
+    return (
+        "WITH "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + f""",
+    est AS (SELECT p.doc_id_a, p.doc_id_b, p.jaccard,
+                   ({matches}) AS n_match
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.doc_id_a
+            JOIN sig sb ON sb.doc_id = p.doc_id_b)
+    SELECT doc_id_a, doc_id_b, jaccard,
+           CAST(n_match AS DOUBLE) / {NUM_PERM} AS jaccard_est,
+           {sql_pround(
+               f"abs(CAST(n_match AS DOUBLE) / {NUM_PERM} - jaccard)", 6
+           )} AS abs_err
+    FROM est
+    """
+    )
+
+
+@query("minhash_jaccard_estimate", oracle=_minhash_estimate_oracle())
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality readout for the MinHash sketch: for every
+    verified near-dup pair, the 16-permutation signature-agreement
+    estimate of Jaccard NEXT TO the exact value and the absolute
+    error — the calibration table that justifies (or indicts) the
+    band/row choice before running LSH at corpus scale (E[match
+    fraction] = J; with 16 perms the std error at J=0.5 is ~0.125,
+    visible in the column). Signatures rebuild from the
+    session-shared shingle hashes with the same universal-hash
+    constants (dedup/minhash.PERM_CONSTANTS — deterministic md5
+    arithmetic, so the whole estimator is EXACTLY oracle-checked,
+    the same property countmin_frequency_estimate exhibits);
+    n_match/16 is exact in binary (denominator a power of two).
+    Pairs and shingles derive once per session (dedup/shared.py)."""
+    from etl_pyspark_spark.dedup.minhash import NUM_PERM, P, PERM_CONSTANTS
+    from etl_pyspark_spark.dedup.shared import shingle_hashes, verified_pairs
+
+    sh = shingle_hashes(spark, sf_dir).select(
+        "doc_id", (F.col("h60") % P).alias("h")
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(PERM_CONSTANTS)
+        ]
+    )
+    pairs = verified_pairs(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_PERM)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(NUM_PERM)
+    )
+    est = F.col("n_match").cast("double") / NUM_PERM
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("n_match", n_match)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "jaccard",
+            est.alias("jaccard_est"),
+            pround(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )

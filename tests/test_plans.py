@@ -644,3 +644,12 @@ def test_latency_and_harmonize_never_single_partition(spark, oracle_sf_dir):
     for name in ("funnel_step_latency", "score_percentile_harmonize"):
         tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
         assert "SinglePartition" not in tree, (name, tree)
+
+
+def test_rank_fusion_and_rfm_never_single_partition(spark, oracle_sf_dir):
+    """Both global-ranking compositions (RRF legs, the three RFM
+    quartile labelings) must run through the range-partition + offset
+    machinery — never an ORDER-BY-everything window."""
+    for name in ("rank_fusion_rrf", "customer_rfm_segments"):
+        tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
+        assert "SinglePartition" not in tree, (name, tree)
