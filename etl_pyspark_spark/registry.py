@@ -12297,3 +12297,135 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
         )
     )
+
+
+@query(
+    "histogram_merge_quantiles",
+    oracle="""
+    WITH e AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+                 AS day_s,
+               CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT)
+                 AS week_s,
+               CAST(least(floor(value / 25.0), 19) AS INT) AS bin,
+               value
+          FROM events WHERE value IS NOT NULL),
+    daily AS (SELECT week_s, day_s, bin, count(*) AS c
+              FROM e GROUP BY 1, 2, 3),
+    weekly AS (SELECT week_s, bin, CAST(sum(c) AS BIGINT) AS c
+               FROM daily GROUP BY 1, 2),
+    wc AS (SELECT week_s, bin, c,
+                  CAST(sum(c) OVER (PARTITION BY week_s ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum,
+                  CAST(sum(c) OVER (PARTITION BY week_s) AS BIGINT) AS n
+           FROM weekly),
+    approx AS (SELECT week_s, max(n) AS n_events,
+                      CAST(min(bin) * 25.0 AS DOUBLE) AS approx_p50
+               FROM wc
+               WHERE cum >= greatest(1, ceil(0.5 * n)) GROUP BY week_s),
+    ev AS (SELECT week_s, value, count(*) AS c FROM e GROUP BY 1, 2),
+    ec AS (SELECT week_s, value,
+                  CAST(sum(c) OVER (PARTITION BY week_s ORDER BY value
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum,
+                  CAST(sum(c) OVER (PARTITION BY week_s) AS BIGINT) AS n
+           FROM ev),
+    exact AS (SELECT week_s, CAST(min(value) AS DOUBLE) AS exact_p50
+              FROM ec
+              WHERE cum >= greatest(1, ceil(0.5 * n)) GROUP BY week_s)
+    SELECT a.week_s AS week_start_s, a.n_events, a.approx_p50,
+           x.exact_p50,
+           floor(abs(a.approx_p50 - x.exact_p50) * 1000000.0 + 0.5)
+             / 1000000.0 AS abs_err
+    FROM approx a JOIN exact x ON a.week_s = x.week_s
+    """,
+)
+def q_histogram_merge_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGEABLE quantile summaries: daily fixed-bin histograms
+    (integer counts — the sketch every monitoring stack actually
+    ships, because counts merge by addition with zero error growth)
+    rolled up into weekly medians, reported NEXT TO the exact weekly
+    median and the bin-resolution error — the
+    estimate-vs-truth calibration pattern of
+    minhash_jaccard_estimate/countmin applied to the quantile
+    family (hll_sketch_rollup is the distinct-count analogue). The
+    day -> week merge is a two-level keyed rollup (partial map-side
+    both levels); the approx median reads the merged histogram's
+    cumulative bins, the exact one runs the per-week reduce-first
+    discrete-median sweep; both windows partition BY WEEK — parallel,
+    never SinglePartition. Error is bounded by the 25-unit bin width
+    by construction."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    epoch = F.unix_timestamp("ts")
+    e = ev.select(
+        (F.floor(epoch / 86400) * 86400).cast("bigint").alias("day_s"),
+        (F.floor(epoch / 604800) * 604800).cast("bigint").alias("week_s"),
+        F.least(F.floor(F.col("value") / 25.0), F.lit(19))
+        .cast("int")
+        .alias("bin"),
+        "value",
+    )
+    daily = e.groupBy("week_s", "day_s", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    weekly = daily.groupBy("week_s", "bin").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    wcum = (
+        W.partitionBy("week_s")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("week_s")
+    wc = weekly.select(
+        "week_s",
+        "bin",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wtot).cast("bigint").alias("n"),
+    )
+    approx = (
+        wc.filter(
+            F.col("cum")
+            >= F.greatest(F.lit(1), F.ceil(0.5 * F.col("n")))
+        )
+        .groupBy("week_s")
+        .agg(
+            F.max("n").alias("n_events"),
+            (F.min("bin") * 25.0).cast("double").alias("approx_p50"),
+        )
+    )
+    evv = e.groupBy("week_s", "value").agg(F.count(F.lit(1)).alias("c"))
+    vcum = (
+        W.partitionBy("week_s")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ec = evv.select(
+        "week_s",
+        "value",
+        F.sum("c").over(vcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wtot).cast("bigint").alias("n"),
+    )
+    exact = (
+        ec.filter(
+            F.col("cum")
+            >= F.greatest(F.lit(1), F.ceil(0.5 * F.col("n")))
+        )
+        .groupBy("week_s")
+        .agg(F.min("value").cast("double").alias("exact_p50"))
+    )
+    return approx.join(exact, "week_s").select(
+        F.col("week_s").alias("week_start_s"),
+        "n_events",
+        "approx_p50",
+        "exact_p50",
+        pround(F.abs(F.col("approx_p50") - F.col("exact_p50")), 6).alias(
+            "abs_err"
+        ),
+    )
