@@ -7380,6 +7380,7 @@ def ensure_layouts(spark: SparkSession, sf_dir: str) -> None:
     _ensure_orders_mixed_spec(spark, sf_dir)
     ensure_zorder_lineitem(spark, sf_dir)
     ensure_range_clustered_lineitem(spark, sf_dir)
+    _ensure_skipping_lineitem(spark, sf_dir)
     ensure_bucketed_fixtures(spark, sf_dir)
 
 
@@ -12428,4 +12429,106 @@ def q_histogram_merge_quantiles(
         pround(F.abs(F.col("approx_p50") - F.col("exact_p50")), 6).alias(
             "abs_err"
         ),
+    )
+
+
+def _ensure_skipping_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF range-clustered lineitem copy for the skipping report.
+
+    Unlike the shared range_clustered_lineitem layout (one dir, marker
+    keyed to the LAST-built fixture), this keeps one directory PER
+    fixture basename so an sf0.1 bench run never invalidates the
+    sf0.01 layout the driver's oracle SQL points at — the file-level
+    report is the one query whose ORACLE reads the physical layout,
+    so its files must be stable across sf switches within a round."""
+    from etl_pyspark_spark.sources.io import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+        write_range_clustered,
+    )
+
+    dst = f"{_SCRATCH}/skipping_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = f"{dst}/.built_for"
+    want = fixture_fingerprint(sf_dir, "lineitem")
+    if not marker_current(marker, want):
+        li = read_table(spark, sf_dir, "lineitem")
+        write_range_clustered(li, dst, "l_shipdate", num_files=8)
+        write_marker(marker, want)
+    return dst
+
+
+_SKIP_LO = "1997-03-01 00:00:00"
+_SKIP_HI = "1997-06-01 00:00:00"
+
+
+@query(
+    "layout_skipping_report",
+    oracle=f"""
+    WITH f AS (
+      SELECT filename,
+             min(l_shipdate) AS fmin, max(l_shipdate) AS fmax,
+             count(*) AS n_rows
+      FROM read_parquet(
+        '/root/repo/.scratch/skipping_lineitem_sf0.01/*.parquet',
+        filename = true)
+      GROUP BY filename),
+    m AS (SELECT filename, n_rows,
+                 (fmax < TIMESTAMP '{_SKIP_LO}'
+                  OR fmin >= TIMESTAMP '{_SKIP_HI}') AS prunable
+          FROM f)
+    SELECT count(*) AS n_files,
+           CAST(sum(CASE WHEN prunable THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_prunable,
+           CAST(sum(CASE WHEN prunable THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_skipped,
+           {sql_pround(
+               "CAST(sum(CASE WHEN prunable THEN n_rows ELSE 0 END)"
+               " AS DOUBLE) / CAST(sum(n_rows) AS DOUBLE)", 6
+           )} AS frac_rows_skipped
+    FROM m
+    """,
+)
+def q_layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness report: per-FILE min/max footprint
+    of the range-clustered lineitem layout against the canonical
+    three-month probe window, reporting how many files (and what row
+    fraction) footer statistics alone would prune — the number a
+    lake administrator quotes to justify the clustering rewrite
+    (range_clustered_layout runs the pruned scan; THIS measures the
+    layout itself, the same way skew_join_diagnostics measures
+    before salted_join cures). Per-file stats group on
+    input_file_name() — Spark and the oracle read the SAME physical
+    parquet files, so the report is exactly checkable; the layout
+    lives in a per-SF directory so a bench at another scale can't
+    invalidate the files the oracle path names."""
+    dst = _ensure_skipping_lineitem(spark, sf_dir)
+    back = spark.read.parquet(dst).select(
+        F.input_file_name().alias("fname"), "l_shipdate"
+    )
+    f = back.groupBy("fname").agg(
+        F.min("l_shipdate").alias("fmin"),
+        F.max("l_shipdate").alias("fmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    lo = F.lit(_SKIP_LO).cast("timestamp")
+    hi = F.lit(_SKIP_HI).cast("timestamp")
+    m = f.select(
+        "n_rows",
+        ((F.col("fmax") < lo) | (F.col("fmin") >= hi)).alias("prunable"),
+    )
+    skipped = F.sum(
+        F.when(F.col("prunable"), F.col("n_rows")).otherwise(0)
+    ).cast("bigint")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.col("prunable").cast("int")).cast("bigint").alias(
+            "n_prunable"
+        ),
+        skipped.alias("rows_skipped"),
+        pround(
+            skipped.cast("double")
+            / F.sum("n_rows").cast("double"),
+            6,
+        ).alias("frac_rows_skipped"),
     )
