@@ -11915,7 +11915,7 @@ def q_score_percentile_harmonize(
                     AS cum,
                   CAST(sum(cnt) OVER () AS BIGINT) AS n
            FROM dd)
-    SELECT (SELECT max(n) FROM cc) AS n_converted,
+    SELECT COALESCE((SELECT max(n) FROM cc), 0) AS n_converted,
            (SELECT min(lat_us) FROM cc
             WHERE cum >= greatest(1, ceil(0.5 * (SELECT max(n) FROM cc))))
              AS p50_latency_us,
@@ -12531,4 +12531,52 @@ def q_layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_rows").cast("double"),
             6,
         ).alias("frac_rows_skipped"),
+    )
+
+
+@query("text_compression_ratio")  # rows-only: the ratio depends on the
+# container's zlib build, so no SQL twin; invariants (bounds,
+# repetition ordering, determinism) are pinned in tests/test_crosscheck.py
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (deflate level 6):
+    compressed_bytes / raw_bytes per document — the cheap
+    whole-document repetitiveness detector the Gopher/RedPajama
+    filter stacks use alongside n-gram repetition
+    (text_repetition_ratio catches LOCAL loops; deflate's 32 KB
+    window catches long-range boilerplate and templating that
+    n-grams miss). zlib runs in an Arrow-batched ``mapInPandas``
+    (bytes cross into Python once, vectorized over each batch —
+    never a row UDF); output is the id, both byte counts, and the
+    ratio. Flag low ratios for removal: heavily templated text
+    compresses far below the corpus norm."""
+    import pandas as pd  # noqa: F401 (schema doc)
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+
+    def ratios(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            raw_n = raw.str.len()
+            comp_n = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw_n.astype("int64"),
+                    "compressed_bytes": comp_n.astype("int64"),
+                    "compression_ratio": (
+                        comp_n / raw_n.where(raw_n > 0)
+                    ).astype("float64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        ratios,
+        "doc_id long, raw_bytes long, compressed_bytes long, "
+        "compression_ratio double",
     )

@@ -101,3 +101,30 @@ def test_jsonl_sink_manifest_isolates_orphans(spark, oracle_sf_dir, tmp_path):
         fh.write('{"event_id": -1, "user_id": -1, "event_type": "orphan"}\n')
     again = spark.read.schema(schema).json(manifest["files"]).count()
     assert again == committed  # manifest-scoped read is unchanged
+
+
+def test_compression_ratio_invariants(spark, oracle_sf_dir):
+    """Rows-only contract for text_compression_ratio: one row per doc,
+    ratios positive and bounded (deflate overhead caps well under 2x
+    on these sizes), deterministic across runs, and ordered sanely —
+    a highly repetitive synthetic string must compress strictly
+    better than the corpus median."""
+    from etl_pyspark_spark.registry import QUERIES
+
+    df = QUERIES["text_compression_ratio"](spark, oracle_sf_dir)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert all(0 < r["compression_ratio"] < 2.0 for r in rows
+               if r["raw_bytes"] > 0)
+    again = {r["doc_id"]: r["compression_ratio"]
+             for r in QUERIES["text_compression_ratio"](
+                 spark, oracle_sf_dir).collect()}
+    assert all(again[r["doc_id"]] == r["compression_ratio"] for r in rows)
+    import statistics
+    import zlib
+
+    rep = "spam ham " * 200
+    rep_ratio = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
+    med = statistics.median(r["compression_ratio"] for r in rows)
+    assert rep_ratio < med
