@@ -170,11 +170,18 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_OUT redirects the file record (the contract
     # test uses a tmp path so a pytest run can't clobber the driver's
     # sf0.1 record — round-2 review lost it that way).
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
+    # A restricted A/B run (BENCH_ONLY) must never clobber the full
+    # per-query record the jitter detector diffs against — default its
+    # file output to a scratch path instead.
+    default_out = (
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_last.json"),
+                     ".scratch", "bench_only_last.json")
+        if only
+        else os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_last.json")
     )
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
     sys.stdout.flush()
