@@ -102,6 +102,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` (direction='backward') for the same key.
@@ -111,6 +112,12 @@ def asof_join(
     (key, ts, side) carries the most recent right-side values forward
     with ``last(..., ignorenulls=True)``. One shuffle total, no
     collect, no UDF; skew on ``key`` is handled by AQE.
+
+    ``tolerance`` (optional Column, e.g. ``F.expr("INTERVAL 7
+    DAYS")``): pandas merge_asof's staleness bound — a match older
+    than ``left_ts - tolerance`` is nulled out in a post-projection
+    (the matched right timestamp rides the same window forward, so
+    the bound costs one more last() expression, no extra shuffle).
     """
     if direction not in ("backward",):
         raise ValueError("only direction='backward' is implemented")
@@ -131,6 +138,12 @@ def asof_join(
         .alias("_lrow"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
+    if tolerance is not None:
+        ts_type = l_tagged.schema["_ts"].dataType
+        l_tagged = l_tagged.withColumn(
+            "_rmatch", F.lit(None).cast(ts_type)
+        )
+        r_tagged = r_tagged.withColumn("_rmatch", F.col("_ts"))
     unioned = l_tagged.unionByName(r_tagged)
     # right rows (side=0) sort before left rows at equal ts => "<=" semantics
     w = (
@@ -138,17 +151,26 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+    carry = [
+        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+        for c in right_cols
+    ]
+    if tolerance is not None:
+        carry.append(
+            F.last("_rmatch", ignorenulls=True).over(w).alias("_asof_rts")
+        )
+    filled = unioned.select("*", *carry).where(F.col("_side") == 1)
+    if tolerance is None:
+        out_cols = [
+            F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols
+        ]
+    else:
+        fresh = F.col("_asof_rts") >= F.col("_ts") - tolerance
+        out_cols = [
+            F.when(fresh, F.col(f"_asof_{c}")).alias(f"asof_{c}")
             for c in right_cols
-        ],
-    ).where(F.col("_side") == 1)
-    return filled.select(
-        F.col("_lrow.*"),
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols],
-    )
+        ]
+    return filled.select(F.col("_lrow.*"), *out_cols)
 
 
 def asof_join_cogroup(

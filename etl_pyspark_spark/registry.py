@@ -12580,3 +12580,68 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, raw_bytes long, compressed_bytes long, "
         "compression_ratio double",
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch_s,
+           s.signup_epoch_s AS asof_signup_epoch_s,
+           s.signup_value AS asof_signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT CAST(floor(epoch(e.ts)) AS BIGINT) AS signup_epoch_s,
+               e.value AS signup_value
+        FROM events e
+        WHERE e.event_type = 'signup' AND e.user_id = p.user_id
+          AND e.ts <= p.ts AND e.ts >= p.ts - INTERVAL 7 DAY
+        ORDER BY e.ts DESC LIMIT 1) s ON TRUE
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (pandas merge_asof's
+    ``tolerance``): each purchase picks up the latest prior signup
+    per user only if it happened within the last 7 days — the
+    attribution-window semantics real funnels need (an unbounded
+    as-of blames a purchase on a signup from years ago;
+    funnel_step_latency's p90 is how the 7-day width gets chosen).
+    Same one-shuffle union+window engine as join_asof
+    (operators/joins.asof_join): the matched right timestamp rides
+    the same carry-forward window, and matches older than the bound
+    null out in a post-projection — the bound costs one extra
+    last() expression, never a second shuffle or a range join. The
+    oracle states the semantics directly as a LATERAL
+    latest-within-window probe."""
+    from etl_pyspark_spark.operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_timestamp("ts").alias("purchase_epoch_s"),
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.unix_timestamp("ts").alias("signup_epoch_s"),
+        F.col("value").alias("signup_value"),
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["signup_epoch_s", "signup_value"],
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_epoch_s",
+        "asof_signup_epoch_s",
+        "asof_signup_value",
+    )
