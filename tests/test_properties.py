@@ -381,3 +381,63 @@ def test_weighted_median_matches_brute_force(spark):
         for r in QUERIES["weighted_median_groups"](spark, _TINY_SF).collect()
     }
     assert got == want
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000),
+                  st.integers(-100, 100)),
+        min_size=0, max_size=25, unique_by=lambda r: (r[0], r[1]),
+    ),
+    tol=st.integers(1, 200),
+)
+@_SETTINGS
+def test_asof_tolerance_matches_pandas_merge_asof(spark, lefts, rights, tol):
+    """The tolerance-bounded as-of join must agree with pandas
+    merge_asof(by=key, tolerance=tol, direction='backward') — the
+    reference implementation of the semantics — on arbitrary keyed
+    integer-time data (right side unique per (key, ts), the same
+    precondition the union+window engine documents)."""
+    import pandas as pd
+
+    from etl_pyspark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        "lid int, k int, ts long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in rights] or [(99, 0, 0)],
+        "k int, ts long, v long",
+    )
+    if not rights:
+        right = right.where(F.lit(False))
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], tolerance=F.lit(tol),
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        columns=["lid", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(list(rights), columns=["k", "ts", "v"])
+        .astype({"k": "int64", "ts": "int64", "v": "int64"})
+        .sort_values("ts", kind="stable")
+    )
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", tolerance=tol, direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else int(r.v))
+        for r in want_df.itertuples()
+    }
+    assert got == want
