@@ -12645,3 +12645,69 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_signup_epoch_s",
         "asof_signup_value",
     )
+
+
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
+               FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT doc_id, toks,
+                 unnest(generate_series(0,
+                        CAST(greatest(0,
+                             ceil((len(toks) - {_CHUNK_W})
+                                  / {_CHUNK_S}.0)) AS INT))) AS chunk_id
+          FROM t)
+    SELECT doc_id, chunk_id,
+           CAST(chunk_id * {_CHUNK_S} AS BIGINT) AS start_token,
+           array_to_string(
+             toks[chunk_id*{_CHUNK_S}+1 :
+                  least(chunk_id*{_CHUNK_S} + {_CHUNK_W}, len(toks))],
+             ' ') AS chunk_text,
+           least(chunk_id*{_CHUNK_S} + {_CHUNK_W}, len(toks))
+             - chunk_id*{_CHUNK_S} AS n_tokens
+    FROM c
+    """,
+)
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRIDE-OVERLAP chunking (64-token windows every 48 tokens, 16
+    tokens of overlap) — the retrieval-ingest idiom, distinct from
+    doc_chunk_packing's disjoint training windows: overlapping
+    chunks keep boundary-spanning passages findable when each chunk
+    is embedded separately (the reason every RAG ingestion pipeline
+    chunks with overlap). Chunk count is 1 + max(0,
+    ceil((n-W)/S)) so every doc emits at least one chunk and the
+    tail is always covered; slicing/joining is pure JVM array work
+    over the once-projected token array (the documented CSE trap),
+    exploded per chunk — no Python, no shuffle before the final
+    exchange-free projection."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    n_chunks = 1 + F.greatest(
+        F.lit(0),
+        F.ceil((n - _CHUNK_W) / float(_CHUNK_S)).cast("int"),
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    sl = F.slice(
+        F.col("toks"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W
+    )
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * _CHUNK_S).cast("bigint").alias("start_token"),
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).alias("n_tokens"),
+    )
