@@ -11957,7 +11957,9 @@ def q_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "c_us")
         .agg(F.min(F.unix_micros("ts")).alias("p_us"))
     )
-    d = p.select((F.col("p_us") - F.col("c_us")).alias("lat_us"))
+    # read three times (sketch pass, exact-rank pass, final count) —
+    # persist the |converted-users| diff table
+    d = p.select((F.col("p_us") - F.col("c_us")).alias("lat_us")).persist()
     p50, p90 = exact_discrete_quantiles(d, "lat_us", [0.5, 0.9])
     return d.agg(F.count(F.lit(1)).cast("bigint").alias("n_converted")).select(
         "n_converted",
@@ -12181,6 +12183,11 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("negf", -F.col("n_orders"))
         .withColumn("negm", -F.col("monetary"))
+        # read by all three ntile legs plus the output projection —
+        # persist the |customers| aggregate instead of re-running the
+        # orders rollup four times (same economics as the dedup
+        # family's session-shared stages)
+        .persist()
     )
     r = with_global_ntile(
         rfm, ["recency_days", "o_custkey"], 4, "r_tile"
