@@ -12556,8 +12556,6 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a row UDF); output is the id, both byte counts, and the
     ratio. Flag low ratios for removal: heavily templated text
     compresses far below the corpus norm."""
-    import pandas as pd  # noqa: F401 (schema doc)
-
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
