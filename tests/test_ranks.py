@@ -130,3 +130,12 @@ def test_global_cumsum_multi_matches_windows(spark, oracle_sf_dir):
     ).withColumn("cum_cb", F.sum("cb").over(w).cast("bigint"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_global_cumsum_multi_empty_input(spark):
+    from etl_pyspark_spark.operators.ranks import with_global_cumsum_multi
+
+    df = spark.createDataFrame([], "value double, ca int, cb int")
+    out = with_global_cumsum_multi(df, ["value"], ["ca", "cb"])
+    assert out.count() == 0
+    assert {"cum_ca", "cum_cb"} <= set(out.columns)
