@@ -11081,6 +11081,10 @@ def q_countmin_frequency_estimate(
         docs.select(F.explode(ws_tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # read by the sketch build, the probe join, AND the top-30
+        # argmax — persist the |vocabulary| table instead of
+        # re-exploding the corpus three times
+        .persist()
     )
     seeds = F.array([F.lit(i) for i in range(_CM_DEPTH)])
     hb = tokc.select(
@@ -11098,7 +11102,7 @@ def q_countmin_frequency_estimate(
             )
         )
         % _CM_WIDTH,
-    )
+    ).persist()
     sk = hb.groupBy("seed", "bucket").agg(
         F.sum("cnt").cast("bigint").alias("bcnt")
     )
@@ -11337,6 +11341,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+        # both directions of the union read this — persist so the
+        # posting self-join runs once, not once per direction
+        .persist()
     )
     directed = inter.select(
         F.col("id_a").alias("doc_id"),
