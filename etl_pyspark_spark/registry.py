@@ -10568,6 +10568,8 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cb"),
         )
         .filter(F.col("ca") + F.col("cb") > 0)
+        # read by the cumulative pass and the totals aggregate
+        .persist()
     )
     c = with_global_cumsum_multi(d, ["value"], ["ca", "cb"])
     tot = F.broadcast(
@@ -10715,7 +10717,7 @@ def q_token_class_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = toks.groupBy("token").agg(
         F.sum(F.col("is_en").cast("int")).alias("a"),
         F.sum((~F.col("is_en")).cast("int")).alias("b"),
-    )
+    ).persist()  # read by the totals aggregate and the keyness probe
     tot = F.broadcast(
         cnt.agg(
             F.sum("a").cast("bigint").alias("ta"),
@@ -10885,7 +10887,9 @@ def q_langid_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "meta",
         T.language_id(F.col("text"), ltoks=F.col("__ltoks")).alias("pred"),
     )
-    conf = p.groupBy("meta", "pred").agg(F.count(F.lit(1)).alias("cnt"))
+    conf = p.groupBy("meta", "pred").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()  # read by the totals and both marginal rollups
     tot = conf.agg(
         F.sum("cnt").cast("bigint").alias("n"),
         F.sum(
@@ -10983,7 +10987,7 @@ def q_chisq_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = ev.groupBy(
         "event_type", (F.col("user_id") % 2).alias("seg")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")).persist()  # 4 consumers
     ty = cells.groupBy("event_type").agg(
         F.sum("o").cast("bigint").alias("r")
     )
@@ -11426,11 +11430,12 @@ def q_token_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt = docs.select(
         "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
-    ).distinct()
+    ).distinct().persist()  # read by dfreq, the doc count, and ft
     dfreq = (
         dt.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _COLLOC_MIN_DF)
+        .persist()  # read by the prune filter and both size joins
     )
     nd = F.broadcast(
         dt.agg(F.countDistinct("doc_id").alias("nd"))
@@ -11660,7 +11665,9 @@ def q_skew_join_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side), a 1-row TakeOrdered argmax, a broadcast of two
     scalars."""
     li = read_table(spark, sf_dir, "lineitem")
-    k = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    k = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()  # read by the totals and the hottest-key argmax
     t = F.broadcast(
         k.agg(
             F.sum("c").cast("bigint").alias("n"),
@@ -12108,6 +12115,8 @@ def q_markov_prediction_accuracy(
             F.lead("event_type").over(w).alias("nxt"),
         )
         .filter(F.col("nxt").isNotNull())
+        # read by the model counts and the scoring join
+        .persist()
     )
     c = t.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
     pw = W.partitionBy("cur").orderBy(
@@ -12289,7 +12298,7 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"mh{i}")
             for i, (a, b) in enumerate(PERM_CONSTANTS)
         ]
-    )
+    ).persist()  # joined once per pair side
     pairs = verified_pairs(spark, sf_dir)
     sa = sigs.select(
         F.col("doc_id").alias("doc_id_a"),
