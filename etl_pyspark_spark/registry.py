@@ -12736,3 +12736,162 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(sl, " ").alias("chunk_text"),
         F.size(sl).alias("n_tokens"),
     )
+
+
+@query(
+    "grouped_trimmed_mean",
+    oracle="""
+    WITH d AS (SELECT l_returnflag AS flag, l_quantity AS qty,
+                      count(*) AS cnt
+               FROM lineitem GROUP BY 1, 2),
+    c AS (SELECT flag, qty, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY qty
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+          FROM d),
+    lo AS (SELECT flag, min(qty) AS p05 FROM c
+           WHERE cum >= greatest(1, ceil(0.05 * n)) GROUP BY flag),
+    hi AS (SELECT flag, min(qty) AS p95 FROM c
+           WHERE cum >= greatest(1, ceil(0.95 * n)) GROUP BY flag)
+    SELECT l.l_returnflag AS flag,
+           count(*) AS n_kept,
+           CAST(lo.p05 AS DOUBLE) AS p05,
+           CAST(hi.p95 AS DOUBLE) AS p95,
+           floor(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS trimmed_mean_qty
+    FROM lineitem l
+    JOIN lo ON lo.flag = l.l_returnflag
+    JOIN hi ON hi.flag = l.l_returnflag
+    WHERE l.l_quantity >= lo.p05 AND l.l_quantity <= hi.p95
+    GROUP BY 1, 3, 4
+    """,
+)
+def q_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group TRIMMED mean (drop outside the group's exact discrete
+    [p05, p95], average the rest) — the robust-stats member
+    winsorize_values (global, CLAMPS) and grouped_percentiles
+    (reports the cuts) don't cover: trimming excludes tails
+    entirely, the standard treatment when tail values are suspected
+    garbage rather than merely extreme. Reduce-first: both cut
+    points come from per-group cumulative counts over DISTINCT
+    (group, value) pairs (windows partition BY GROUP — parallel,
+    never SinglePartition), land as a |groups|-row broadcast join,
+    and the kept-range mean is one exact-decimal-sum /
+    single-double-division pass, pround(6)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qty"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window as W
+
+    wc = (
+        W.partitionBy("flag")
+        .orderBy("qty")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("flag")
+    c = d.select(
+        "flag",
+        "qty",
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wt).cast("bigint").alias("n"),
+    ).persist()  # read by both cut-point selections
+    lo = (
+        c.filter(
+            F.col("cum")
+            >= F.greatest(F.lit(1), F.ceil(0.05 * F.col("n")))
+        )
+        .groupBy(F.col("flag").alias("flag_lo"))
+        .agg(F.min("qty").alias("p05"))
+    )
+    hi = (
+        c.filter(
+            F.col("cum")
+            >= F.greatest(F.lit(1), F.ceil(0.95 * F.col("n")))
+        )
+        .groupBy(F.col("flag").alias("flag_hi"))
+        .agg(F.min("qty").alias("p95"))
+    )
+    return (
+        li.join(
+            F.broadcast(lo), li["l_returnflag"] == lo["flag_lo"]
+        )
+        .join(F.broadcast(hi), li["l_returnflag"] == hi["flag_hi"])
+        .where(
+            (F.col("l_quantity") >= F.col("p05"))
+            & (F.col("l_quantity") <= F.col("p95"))
+        )
+        .groupBy(
+            li["l_returnflag"].alias("flag"),
+            F.col("p05").cast("double").alias("p05"),
+            F.col("p95").cast("double").alias("p95"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            pround(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("trimmed_mean_qty"),
+        )
+        .select("flag", "n_kept", "p05", "p95", "trimmed_mean_qty")
+    )
+
+
+@query(
+    "stream_topk_per_window",
+    oracle="""
+    WITH w AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                 AS window_start_s,
+               user_id, count(*) AS n_events
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT window_start_s, user_id, n_events,
+                 row_number() OVER (PARTITION BY window_start_s
+                                    ORDER BY n_events DESC, user_id ASC)
+                   AS rn
+          FROM w)
+    SELECT window_start_s, user_id, n_events, rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: per 1-hour event-time window, the top-3
+    most active users — the live 'who is hammering the API' readout.
+    The per-(window, user) counts come from the REAL watermarked
+    Structured Streaming aggregation (AvailableNow replay == batch,
+    the engine's standard oracle bridge); ranking runs as a batch
+    post-pass on the CLOSED windows (the production shape — a
+    leaderboard is published per closed window, and streaming
+    row_number isn't expressible mid-stream anyway). The rank window
+    partitions BY WINDOW (parallel, bounded by the hour's user set,
+    never SinglePartition) and Spark plans the rn <= 3 filter as
+    WindowGroupLimit, so only each window's top rows ever sort."""
+    from etl_pyspark_spark.streaming.windows import (
+        run_to_memory_table,
+        stream_events,
+    )
+    from pyspark.sql.window import Window as W
+
+    sdf = stream_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory_table(agg, spark).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+        "user_id",
+        "n_events",
+    )
+    rw = W.partitionBy("window_start_s").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return out.withColumn("rn", F.row_number().over(rw)).where(
+        F.col("rn") <= 3
+    )

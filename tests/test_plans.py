@@ -653,3 +653,14 @@ def test_rank_fusion_and_rfm_never_single_partition(spark, oracle_sf_dir):
     for name in ("rank_fusion_rrf", "customer_rfm_segments"):
         tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
         assert "SinglePartition" not in tree, (name, tree)
+
+
+def test_stream_topk_uses_window_group_limit(spark, oracle_sf_dir):
+    """The per-window leaderboard's rn <= 3 must plan as
+    WindowGroupLimit (per-group top-k pushdown), never a full
+    per-window sort followed by a filter alone; the trimmed-mean
+    family must stay SinglePartition-free."""
+    plan = plan_of(QUERIES["stream_topk_per_window"](spark, oracle_sf_dir))
+    assert "WindowGroupLimit" in plan
+    tree = tree_of(QUERIES["grouped_trimmed_mean"](spark, oracle_sf_dir))
+    assert "SinglePartition" not in tree
