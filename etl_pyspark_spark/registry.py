@@ -12895,3 +12895,59 @@ def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rn", F.row_number().over(rw)).where(
         F.col("rn") <= 3
     )
+
+
+_TOKEN_BUDGET = 10_000
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars,
+                      len({_WS_TOKENS_SQL.format(col='text')}) AS n_tokens
+               FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT doc_id, n_chars, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_tokens
+          FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
+           cum_tokens <= {_TOKEN_BUDGET} AS selected
+    FROM c
+    """,
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: rank documents by a quality proxy
+    (n_chars here; swap in any deterministic score) and admit them
+    greedily until a fixed TOKEN budget exhausts — the way a
+    training-mix planner fills 'take the best N-billion tokens of
+    this source' quotas (importance_weighted_sample reweights;
+    source_quota_cap caps per source; THIS caps by cumulative token
+    mass, which is what the training run actually consumes). The
+    running token total comes from
+    operators/ranks.with_global_cumsum over the (score DESC, doc_id)
+    total order — range exchange + per-partition offsets, never a
+    SinglePartition window (the canonical mistake in budget-cut
+    implementations); the cut itself is then a scan-speed
+    comparison, and every doc is emitted with its admission flag so
+    the rejected tail stays auditable."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+    from etl_pyspark_spark.operators.ranks import with_global_cumsum
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(ws_tokens(F.col("text"))).alias("n_tokens"),
+    ).withColumn("neg_chars", -F.col("n_chars"))
+    c = with_global_cumsum(
+        t, ["neg_chars", "doc_id"], "n_tokens", "cum_tokens"
+    )
+    return c.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "cum_tokens",
+        (F.col("cum_tokens") <= _TOKEN_BUDGET).alias("selected"),
+    )
