@@ -12951,3 +12951,61 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         (F.col("cum_tokens") <= _TOKEN_BUDGET).alias("selected"),
     )
+
+
+def _source_overlap_oracle() -> str:
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_minhash_pairs,
+        sql_shingles_cte,
+    )
+
+    return (
+        "WITH "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + """
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_id_a
+    JOIN documents db ON db.doc_id = p.doc_id_b
+    GROUP BY 1, 2
+    """
+    )
+
+
+@query("source_overlap_matrix", oracle=_source_overlap_oracle())
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-SOURCE duplication matrix: verified near-dup pairs rolled
+    up by (unordered) source pair — the policy readout that tells a
+    corpus owner WHICH feeds copy from which (crawl A mirroring
+    crawl B wants source-level exclusion; within-source pairs want
+    ordinary dedup — dedup_cluster_size_histogram sizes the
+    clusters, THIS attributes them). Rides the session-shared
+    verified-pair stage (dedup/shared.py); source attribution is two
+    slim joins against the documents projection and a
+    |sources|^2-bounded rollup. Pair keys are canonically ordered
+    with least/greatest so A-B and B-A collapse."""
+    from etl_pyspark_spark.dedup.shared import verified_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    pairs = verified_pairs(spark, sf_dir)
+    da = docs.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(da, "doc_id_a")
+        .join(db, "doc_id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
