@@ -13009,3 +13009,373 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph cohesion (k-core, local clustering) + temporal analytics
+# (dyadic EWMA, point-in-time join) — SURVEY §2.9 growth surface
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 5
+
+
+def _copurchase_edges_sql() -> str:
+    """Shared SQL CTE text for the sharded part co-purchase graph
+    (identical derivation to graph_triangle_count's oracle)."""
+    return """
+    lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey % 10 = 0),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded part co-purchase edge list (u < v, distinct), the same
+    derivation graph_triangle_count documents; eagerly checkpointed
+    because every caller fans it into several join subtrees."""
+    lp = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = lp.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # Every e{r} is referenced three times by round r+1 (twice through
+    # the degree count, once as the join probe): without AS
+    # MATERIALIZED DuckDB inlines the whole chain at each reference
+    # and the oracle's cost goes exponential in the round count
+    # (measured 0.4s/2.8s/70s at rounds 2/3/4 on sf0.01).
+    sql = "WITH " + _copurchase_edges_sql().replace(
+        "e0 AS (", "e0 AS MATERIALIZED ("
+    )
+    for r in range(1, rounds + 1):
+        sql += f""",
+    n{r} AS MATERIALIZED (
+             SELECT x AS node
+             FROM (SELECT u AS x FROM e{r - 1}
+                   UNION ALL SELECT v FROM e{r - 1})
+             GROUP BY x HAVING count(*) >= {k}),
+    e{r} AS MATERIALIZED (
+             SELECT e.u, e.v FROM e{r - 1} e
+             JOIN n{r} a ON a.node = e.u
+             JOIN n{r} b ON b.node = e.v)"""
+    sql += f"""
+    SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY x"""
+    return sql
+
+
+@query("graph_k_core", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling on the part co-purchase graph: repeatedly drop
+    nodes of degree < k with the edges that touch them — the standard
+    cohesion filter that strips a graph's low-degree fringe before
+    community detection or dense-subgraph mining. Run for a FIXED
+    peel schedule (5 rounds, k=4) so the DuckDB twin is the same
+    unrolled dataflow; production runs rounds to a fixed point, and
+    each round here is exactly that production round: one degree
+    aggregation plus two semi-joins, all keyed shuffles on the node
+    id, never a collect or a window. The surviving edge set is
+    localCheckpoint-ed per round — the lineage otherwise doubles each
+    iteration (the classic iterative-Spark trap; pagerank_int uses
+    the same discipline). Emits the surviving nodes with their
+    in-subgraph degree after the final round."""
+    edges = _copurchase_edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        core = deg.where(F.col("d") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(
+                core.withColumnRenamed("node", "u"), "u", "semi"
+            )
+            .join(core.withColumnRenamed("node", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
+@query(
+    "graph_local_clustering",
+    oracle="WITH "
+    + _copurchase_edges_sql()
+    + """,
+    deg AS (
+      SELECT x AS node, count(*) AS d
+      FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
+      GROUP BY x),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM e0 e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v),
+    tri AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM o e1
+      JOIN o e2 ON e2.s = e1.t
+      JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
+    tn AS (
+      SELECT x AS node, count(*) AS n_tri
+      FROM (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY x)
+    SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.d >= 2
+                THEN CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE)
+                     / CAST(d.d * (d.d - 1) AS DOUBLE)
+           END AS lcc
+    FROM deg d LEFT JOIN tn ON tn.node = d.node
+    """,
+)
+def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: lcc(v) = 2*T(v) /
+    (d(v)*(d(v)-1)) over the sharded co-purchase graph — the
+    per-node cohesion readout (graph_triangle_count reports the
+    global count; THIS attributes triangles to nodes, the feature
+    community detectors and fraud heuristics actually consume).
+    Same degree-oriented wedge join as the global count — each
+    triangle enumerated exactly once with O(sqrt(E))-bounded fan-out
+    — then the triangle's three corners are unpivoted and counted
+    per node (two keyed shuffles), left-joined back onto the degree
+    table so triangle-free nodes report 0. The single division is
+    bigint->double, correctly rounded identically in both engines;
+    degree-1 nodes get NULL (undefined), not a fake 0."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint()
+    )
+    e1 = o.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
+    e2 = o.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
+    e3 = o.select(F.col("s").alias("s3"), F.col("t").alias("t3"))
+    tri = e1.join(e2, F.col("s2") == F.col("t1")).join(
+        e3, (F.col("s3") == F.col("s1")) & (F.col("t3") == F.col("t2"))
+    )
+    tn = (
+        tri.select(F.col("s1").alias("node"))
+        .unionAll(tri.select(F.col("t1").alias("node")))
+        .unionAll(tri.select(F.col("t2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    d = F.col("d")
+    t = F.coalesce(F.col("n_tri"), F.lit(0))
+    return (
+        deg.join(tn, "node", "left")
+        .select(
+            "node",
+            d.cast("bigint").alias("degree"),
+            t.cast("bigint").alias("n_triangles"),
+            F.when(
+                d >= 2,
+                (2 * t).cast("double") / (d * (d - 1)).cast("double"),
+            ).alias("lcc"),
+        )
+    )
+
+
+_EWMA_WINDOW = 16
+
+
+@query(
+    "ewma_order_price",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    w AS (
+      SELECT o_custkey, o_orderkey,
+             list(cents) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+             ) AS arr
+      FROM o)
+    SELECT o_custkey, o_orderkey,
+           CAST(len(arr) AS BIGINT) AS n_terms,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(1, len(arr) + 1),
+                  i -> arr[i] * (CASE WHEN i = 1 THEN CAST(1 AS BIGINT)
+                                 ELSE CAST(1 AS BIGINT) << (i - 2) END)
+                )), 0) AS DOUBLE)
+           / (CAST(100 AS DOUBLE)
+              * CAST(CAST(1 AS BIGINT) << (len(arr) - 1) AS DOUBLE))
+             AS ewma_price
+    FROM w
+    """,
+)
+def q_ewma_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-exact EWMA of each customer's order totals: the
+    recursive smoother y_t = x_t/2 + y_{t-1}/2 unrolled over a
+    trailing 16-term window (the oldest retained term absorbs the
+    tail weight so weights always sum to 1 — after 16 halvings the
+    dropped tail is < 2^-16 of the signal, i.e. the window IS the
+    production approximation, stated rather than hidden). alpha=1/2
+    makes every weight a power of two, so the weighted sum is
+    computed EXACTLY in scaled int64 cents (max ~2^15 * 16 * max
+    cents ~ 2^49, no overflow) and only the final normalization
+    divides — one bigint->double division, correctly rounded the
+    same in Spark and DuckDB, which is what makes a floating
+    smoother hash-matchable across engines at all (a naive running
+    double recursion diverges in the last ulp between engines).
+    Plan: one window shuffle on the customer key; the trailing
+    ROWS frame feeds an ordered collect_list whose per-row weighted
+    fold is a codegen'd array expression — no UDF, no second
+    shuffle. At 100 TB this is the standard per-entity feature
+    smoother (spend velocity, rolling engagement) and shuffles
+    once on the entity key."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-(_EWMA_WINDOW - 1), Window.currentRow)
+    )
+    arr = F.collect_list("cents").over(w)
+    witharr = o.select(
+        "o_custkey", "o_orderkey", arr.alias("arr")
+    )
+    # SQL-expr form: the Python F.shiftleft API takes only a literal
+    # bit count, but the codegen'd SQL function accepts an expression
+    num = F.expr(
+        """aggregate(
+             transform(arr, (x, i) -> x * (CASE WHEN i = 0
+                 THEN CAST(1 AS BIGINT)
+                 ELSE shiftleft(CAST(1 AS BIGINT), i - 1) END)),
+             CAST(0 AS BIGINT), (a, x) -> a + x)"""
+    )
+    denom = F.lit(100).cast("double") * F.expr(
+        "shiftleft(CAST(1 AS BIGINT), size(arr) - 1)"
+    ).cast("double")
+    return witharr.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.col("arr")).cast("bigint").alias("n_terms"),
+        (num.cast("double") / denom).alias("ewma_price"),
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS state_orderkey,
+             arg_max(o_orderstatus, o_orderkey) AS state_status
+      FROM orders GROUP BY 1, 2),
+    f AS (
+      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_orderkey % 7 = 0)
+    SELECT f.l_orderkey, f.l_linenumber, f.o_custkey,
+           f.l_shipdate AS ship_ts,
+           d.state_orderkey AS asof_state_orderkey,
+           d.state_status AS asof_state_status
+    FROM f ASOF LEFT JOIN dim d
+      ON f.o_custkey = d.o_custkey AND d.o_orderdate <= f.l_shipdate
+    """,
+)
+def q_scd2_point_in_time_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time-correct dimension join (the feature-store
+    discipline): each shipment fact picks up the customer's order
+    state AS OF the ship date — never a later version, which is the
+    leakage a naive latest-version join commits when backfilling
+    training features. Composes three pieces the engine already
+    verifies separately: version compaction (latest version per
+    (key, effective-ts) via max_by — two same-day orders collapse
+    deterministically, removing the tie ASOF semantics leave
+    undefined), a fact-enrichment equi-join (lineitem -> orders for
+    the customer key; at 100 TB this is the fact table's keyed
+    shuffle, broadcast-able when the bridge is small), and the
+    union+window as-of kernel (operators/joins.py asof_join — ONE
+    shuffle on the entity key for both sides together, no range
+    explosion, AQE handles key skew). The fact side is sharded
+    (l_orderkey % 7) exactly like the graph queries: the full join
+    is the same plan at 7x the rows."""
+    from etl_pyspark_spark.operators.joins import asof_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    dim = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("state_orderkey"),
+        F.max_by("o_orderstatus", "o_orderkey").alias("state_status"),
+    )
+    facts = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+            ),
+            "l_orderkey",
+        )
+    )
+    out = asof_join(
+        facts,
+        dim,
+        key="o_custkey",
+        left_ts="l_shipdate",
+        right_ts="o_orderdate",
+        right_cols=["state_orderkey", "state_status"],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        F.col("l_shipdate").alias("ship_ts"),
+        F.col("asof_state_orderkey"),
+        F.col("asof_state_status"),
+    )
