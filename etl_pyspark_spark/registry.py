@@ -13379,3 +13379,214 @@ def q_scd2_point_in_time_join(
         F.col("asof_state_orderkey"),
         F.col("asof_state_status"),
     )
+
+
+@query(
+    "large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                  AS DOUBLE) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 180)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total line
+    quantity clears a threshold, joined back to order and customer
+    detail — the canonical aggregate-then-rejoin shape (aggregate
+    FIRST on the fact key, semi-ish join back AFTER, never the
+    reverse: filtering post-join would drag every lineitem row
+    through both dimension joins). The HAVING cut runs map-side
+    partial aggregation on l_orderkey, the surviving key set is
+    orders-of-magnitude smaller than the fact table, and both
+    detail joins probe with it; at 100 TB the big->orders join is a
+    keyed shuffle on the order key and customer is broadcast-able.
+    Quantity sums are decimal-cast so the threshold comparison is
+    exact in both engines (doubles would disagree in the last ulp
+    exactly at the cut)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias(
+                "qty_dec"
+            )
+        )
+        .where(F.col("qty_dec") > 180)
+        .select(
+            "l_orderkey",
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST((o_orderkey % 60) + 1 AS INTEGER) AS e
+      FROM orders)
+    SELECT a.o_custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join: each order carries a
+    fulfillment window [order date, order date + 1..60 days] and the
+    query emits every same-customer pair of overlapping windows —
+    the interval-algebra join (booking conflicts, concurrent
+    validity, overlapping shifts) that neither an equi-join nor the
+    point-in-range join_range_binned expresses. Scalable shape: each
+    interval is exploded to the month bins it touches (<= 3 here,
+    bounded by max duration / bin width), pairs meet with an
+    EQUI-join on (key, bin) — never a per-key cross product — the
+    exact overlap predicate then filters bin-mates, and each
+    surviving pair is counted exactly once at the bin of the later
+    start (the standard dedup trick that makes binned interval joins
+    emit no duplicates without a distinct). Bin width tracks max
+    interval length; at 100 TB both sides shuffle once on (key, bin)
+    and skewed keys split by bin for free. concurrent_sessions_peak
+    sweeps for MAX concurrency; THIS enumerates the conflicting
+    pairs themselves."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            ((F.col("o_orderkey") % 60) + 1).cast("int"),
+        ).alias("e"),
+    )
+    binned = o.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.trunc("s", "month"),
+                F.trunc("e", "month"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("bin"),
+    )
+    a = binned.select(
+        F.col("o_custkey").alias("k"),
+        F.col("bin").alias("bin"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = binned.select(
+        F.col("o_custkey").alias("k"),
+        F.col("bin").alias("bin"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    return (
+        a.join(b, ["k", "bin"])
+        .where(
+            (F.col("order_a") < F.col("order_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+            # count each overlapping pair exactly once: at the bin
+            # that contains the later of the two starts
+            & (
+                F.col("bin")
+                == F.trunc(F.greatest("sa", "sb"), "month")
+            )
+        )
+        .select(F.col("k").alias("o_custkey"), "order_a", "order_b")
+    )
+
+
+_SNAPSHOT_TS = "1998-06-01"
+
+
+@query(
+    "cdc_snapshot_asof",
+    oracle=f"""
+    WITH log AS (
+      SELECT o_custkey AS key, o_orderkey AS change_id,
+             CAST(o_orderdate AS DATE) AS ts,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderpriority AS attr
+      FROM orders),
+    seq AS (
+      SELECT key, change_id, ts, op, attr,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY ts DESC, change_id DESC) AS rn
+      FROM log WHERE ts <= DATE '{_SNAPSHOT_TS}')
+    SELECT key AS o_custkey, change_id AS o_orderkey,
+           attr AS priority, ts AS valid_from
+    FROM seq WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q_cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a CDC change log: reconstruct the dimension's
+    live rows AS OF a cutoff — each key's latest change at or before
+    the snapshot instant wins, and a delete as the winner erases the
+    key from the snapshot entirely (the case a naive
+    latest-upsert-only replay silently resurrects). Same
+    deterministic log derivation as cdc_log_to_scd2 (every 17th
+    change is a delete); the snapshot is one filter (pushed to the
+    scan: the log store prunes change files past the cutoff) + one
+    per-key window top-1, which Spark executes as WindowGroupLimit —
+    rank state only, no per-key buffering of full history. This is
+    the batch replay of stream_cdc_upsert's continuously-maintained
+    state, and the pair (scd2 intervals for ALL time, snapshot for
+    ONE instant) is how a lakehouse reads versioned dimensions at
+    100 TB: partition by key, never materialize closed versions you
+    don't ask for."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("change_id"),
+        F.to_date("o_orderdate").alias("ts"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderpriority").alias("attr"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("change_id").desc()
+    )
+    snap = (
+        log.where(F.col("ts") <= F.lit(_SNAPSHOT_TS).cast("date"))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") == "U"))
+    )
+    return snap.select(
+        F.col("key").alias("o_custkey"),
+        F.col("change_id").alias("o_orderkey"),
+        F.col("attr").alias("priority"),
+        F.col("ts").alias("valid_from"),
+    )

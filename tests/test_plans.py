@@ -664,3 +664,55 @@ def test_stream_topk_uses_window_group_limit(spark, oracle_sf_dir):
     assert "WindowGroupLimit" in plan
     tree = tree_of(QUERIES["grouped_trimmed_mean"](spark, oracle_sf_dir))
     assert "SinglePartition" not in tree
+
+
+def test_ewma_single_shuffle_no_udf(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["ewma_order_price"](spark, oracle_sf_dir))
+    # one window shuffle on the customer key, weighted fold stays
+    # in codegen'd array expressions — no Python anywhere
+    assert tree.count("Exchange") == 1
+    assert "Python" not in tree and "BatchEvalPython" not in tree
+
+
+def test_interval_overlap_no_cartesian(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["interval_overlap_join"](spark, oracle_sf_dir))
+    # bin-exploded equi-join on (key, bin): never a per-key cross
+    # product or nested-loop fallback
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    # equi-join on (key, bin); at fixture scale the optimizer may
+    # broadcast the small side — any HASH-keyed strategy is the pin
+    assert (
+        "SortMergeJoin" in tree
+        or "ShuffledHashJoin" in tree
+        or "BroadcastHashJoin" in tree
+    )
+
+
+def test_cdc_snapshot_top1_is_group_limit(spark, oracle_sf_dir):
+    plan = plan_of(QUERIES["cdc_snapshot_asof"](spark, oracle_sf_dir))
+    # per-key latest-change selection must run as WindowGroupLimit
+    # (rank state only), not a full per-key sort + filter
+    assert "WindowGroupLimit" in plan
+    # the snapshot cutoff reaches the scan
+    assert "PushedFilters: [" in plan
+
+
+def test_large_orders_aggregates_before_joins(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["large_order_customers"](spark, oracle_sf_dir))
+    # the HAVING cut aggregates the fact table with a map-side
+    # partial phase before any join touches it
+    assert tree.count("HashAggregate") >= 2
+    agg_pos = tree.find("HashAggregate")
+    join_pos = min(
+        p
+        for p in (
+            tree.find("SortMergeJoin"),
+            tree.find("BroadcastHashJoin"),
+            tree.find("ShuffledHashJoin"),
+        )
+        if p >= 0
+    )
+    # formatted tree lists downstream operators first: the join node
+    # appears above (before) the aggregate that feeds it
+    assert join_pos < agg_pos
