@@ -13590,3 +13590,165 @@ def q_cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attr").alias("priority"),
         F.col("ts").alias("valid_from"),
     )
+
+
+_APPORTION_BUDGET = 100_000
+
+
+@query(
+    "quota_apportionment",
+    oracle=f"""
+    WITH counts AS (SELECT lang, source, count(*) AS n_docs
+                    FROM documents GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts),
+    base AS (
+      SELECT lang, source, n_docs,
+             (n_docs * {_APPORTION_BUDGET}) // total AS floor_quota,
+             (n_docs * {_APPORTION_BUDGET}) % total AS remainder
+      FROM counts, tot),
+    lo AS (SELECT CAST({_APPORTION_BUDGET} - sum(floor_quota) AS BIGINT)
+                  AS leftover FROM base),
+    ranked AS (
+      SELECT lang, source, n_docs, floor_quota, leftover,
+             row_number() OVER (ORDER BY remainder DESC, lang, source)
+               AS rk
+      FROM base, lo)
+    SELECT lang, source, n_docs,
+           CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked
+    """,
+)
+def q_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a fixed training budget
+    across (lang, source) strata: floor-proportional quotas leave
+    budget - sum(floors) slots unassigned (mixture_sampling_quota
+    stops there and under-fills), so the leftover goes one slot each
+    to the strata with the largest fractional remainders — quotas
+    now sum to the budget EXACTLY, which is the invariant a shard
+    planner downstream actually needs. All integer arithmetic
+    ((n*B) div total and (n*B) mod total — no doubles, so no
+    engine-divergent rounding anywhere), leftover is a one-row
+    broadcast, and the remainder ranking is the engine's
+    range-exchange global rank (operators/ranks.py) with a total
+    tiebreak on the stratum key — never a SinglePartition window, so
+    the same plan apportions a million strata."""
+    from etl_pyspark_spark.operators.ranks import with_global_rank
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        (F.col("n_docs") * _APPORTION_BUDGET)
+        .cast("bigint")
+        .alias("scaled"),
+        "total",
+    )
+    base = base.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.expr("scaled DIV total").cast("bigint").alias("floor_quota"),
+        (F.col("scaled") % F.col("total")).alias("remainder"),
+    )
+    lo = base.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("floor_quota"))
+        .cast("bigint")
+        .alias("leftover")
+    )
+    ranked = with_global_rank(
+        base.withColumn("neg_rem", -F.col("remainder")),
+        ["neg_rem", "lang", "source"],
+        rank_col="rk",
+    )
+    return ranked.crossJoin(F.broadcast(lo)).select(
+        "lang",
+        "source",
+        "n_docs",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+
+
+@query(
+    "time_weighted_avg_price",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS horizon
+                FROM orders),
+    held AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             GREATEST(CAST(COALESCE(
+                 lead(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+                 horizon) - CAST(o_orderdate AS DATE) AS BIGINT),
+               1) AS days_held
+      FROM orders, mx)
+    SELECT o_custkey,
+           CAST(sum(days_held) AS BIGINT) AS total_days,
+           CAST(CAST(sum(cents * days_held) AS DOUBLE)
+                / (100.0 * CAST(sum(days_held) AS DOUBLE))
+                AS DOUBLE) AS twap
+    FROM held GROUP BY 1
+    """,
+)
+def q_time_weighted_avg_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-weighted average (TWAP) of each customer's order value:
+    every order's price is 'held' from its date until the customer's
+    next order (the last one until the fixture horizon, a one-row
+    broadcast max), and the average weighs each price by its holding
+    days — the step-function integral that plain AVG gets wrong
+    whenever observations are unevenly spaced (prices, balances,
+    sensor states). Same-day successor orders clamp to 1 day so no
+    observation vanishes from the integral. Arithmetic is exact end
+    to end: integer day spans from lead() over the per-customer
+    window, int64 cents x days products summed as bigint, and ONE
+    final bigint->double division per customer — the idiom that
+    lets a weighted mean hash-match across engines. One window
+    shuffle on the customer key feeding the same-keyed groupBy
+    (Spark reuses the partitioning: no second exchange)."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("horizon"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    held = (
+        o.crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.greatest(
+                F.datediff(
+                    F.coalesce(
+                        F.lead(F.to_date("o_orderdate")).over(w),
+                        F.col("horizon"),
+                    ),
+                    F.to_date("o_orderdate"),
+                ).cast("bigint"),
+                F.lit(1).cast("bigint"),
+            ).alias("days_held"),
+        )
+    )
+    return held.groupBy("o_custkey").agg(
+        F.sum("days_held").cast("bigint").alias("total_days"),
+        (
+            F.sum(F.col("cents") * F.col("days_held")).cast("double")
+            / (F.lit(100.0) * F.sum("days_held").cast("double"))
+        ).alias("twap"),
+    )

@@ -441,3 +441,23 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, lefts, rights, tol):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+def test_apportionment_sums_to_budget_exactly(spark):
+    """Largest-remainder quotas must hit the budget exactly — the
+    invariant floor-proportional allocation (mixture_sampling_quota)
+    cannot provide — and never differ from a stratum's floor by more
+    than one slot."""
+    from etl_pyspark_spark.registry import (
+        _APPORTION_BUDGET,
+        QUERIES,
+    )
+
+    rows = QUERIES["quota_apportionment"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sum(r.quota for r in rows) == _APPORTION_BUDGET
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        floor_q = r.n_docs * _APPORTION_BUDGET // total
+        assert r.quota in (floor_q, floor_q + 1)
