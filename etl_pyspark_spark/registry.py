@@ -13752,3 +13752,181 @@ def q_time_weighted_avg_price(
             / (F.lit(100.0) * F.sum("days_held").cast("double"))
         ).alias("twap"),
     )
+
+
+@query(
+    "cusum_change_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1),
+    dev AS (
+      SELECT d.event_type, d.day,
+             sum(d.n * t.n_days - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily d JOIN tot t ON t.event_type = d.event_type),
+    peak AS (
+      SELECT event_type, CAST(max(abs(s)) AS BIGINT) AS cusum_max
+      FROM dev GROUP BY 1)
+    SELECT d.event_type, p.cusum_max, min(d.day) AS change_day
+    FROM dev d JOIN peak p
+      ON p.event_type = d.event_type AND abs(d.s) = p.cusum_max
+    GROUP BY 1, 2
+    """,
+)
+def q_cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan per event type: the cumulative
+    deviation of daily counts from the type's mean rate peaks at the
+    day the rate shifted — the classic drift locator
+    (chisq_event_type_drift asks WHETHER two halves differ; THIS
+    finds WHERE the level changed, per type). Exactness trick: the
+    deviation (n_i - total/n_days) is scaled by n_days so the
+    running statistic is Σ(n_i*D - N) — pure bigint, no division
+    ever, so the argmax day can't flip on an engine's last-ulp
+    disagreement. One keyed window cumsum + one groupBy on the same
+    key (partitioning reused, no extra exchange); ties on the peak
+    resolve to the earliest day. At 100 TB the daily pre-aggregate
+    is the only pass over raw events."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        F.sum(
+            F.col("n") * F.col("n_days") - F.col("total")
+        )
+        .over(w)
+        .alias("s"),
+    )
+    peak = dev.groupBy("event_type").agg(
+        F.max(F.abs(F.col("s"))).cast("bigint").alias("cusum_max")
+    )
+    return (
+        dev.join(peak, "event_type")
+        .where(F.abs(F.col("s")) == F.col("cusum_max"))
+        .groupBy("event_type", "cusum_max")
+        .agg(F.min("day").alias("change_day"))
+        .select("event_type", "cusum_max", "change_day")
+    )
+
+
+@query(
+    "clamped_running_balance",
+    oracle="""
+    WITH flows AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT)
+               * (CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE -1 END)
+               AS flow,
+             l_shipdate
+      FROM lineitem WHERE l_orderkey % 7 = 0),
+    s1 AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+             sum(flow) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM flows),
+    s AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, cum,
+             min(cum) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum_min
+      FROM s1)
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           CAST(cum - LEAST(CAST(0 AS BIGINT), cum_min) AS BIGINT)
+             AS balance
+    FROM s
+    """,
+)
+def q_clamped_running_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Floor-clamped running stock balance per part: receipts add,
+    issues subtract, and the level can never go below zero —
+    b_t = max(0, b_{t-1} + x_t), the recurrence every inventory,
+    credit-limit, and token-bucket ledger runs. The recurrence is
+    non-associative, so the naive implementation is a sequential
+    per-key scan (or a per-key UDAF loop); the engine instead uses
+    the prefix closed form b_t = S_t - min(0, min_{k<=t} S_k) — two
+    stacked window passes over the SAME (key, order) partitioning
+    (cumulative sum, then running min of it), which Spark executes
+    in one shuffle with both Window operators pipelined. Bigint
+    quantities end to end, so the clamp point is exact in both
+    engines. The same two-window trick linearizes any
+    max/min-clamped prefix recurrence at 100 TB — no
+    applyInPandas, no iteration."""
+    from pyspark.sql.window import Window
+
+    flows = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("l_quantity").cast("bigint")
+                * F.when(F.col("l_orderkey") % 2 == 0, 1).otherwise(-1)
+            ).alias("flow"),
+            "l_shipdate",
+        )
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = flows.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.sum("flow").over(w).alias("cum"),
+    )
+    s = s.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "cum",
+        F.min("cum")
+        .over(
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum_min"),
+    )
+    return s.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("cum")
+            - F.least(F.lit(0).cast("bigint"), F.col("cum_min"))
+        )
+        .cast("bigint")
+        .alias("balance"),
+    )

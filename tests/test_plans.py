@@ -716,3 +716,11 @@ def test_large_orders_aggregates_before_joins(spark, oracle_sf_dir):
     # formatted tree lists downstream operators first: the join node
     # appears above (before) the aggregate that feeds it
     assert join_pos < agg_pos
+
+
+def test_clamped_balance_single_shuffle(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["clamped_running_balance"](spark, oracle_sf_dir))
+    # both window passes share one (key, order) partitioning: the
+    # linearized clamp recurrence costs exactly one exchange
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") >= 2

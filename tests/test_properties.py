@@ -461,3 +461,43 @@ def test_apportionment_sums_to_budget_exactly(spark):
     for r in rows:
         floor_q = r.n_docs * _APPORTION_BUDGET // total
         assert r.quota in (floor_q, floor_q + 1)
+
+
+def test_clamped_balance_matches_sequential_recurrence(spark):
+    """The two-window closed form b_t = S_t - min(0, min_{k<=t} S_k)
+    must equal the direct sequential recurrence b_t = max(0,
+    b_{t-1} + x_t) — checked per key against a Python replay of the
+    same deterministic flows."""
+    from etl_pyspark_spark.registry import QUERIES
+    from etl_pyspark_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    from collections import Counter
+
+    sf = "/root/testdata/sf0.001"
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture (dup
+    # line keys with different shipdates exist), so compare the
+    # engine output as a multiset of (key, balance) tuples
+    got = Counter(
+        (r.l_partkey, r.l_orderkey, r.l_linenumber, r.balance)
+        for r in QUERIES["clamped_running_balance"](spark, sf).collect()
+    )
+    rows = (
+        read_table(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_partkey", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_shipdate",
+        )
+        .collect()
+    )
+    by_key: dict = {}
+    want: Counter = Counter()
+    for r in sorted(
+        rows, key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber)
+    ):
+        flow = int(r.l_quantity) * (1 if r.l_orderkey % 2 == 0 else -1)
+        b = max(0, by_key.get(r.l_partkey, 0) + flow)
+        by_key[r.l_partkey] = b
+        want[(r.l_partkey, r.l_orderkey, r.l_linenumber, b)] += 1
+    assert got == want
