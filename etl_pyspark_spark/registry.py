@@ -13930,3 +13930,204 @@ def q_clamped_running_balance(
         .cast("bigint")
         .alias("balance"),
     )
+
+
+def _entity_resolution_oracle() -> str:
+    from etl_pyspark_spark.dedup.components import (
+        sql_components_over_pairs,
+    )
+
+    return (
+        """WITH RECURSIVE
+    fpairs AS (
+      SELECT a.c_custkey AS doc_id_a, b.c_custkey AS doc_id_b
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    """
+        + sql_components_over_pairs("fpairs", final_name="labels")
+        + """,
+    assigned AS (
+      SELECT c.c_custkey,
+             COALESCE(l.component_id, c.c_custkey) AS entity_id
+      FROM customer c LEFT JOIN labels l ON l.doc_id = c.c_custkey),
+    clusters AS (
+      SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+             list(c_custkey ORDER BY c_custkey) AS member_keys
+      FROM assigned GROUP BY 1)
+    SELECT k.entity_id, cc.c_name AS canonical_name,
+           k.n_records, k.member_keys
+    FROM clusters k JOIN customer cc ON cc.c_custkey = k.entity_id
+    WHERE k.n_records > 1
+    """
+    )
+
+
+@query("entity_resolution_clusters", oracle=_entity_resolution_oracle())
+def q_entity_resolution_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching ->
+    transitive closure -> canonical record — the full master-data
+    chain, composed from pieces the engine verifies separately
+    (fuzzy_name_match_blocked generates in-block edit-distance<=1
+    edges, dedup/components.py hash-min propagation labels the
+    match graph, and the minimum member key IS the canonical id by
+    construction of the labeling, so canonical selection costs one
+    join instead of a min_by pass). Transitivity is the part a plain
+    pairwise match gets wrong: A~B and B~C must land A, B, C in ONE
+    entity even when A and C don't match directly — exactly what
+    the recursive-CTE oracle replays. Blocking keeps candidate
+    generation off the O(n^2) cliff; the propagation loop's shuffles
+    are keyed on node id with per-round lineage truncation. Emits
+    only multi-record entities (the interesting ones) with their
+    sorted member list."""
+    from etl_pyspark_spark.dedup.components import connected_components
+
+    cust = read_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    pairs = (
+        a.join(b, ["nk", "blk"])
+        .where(F.col("custkey_a") < F.col("custkey_b"))
+        .where(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1)
+        .select("custkey_a", "custkey_b")
+    )
+    labels = connected_components(
+        pairs, src="custkey_a", dst="custkey_b"
+    )
+    assigned = (
+        cust.select("c_custkey")
+        .join(
+            labels.select(
+                F.col("doc_id").alias("c_custkey"),
+                F.col("component_id"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce("component_id", "c_custkey").alias("entity_id"),
+        )
+    )
+    clusters = (
+        assigned.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.array_sort(F.collect_list("c_custkey")).alias(
+                "member_keys"
+            ),
+        )
+        .where(F.col("n_records") > 1)
+    )
+    canon = cust.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("canonical_name"),
+    )
+    return clusters.join(canon, "entity_id").select(
+        "entity_id", "canonical_name", "n_records", "member_keys"
+    )
+
+
+@query(
+    "score_decile_lift",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, value,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 1 ELSE 0 END AS label
+      FROM events WHERE value IS NOT NULL),
+    t AS (SELECT label,
+                 ntile(10) OVER (ORDER BY value DESC, event_id)
+                   AS decile
+          FROM s),
+    d AS (SELECT decile,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(label) AS BIGINT) AS n_pos
+          FROM t GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+                 CAST(sum(n_pos) AS BIGINT) AS tot_pos
+          FROM d)
+    SELECT decile, n, n_pos,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+           CAST(n_pos * tot_n AS DOUBLE)
+             / CAST(n * tot_pos AS DOUBLE) AS lift,
+           CAST(sum(n_pos) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(tot_pos AS DOUBLE) AS cum_gain
+    FROM d, g
+    """,
+)
+def q_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for the classifier-eval family
+    (roc_auc_exact ranks globally, score_calibration_bins checks
+    probability honesty; THIS is the campaign-targeting readout:
+    how concentrated are the positives in the top score deciles).
+    Deciles come from operators/ranks.with_global_ntile over
+    (score DESC, event_id) — range exchange, never a
+    SinglePartition ntile over the full table; the per-decile
+    rollup is 10 rows, so the cumulative-gain window over it is
+    bounded by construction (k=10 rows regardless of corpus size —
+    an unpartitioned frame over a CONSTANT-size aggregate is the
+    one place it's legitimate). lift = pos_d*N / (n_d*P) and both
+    rates divide integers once into doubles — identically rounded
+    in both engines."""
+    from etl_pyspark_spark.operators.ranks import with_global_ntile
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    s = ev.select(
+        "event_id",
+        (-F.col("value")).alias("neg_value"),
+        F.col("event_type")
+        .isin("purchase", "signup")
+        .cast("int")
+        .alias("label"),
+    )
+    t = with_global_ntile(
+        s, ["neg_value", "event_id"], 10, tile_col="decile"
+    )
+    d = t.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )
+    g = d.agg(
+        F.sum("n").cast("bigint").alias("tot_n"),
+        F.sum("n_pos").cast("bigint").alias("tot_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.crossJoin(F.broadcast(g))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+            .alias("pos_rate"),
+            (
+                (F.col("n_pos") * F.col("tot_n")).cast("double")
+                / (F.col("n") * F.col("tot_pos")).cast("double")
+            ).alias("lift"),
+            (
+                F.sum("n_pos").over(w).cast("double")
+                / F.col("tot_pos").cast("double")
+            ).alias("cum_gain"),
+        )
+    )
