@@ -14131,3 +14131,163 @@ def q_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_gain"),
         )
     )
+
+
+def _dedup_impact_oracle() -> str:
+    from etl_pyspark_spark.dedup.components import (
+        sql_components_over_pairs,
+    )
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_minhash_pairs,
+        sql_shingles_cte,
+    )
+
+    toks = _WS_TOKENS_SQL.format(col="d.text")
+    return (
+        "WITH RECURSIVE "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + ", "
+        + sql_components_over_pairs("pairs", final_name="comp")
+        + f""",
+    flagged AS (
+      SELECT d.source,
+             CASE WHEN d.text IS NULL THEN 0
+                  ELSE len({toks}) END AS n_tokens,
+             (c.doc_id IS NULL OR c.component_id = d.doc_id) AS kept
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(sum(n_tokens) FILTER (WHERE kept), 0)
+                AS BIGINT) AS n_tokens_kept
+    FROM flagged GROUP BY source
+    """
+    )
+
+
+@query("dedup_impact_by_source", oracle=_dedup_impact_oracle())
+def q_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup impact accounting: document and TOKEN counts
+    before vs after near-dup collapse (keep the min-id member of
+    each MinHash-LSH cluster, i.e. the component label itself) — the
+    mixture-planner readout that says how much of each source's
+    token mass dedup actually removes, which is what re-weights the
+    training mixture after cleaning (source_overlap_matrix says who
+    copies whom; THIS says what's left). Rides the session-shared
+    pair/component stages (dedup/shared.py), so the marginal cost is
+    one slim left join of the tiny cluster table against the corpus
+    projection and a per-source rollup; token counts are exact
+    whitespace-token cardinalities (functions/text.ws_tokens), kept
+    as bigints end to end."""
+    from etl_pyspark_spark.dedup.shared import dup_components
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(ws_tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    comp = dup_components(spark, sf_dir)
+    flagged = docs.join(comp, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        (
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        ).alias("kept"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("kept").cast("bigint"))
+        .cast("bigint")
+        .alias("n_docs_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+    )
+
+
+@query(
+    "bitemporal_snapshot",
+    oracle=f"""
+    WITH log AS (
+      SELECT o_custkey AS key, o_orderkey AS change_id,
+             CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 30 AS INTEGER) AS tx_from,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderpriority AS attr
+      FROM orders),
+    vis AS (
+      SELECT key, change_id, valid_from, op, attr,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY valid_from DESC,
+                                         change_id DESC) AS rn
+      FROM log
+      WHERE tx_from <= DATE '{_SNAPSHOT_TS}'
+        AND valid_from <= DATE '{_SNAPSHOT_TS}')
+    SELECT key AS o_custkey, change_id AS o_orderkey,
+           attr AS priority, valid_from
+    FROM vis WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q_bitemporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal snapshot: the dimension AS THE SYSTEM KNEW IT at a
+    transaction-time cutoff, valid AS OF a business-time instant —
+    the reproducibility discipline behind 'rebuild last month's
+    features exactly as the pipeline saw them', where
+    cdc_snapshot_asof answers only the business-time half. Each
+    change here lands late by a deterministic 0-29 day ingestion
+    delay (tx_from = valid_from + orderkey%30), so changes already
+    VALID at the cutoff but not yet ARRIVED are invisible — the
+    rows a valid-time-only replay silently (and wrongly) includes;
+    diffing this result against cdc_snapshot_asof measures exactly
+    that late-data exposure. Mechanics stay scan-friendly: both
+    temporal predicates are pushed-down filters, then the same
+    per-key WindowGroupLimit top-1 on (valid_from, change_id) with
+    delete-wins semantics; a lakehouse at 100 TB runs this as one
+    partition-pruned pass over the change files dated <= the tx
+    cutoff."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_SNAPSHOT_TS).cast("date")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("change_id"),
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.col("o_orderkey") % 30).cast("int"),
+        ).alias("tx_from"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderpriority").alias("attr"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("valid_from").desc(), F.col("change_id").desc()
+    )
+    vis = (
+        log.where(
+            (F.col("tx_from") <= cutoff)
+            & (F.col("valid_from") <= cutoff)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") == "U"))
+    )
+    return vis.select(
+        F.col("key").alias("o_custkey"),
+        F.col("change_id").alias("o_orderkey"),
+        F.col("attr").alias("priority"),
+        "valid_from",
+    )
