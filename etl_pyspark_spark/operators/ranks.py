@@ -227,3 +227,55 @@ def with_global_cumsum(
         )
         .drop("_pid", "_mid", "_offset", "_minmid")
     )
+
+
+def with_global_cummax(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    cummax_col: str = "cummax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running MAX of ``value_col`` (bigint) in ``order_cols``
+    order — the watermark accumulator: Structured Streaming's
+    event-time watermark IS a running max over arrival order minus a
+    delay. Same distributed shape as ``with_global_cumsum``: range
+    exchange on the order key, per-partition running max windowed BY
+    PARTITION ID, and each partition folds in the exclusive prefix
+    max of all earlier partitions (a |partitions|-row driver fold
+    broadcast back — never row data, never SinglePartition).
+    ``F.greatest`` skips the NULL prefix of the first partition."""
+    part = _range_partitioned(df, order_cols, num_partitions)
+    rows = (
+        part.groupBy("_pid")
+        .agg(F.max(value_col).alias("_mx"), F.min("_mid").alias("_m"))
+        .collect()
+    )
+    stats, run = [], None
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        stats.append((int(r["_pid"]), run, int(r["_m"])))
+        v = r["_mx"]
+        run = v if run is None or (v is not None and v > run) else run
+    if not stats:
+        stats = [(0, None, 0)]
+    dim = F.broadcast(
+        df.sparkSession.createDataFrame(
+            stats, "_pid int, _premax bigint, _minmid bigint"
+        )
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(dim, "_pid")
+        .withColumn(
+            cummax_col,
+            F.greatest(
+                F.max(value_col).over(w).cast("bigint"),
+                F.col("_premax"),
+            ),
+        )
+        .drop("_pid", "_mid", "_premax", "_minmid")
+    )

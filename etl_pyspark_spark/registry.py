@@ -14291,3 +14291,78 @@ def q_bitemporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attr").alias("priority"),
         "valid_from",
     )
+
+
+_WM_DELAY_US = 3 * 3600 * 1_000_000
+
+
+@query(
+    "watermark_lateness_audit",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id, event_type, epoch_us(ts) AS tus,
+             epoch_us(ts) + (event_id % 7) * 3600000000 AS arr_us
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    w AS (
+      SELECT event_type, tus,
+             max(tus) OVER (ORDER BY arr_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS mx
+      FROM a)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE tus < mx - {_WM_DELAY_US})
+                AS BIGINT) AS n_late,
+           CAST(COALESCE(max(mx - {_WM_DELAY_US} - tus) FILTER (
+                  WHERE tus < mx - {_WM_DELAY_US}), 0) AS BIGINT)
+             AS max_lateness_us
+    FROM w GROUP BY 1
+    """,
+)
+def q_watermark_lateness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark policy simulation on historical data: replay events
+    in a deterministic ARRIVAL order (event time + a 0-6h per-event
+    ingestion jitter), maintain the running event-time max exactly
+    as Structured Streaming's watermark does, and count per type how
+    many rows a 3-hour watermark would have dropped and how stale
+    the worst straggler was — the number you need BEFORE picking a
+    production watermark delay (too tight drops data, too loose
+    bloats state; the streaming queries here size their own
+    watermarks from exactly this distribution). The running max over
+    the GLOBAL arrival order is the scale problem: an unpartitioned
+    window serializes, so it runs through
+    operators/ranks.with_global_cummax — range exchange on arrival
+    key, per-partition running max, exclusive prefix-max folded in
+    from a broadcast |partitions|-row dim. A row is late iff its
+    event time trails the inclusive running max by more than the
+    delay (inclusive == exclusive here: a row can never make ITSELF
+    late). Microsecond bigint arithmetic end to end."""
+    from etl_pyspark_spark.operators.ranks import with_global_cummax
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    a = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        (
+            F.unix_micros("ts")
+            + (F.col("event_id") % 7) * 3_600_000_000
+        ).alias("arr_us"),
+    )
+    w = with_global_cummax(
+        a, ["arr_us", "event_id"], "tus", cummax_col="mx"
+    )
+    late = F.col("tus") < F.col("mx") - _WM_DELAY_US
+    lateness = F.col("mx") - _WM_DELAY_US - F.col("tus")
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(late.cast("bigint")).cast("bigint").alias("n_late"),
+        F.coalesce(
+            F.max(F.when(late, lateness)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("max_lateness_us"),
+    )

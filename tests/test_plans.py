@@ -724,3 +724,10 @@ def test_clamped_balance_single_shuffle(spark, oracle_sf_dir):
     # linearized clamp recurrence costs exactly one exchange
     assert tree.count("Exchange") == 1
     assert tree.count("Window") >= 2
+
+
+def test_watermark_audit_never_single_partition(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["watermark_lateness_audit"](spark, oracle_sf_dir))
+    # the global running max must run as range exchange + per-pid
+    # windows, never an unpartitioned (SinglePartition) window
+    assert "SinglePartition" not in tree
