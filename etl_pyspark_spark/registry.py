@@ -14366,3 +14366,113 @@ def q_watermark_lateness_audit(
         .cast("bigint")
         .alias("max_lateness_us"),
     )
+
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_generalize",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal / 100) AS BIGINT) AS b100,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS b1000
+      FROM customer),
+    c0 AS (
+      SELECT *, count(*) OVER (PARTITION BY c_mktsegment, b100) AS n0
+      FROM base),
+    c1 AS (
+      SELECT *, count(*) OVER (PARTITION BY c_mktsegment, b1000) AS n1
+      FROM c0 WHERE n0 < {_KANON_K}),
+    lvl0 AS (
+      SELECT c_mktsegment, 0 AS level, b100 AS band_key,
+             CAST(count(*) AS BIGINT) AS n_records
+      FROM c0 WHERE n0 >= {_KANON_K} GROUP BY 1, 3),
+    lvl1 AS (
+      SELECT c_mktsegment, 1 AS level, b1000 AS band_key,
+             CAST(count(*) AS BIGINT) AS n_records
+      FROM c1 WHERE n1 >= {_KANON_K} GROUP BY 1, 3),
+    lvl2 AS (
+      SELECT c_mktsegment, 2 AS level, CAST(-1 AS BIGINT) AS band_key,
+             CAST(count(*) AS BIGINT) AS n_records
+      FROM c1 WHERE n1 < {_KANON_K} GROUP BY 1)
+    SELECT * FROM lvl0
+    UNION ALL SELECT * FROM lvl1
+    UNION ALL SELECT * FROM lvl2
+    """,
+)
+def q_k_anonymity_generalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-anonymity ENFORCEMENT by local recoding (k_anonymity_audit
+    only measures; this fixes): records whose (segment, $100
+    balance band) equivalence class has fewer than k=5 members
+    escalate up a generalization ladder — $1000 bands, then the
+    fully suppressed band — and each record settles at the FIRST
+    level where its class clears k (level-2 classes keep whatever
+    is left: segment-only classes are large by construction, the
+    ladder's terminal catch-all). Local recoding beats full-domain
+    generalization on information loss: records in already-large
+    classes keep their fine bands. Mechanics: one keyed window
+    count per ladder level over only the records still escalating
+    (the candidate set shrinks each level, like k-core's peel), a
+    final per-class rollup per level, unioned. Bands are
+    floor(balance/step) — exact on both engines because balances
+    are 2-decimal values away from band boundaries by >> 1 ulp.
+    Emits the anonymized equivalence classes with their sizes."""
+    from pyspark.sql.window import Window
+
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("b100"),
+        F.floor(F.col("c_acctbal") / 1000)
+        .cast("bigint")
+        .alias("b1000"),
+    )
+    c0 = base.withColumn(
+        "n0",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("c_mktsegment", "b100")
+        ),
+    )
+    kept0 = (
+        c0.where(F.col("n0") >= _KANON_K)
+        .groupBy("c_mktsegment", F.col("b100").alias("band_key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+        .select(
+            "c_mktsegment",
+            F.lit(0).alias("level"),
+            "band_key",
+            "n_records",
+        )
+    )
+    c1 = c0.where(F.col("n0") < _KANON_K).withColumn(
+        "n1",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("c_mktsegment", "b1000")
+        ),
+    )
+    kept1 = (
+        c1.where(F.col("n1") >= _KANON_K)
+        .groupBy("c_mktsegment", F.col("b1000").alias("band_key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+        .select(
+            "c_mktsegment",
+            F.lit(1).alias("level"),
+            "band_key",
+            "n_records",
+        )
+    )
+    lvl2 = (
+        c1.where(F.col("n1") < _KANON_K)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+        .select(
+            "c_mktsegment",
+            F.lit(2).alias("level"),
+            F.lit(-1).cast("bigint").alias("band_key"),
+            "n_records",
+        )
+    )
+    return kept0.unionByName(kept1).unionByName(lvl2)
