@@ -14476,3 +14476,133 @@ def q_k_anonymity_generalize(
         )
     )
     return kept0.unionByName(kept1).unionByName(lvl2)
+
+
+@query(
+    "percent_of_parent_rollup",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+               AS rev_dec
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2),
+    reg AS (SELECT region, sum(rev_dec) AS reg_dec FROM rev GROUP BY 1),
+    tot AS (SELECT sum(rev_dec) AS tot_dec FROM rev)
+    SELECT v.region, v.nation,
+           CAST(v.rev_dec AS DOUBLE) AS nation_revenue,
+           CAST(CAST(v.rev_dec AS DOUBLE) / CAST(g.reg_dec AS DOUBLE)
+                AS DOUBLE) AS share_of_region,
+           CAST(CAST(g.reg_dec AS DOUBLE) / CAST(t.tot_dec AS DOUBLE)
+                AS DOUBLE) AS region_share_of_total
+    FROM rev v JOIN reg g ON g.region = v.region, tot t
+    """,
+)
+def q_percent_of_parent_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Percent-of-parent hierarchical report: each nation's revenue
+    share WITHIN its region, and each region's share of the world —
+    the drill-down ratio pair every BI rollup renders
+    (market_share_ratio slices by year; THIS walks the geo
+    hierarchy). Revenue aggregates once at the leaf level
+    (decimal-exact sums); the region and grand totals re-aggregate
+    the TINY leaf table (|nations| rows), so the parent totals are
+    broadcast joins, never a window over the fact table and never a
+    second fact scan. Ratios are decimal->double casts divided
+    once — identical IEEE rounding on both engines. At 100 TB the
+    only fact-table pass is the leaf aggregation; everything above
+    it is metadata-sized."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    rev = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(n, n["n_nationkey"] == c["c_nationkey"])
+        .join(r, r["r_regionkey"] == n["n_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (1 - F.col("l_discount").cast("decimal(18,6)"))
+            ).alias("rev_dec")
+        )
+    )
+    reg = rev.groupBy("region").agg(
+        F.sum("rev_dec").alias("reg_dec")
+    )
+    tot = rev.agg(F.sum("rev_dec").alias("tot_dec"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("rev_dec").cast("double").alias("nation_revenue"),
+            (
+                F.col("rev_dec").cast("double")
+                / F.col("reg_dec").cast("double")
+            ).alias("share_of_region"),
+            (
+                F.col("reg_dec").cast("double")
+                / F.col("tot_dec").cast("double")
+            ).alias("region_share_of_total"),
+        )
+    )
+
+
+@query(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY 1)
+    SELECT day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+)
+def q_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative-distinct growth curve: users ever seen by each day
+    — the audience-growth readout that naive COUNT(DISTINCT) per
+    cumulative window recomputes quadratically. The linear-cost
+    identity: a user contributes exactly once, at their FIRST
+    event day, so cumulative distinct = running sum of first-seen
+    counts — one groupBy(user) min, one daily rollup, and a running
+    total over the (tiny, bounded-by-calendar) day table via
+    operators/ranks.with_global_cumsum — never a distinct inside a
+    window, never SinglePartition. cohort_retention slices the same
+    first-seen table by cohort; THIS is its running-total face."""
+    from etl_pyspark_spark.operators.ranks import with_global_cumsum
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    return with_global_cumsum(
+        daily, ["day"], "n_new", "cum_users"
+    ).select("day", "n_new", F.col("cum_users").cast("bigint"))
