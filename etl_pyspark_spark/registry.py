@@ -14606,3 +14606,92 @@ def q_cumulative_distinct_users(
     return with_global_cumsum(
         daily, ["day"], "n_new", "cum_users"
     ).select("day", "n_new", F.col("cum_users").cast("bigint"))
+
+
+_DECAY_WEEKS = 8
+
+
+@query(
+    "decayed_leaderboard",
+    oracle=f"""
+    WITH mx AS (SELECT max(CAST(l_shipdate AS DATE)) AS horizon
+                FROM lineitem),
+    wk AS (
+      SELECT l_partkey,
+             CAST((horizon - CAST(l_shipdate AS DATE)) // 7
+                  AS BIGINT) AS age_w,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem, mx
+      WHERE CAST(l_shipdate AS DATE) > horizon - {7 * _DECAY_WEEKS}),
+    scored AS (
+      SELECT l_partkey,
+             sum(qty * (CAST(1 AS BIGINT)
+                        << ({_DECAY_WEEKS - 1} - age_w))) AS score_scaled
+      FROM wk GROUP BY 1)
+    SELECT l_partkey, CAST(score_scaled AS BIGINT) AS score_scaled,
+           CAST(CAST(score_scaled AS DOUBLE)
+                / {1 << (_DECAY_WEEKS - 1)} AS DOUBLE) AS decayed_qty
+    FROM scored
+    ORDER BY score_scaled DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed top-20 parts by shipped quantity: each week of
+    age halves a shipment's weight (half-life = 1 week over an
+    8-week horizon) — the trending-items ranking that a plain
+    total-count leaderboard gets wrong the moment demand shifts.
+    Dyadic decay is what makes it hash-matchable: weights are
+    2^-age, so scores accumulate EXACTLY as bigint
+    (qty << (7 - age_w)) and the single display division by 2^7
+    happens once, after aggregation (the same exactness trick as
+    ewma_order_price, applied to ranking). The horizon here is
+    computed from the data (1-row broadcast max), so the 8-week cut
+    is a post-scan filter against that broadcast row; a production
+    run passes the cutoff as a LITERAL and the same predicate then
+    partition-prunes the scan to 8 weeks of files. The score is one
+    map-side-combined groupBy, and the top-20 runs as
+    TakeOrderedAndProject with the partkey tiebreak — never a
+    global sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max(F.to_date("l_shipdate")).alias("horizon")
+    )
+    wk = (
+        li.crossJoin(F.broadcast(mx))
+        .where(
+            F.to_date("l_shipdate")
+            > F.date_sub(F.col("horizon"), 7 * _DECAY_WEEKS)
+        )
+        .select(
+            "l_partkey",
+            F.floor(
+                F.datediff(F.col("horizon"), F.to_date("l_shipdate"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("age_w"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    scored = wk.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("qty")
+            * F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"{_DECAY_WEEKS - 1} - age_w)"
+            )
+        ).alias("score_scaled")
+    )
+    return (
+        scored.select(
+            "l_partkey",
+            F.col("score_scaled").cast("bigint").alias("score_scaled"),
+            (
+                F.col("score_scaled").cast("double")
+                / F.lit(float(1 << (_DECAY_WEEKS - 1)))
+            ).alias("decayed_qty"),
+        )
+        .orderBy(F.col("score_scaled").desc(), "l_partkey")
+        .limit(20)
+    )

@@ -731,3 +731,9 @@ def test_watermark_audit_never_single_partition(spark, oracle_sf_dir):
     # the global running max must run as range exchange + per-pid
     # windows, never an unpartitioned (SinglePartition) window
     assert "SinglePartition" not in tree
+
+
+def test_decayed_leaderboard_is_top_n(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["decayed_leaderboard"](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in tree  # top-20, never global sort
+    assert "Sort " not in tree
