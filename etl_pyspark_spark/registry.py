@@ -14695,3 +14695,55 @@ def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_scaled").desc(), "l_partkey")
         .limit(20)
     )
+
+
+@query(
+    "multimodal_exact_dedup",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, md5(text) AS checksum,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE text IS NOT NULL)
+    SELECT checksum,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST((count(*) - 1) * min(n_bytes) AS BIGINT)
+             AS wasted_bytes
+    FROM a GROUP BY checksum
+    """,
+)
+def q_multimodal_exact_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact byte-level dedup of the multimodal asset lake — the
+    cheap first pass that runs BEFORE perceptual hashing
+    (multimodal_phash_dedup finds near-dups among whatever survives
+    THIS): group assets by payload checksum, keep the min-id copy,
+    report the bytes any duplicates waste (every group is emitted,
+    like dedup_exact — this fixture's duplicates are near-dups, so
+    groups are singletons here and wasted_bytes is 0). The checksum is the md5
+    the asset table already carries (multimodal/assets.py:55 — the
+    bytes never cross into Python; identical copies of an image or
+    audio blob collapse regardless of filename or metadata), so at
+    100 TB this is one map-side-combined groupBy on a 16-byte key
+    over checksums computed at INGEST time — the dedup itself never
+    rereads payloads. wasted_bytes uses min(n_bytes): within a
+    checksum group all payloads are byte-identical by definition."""
+    from etl_pyspark_spark.multimodal.assets import with_payload
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    assets = with_payload(docs)
+    return (
+        assets.groupBy("checksum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+            (
+                (F.count(F.lit(1)) - 1) * F.min("n_bytes")
+            )
+            .cast("bigint")
+            .alias("wasted_bytes"),
+        )
+    )
