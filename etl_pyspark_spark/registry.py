@@ -14747,3 +14747,78 @@ def q_multimodal_exact_dedup(
             .alias("wasted_bytes"),
         )
     )
+
+
+@query(
+    "longest_daily_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT o_custkey,
+             CAST(o_orderdate AS DATE) AS day
+      FROM orders),
+    grp AS (
+      SELECT o_custkey, day,
+             CAST(day - DATE '1970-01-01' AS BIGINT)
+               - row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY day) AS g
+      FROM days),
+    streaks AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS len,
+             min(day) AS streak_start
+      FROM grp GROUP BY o_custkey, g)
+    SELECT o_custkey,
+           max(len) AS longest_streak,
+           min(streak_start) FILTER (
+             WHERE len = (SELECT max(s2.len) FROM streaks s2
+                          WHERE s2.o_custkey = streaks.o_custkey))
+             AS streak_start
+    FROM streaks GROUP BY o_custkey
+    """,
+)
+def q_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE order days per customer — the
+    gaps-and-islands idiom in its row_number-difference form:
+    day_number - row_number() is constant exactly within a
+    consecutive run (sessionize_events builds islands from
+    lag+cumsum gap flags; THIS is the arithmetic twin that needs no
+    gap threshold), so streaks fall out of one groupBy on the
+    derived constant. Two window-free-able shuffles total, both
+    keyed on the customer: the per-key row_number window and the
+    (key, group) rollup reuse one partitioning. Day arithmetic is
+    integer days-since-epoch — no timestamp subtraction ulp risk.
+    Earliest streak wins the start-date tiebreak when several runs
+    share the max length."""
+    from pyspark.sql.window import Window
+
+    days = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    grp = days.select(
+        "o_custkey",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            - F.row_number().over(w)
+        ).alias("g"),
+    )
+    streaks = grp.groupBy("o_custkey", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    best = streaks.groupBy("o_custkey").agg(
+        F.max("len").alias("longest_streak")
+    )
+    return (
+        streaks.join(best, "o_custkey")
+        .where(F.col("len") == F.col("longest_streak"))
+        .groupBy("o_custkey", "longest_streak")
+        .agg(F.min("streak_start").alias("streak_start"))
+        .select("o_custkey", "longest_streak", "streak_start")
+    )
