@@ -14822,3 +14822,133 @@ def q_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("streak_start").alias("streak_start"))
         .select("o_custkey", "longest_streak", "streak_start")
     )
+
+
+def _release_card_oracle() -> str:
+    from etl_pyspark_spark.dedup.components import (
+        sql_components_over_pairs,
+    )
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_minhash_pairs,
+        sql_shingles_cte,
+    )
+
+    toks = _WS_TOKENS_SQL.format(col="d.text")
+    return (
+        "WITH RECURSIVE "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + ", "
+        + sql_components_over_pairs("pairs", final_name="comp")
+        + f""",
+    d AS (SELECT doc_id, source, lang, text FROM documents),
+    base AS (
+      SELECT d.source,
+             CASE WHEN d.text IS NULL THEN 0
+                  ELSE len({toks}) END AS nt,
+             (d.text IS NULL) AS is_null,
+             (c.doc_id IS NOT NULL) AS is_dup,
+             d.lang
+      FROM d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (WHERE is_null) AS BIGINT)
+               AS n_null_text,
+             CAST(count(*) FILTER (WHERE is_dup) AS BIGINT)
+               AS n_dup_members,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM base GROUP BY 1),
+    lc AS (SELECT source, lang, count(*) AS c FROM d
+           WHERE lang IS NOT NULL GROUP BY 1, 2),
+    top AS (
+      SELECT source, lang AS top_lang
+      FROM (SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, lang DESC)
+                     AS rn
+            FROM lc) WHERE rn = 1)
+    SELECT a.source, a.n_docs, a.n_tokens, a.n_null_text,
+           a.n_dup_members,
+           CAST(CAST(a.n_dup_members AS DOUBLE)
+                / CAST(a.n_docs AS DOUBLE) AS DOUBLE) AS pct_dup,
+           a.n_langs, t.top_lang
+    FROM agg a JOIN top t ON t.source = a.source
+    """
+    )
+
+
+@query("corpus_release_card", oracle=_release_card_oracle())
+def q_corpus_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus release card — the one-page summary a data
+    release ships next to the shards: document and token mass,
+    null-payload count, how many docs sit in near-dup clusters
+    (rides the session-shared MinHash pair/component stages),
+    language breadth, and the dominant language. Every number is a
+    count or a single integer->double division, so the card
+    hash-matches across engines; the dominant language is a per-key
+    window top-1 (WindowGroupLimit) with a full (count DESC, lang
+    DESC) tiebreak. One pass over the corpus projection + the tiny
+    cluster and language rollups — the marginal cost at 100 TB is
+    the token count, which reuses the same tokenize-once staging
+    every text query shares."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.dedup.shared import dup_components
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    comp = dup_components(spark, sf_dir).select("doc_id")
+    base = d.join(
+        comp.withColumn("is_dup", F.lit(True)), "doc_id", "left"
+    ).select(
+        "source",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(ws_tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("nt"),
+        F.col("text").isNull().alias("is_null"),
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        "lang",
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("is_null").cast("bigint"))
+        .cast("bigint")
+        .alias("n_null_text"),
+        F.sum(F.col("is_dup").cast("bigint"))
+        .cast("bigint")
+        .alias("n_dup_members"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    lc = (
+        d.where(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").desc()
+    )
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return agg.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_null_text",
+        "n_dup_members",
+        (
+            F.col("n_dup_members").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("pct_dup"),
+        "n_langs",
+        "top_lang",
+    )
