@@ -113,14 +113,22 @@ def asof_join(
     with ``last(..., ignorenulls=True)``. One shuffle total, no
     collect, no UDF; skew on ``key`` is handled by AQE.
 
+    ``direction='forward'`` mirrors it: the EARLIEST right row with
+    ``right_ts >= left_ts`` — same union, the window frame flips to
+    (current row, unbounded following) with ``first(...,
+    ignorenulls)``, and the side tiebreak flips so an equal-ts right
+    row is visible to the left row (>= semantics). Identical cost.
+
     ``tolerance`` (optional Column, e.g. ``F.expr("INTERVAL 7
-    DAYS")``): pandas merge_asof's staleness bound — a match older
-    than ``left_ts - tolerance`` is nulled out in a post-projection
-    (the matched right timestamp rides the same window forward, so
-    the bound costs one more last() expression, no extra shuffle).
+    DAYS")``): pandas merge_asof's staleness bound — a match farther
+    from ``left_ts`` than ``tolerance`` (older for backward, later
+    for forward) is nulled out in a post-projection (the matched
+    right timestamp rides the same window, so the bound costs one
+    more carried expression, no extra shuffle).
     """
-    if direction not in ("backward",):
-        raise ValueError("only direction='backward' is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    forward = direction == "forward"
 
     l_tagged = left.select(
         F.col(key).alias("_k"),
@@ -145,27 +153,39 @@ def asof_join(
         )
         r_tagged = r_tagged.withColumn("_rmatch", F.col("_ts"))
     unioned = l_tagged.unionByName(r_tagged)
-    # right rows (side=0) sort before left rows at equal ts => "<=" semantics
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # backward: right rows (side=0) sort BEFORE left rows at equal ts
+    # and the frame looks back => "<=" semantics. forward: the side
+    # order flips (right after left at equal ts) and the frame looks
+    # ahead with first() => ">=" semantics.
+    if forward:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     carry = [
-        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-        for c in right_cols
+        pick(f"_r_{c}").over(w).alias(f"_asof_{c}") for c in right_cols
     ]
     if tolerance is not None:
-        carry.append(
-            F.last("_rmatch", ignorenulls=True).over(w).alias("_asof_rts")
-        )
+        carry.append(pick("_rmatch").over(w).alias("_asof_rts"))
     filled = unioned.select("*", *carry).where(F.col("_side") == 1)
     if tolerance is None:
         out_cols = [
             F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols
         ]
     else:
-        fresh = F.col("_asof_rts") >= F.col("_ts") - tolerance
+        if forward:
+            fresh = F.col("_asof_rts") <= F.col("_ts") + tolerance
+        else:
+            fresh = F.col("_asof_rts") >= F.col("_ts") - tolerance
         out_cols = [
             F.when(fresh, F.col(f"_asof_{c}")).alias(f"asof_{c}")
             for c in right_cols

@@ -14952,3 +14952,66 @@ def q_corpus_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "top_lang",
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS error_epoch_s,
+           p.purchase_epoch_s AS asof_next_purchase_epoch_s,
+           p.purchase_value AS asof_next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts,
+               CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch_s,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts >= e.ts
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each error event picks up the user's NEXT
+    purchase at-or-after it — the time-to-recovery / next-conversion
+    lookup that completes the as-of family (backward x3 variants
+    answer 'latest state BEFORE'; forward answers 'first outcome
+    AFTER', the shape funnel latency and incident-recovery metrics
+    are built from). Same union+single-window kernel
+    (operators/joins.py): the frame flips to (current, following)
+    with first(ignorenulls) and the equal-ts side tiebreak flips so
+    a same-instant outcome still matches — one shuffle for both
+    sides together, no range explosion."""
+    from etl_pyspark_spark.operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_timestamp("ts").alias("error_epoch_s"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.unix_timestamp("ts").alias("purchase_epoch_s"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_epoch_s", "purchase_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "error_epoch_s",
+        F.col("asof_purchase_epoch_s").alias(
+            "asof_next_purchase_epoch_s"
+        ),
+        F.col("asof_purchase_value").alias("asof_next_purchase_value"),
+    )

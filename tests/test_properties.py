@@ -501,3 +501,60 @@ def test_clamped_balance_matches_sequential_recurrence(spark):
         by_key[r.l_partkey] = b
         want[(r.l_partkey, r.l_orderkey, r.l_linenumber, b)] += 1
     assert got == want
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000),
+                  st.integers(-100, 100)),
+        min_size=0, max_size=25, unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+@_SETTINGS
+def test_asof_forward_matches_pandas_merge_asof(spark, lefts, rights):
+    """direction='forward' must agree with pandas
+    merge_asof(direction='forward') — earliest right at-or-after
+    each left row, per key — on arbitrary keyed integer-time data."""
+    import pandas as pd
+
+    from etl_pyspark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        "lid int, k int, ts long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in rights] or [(99, 0, 0)],
+        "k int, ts long, v long",
+    )
+    if not rights:
+        right = right.where(F.lit(False))
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction="forward",
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        columns=["lid", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(list(rights), columns=["k", "ts", "v"])
+        .astype({"k": "int64", "ts": "int64", "v": "int64"})
+        .sort_values("ts", kind="stable")
+    )
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="forward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else int(r.v))
+        for r in want_df.itertuples()
+    }
+    assert got == want
