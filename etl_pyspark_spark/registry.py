@@ -15015,3 +15015,76 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("asof_purchase_value").alias("asof_next_purchase_value"),
     )
+
+
+@query(
+    "blocking_recall_eval",
+    oracle="""
+    WITH s AS (SELECT * FROM customer WHERE c_custkey % 3 = 0),
+    truth AS (
+      SELECT a.c_nationkey AS nk, a.c_custkey AS ka, b.c_custkey AS kb,
+             (substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16))
+               AS blocked
+      FROM s a JOIN s b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1)
+    SELECT nk AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_truth_pairs,
+           CAST(count(*) FILTER (WHERE blocked) AS BIGINT)
+             AS n_blocked_pairs,
+           CAST(CAST(count(*) FILTER (WHERE blocked) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS DOUBLE) AS recall
+    FROM truth GROUP BY nk
+    """,
+)
+def q_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-recall evaluation: what fraction of the TRUE match
+    pairs does the cheap (nation, 16-char-prefix) blocking key
+    actually retain, per nation — the measurement every
+    entity-resolution pipeline owes before trusting its candidate
+    generator (fuzzy_name_match_blocked and
+    entity_resolution_clusters both ride that key; a pair whose
+    single edit falls INSIDE the prefix lands in different blocks
+    and silently disappears). Ground truth here is the
+    nation-blocked exact edit-distance join — affordable because
+    nation blocks bound the pair space, and the evaluation runs on
+    a deterministic 1-in-3 customer stratum (the standard
+    measure-recall-on-a-sample trick: at 100 TB you never score
+    all pairs — the stratum's recall estimates the population's
+    because the blocking key is hash-independent of the sample). One equi-join on the coarse key, codegen'd levenshtein
+    on in-block pairs only, a per-nation rollup, one
+    integer->double division for the recall."""
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 0
+    )
+    a = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("na"),
+        F.substring("c_name", 1, 16).alias("pa"),
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("nb"),
+        F.substring("c_name", 1, 16).alias("pb"),
+    )
+    truth = (
+        a.join(b, "nk")
+        .where(F.col("ka") < F.col("kb"))
+        .where(F.levenshtein(F.col("na"), F.col("nb")) <= 1)
+        .select(
+            "nk", (F.col("pa") == F.col("pb")).alias("blocked")
+        )
+    )
+    return truth.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"),
+        F.sum(F.col("blocked").cast("bigint"))
+        .cast("bigint")
+        .alias("n_blocked_pairs"),
+        (
+            F.sum(F.col("blocked").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
