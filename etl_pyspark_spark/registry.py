@@ -15088,3 +15088,133 @@ def q_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+@query(
+    "timeseries_linear_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                             AS DOUBLE) * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2),
+    marked AS (
+      SELECT event_type, day, cents,
+             (dayofmonth(day) % 5 = 2) AS masked
+      FROM daily),
+    back AS (
+      SELECT *,
+             last_value(CASE WHEN NOT masked THEN cents END IGNORE NULLS)
+               OVER w AS prev_cents,
+             last_value(CASE WHEN NOT masked THEN day END IGNORE NULLS)
+               OVER w AS prev_day
+      FROM marked
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)),
+    fwd AS (
+      SELECT *,
+             first_value(CASE WHEN NOT masked THEN cents END IGNORE NULLS)
+               OVER w2 AS next_cents,
+             first_value(CASE WHEN NOT masked THEN day END IGNORE NULLS)
+               OVER w2 AS next_day
+      FROM back
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, day, masked,
+           CASE
+             WHEN NOT masked THEN CAST(cents AS DOUBLE) / 100.0
+             WHEN prev_cents IS NULL OR next_cents IS NULL THEN NULL
+             ELSE CAST(prev_cents
+                       * CAST(next_day - prev_day AS BIGINT)
+                       + (next_cents - prev_cents)
+                       * CAST(day - prev_day AS BIGINT) AS DOUBLE)
+                  / (CAST(next_day - prev_day AS BIGINT) * 100.0)
+           END AS value_filled
+    FROM fwd
+    """,
+)
+def q_timeseries_linear_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear interpolation of gaps in a keyed time series —
+    timeseries_gapfill_locf carries the LAST value forward (a step
+    function); THIS blends linearly between the bracketing known
+    points, the repair sensor/finance pipelines actually want. Gaps
+    are deterministic here (every day-of-month ending the 5-day
+    cycle on 2 is masked) so both engines interpolate the same
+    holes. The scalable shape: per key, ONE backward window carries
+    (previous known value, its day) and ONE forward window carries
+    (next known value, its day) — both on the same (key, day)
+    partitioning, so Spark pipelines them through a single shuffle
+    — and the blend is computed as an exact bigint cross-product
+    (prev*len + delta*pos) with ONE double division at the end:
+    interpolated values hash-match across engines, which a naive
+    float lerp cannot. Boundary gaps (no bracket on one side) stay
+    NULL rather than inventing data."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            * 100
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    marked = daily.withColumn(
+        "masked", F.dayofmonth("day") % 5 == 2
+    )
+    known_c = F.when(~F.col("masked"), F.col("cents"))
+    known_d = F.when(~F.col("masked"), F.col("day"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = marked.select(
+        "event_type",
+        "day",
+        "cents",
+        "masked",
+        F.last(known_c, ignorenulls=True).over(wb).alias("prev_cents"),
+        F.last(known_d, ignorenulls=True).over(wb).alias("prev_day"),
+        F.first(known_c, ignorenulls=True).over(wf).alias("next_cents"),
+        F.first(known_d, ignorenulls=True).over(wf).alias("next_day"),
+    )
+    seg_len = F.datediff(F.col("next_day"), F.col("prev_day")).cast(
+        "bigint"
+    )
+    pos = F.datediff(F.col("day"), F.col("prev_day")).cast("bigint")
+    blend = (
+        F.col("prev_cents") * seg_len
+        + (F.col("next_cents") - F.col("prev_cents")) * pos
+    ).cast("double") / (seg_len.cast("double") * 100.0)
+    return j.select(
+        "event_type",
+        "day",
+        "masked",
+        F.when(~F.col("masked"), F.col("cents").cast("double") / 100.0)
+        .when(
+            F.col("prev_cents").isNull()
+            | F.col("next_cents").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(blend)
+        .alias("value_filled"),
+    )
