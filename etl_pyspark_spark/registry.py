@@ -15218,3 +15218,92 @@ def q_timeseries_linear_interpolate(
         .otherwise(blend)
         .alias("value_filled"),
     )
+
+
+_HRW_SHARDS = 8
+
+
+@query(
+    "rendezvous_shard_assignment",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, s.s AS shard,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(s.s AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM documents, UNNEST(range({_HRW_SHARDS})) s(s)),
+    a8 AS (SELECT doc_id, arg_max(shard, hv) AS shard8 FROM h
+           GROUP BY doc_id),
+    a7 AS (SELECT doc_id, arg_max(shard, hv) AS shard7 FROM h
+           WHERE shard < {_HRW_SHARDS - 1} GROUP BY doc_id)
+    SELECT CAST(a8.shard8 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE a8.shard8 <> a7.shard7)
+                AS BIGINT) AS n_reassigned_on_drain
+    FROM a8 JOIN a7 ON a7.doc_id = a8.doc_id
+    GROUP BY 1
+    """,
+)
+def q_rendezvous_shard_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each doc
+    goes to the shard maximizing md5(doc:shard) — the consistent-
+    placement scheme whose selling point is MINIMAL MOVEMENT: when
+    shard 7 drains, ONLY its own residents reassign (their new
+    argmax over the surviving 7 is independent of the drained
+    hash), every other doc keeps its shard. The query computes both
+    the 8-shard and 7-shard assignments and reports per-shard
+    residency plus how many residents reassign on drain — on every
+    shard except the drained one that count is provably zero, and
+    the driver-checked output carries the proof (shard_assignment
+    uses plain mod hashing, which reshuffles ~7/8 of ALL docs on
+    the same change; THIS is the fix). Mechanics: explode the
+    candidate shard list (a constant-width fan-out, not a join),
+    per-doc argmax via max_by, one keyed shuffle on doc_id shared
+    by both assignments; md5 arithmetic is the engine's established
+    bit-exact cross-engine hash."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    h = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_HRW_SHARDS - 1))
+        ).alias("shard"),
+    ).withColumn(
+        "hv",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("shard").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    a8 = h.groupBy("doc_id").agg(
+        F.max_by("shard", "hv").alias("shard8")
+    )
+    a7 = (
+        h.where(F.col("shard") < _HRW_SHARDS - 1)
+        .groupBy("doc_id")
+        .agg(F.max_by("shard", "hv").alias("shard7"))
+    )
+    return (
+        a8.join(a7, "doc_id")
+        .groupBy(F.col("shard8").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("shard8") != F.col("shard7")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_reassigned_on_drain"),
+        )
+    )

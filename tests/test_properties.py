@@ -558,3 +558,20 @@ def test_asof_forward_matches_pandas_merge_asof(spark, lefts, rights):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+def test_rendezvous_drain_moves_only_drained_shard(spark):
+    """HRW's minimal-movement guarantee, asserted: when the last
+    shard drains, every one of its residents reassigns and NO
+    resident of any surviving shard moves."""
+    from etl_pyspark_spark.registry import _HRW_SHARDS, QUERIES
+
+    rows = QUERIES["rendezvous_shard_assignment"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert {r.shard_id for r in rows} == set(range(_HRW_SHARDS))
+    for r in rows:
+        if r.shard_id == _HRW_SHARDS - 1:
+            assert r.n_reassigned_on_drain == r.n_docs
+        else:
+            assert r.n_reassigned_on_drain == 0
