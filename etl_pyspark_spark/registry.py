@@ -15307,3 +15307,217 @@ def q_rendezvous_shard_assignment(
             .alias("n_reassigned_on_drain"),
         )
     )
+
+
+@query(
+    "survival_hazard_table",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS horizon
+                FROM orders),
+    obs AS (
+      SELECT o_custkey,
+             lead(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nxt,
+             CAST(o_orderdate AS DATE) AS cur,
+             horizon
+      FROM orders, mx),
+    g AS (
+      SELECT CAST(CAST(COALESCE(nxt, horizon) - cur AS BIGINT) // 30
+                  AS BIGINT) AS bucket,
+             (nxt IS NOT NULL) AS is_event
+      FROM obs),
+    cnt AS (
+      SELECT bucket,
+             CAST(count(*) FILTER (WHERE is_event) AS BIGINT)
+               AS n_events,
+             CAST(count(*) FILTER (WHERE NOT is_event) AS BIGINT)
+               AS n_censored,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM g GROUP BY 1),
+    risk AS (
+      SELECT bucket, n_events, n_censored,
+             CAST(sum(n_total) OVER (ORDER BY bucket DESC
+                                     ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n_at_risk
+      FROM cnt)
+    SELECT bucket, n_at_risk, n_events, n_censored,
+           CAST(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+                AS DOUBLE) AS hazard
+    FROM risk
+    """,
+)
+def q_survival_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete survival/hazard table for time-to-next-order WITH
+    censoring — the piece naive churn math gets wrong: a customer's
+    last order hasn't 'survived forever', it's censored at the
+    fixture horizon, and dropping censored spells biases hazards
+    up. Spells come from one lead() per customer (event = next
+    order exists, censored = horizon cut); 30-day buckets roll up
+    to a table bounded by the date span, so the at-risk reverse
+    cumulative (everyone whose spell reached the bucket) is a
+    window over a ~80-row aggregate — bounded by construction, the
+    legitimate unpartitioned-frame case (same argument as
+    score_decile_lift). hazard = events/at_risk is one
+    integer->double division; the Kaplan-Meier survival CURVE is a
+    cumulative product of (1 - hazard) downstream — deliberately
+    left to the consumer because cross-engine float products don't
+    hash-match; the table IS the exact, mergeable artifact."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("horizon"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    obs = o.crossJoin(F.broadcast(mx)).select(
+        F.lead(F.to_date("o_orderdate")).over(w).alias("nxt"),
+        F.to_date("o_orderdate").alias("cur"),
+        "horizon",
+    )
+    g = obs.select(
+        F.expr(
+            "CAST(datediff(COALESCE(nxt, horizon), cur) DIV 30"
+            " AS BIGINT)"
+        ).alias("bucket"),
+        F.col("nxt").isNotNull().alias("is_event"),
+    )
+    cnt = g.groupBy("bucket").agg(
+        F.sum(F.col("is_event").cast("bigint"))
+        .cast("bigint")
+        .alias("n_events"),
+        F.sum((~F.col("is_event")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_censored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    wr = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = cnt.select(
+        "bucket",
+        "n_events",
+        "n_censored",
+        F.sum("n_total").over(wr).cast("bigint").alias("n_at_risk"),
+    )
+    return risk.select(
+        "bucket",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        (
+            F.col("n_events").cast("double")
+            / F.col("n_at_risk").cast("double")
+        ).alias("hazard"),
+    )
+
+
+def _negative_sampling_oracle() -> str:
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_minhash_pairs,
+        sql_shingles_cte,
+    )
+
+    return (
+        "WITH "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + """,
+    idx AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) AS rk
+            FROM documents),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    negcand AS (
+      SELECT p.doc_id_a, p.doc_id_b, i.i,
+             ('0x' || substr(md5(CAST(p.doc_id_a AS VARCHAR) || ':'
+                                 || CAST(p.doc_id_b AS VARCHAR) || ':'
+                                 || CAST(i.i AS VARCHAR)),
+                             1, 15))::BIGINT % n + 1 AS rk
+      FROM pairs p, nt, UNNEST(range(1, 3)) i(i))
+    SELECT c.doc_id_a AS anchor_doc_id,
+           c.doc_id_b AS positive_doc_id,
+           CAST(c.i AS BIGINT) AS sample_i,
+           x.doc_id AS negative_doc_id
+    FROM negcand c JOIN idx x ON x.rk = c.rk
+    WHERE x.doc_id <> c.doc_id_a AND x.doc_id <> c.doc_id_b
+    """
+    )
+
+
+@query("negative_sampling_pairs", oracle=_negative_sampling_oracle())
+def q_negative_sampling_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    every verified near-dup pair (anchor, positive) — the shared
+    dedup stage doubling as a positive-pair miner — gets k=2
+    corpus negatives chosen by hashing (anchor, positive, i) into a
+    dense row-number index over the corpus (RNG-free, so the
+    training set is bit-reproducible run over run and across
+    engines; hash-mod sampling is uniform over the index).
+    Accidental hits on the anchor or positive are filtered — the
+    standard in-batch-negative correction — which is why sampling
+    hashes into an INDEX rather than assuming contiguous ids: the
+    same plan survives sparse or reassigned doc ids. Cost: a
+    constant k-way fan-out of the (tiny) pair table, one broadcast
+    1-row count, one keyed join against the index — the corpus
+    itself is scanned only to build the index."""
+    from etl_pyspark_spark.dedup.shared import verified_pairs
+    from etl_pyspark_spark.operators.ranks import with_global_rank
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    idx = with_global_rank(docs, ["doc_id"], rank_col="rk")
+    nt = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pairs = verified_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    )
+    cand = (
+        pairs.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.explode(F.sequence(F.lit(1), F.lit(2))).alias("i"),
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id_a").cast("string"),
+                                F.col("doc_id_b").cast("string"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+                + 1
+            ).alias("rk"),
+        )
+    )
+    neg = idx.select(
+        F.col("rk"), F.col("doc_id").alias("negative_doc_id")
+    )
+    return (
+        cand.join(neg, "rk")
+        .where(
+            (F.col("negative_doc_id") != F.col("doc_id_a"))
+            & (F.col("negative_doc_id") != F.col("doc_id_b"))
+        )
+        .select(
+            F.col("doc_id_a").alias("anchor_doc_id"),
+            F.col("doc_id_b").alias("positive_doc_id"),
+            F.col("i").cast("bigint").alias("sample_i"),
+            "negative_doc_id",
+        )
+    )
