@@ -737,3 +737,28 @@ def test_decayed_leaderboard_is_top_n(spark, oracle_sf_dir):
     tree = tree_of(QUERIES["decayed_leaderboard"](spark, oracle_sf_dir))
     assert "TakeOrderedAndProject" in tree  # top-20, never global sort
     assert "Sort " not in tree
+
+
+def test_bitemporal_snapshot_group_limit_and_pushdown(spark, oracle_sf_dir):
+    plan = plan_of(QUERIES["bitemporal_snapshot"](spark, oracle_sf_dir))
+    # per-key latest-change selection stays a WindowGroupLimit, and
+    # the business-time cutoff reaches the parquet scan
+    assert "WindowGroupLimit" in plan
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderdate" in pushed
+
+
+def test_negative_sampling_no_cartesian(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["negative_sampling_pairs"](spark, oracle_sf_dir))
+    # the corpus index joins on the hashed rank key; the only
+    # nested-loop is the broadcast 1-row count fan-in
+    assert "CartesianProduct" not in tree
+    assert "SinglePartition" not in tree
+
+
+def test_survival_hazard_single_fact_pass(spark, oracle_sf_dir):
+    tree = tree_of(QUERIES["survival_hazard_table"](spark, oracle_sf_dir))
+    # one scan of orders for the spells + one for the broadcast
+    # horizon row — never a third
+    assert tree.count("Scan parquet") <= 2
