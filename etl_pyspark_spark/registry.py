@@ -15521,3 +15521,78 @@ def q_negative_sampling_pairs(
             "negative_doc_id",
         )
     )
+
+
+@query(
+    "item_item_cosine",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 10 = 0),
+    co AS (
+      SELECT a.l_partkey AS i, b.l_partkey AS j,
+             CAST(count(*) AS BIGINT) AS c_ij
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    deg AS (SELECT l_partkey AS node, CAST(count(*) AS BIGINT) AS c
+            FROM lp GROUP BY 1)
+    SELECT co.i, co.j, co.c_ij,
+           CAST(CAST(co.c_ij AS DOUBLE)
+                / sqrt(CAST(di.c * dj.c AS DOUBLE)) AS DOUBLE)
+             AS cosine
+    FROM co
+    JOIN deg di ON di.node = co.i
+    JOIN deg dj ON dj.node = co.j
+    WHERE co.c_ij >= 2
+    """,
+)
+def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity over the basket
+    graph: cosine of binary co-purchase vectors reduces to
+    c_ij / sqrt(c_i * c_j) — co-occurrence over the geometric mean
+    of popularities, the normalization that stops bestsellers from
+    dominating every neighbor list (token_collocation_lift
+    normalizes by expectation for TEXT pairs; this is the recsys
+    twin on baskets, and the c_ij >= 2 support floor is the
+    standard noise cut). Counts are one distinct self-join within
+    the order (the same sharded basket expansion the graph queries
+    use) plus a tiny degree table joined back twice; the only
+    floating math is one sqrt and one division over exact bigints —
+    both correctly rounded identically in either engine, which is
+    what makes a similarity score hash-matchable at all. At 100 TB
+    the co-occurrence table is the heavy keyed shuffle and the
+    degree joins broadcast."""
+    lp = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    a = lp.select("l_orderkey", F.col("l_partkey").alias("i"))
+    b = lp.select("l_orderkey", F.col("l_partkey").alias("j"))
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ij"))
+        .where(F.col("c_ij") >= 2)
+    )
+    deg = lp.groupBy(F.col("l_partkey").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    di = deg.select(F.col("node").alias("i"), F.col("c").alias("ci"))
+    dj = deg.select(F.col("node").alias("j"), F.col("c").alias("cj"))
+    return (
+        co.join(di, "i")
+        .join(dj, "j")
+        .select(
+            "i",
+            "j",
+            "c_ij",
+            (
+                F.col("c_ij").cast("double")
+                / F.sqrt((F.col("ci") * F.col("cj")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
