@@ -15596,3 +15596,113 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+def _autocorr_oracle() -> str:
+    from etl_pyspark_spark.functions.compat import sql_pround
+
+    r_expr = sql_pround(
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+        9,
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                             AS DOUBLE) * 100) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT lg.lag AS lag, a.cents AS x, b.cents AS y
+      FROM UNNEST(range(1, 8)) lg(lag)
+      JOIN d a ON true
+      JOIN d b ON b.day = a.day + CAST(lg.lag AS INTEGER)),
+    g AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS sxy,
+             sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+               AS sxx,
+             sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS syy
+      FROM lagged GROUP BY 1)
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           {r_expr} AS acf
+    FROM g
+    """
+
+
+@query("revenue_autocorrelation", oracle=_autocorr_oracle())
+def q_revenue_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1-7 — the
+    seasonality fingerprint (a weekly cycle shows as a lag-7 peak)
+    every forecasting pipeline inspects before choosing model
+    features (daily_event_correlation correlates two DIFFERENT
+    series; this correlates the series with its own shifted self).
+    Same exactness discipline: daily revenue quantizes to bigint
+    cents, each lag's five sufficient statistics accumulate as
+    exact DECIMAL(38,0) integers over the lag-joined day pairs, and
+    the textbook Pearson expression runs once per lag row
+    (correctly-rounded IEEE ops + sqrt, pround(9)). The lag
+    fan-out is a constant 7-way explode of the TINY day table —
+    bounded by the calendar, not the fact table, which is scanned
+    exactly once for the daily rollup."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            * 100
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = d.select(
+        "day",
+        F.col("cents").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    ).withColumn("day_b", F.date_add(F.col("day"), F.col("lag")))
+    b = d.select(
+        F.col("day").alias("day_b"), F.col("cents").alias("y")
+    )
+    lagged = a.join(b, "day_b")
+    g = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)")
+            * F.col("y").cast("decimal(19,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)")
+            * F.col("x").cast("decimal(19,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)")
+            * F.col("y").cast("decimal(19,0)")
+        ).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    acf = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return g.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        pround(acf, 9).alias("acf"),
+    )
