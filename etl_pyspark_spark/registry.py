@@ -15706,3 +15706,111 @@ def q_revenue_autocorrelation(
         F.col("n").alias("n_pairs"),
         pround(acf, 9).alias("acf"),
     )
+
+
+def _jackknife_oracle() -> str:
+    from etl_pyspark_spark.functions.compat import sql_pround
+
+    loo = sql_pround(
+        "CAST(tot_cents - cents AS DOUBLE)"
+        " / CAST(tot_n - n AS DOUBLE) / 100.0",
+        12,
+    )
+    return f"""
+    WITH f AS (
+      SELECT o_orderkey % 10 AS fold,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    per AS (
+      SELECT fold, CAST(sum(cents) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS tot_cents,
+             CAST(sum(n) AS BIGINT) AS tot_n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM per),
+    loo AS (
+      SELECT k, tot_cents, tot_n,
+             CAST({loo} AS DECIMAL(38,12)) AS r_i
+      FROM per, tot),
+    g AS (
+      SELECT k, tot_cents, tot_n,
+             sum(r_i) AS sr,
+             sum(r_i * r_i) AS srr
+      FROM loo GROUP BY 1, 2, 3)
+    SELECT k,
+           CAST(CAST(tot_cents AS DOUBLE)
+                / CAST(tot_n AS DOUBLE) / 100.0 AS DOUBLE)
+             AS ratio_full,
+           {sql_pround(
+               "sqrt((CAST(k AS DOUBLE) - 1.0) / CAST(k AS DOUBLE)"
+               " * (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)"
+               "    * CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)))", 9
+           )} AS jackknife_se
+    FROM g
+    """
+
+
+@query("jackknife_ratio_variance", oracle=_jackknife_oracle())
+def q_jackknife_ratio_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jackknife standard error for a RATIO metric (average order
+    value = total revenue / order count) — the error bar every KPI
+    dashboard needs but naive per-row variance gets wrong, because
+    a ratio of sums is not a mean of rows. Delete-one-fold
+    estimates over k=10 deterministic hash folds: each
+    leave-one-out ratio is a single correctly-rounded double
+    division of exact integer sums, pround(12)-quantized and summed
+    as decimals (EXACT — a raw double sum over folds would be
+    merge-order-dependent), then the jackknife formula
+    sqrt((k-1)/k * Σ(r_i - r̄)²) runs once on the 1-row result.
+    Scale shape: one fact-table pass for the per-fold sufficient
+    statistics; everything after is a 10-row table."""
+    o = read_table(spark, sf_dir, "orders")
+    per = o.select(
+        (F.col("o_orderkey") % 10).alias("fold"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    ).groupBy("fold").agg(
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tot = per.agg(
+        F.sum("cents").cast("bigint").alias("tot_cents"),
+        F.sum("n").cast("bigint").alias("tot_n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "tot_cents",
+        "tot_n",
+        pround(
+            (F.col("tot_cents") - F.col("cents")).cast("double")
+            / (F.col("tot_n") - F.col("n")).cast("double")
+            / 100.0,
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("r_i"),
+    )
+    g = loo.groupBy("k", "tot_cents", "tot_n").agg(
+        F.sum("r_i").alias("sr"),
+        F.sum(F.col("r_i") * F.col("r_i")).alias("srr"),
+    )
+    kd = F.col("k").cast("double")
+    sr = F.col("sr").cast("double")
+    srr = F.col("srr").cast("double")
+    return g.select(
+        "k",
+        (
+            F.col("tot_cents").cast("double")
+            / F.col("tot_n").cast("double")
+            / 100.0
+        ).alias("ratio_full"),
+        pround(
+            F.sqrt((kd - 1.0) / kd * (srr - sr * sr / kd)), 9
+        ).alias("jackknife_se"),
+    )
