@@ -15814,3 +15814,149 @@ def q_jackknife_ratio_variance(
             F.sqrt((kd - 1.0) / kd * (srr - sr * sr / kd)), 9
         ).alias("jackknife_se"),
     )
+
+
+_ISO_BINS = 20
+
+
+@query(
+    "isotonic_calibration",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(least(floor((value - mn) * {_ISO_BINS}
+                              / (mx - mn + 1e-9)),
+                        {_ISO_BINS - 1}) AS BIGINT) AS bin,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 1 ELSE 0 END AS label
+      FROM events,
+           (SELECT min(value) AS mn, max(value) AS mx
+            FROM events WHERE value IS NOT NULL)
+      WHERE value IS NOT NULL),
+    b AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM s GROUP BY 1),
+    c AS (
+      SELECT bin, n, pos,
+             CAST(sum(n) OVER w AS BIGINT) AS cn,
+             CAST(sum(pos) OVER w AS BIGINT) AS cp
+      FROM b WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+    m AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST(k.cp - j.cp + j.pos AS DOUBLE)
+               / CAST(k.cn - j.cn + j.n AS DOUBLE) AS mean_jk
+      FROM c j JOIN c k ON j.bin <= k.bin),
+    inner_min AS (
+      SELECT i.bin AS bin, m.j,
+             min(m.mean_jk) AS min_k
+      FROM c i JOIN m ON m.j <= i.bin AND m.k >= i.bin
+      GROUP BY 1, 2),
+    iso AS (
+      SELECT bin, max(min_k) AS isotonic_rate
+      FROM inner_min GROUP BY 1)
+    SELECT c.bin, c.n, c.pos,
+           CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE) AS raw_rate,
+           iso.isotonic_rate
+    FROM c JOIN iso ON iso.bin = c.bin
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the score->label mapping —
+    score_calibration_bins reports the raw per-bin rates; THIS fits
+    the monotone rate curve a probability consumer actually wants,
+    via the minimax closed form fitted_i = max_{{j<=i}} min_{{k>=i}}
+    mean(pos_j..pos_k), which equals pool-adjacent-violators
+    without any sequential pooling loop. The heavy lifting stays
+    one fact pass (binning + per-bin counts); the minimax runs on
+    the CONSTANT 20-row bin table (<= 20^3 combinations — bounded
+    by construction, never by data), as three joins over the
+    cumulative-count table. Each candidate mean is one
+    correctly-rounded division of exact integer sums, and min/max
+    over identically-computed doubles is engine-stable, so the
+    fitted curve hash-matches. Monotonicity and PAVA-equality are
+    property-tested against a sequential Python reference."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    rng = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    s = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                * _ISO_BINS
+                / (F.col("mx") - F.col("mn") + 1e-9)
+            ),
+            F.lit(_ISO_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        F.col("event_type")
+        .isin("purchase", "signup")
+        .cast("int")
+        .alias("label"),
+    )
+    b = s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("pos").over(w).cast("bigint").alias("cp"),
+    ).localCheckpoint()
+    j = c.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+        F.col("n").alias("jn"),
+        F.col("pos").alias("jpos"),
+    )
+    k = c.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    m = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("kcp") - F.col("jcp") + F.col("jpos")).cast(
+                    "double"
+                )
+                / (F.col("kcn") - F.col("jcn") + F.col("jn")).cast(
+                    "double"
+                )
+            ).alias("mean_jk"),
+        )
+    )
+    i = c.select(F.col("bin").alias("i"))
+    inner_min = (
+        i.join(m, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("mean_jk").alias("min_k"))
+    )
+    iso = inner_min.groupBy("i").agg(
+        F.max("min_k").alias("isotonic_rate")
+    )
+    return (
+        c.join(iso, c["bin"] == iso["i"])
+        .select(
+            "bin",
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n").cast("double"))
+            .alias("raw_rate"),
+            "isotonic_rate",
+        )
+    )

@@ -575,3 +575,38 @@ def test_rendezvous_drain_moves_only_drained_shard(spark):
             assert r.n_reassigned_on_drain == r.n_docs
         else:
             assert r.n_reassigned_on_drain == 0
+
+
+def test_isotonic_matches_sequential_pava(spark):
+    """The minimax closed form must equal sequential
+    pool-adjacent-violators on the same bins, and the fitted curve
+    must be monotone non-decreasing."""
+    from etl_pyspark_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["isotonic_calibration"](
+            spark, "/root/testdata/sf0.01"
+        ).collect(),
+        key=lambda r: r.bin,
+    )
+    # sequential PAVA on (pos, n) weighted rates; violator check by
+    # cross-multiplication so the pooling decision is exact
+    fitted = []
+    blocks2 = []
+    for r in rows:
+        blocks2.append((r.pos, r.n, 1))
+        while len(blocks2) > 1 and (
+            blocks2[-2][0] * blocks2[-1][1]
+            >= blocks2[-1][0] * blocks2[-2][1]
+        ):
+            p2, n2, c2 = blocks2.pop()
+            p1, n1, c1 = blocks2.pop()
+            blocks2.append((p1 + p2, n1 + n2, c1 + c2))
+    for p, n, cnt in blocks2:
+        fitted.extend([p / n] * cnt)
+    got = [r.isotonic_rate for r in rows]
+    assert len(got) == len(fitted)
+    for g, w in zip(got, fitted):
+        assert abs(g - w) < 1e-9, (got, fitted)
+    for a, b in zip(got, got[1:]):
+        assert a <= b + 1e-12  # monotone
