@@ -15960,3 +15960,80 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "isotonic_rate",
         )
     )
+
+
+@query(
+    "theil_sen_slope",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    sl AS (
+      SELECT a.x AS xa, b.x AS xb,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+               AS slope
+      FROM d a JOIN d b ON a.x < b.x),
+    r AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, xa, xb) AS rn,
+             count(*) OVER () AS cnt
+      FROM sl)
+    SELECT CAST(cnt AS BIGINT) AS n_pairs,
+           min(slope) FILTER (WHERE rn = (cnt + 1) // 2)
+             AS theil_sen_slope
+    FROM r GROUP BY cnt
+    """,
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series: the
+    MEDIAN of all pairwise slopes — immune to the outlier days that
+    wreck a least-squares fit (regression_by_group is the OLS twin;
+    this is what you reach for when the series has spikes). Every
+    pairwise slope is one correctly-rounded division of exact
+    integer (day, count) deltas, the median is the engine's
+    DISCRETE median discipline (lower middle by (slope, pair)
+    total order — interpolated medians average two doubles and
+    drift cross-engine), and the pair fan-out is over the
+    calendar-bounded day table (n days -> n(n-1)/2 slopes; at 100
+    TB you aggregate to days FIRST — one fact pass — precisely
+    because the pair space of raw rows would be quadratic in the
+    wrong variable). Day index is integer days since a fixed
+    epoch, so x-deltas are exact."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    sl = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            "xa",
+            "xb",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.orderBy("slope", "xa", "xb")
+    r = sl.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("cnt"),
+    )
+    return (
+        r.where(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .groupBy(F.col("cnt").cast("bigint").alias("n_pairs"))
+        .agg(F.min("slope").alias("theil_sen_slope"))
+    )
