@@ -16037,3 +16037,168 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cnt").cast("bigint").alias("n_pairs"))
         .agg(F.min("slope").alias("theil_sen_slope"))
     )
+
+
+@query(
+    "weekday_seasonality",
+    oracle="""
+    WITH d AS (
+      -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+             count(*) AS n
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n_dows
+          FROM d GROUP BY 1)
+    SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow,
+           CAST(d.n AS BIGINT) AS n_events,
+           CAST(CAST(d.n * t.n_dows AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                AS DOUBLE) AS seasonality_index
+    FROM d JOIN t ON t.event_type = d.event_type
+    """,
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: observed count
+    over the uniform expectation (n * n_dows / total — 1.0 = flat,
+    2.0 = twice the flat-week rate), the profile that picks
+    staffing windows and seeds seasonal-naive forecasts
+    (revenue_autocorrelation DETECTS the weekly cycle; this SHAPES
+    it). Exactness: the index is one integer product divided once
+    into double — no per-day rate divisions to accumulate — and
+    the DuckDB twin uses the same dayofweek numbering. Two
+    aggregations, the second over the tiny (type, dow) rollup."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = d.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dows"),
+    )
+    return d.join(t, "event_type").select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n").cast("bigint").alias("n_events"),
+        (
+            (F.col("n") * F.col("n_dows")).cast("double")
+            / F.col("tot").cast("double")
+        ).alias("seasonality_index"),
+    )
+
+
+@query(
+    "spearman_rank_correlation",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS x,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    rx AS (
+      SELECT day, x, y,
+             CAST(2 * rank() OVER (ORDER BY x)
+                  + count(*) OVER (PARTITION BY x) - 1 AS BIGINT)
+               AS rx2,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS BIGINT)
+               AS ry2
+      FROM d),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx2) AS BIGINT) AS sx,
+             CAST(sum(ry2) AS BIGINT) AS sy,
+             sum(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
+               AS sxy,
+             sum(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0)))
+               AS sxx,
+             sum(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
+               AS syy
+      FROM rx)
+    SELECT n AS n_days,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS spearman_rho
+    FROM g
+    """,
+)
+def q_spearman_rank_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between the daily click and view
+    series — the robust twin of daily_event_correlation's Pearson
+    (monotone-but-nonlinear co-movement still scores 1, a single
+    outlier day can't dominate). Exactness trick: tie-averaged
+    midranks are half-integers, so DOUBLED midranks (2*rank(min) +
+    tie_count - 1) are pure bigints; Pearson is shift/scale
+    invariant, so rho on doubled ranks equals rho on midranks, and
+    the five sufficient statistics accumulate as exact decimals
+    just like the Pearson query. Rank windows run over the
+    calendar-bounded day table. The final expression is
+    correctly-rounded IEEE ops + sqrt, identical both engines."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            (F.col("event_type") == "click").cast("long")
+        ).alias("x"),
+        F.sum(
+            (F.col("event_type") == "view").cast("long")
+        ).alias("y"),
+    )
+    rx2 = (
+        2 * F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    ).cast("bigint")
+    ry2 = (
+        2 * F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 1
+    ).cast("bigint")
+    rx = d.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    g = rx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(
+            F.col("rx2").cast("decimal(19,0)")
+            * F.col("ry2").cast("decimal(19,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("rx2").cast("decimal(19,0)")
+            * F.col("rx2").cast("decimal(19,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("ry2").cast("decimal(19,0)")
+            * F.col("ry2").cast("decimal(19,0)")
+        ).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    return g.select(
+        F.col("n").alias("n_days"),
+        (
+            (n * sxy - sx * sy)
+            / (
+                F.sqrt(n * sxx - sx * sx)
+                * F.sqrt(n * syy - sy * sy)
+            )
+        ).alias("spearman_rho"),
+    )
