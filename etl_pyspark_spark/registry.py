@@ -16202,3 +16202,113 @@ def q_spearman_rank_correlation(
             )
         ).alias("spearman_rho"),
     )
+
+
+@query(
+    "kendall_tau",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS x,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    pairs AS (
+      SELECT CAST(count(*) FILTER (
+               WHERE (a.x - b.x) * (a.y - b.y) > 0) AS BIGINT) AS c,
+             CAST(count(*) FILTER (
+               WHERE (a.x - b.x) * (a.y - b.y) < 0) AS BIGINT) AS dd
+      FROM d a JOIN d b ON a.day < b.day),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    tx AS (SELECT CAST(COALESCE(sum(t * (t - 1) / 2), 0) AS BIGINT)
+                  AS n1
+           FROM (SELECT count(*) AS t FROM d GROUP BY x)),
+    ty AS (SELECT CAST(COALESCE(sum(t * (t - 1) / 2), 0) AS BIGINT)
+                  AS n2
+           FROM (SELECT count(*) AS t FROM d GROUP BY y))
+    SELECT nn.n AS n_days, p.c AS n_concordant, p.dd AS n_discordant,
+           CAST(CAST(p.c - p.dd AS DOUBLE)
+                / sqrt(CAST((nn.n * (nn.n - 1) / 2 - tx.n1)
+                            * (nn.n * (nn.n - 1) / 2 - ty.n2)
+                            AS DOUBLE)) AS DOUBLE) AS kendall_tau_b
+    FROM pairs p, nn, tx, ty
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the daily click and view series — the
+    third face of the correlation family (Pearson: linear;
+    Spearman: monotone via ranks; Kendall: pairwise concordance,
+    the most outlier-proof and the one with a direct probabilistic
+    reading — P(concordant) - P(discordant)). Everything is integer
+    counting: concordant/discordant over the calendar-bounded day
+    pair table, tie corrections from per-value group sizes, and
+    tau-b's single sqrt+division at the end over exact bigints —
+    correctly rounded identically in both engines. At 100 TB the
+    day rollup is the one fact pass; the pair space is quadratic in
+    DAYS, not rows (the same bound theil_sen_slope leans on)."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("y"),
+    ).localCheckpoint()
+    a = d.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = d.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum((prod > 0).cast("bigint")).cast("bigint").alias("c"),
+            F.sum((prod < 0).cast("bigint")).cast("bigint").alias("dd"),
+        )
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tx = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) DIV 2")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n1")
+        )
+    )
+    ty = (
+        d.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) DIV 2")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n2")
+        )
+    )
+    g = (
+        pairs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0 = F.expr("n * (n - 1) DIV 2")
+    return g.select(
+        F.col("n").alias("n_days"),
+        F.col("c").alias("n_concordant"),
+        F.col("dd").alias("n_discordant"),
+        (
+            (F.col("c") - F.col("dd")).cast("double")
+            / F.sqrt(
+                ((n0 - F.col("n1")) * (n0 - F.col("n2"))).cast(
+                    "double"
+                )
+            )
+        ).alias("kendall_tau_b"),
+    )
