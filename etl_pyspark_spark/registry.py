@@ -1254,11 +1254,17 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive): part pairs appearing in the same order, counted and
     top-20 ranked. The pair explosion is a self-join keyed on
     l_orderkey, so work scales with sum(basket_size^2) — bounded by
-    real basket sizes, never corpus^2 — and the two sides share one
-    orderkey shuffle. Top-20 via TakeOrderedAndProject, never a
-    global sort."""
+    real basket sizes AND hard-capped at MAX_BASKET items per order
+    (operators/baskets: WindowGroupLimit hash-rank truncation, so one
+    pathological mega-basket costs O(cap^2), never O(n^2)) — and the
+    two sides share one orderkey shuffle. Top-20 via
+    TakeOrderedAndProject, never a global sort. The cap never binds
+    on honest baskets (fixture orders carry <= 7 lines), so the
+    oracle is cap-free."""
+    from etl_pyspark_spark.operators.baskets import capped_basket_items
+
     li = read_table(spark, sf_dir, "lineitem")
-    parts = li.select("l_orderkey", "l_partkey").distinct()
+    parts = capped_basket_items(li, "l_orderkey", "l_partkey")
     a = parts.alias("a")
     b = parts.alias("b")
     return (
@@ -1276,6 +1282,41 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "basket_cap_audit",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s AS (SELECT l_orderkey, count(*) AS basket_size FROM lp GROUP BY 1)
+    SELECT count(*) AS n_baskets,
+           CAST(sum(CASE WHEN basket_size > 256 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(sum(CASE WHEN basket_size > 256
+                         THEN basket_size - 256 ELSE 0 END)
+                AS BIGINT) AS n_items_dropped,
+           CAST(max(basket_size) AS BIGINT) AS max_basket_size
+    FROM s
+    """,
+)
+def q_basket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-basket truncation audit — the observability half of the
+    shared MAX_BASKET cap (operators/baskets) that basket_part_pairs,
+    pagerank_copurchase, item_item_cosine and the co-purchase graph
+    family apply before pair expansion: one row reporting how many
+    baskets exceed the cap and how many memberships the cap would
+    drop. Runs on the UNCAPPED membership table (a single map-side
+    combinable keyed count — linear, no pair expansion), so the
+    release card can state the truncation instead of silently eating
+    it. On the fixture every count is 0 truncated (orders carry <= 7
+    lines); the synthetic mega-basket regression in
+    tests/test_baskets.py exercises the binding case."""
+    from etl_pyspark_spark.operators.baskets import (
+        basket_truncation_audit,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return basket_truncation_audit(li, "l_orderkey", "l_partkey")
 
 
 @query(
@@ -7938,28 +7979,16 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back, wedges = oriented x oriented on the middle node,
     closed by a semi-join-shaped equi-join with the oriented edge
     set. All keyed shuffles, no windows, no iteration."""
-    lp = (
-        read_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 10 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("v"))
     # edges feeds the degree table, both orientation joins and the
-    # final count; o feeds three wedge-join sides. Eagerly checkpoint
-    # both: a lazy .cache() leaves the first action's parallel
+    # final count; o feeds three wedge-join sides. Both are eagerly
+    # checkpointed: a lazy .cache() leaves the first action's parallel
     # subtrees racing to fill it (each recomputes the derivation —
     # measured 3x the query cost, and nondeterministically so); the
     # eager materialization is the checkpointed edge/orientation
     # table every graph pipeline writes before iterating anyway.
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
-    )
+    # Shared with graph_k_core / graph_local_clustering, including the
+    # mega-basket cap (operators/baskets).
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -10305,16 +10334,20 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-keyed shuffle, per-order dedup fused in) followed by an
     in-row double explode — measured ~35% cheaper than the
     equivalent distinct + self-join + distinct chain (one fewer
-    exchange over the pair set), identical edge set. Bounded per
-    basket; a pathological mega-basket would quadratically expand —
-    the cap belongs in the basket aggregate at real scale.
+    exchange over the pair set), identical edge set. The mega-basket
+    cap lives in the basket aggregate's row (operators/baskets
+    .cap_items_array: deterministic hash-rank slice, pure codegen
+    HOFs) so the quadratic explode is bounded at O(cap^2) per order;
+    the cap never binds on fixture baskets (<= 7 lines), keeping the
+    oracle cap-free.
     Bit-exact across engines because every step is bigint arithmetic;
     the oracle unrolls the same 3 rounds via sql_pagerank_int."""
+    from etl_pyspark_spark.operators.baskets import cap_items_array
     from etl_pyspark_spark.operators.graph import pagerank_int
 
     li = read_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
+        cap_items_array(F.collect_set("l_partkey")).alias("ps")
     )
     edges = (
         baskets.select(F.explode("ps").alias("src"), "ps")
@@ -13034,13 +13067,19 @@ def _copurchase_edges_sql() -> str:
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded part co-purchase edge list (u < v, distinct), the same
-    derivation graph_triangle_count documents; eagerly checkpointed
-    because every caller fans it into several join subtrees."""
-    lp = (
-        read_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 10 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    derivation graph_triangle_count documents; baskets are truncated
+    to MAX_BASKET items by the shared hash-rank cap
+    (operators/baskets) before the pair self-join, so a mega-basket
+    is O(cap^2) pairs; eagerly checkpointed because every caller fans
+    it into several join subtrees."""
+    from etl_pyspark_spark.operators.baskets import capped_basket_items
+
+    lp = capped_basket_items(
+        read_table(spark, sf_dir, "lineitem").where(
+            F.col("l_orderkey") % 10 == 0
+        ),
+        "l_orderkey",
+        "l_partkey",
     )
     a = lp.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = lp.select("l_orderkey", F.col("l_partkey").alias("v"))
@@ -15561,14 +15600,19 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     both correctly rounded identically in either engine, which is
     what makes a similarity score hash-matchable at all. At 100 TB
     the co-occurrence table is the heavy keyed shuffle and the
-    degree joins broadcast."""
-    lp = (
-        read_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 10 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
-    )
+    degree joins broadcast; baskets carry the shared MAX_BASKET
+    hash-rank cap (operators/baskets — degrees too, so numerator and
+    denominator describe the same truncated baskets; cap-free on the
+    fixture)."""
+    from etl_pyspark_spark.operators.baskets import capped_basket_items
+
+    lp = capped_basket_items(
+        read_table(spark, sf_dir, "lineitem").where(
+            F.col("l_orderkey") % 10 == 0
+        ),
+        "l_orderkey",
+        "l_partkey",
+    ).localCheckpoint()
     a = lp.select("l_orderkey", F.col("l_partkey").alias("i"))
     b = lp.select("l_orderkey", F.col("l_partkey").alias("j"))
     co = (
