@@ -122,31 +122,43 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
     # Auto-adjudicate outliers: external host load can inflate a few
-    # mid-run queries 3-20x (documented in BASELINE.md); round 3's
+    # mid-run queries 2-20x (documented in BASELINE.md); round 3's
     # record shipped four such numbers that only a manual solo re-run
-    # could exonerate. Any query >3x its previous record (and >1s, so
-    # sub-second noise doesn't trigger) is re-timed once at the end of
-    # the run; BOTH numbers are recorded and the smaller one stands.
+    # could exonerate. Any query >2x its previous record (and >1s, so
+    # sub-second noise doesn't trigger; threshold tightened from 3x
+    # per r04 verdict #3 so sub-3x drift self-adjudicates) is re-timed
+    # at the end of the run with the SAME reps/median protocol as the
+    # first pass AND a cache clear first — the end-of-run session has
+    # every shared subplan cached, which made the old solo retime
+    # systematically warmer than the number it was checking (advice
+    # r04). BOTH numbers are recorded and the smaller one stands.
     retimed: dict[str, dict] = {}
     for name, first in list(timings.items()):
         p = prev.get(name, -1.0)
-        if first <= 1.0 or p <= 0 or first <= 3 * p:
+        if first <= 1.0 or p <= 0 or first <= 2 * p:
             continue
         try:
-            t0 = time.perf_counter()
-            _force(QUERIES[name](spark, sf_dir))
-            solo = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _force(QUERIES[name](spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            solo = round(samples[len(samples) // 2], 3)
         except Exception:  # pragma: no cover
             continue
         retimed[name] = {"first": first, "retime": solo}
         timings[name] = min(first, solo)
-        # NOTE: deliberately no clearCache between queries. Spark's
+        # NOTE: no clearCache between MAIN-pass queries. Spark's
         # cache is keyed by analyzed plan, so the dedup family's shared
         # shingle/posting subplans legitimately reuse one materialized
         # cache — clearing per query re-pays that work 4x (measured:
         # +190 s at sf0.1) while freeing memory no 128 GiB executor
         # misses. Cache hygiene belongs at pipeline boundaries, not
-        # between every query of one session.
+        # between every query of one session; the retime pass above
+        # clears it only to measure under first-pass-comparable
+        # conditions.
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     line = json.dumps(
@@ -181,7 +193,10 @@ def main() -> None:
                           "bench_last.json")
     )
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # a bare filename has dirname "" — makedirs("") raises, and losing
+    # the whole run's JSON to that is worse than skipping (advice r04)
+    if os.path.dirname(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
     sys.stdout.flush()

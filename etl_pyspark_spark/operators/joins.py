@@ -109,9 +109,15 @@ def asof_join(
 
     Strategy (scales where pandas ``merge_asof`` cannot): tag both
     sides, union by a common schema, then a single window sorted by
-    (key, ts, side) carries the most recent right-side values forward
-    with ``last(..., ignorenulls=True)``. One shuffle total, no
-    collect, no UDF; skew on ``key`` is handled by AQE.
+    (key, ts, side) carries the most recent right-side ROW — one
+    struct of all right value columns plus the match timestamp — with
+    ``last(..., ignorenulls=True)``. Carrying the whole row as ONE
+    struct (not per-column picks) is what keeps the semantics exactly
+    pandas ``merge_asof``: a NULL in a right value column stays NULL
+    (a per-column ignorenulls pick would skip it back to an OLDER
+    row's value), and the tolerance check always sees the timestamp
+    of the same row the values came from (advice r04). One shuffle
+    total, no collect, no UDF; skew on ``key`` is handled by AQE.
 
     ``direction='forward'`` mirrors it: the EARLIEST right row with
     ``right_ts >= left_ts`` — same union, the window frame flips to
@@ -130,12 +136,20 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     forward = direction == "forward"
 
+    from pyspark.sql import types as T
+
+    # one struct per right row: all carried value columns + the match
+    # timestamp, so the ignorenulls pick is atomic per right ROW
+    r_row_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [T.StructField("_rts", right.schema[right_ts].dataType)]
+    )
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_row_type).alias("_rrow"),
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
@@ -144,14 +158,11 @@ def asof_join(
         F.lit(None)
         .cast(l_tagged.schema["_lrow"].dataType)
         .alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(
+            *[F.col(c) for c in right_cols],
+            F.col(right_ts).alias("_rts"),
+        ).alias("_rrow"),
     )
-    if tolerance is not None:
-        ts_type = l_tagged.schema["_ts"].dataType
-        l_tagged = l_tagged.withColumn(
-            "_rmatch", F.lit(None).cast(ts_type)
-        )
-        r_tagged = r_tagged.withColumn("_rmatch", F.col("_ts"))
     unioned = l_tagged.unionByName(r_tagged)
     # backward: right rows (side=0) sort BEFORE left rows at equal ts
     # and the frame looks back => "<=" semantics. forward: the side
@@ -171,23 +182,21 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
-    carry = [
-        pick(f"_r_{c}").over(w).alias(f"_asof_{c}") for c in right_cols
-    ]
-    if tolerance is not None:
-        carry.append(pick("_rmatch").over(w).alias("_asof_rts"))
-    filled = unioned.select("*", *carry).where(F.col("_side") == 1)
+    filled = unioned.select(
+        "*", pick("_rrow").over(w).alias("_asof_row")
+    ).where(F.col("_side") == 1)
     if tolerance is None:
         out_cols = [
-            F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols
+            F.col(f"_asof_row.{c}").alias(f"asof_{c}")
+            for c in right_cols
         ]
     else:
         if forward:
-            fresh = F.col("_asof_rts") <= F.col("_ts") + tolerance
+            fresh = F.col("_asof_row._rts") <= F.col("_ts") + tolerance
         else:
-            fresh = F.col("_asof_rts") >= F.col("_ts") - tolerance
+            fresh = F.col("_asof_row._rts") >= F.col("_ts") - tolerance
         out_cols = [
-            F.when(fresh, F.col(f"_asof_{c}")).alias(f"asof_{c}")
+            F.when(fresh, F.col(f"_asof_row.{c}")).alias(f"asof_{c}")
             for c in right_cols
         ]
     return filled.select(F.col("_lrow.*"), *out_cols)

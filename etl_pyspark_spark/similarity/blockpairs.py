@@ -81,14 +81,22 @@ def block_cosine_pairs(
         par_blocks = math.ceil((math.sqrt(8 * p + 1) - 1) / 2)
         num_blocks = max(1, size_blocks, par_blocks)
     spark = emb.sparkSession
+    # "cl" is a pure grouping key (never emitted), so hash the cluster
+    # column instead of casting: a cast would turn non-numeric cluster
+    # labels (e.g. strings) into NULL, silently collapsing every
+    # cluster into one group and reverting candidate cost to O(n^2)
+    # (advice r04). xxhash64 accepts any type; distinct labels stay
+    # distinct (NULL labels form their own single group, as before).
     cluster_expr = (
-        F.col(cluster_col) if cluster_col is not None else F.lit(0)
+        F.xxhash64(F.col(cluster_col))
+        if cluster_col is not None
+        else F.lit(0).cast("bigint")
     )
     blocked = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         (F.col(id_col) % num_blocks).cast("int").alias("blk"),
-        cluster_expr.cast("bigint").alias("cl"),
+        cluster_expr.alias("cl"),
     )
     pairs = spark.createDataFrame(
         [(i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j],

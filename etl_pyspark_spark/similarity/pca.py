@@ -116,18 +116,21 @@ def pca_whiten(
     _, mean, cov = corpus_moments(emb, vec_col)
     _, w = whitening_matrix(cov, k)
     sc = emb.sparkSession.sparkContext
-    bc = sc.broadcast((mean.tolist(), w.tolist()))
+    # round_to ships inside the broadcast so the projection honors the
+    # caller's precision (advice r04: it was hardcoded to 6).
+    bc = sc.broadcast((mean.tolist(), w.tolist(), int(round_to)))
 
     def project(batches):
         import pandas as pd
 
-        m, wm = (np.asarray(a) for a in bc.value)
+        m, wm = (np.asarray(a) for a in bc.value[:2])
+        scale = 10.0 ** bc.value[2]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf["v"].values).astype("float64")
             y = (x - m) @ wm
-            y = np.floor(y * 10**6 + 0.5) / 10**6  # pround twin
+            y = np.floor(y * scale + 0.5) / scale  # pround twin
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "components": list(map(list, y))}
             )

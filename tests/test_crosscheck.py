@@ -128,3 +128,36 @@ def test_compression_ratio_invariants(spark, oracle_sf_dir):
     rep_ratio = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
     med = statistics.median(r["compression_ratio"] for r in rows)
     assert rep_ratio < med
+
+
+def test_block_cosine_pairs_string_cluster_scopes_pairs(spark):
+    """block_cosine_pairs(cluster_col=...) must honor NON-NUMERIC
+    cluster labels (advice r04: the old bigint cast nulled string
+    labels, collapsing every cluster into one group and regenerating
+    cross-cluster pairs). Two orthogonal-ish clusters: identical
+    vectors within a cluster, orthogonal across — with the cluster
+    scope only within-cluster pairs may appear."""
+    from etl_pyspark_spark.similarity.blockpairs import (
+        block_cosine_pairs,
+    )
+
+    rows = [
+        (i, "alpha" if i % 2 == 0 else "beta",
+         [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0])
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    got = block_cosine_pairs(
+        emb,
+        threshold=-1.0,  # keep EVERY generated candidate pair
+        id_col="vec_id",
+        vec_col="embedding",
+        num_blocks=2,
+        cluster_col="label",
+    ).collect()
+    assert len(got) == 2 * (4 * 3 // 2)  # within-cluster pairs only
+    for r in got:
+        assert r["id_a"] % 2 == r["id_b"] % 2  # never cross-cluster
+        assert r["cos_sim"] == 1.0

@@ -62,3 +62,17 @@ def test_whitening_properties(spark, oracle_sf_dir):
     # determinism: second call bit-identical
     lam2, w2 = whitening_matrix(cov, 8)
     assert np.array_equal(w, w2)
+
+
+def test_round_to_is_honored(spark, oracle_sf_dir):
+    """round_to must actually control the projection's rounding
+    (advice r04: it was silently hardcoded to 6 decimals)."""
+    emb, ids, x, mean, cov = _reference(spark, oracle_sf_dir)
+    got = pca_whiten(emb, k=4, round_to=2).collect()
+    vals = np.array([r["components"] for r in got])
+    assert np.array_equal(vals, np.floor(vals * 100 + 0.5) / 100)
+    # and 2-decimal output differs from the 6-decimal default
+    got6 = np.array(
+        [r["components"] for r in pca_whiten(emb, k=4).collect()]
+    )
+    assert not np.array_equal(vals, got6)

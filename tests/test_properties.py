@@ -443,6 +443,69 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, lefts, rights, tol):
     assert got == want
 
 
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000),
+                  st.one_of(st.none(), st.integers(-100, 100))),
+        min_size=0, max_size=25, unique_by=lambda r: (r[0], r[1]),
+    ),
+    tol=st.one_of(st.none(), st.integers(1, 200)),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@_SETTINGS
+def test_asof_null_right_values_match_pandas(
+    spark, lefts, rights, tol, direction
+):
+    """asof_join with NULLABLE right value columns must still agree
+    with pandas merge_asof: a NULL in the matched right row stays
+    NULL (advice r04 — the old per-column ignorenulls carry fell back
+    to an OLDER row's value), and with tolerance the freshness check
+    uses the matched row's own timestamp."""
+    import pandas as pd
+
+    from etl_pyspark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        "lid int, k int, ts long",
+    )
+    right = spark.createDataFrame(
+        list(rights) or [(99, 0, 0)], "k int, ts long, v long"
+    )
+    if not rights:
+        right = right.where(F.lit(False))
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction=direction,
+            tolerance=None if tol is None else F.lit(tol),
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        columns=["lid", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(list(rights), columns=["k", "ts", "v"])
+        .astype({"k": "int64", "ts": "int64", "v": "Int64"})
+        .sort_values("ts", kind="stable")
+    )
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", tolerance=tol, direction=direction,
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else int(r.v))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
 def test_apportionment_sums_to_budget_exactly(spark):
     """Largest-remainder quotas must hit the budget exactly — the
     invariant floor-proportional allocation (mixture_sampling_quota)
