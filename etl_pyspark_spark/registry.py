@@ -9580,17 +9580,83 @@ def q_tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_pieces(docs, 512)
 
 
-@query("tokenizer_segment")  # rows-only: greedy matching is iterative
+def _segment_oracle(k: int, max_len: int) -> str:
+    """SQL twin of greedy WordPiece segmentation (r04 verdict #6 —
+    promoted from rows-only). The greedy loop IS expressible: the
+    step length at (term, pos) is path-independent, so it's
+    precomputed as a plain vocab join (max matching piece length,
+    single-char fallback), and a WITH RECURSIVE walk just follows
+    pos -> pos + step — terminating naturally when steps has no row.
+    DuckDB gotchas baked in: LIMIT-then-UNION needs parenthesized
+    branches; a LEFT JOIN cannot follow a correlated UNNEST (positions
+    materialize first); and an IN-subquery against a CTE inside the
+    recursive member silently mismatches (the precomputed-steps shape
+    avoids correlated subqueries in the recursion entirely)."""
+    ws = _WS_TOKENS_SQL.format(col="text")
+    return f"""
+    WITH RECURSIVE
+    occ AS (SELECT u.term FROM documents, UNNEST({ws}) AS u(term)),
+    sl AS (SELECT term, s.s AS s, l.l AS l
+           FROM occ,
+                UNNEST(range(1, length(term) + 1)) AS s(s),
+                UNNEST(range(1, least({max_len},
+                                      length(term) - s.s + 1) + 1))
+                  AS l(l)),
+    p AS (SELECT substr(term, s, l) AS piece, count(*) AS n_occ
+          FROM sl GROUP BY 1),
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        (SELECT piece FROM p ORDER BY n_occ DESC, piece ASC LIMIT {k})
+        UNION ALL
+        (SELECT piece FROM p WHERE length(piece) = 1))),
+    dw AS (SELECT doc_id, u.term, count(*) AS n
+           FROM documents, UNNEST({ws}) AS u(term) GROUP BY 1, 2),
+    terms AS MATERIALIZED (SELECT DISTINCT term FROM dw),
+    poss AS MATERIALIZED (
+      SELECT t.term, s.s AS pos
+      FROM terms t, UNNEST(range(1, length(t.term) + 1)) AS s(s)),
+    cand AS (SELECT t.term, s.s AS pos, l.l AS l
+             FROM terms t,
+                  UNNEST(range(1, length(t.term) + 1)) AS s(s),
+                  UNNEST(range(2, least({max_len},
+                                        length(t.term) - s.s + 1) + 1))
+                    AS l(l)),
+    m AS (SELECT c.term, c.pos, max(c.l) AS l
+          FROM cand c
+          JOIN vocab v ON substr(c.term, c.pos, c.l) = v.piece
+          GROUP BY 1, 2),
+    steps AS MATERIALIZED (
+      SELECT po.term, po.pos, COALESCE(m.l, 1) AS step
+      FROM poss po LEFT JOIN m ON m.term = po.term AND m.pos = po.pos),
+    seg AS (
+      SELECT term, 1 AS pos, 0 AS np FROM terms
+      UNION ALL
+      SELECT s.term, s.pos + st.step, s.np + 1
+      FROM seg s JOIN steps st ON st.term = s.term AND st.pos = s.pos),
+    pieces AS (SELECT term, max(np) AS n_pieces FROM seg GROUP BY term)
+    SELECT dw.doc_id,
+           CAST(sum(dw.n) AS BIGINT) AS n_words,
+           CAST(sum(dw.n * p.n_pieces) AS BIGINT) AS n_pieces
+    FROM dw JOIN pieces p USING (term)
+    GROUP BY 1
+    """
+
+
+@query("tokenizer_segment", oracle=_segment_oracle(64, 8))
 def q_tokenizer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match (WordPiece) segmentation of every
     document with the corpus-derived vocabulary: per doc, word count
-    and subword-piece count. Declared rows-only — the greedy loop is
-    inherently iterative (no SQL twin); its invariants are pinned in
-    tests/test_tokenizer.py instead: round-trip (pieces rejoin to the
-    word), total coverage (single-char fallback — the vocabulary
-    contains every corpus character), the greedy longest-match
-    property against the vocab, and in-engine consistency of the
-    distributed counts with a driver-side recomputation.
+    and subword-piece count. Hash-matched against a full SQL twin
+    (_segment_oracle): greedy step lengths are path-independent, so
+    the oracle precomputes them per (term, position) with a vocab
+    join and follows them with a recursive CTE — the iterative loop
+    that kept this rows-only through round 4 is now oracle-checked.
+    Invariants additionally pinned in tests/test_tokenizer.py:
+    round-trip (pieces rejoin to the word), total coverage
+    (single-char fallback — the vocabulary contains every corpus
+    character), the greedy longest-match property against the vocab,
+    and in-engine consistency of the distributed counts with a
+    driver-side recomputation.
 
     Scale shape: vocabulary = one bounded collect (K + |alphabet|
     strings) broadcast once per executor; documents cross into Python
