@@ -16422,3 +16422,717 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kendall_tau_b"),
     )
+
+
+@query(
+    "mann_whitney_u",
+    oracle=f"""
+    WITH d AS (SELECT value,
+                      sum(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS ca,
+                      sum(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS cb,
+                      sum(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END) AS cnt
+               FROM events WHERE value IS NOT NULL
+               GROUP BY value HAVING cnt > 0),
+    c AS (SELECT value, ca, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY value
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum
+          FROM d),
+    r AS (SELECT CAST(sum(ca * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
+                   AS r2
+          FROM c),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+                 CAST(sum(cb) AS BIGINT) AS n2,
+                 CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+          FROM d),
+    u AS (SELECT n1, n2, ties, r2, n1 + n2 AS n,
+                 r2 - n1 * (n1 + 1) AS u2
+          FROM r, t)
+    SELECT n1 AS n_click, n2 AS n_view, u2 AS u2_click,
+           {sql_pround(
+        "CAST(u2 - n1 * n2 AS DOUBLE) / (2 * sqrt("
+        "CAST(CAST(n1 AS DECIMAL(38,0)) * n2 "
+        "* ((n + 1) * CAST(n AS DECIMAL(38,0)) * (n - 1) - ties) "
+        "AS DOUBLE) / CAST(12 * CAST(n AS DECIMAL(38,0)) * (n - 1) "
+        "AS DOUBLE)))", 9
+    )} AS z_score
+    FROM u
+    """,
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U rank-sum test (click vs view values) —
+    the nonparametric location test beside the family's KS
+    (max CDF gap) and chi-square (categorical drift). Everything is
+    integer: average ranks with ties are kept doubled
+    (2*avg_rank = 2*cnt_less + cnt_eq + 1, never a .5), so the
+    doubled rank sum 2*R1 and doubled statistic 2*U1 are exact
+    bigints; the tie-corrected normal z does one decimal->double
+    cast per operand and a single sqrt+division at the end
+    (correctly rounded identically in both engines). Scale shape:
+    identical to ks_two_sample — reduce to the DISTINCT value axis
+    first, then ONE range-exchange cumulative pass
+    (with_global_cumsum_multi, never SinglePartition); the test
+    statistic is a 1-row fold. No reference counterpart
+    (SURVEY §2.9 statistics family)."""
+    from etl_pyspark_spark.operators.ranks import (
+        with_global_cumsum_multi,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = (
+        ev.groupBy("value")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("ca"),
+            F.sum(
+                (F.col("event_type") == "view").cast("int")
+            ).alias("cb"),
+            F.sum(
+                F.col("event_type").isin("click", "view").cast("int")
+            ).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+        .persist()
+    )
+    c = with_global_cumsum_multi(d, ["value"], ["cnt"])
+    r2 = F.broadcast(
+        c.agg(
+            F.sum(
+                F.col("ca")
+                * (
+                    2 * (F.col("cum_cnt") - F.col("cnt"))
+                    + F.col("cnt")
+                    + 1
+                )
+            )
+            .cast("bigint")
+            .alias("r2")
+        )
+    )
+    t = F.broadcast(
+        d.agg(
+            F.sum("ca").cast("bigint").alias("n1"),
+            F.sum("cb").cast("bigint").alias("n2"),
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt")
+                - F.col("cnt")
+            )
+            .cast("bigint")
+            .alias("ties"),
+        )
+    )
+    u = r2.crossJoin(t).select(
+        "n1",
+        "n2",
+        "ties",
+        (F.col("n1") + F.col("n2")).alias("n"),
+        (F.col("r2") - F.col("n1") * (F.col("n1") + 1)).alias("u2"),
+    )
+    var_num = (
+        F.col("n1").cast("decimal(38,0)")
+        * F.col("n2")
+        * (
+            (F.col("n") + 1)
+            * F.col("n").cast("decimal(38,0)")
+            * (F.col("n") - 1)
+            - F.col("ties")
+        )
+    ).cast("double")
+    var_den = (
+        F.lit(12) * F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)
+    ).cast("double")
+    return u.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_view"),
+        F.col("u2").alias("u2_click"),
+        pround(
+            (F.col("u2") - F.col("n1") * F.col("n2")).cast("double")
+            / (F.lit(2) * F.sqrt(var_num / var_den)),
+            9,
+        ).alias("z_score"),
+    )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), pre-rounded to
+# 6 decimals so both engines parse the SAME literal (libm log10 is not
+# correctly rounded, so neither side may compute it at runtime).
+_BENFORD_P = [
+    (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+    (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+    (9, 0.045757),
+]
+
+
+@query(
+    "benford_first_digit",
+    oracle=f"""
+    WITH obs AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                         AS VARCHAR), 1, 1) AS INT)
+                          AS first_digit,
+                        count(*) AS n_obs
+                 FROM orders GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders),
+    b(first_digit, p) AS (VALUES {", ".join(
+        f"({d}, {p})" for d, p in _BENFORD_P
+    )})
+    SELECT b.first_digit,
+           CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+           {sql_pround("CAST(n.n_total AS DOUBLE) * b.p", 6)}
+             AS expected_n,
+           {sql_pround(
+        "(CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)"
+        " - CAST(n.n_total AS DOUBLE) * b.p)"
+        " * (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)"
+        " - CAST(n.n_total AS DOUBLE) * b.p)"
+        " / (CAST(n.n_total AS DOUBLE) * b.p)", 6
+    )} AS chi_term
+    FROM b LEFT JOIN obs USING (first_digit), n
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fraud/data-quality screen for any monetary fact column. The
+    expected shares are 6-decimal literals baked into BOTH engines
+    (libm log10 differs across engines; a shared literal cannot);
+    per-digit chi-square terms are pure-double expression trees with
+    identical op order, returned per digit so no cross-row double
+    sum exists. Scale shape: one map-side-combinable 9-group count
+    over the fact scan plus a broadcast of the 9-row expectation dim
+    — nothing else. No reference counterpart (SURVEY §2.9)."""
+    o = read_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    n = F.broadcast(
+        o.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    )
+    b = F.broadcast(
+        spark.createDataFrame(_BENFORD_P, "first_digit int, p double")
+    )
+    exp = F.col("n_total").cast("double") * F.col("p")
+    dev = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") - exp
+    return (
+        b.join(obs, "first_digit", "left")
+        .crossJoin(n)
+        .select(
+            "first_digit",
+            F.coalesce(F.col("n_obs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_obs"),
+            pround(exp, 6).alias("expected_n"),
+            pround(dev * dev / exp, 6).alias("chi_term"),
+        )
+    )
+
+
+@query(
+    "ab_test_proportions",
+    oracle=f"""
+    WITH per_user AS (SELECT user_id % 2 AS variant,
+                             max(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) AS converted
+                      FROM events GROUP BY user_id),
+    v AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN variant = 0 THEN converted
+                               ELSE 0 END) AS BIGINT) AS conv_a,
+                 CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN variant = 1 THEN converted
+                               ELSE 0 END) AS BIGINT) AS conv_b
+          FROM per_user)
+    SELECT n_a, conv_a, n_b, conv_b,
+           {sql_pround(
+        "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / sqrt(CAST(conv_a + conv_b AS DOUBLE)"
+        "        / CAST(n_a + n_b AS DOUBLE)"
+        "   * (1 - CAST(conv_a + conv_b AS DOUBLE)"
+        "          / CAST(n_a + n_b AS DOUBLE))"
+        "   * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))", 9
+    )} AS z_score
+    FROM v
+    """,
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic user split (parity of
+    user_id as the A/B assignment, purchase as conversion) — the
+    experiment-analysis primitive next to the eval family's AUC and
+    lift. Counts are the only aggregation (exact bigints per user
+    then per variant); the pooled z is one fixed-order double tree
+    over four bigints, with pround pinning the printed value. Scale
+    shape: per-user reduce (map-side combinable) then a 2-group
+    fold; nothing keyed finer than user ever shuffles. No reference
+    counterpart (SURVEY §2.9)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    )
+    v = per_user.select(
+        (F.col("user_id") % 2).alias("variant"), "converted"
+    ).agg(
+        F.sum((F.col("variant") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum((F.col("variant") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1) - pp)
+        * (
+            F.lit(1) / F.col("n_a").cast("double")
+            + F.lit(1) / F.col("n_b").cast("double")
+        )
+    )
+    return v.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        pround((pa - pb) / se, 9).alias("z_score"),
+    )
+
+
+@query(
+    "hhi_concentration",
+    oracle="""
+    WITH rev AS (SELECT s.s_nationkey, l.l_suppkey,
+                        sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6))) AS sup_rev
+                 FROM lineitem l JOIN supplier s
+                   ON l.l_suppkey = s.s_suppkey
+                 GROUP BY 1, 2),
+    tot AS (SELECT s_nationkey,
+                   CAST(sum(sup_rev) AS DECIMAL(38,6)) AS nat_rev,
+                   count(*) AS n_suppliers
+            FROM rev GROUP BY 1),
+    terms AS (SELECT r.s_nationkey,
+                     CAST(floor(
+                       (CAST(r.sup_rev AS DOUBLE)
+                        / CAST(t.nat_rev AS DOUBLE))
+                       * (CAST(r.sup_rev AS DOUBLE)
+                          / CAST(t.nat_rev AS DOUBLE))
+                       * 10000000000.0 + 0.5) AS BIGINT) AS sq
+              FROM rev r JOIN tot t USING (s_nationkey))
+    SELECT n.n_name,
+           CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(sum(terms.sq) AS DOUBLE) / 1000000.0 AS hhi_bp
+    FROM terms
+    JOIN tot t USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = terms.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation
+    (sum of squared revenue shares, in basis points) — the market-
+    concentration screen regulators and marketplace teams run over
+    any seller dimension. Exactness: revenues fold as decimals
+    (order-free), each share is ONE double division, the squared
+    share is quantized to a bigint at 1e10 so the cross-supplier sum
+    is integer (double sums are order-dependent; integer sums are
+    not), and the final /1e6 is a single division. Scale shape: one
+    (nation, supplier) reduce feeding a nation-level reduce, with
+    the 25-row nation dim broadcast; no row ever shuffles twice on
+    the same key. No reference counterpart (SURVEY §2.9)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == s.s_suppkey,
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            ).alias("sup_rev")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("sup_rev").cast("decimal(38,6)").alias("nat_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("sup_rev").cast("double") / F.col("nat_rev").cast(
+        "double"
+    )
+    terms = rev.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        F.floor(share * share * F.lit(10000000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    return (
+        terms.groupBy("s_nationkey", "n_suppliers")
+        .agg(F.sum("sq").alias("sq_sum"))
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            (F.col("sq_sum").cast("double") / F.lit(1000000.0)).alias(
+                "hhi_bp"
+            ),
+        )
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH conv AS (SELECT event_id AS conv_id, user_id, ts
+                  FROM events WHERE event_type = 'purchase'),
+    cand AS (SELECT c.conv_id, e.ts AS tts, e.event_id AS tid
+             FROM conv c JOIN events e
+               ON e.user_id = c.user_id
+              AND e.event_type <> 'purchase'
+              AND e.ts < c.ts
+              AND e.ts >= c.ts - INTERVAL 7 DAY),
+    best_ts AS (SELECT conv_id, max(tts) AS tts FROM cand
+                GROUP BY conv_id),
+    best AS (SELECT b.conv_id, b.tts, max(c.tid) AS tid
+             FROM best_ts b JOIN cand c
+               ON c.conv_id = b.conv_id AND c.tts = b.tts
+             GROUP BY 1, 2),
+    attributed AS (SELECT cv.conv_id,
+                          COALESCE(e.event_type, 'direct') AS channel
+                   FROM conv cv
+                   LEFT JOIN best b ON b.conv_id = cv.conv_id
+                   LEFT JOIN events e ON e.event_id = b.tid)
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions
+    FROM attributed GROUP BY channel
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited
+    to the user's most recent non-purchase event within a 7-day
+    lookback (ties broken by event_id; no touch -> 'direct'), then
+    conversions roll up per channel. The match is the
+    min-per-group-join-back shape — argmax as (max ts per
+    conversion, then max event_id at that ts), never a
+    collect-and-loop. Scale shape: the candidate join is keyed on
+    user_id with a bounded 7-day window, so state per user is the
+    lookback's events; the two argmax reduces and the final channel
+    rollup are all map-side combinable. At 100 TB the same plan runs
+    with the events table bucketed by user_id (join_bucketed's
+    layout), making the self-join exchange-free. No reference
+    counterpart (SURVEY §2.9)."""
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    cand = conv.join(
+        touches,
+        (F.col("tu") == F.col("cu"))
+        & (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("conv_id", "tts", "tid")
+    best_ts = cand.groupBy("conv_id").agg(F.max("tts").alias("tts"))
+    best = (
+        best_ts.join(cand, ["conv_id", "tts"])
+        .groupBy("conv_id", "tts")
+        .agg(F.max("tid").alias("tid"))
+    )
+    attributed = (
+        conv.join(best, "conv_id", "left")
+        .join(
+            ev.select(
+                F.col("event_id").alias("tid"),
+                F.col("event_type").alias("channel"),
+            ),
+            "tid",
+            "left",
+        )
+        .select(
+            "conv_id",
+            F.coalesce(F.col("channel"), F.lit("direct")).alias(
+                "channel"
+            ),
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions")
+    )
+
+
+@query(
+    "sql_scalar_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS charged,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_extendedprice * (1 - l_discount) * (1 + l_tax)
+          > l_extendedprice
+    GROUP BY l_returnflag
+    """,
+)
+def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN expr):
+    the engine's sanctioned way to package reusable business logic —
+    unlike a Python UDF the body INLINES into the plan at analysis
+    time, so Catalyst still pushes predicates through it, codegen
+    fuses it, and no Python worker is involved (the oracle is just
+    the inlined expression; the plan-level no-Python assertion in
+    tests/test_oracle.py holds). Used both as a projection and
+    inside a filter to prove pushdown survives the indirection."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - d) * (1 + t)"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_udf_src")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(CAST(charged_price(l_extendedprice, l_discount,
+                                           l_tax) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS charged,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM li_udf_src
+        WHERE charged_price(l_extendedprice, l_discount, l_tax)
+              > l_extendedprice
+        GROUP BY l_returnflag
+        """
+    )
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle(rounds: int) -> str:
+    """Unrolled BFS twin over the shared co-purchase edge CTE. Every
+    frontier/visited set is MATERIALIZED — round r references round
+    r-1 twice (expansion probe + anti filter), so plain CTE inlining
+    would go exponential in the round count exactly as documented on
+    _kcore_oracle. The anti filter is a LEFT JOIN ... IS NULL, not
+    NOT IN (the form that mismatched inside recursive members)."""
+    sql = "WITH " + _copurchase_edges_sql().replace(
+        "e0 AS (", "e0 AS MATERIALIZED ("
+    )
+    sql += """,
+    und AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    mk AS (SELECT min(l_orderkey) AS k FROM lp),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT lp.l_partkey AS node FROM lp, mk
+      WHERE lp.l_orderkey = mk.k),
+    v0 AS MATERIALIZED (SELECT node, 0 AS hop FROM h0)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    h{r} AS MATERIALIZED (
+      SELECT n.node FROM (
+        SELECT DISTINCT und.v AS node
+        FROM h{r - 1} f JOIN und ON und.u = f.node) n
+      LEFT JOIN v{r - 1} vis ON vis.node = n.node
+      WHERE vis.node IS NULL),
+    v{r} AS MATERIALIZED (
+      SELECT node, hop FROM v{r - 1}
+      UNION ALL SELECT node, {r} AS hop FROM h{r})"""
+    sql += f"""
+    SELECT node, CAST(hop AS INT) AS hop FROM v{rounds}
+    """
+    return sql
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle(_BFS_HOPS))
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search: exact min-hop distance (0-3)
+    from a seed basket's parts over the co-purchase graph — the
+    "related products within k hops" / blast-radius primitive.
+    Classic frontier BFS: each round expands the CURRENT frontier
+    only (never the whole visited set) through the undirected edge
+    list, anti-joins the visited set to keep first-discovery hops,
+    and localCheckpoints both (lineage doubles per round otherwise —
+    same discipline as graph_k_core). All keyed shuffles; frontier
+    size is bounded by the graph's neighborhood growth, and the edge
+    list carries the shared mega-basket cap (operators/baskets), so
+    a hub basket cannot quadratically explode an expansion round.
+    Seeds: the parts of the sharded graph's minimum order key
+    (deterministic, data-derived). No reference counterpart
+    (SURVEY §2.9 graph family)."""
+    from etl_pyspark_spark.operators.baskets import capped_basket_items
+
+    lp = capped_basket_items(
+        read_table(spark, sf_dir, "lineitem").where(
+            F.col("l_orderkey") % 10 == 0
+        ),
+        "l_orderkey",
+        "l_partkey",
+    ).localCheckpoint()
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    mk = F.broadcast(lp.agg(F.min("l_orderkey").alias("k")))
+    seeds = (
+        lp.join(mk, F.col("l_orderkey") == F.col("k"))
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint()
+    frontier = seeds
+    for h in range(1, _BFS_HOPS + 1):
+        frontier = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(
+            frontier.withColumn("hop", F.lit(h))
+        ).localCheckpoint()
+    return visited.select("node", F.col("hop").cast("int").alias("hop"))
+
+
+@query(
+    "boilerplate_coverage_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      {_WS_TOKENS_SQL.format(col="text")} AS toks
+               FROM documents),
+    g AS (SELECT t.doc_id, s.s AS s,
+                 array_to_string(t.toks[s.s:s.s + 4], ' ') AS gram
+          FROM t, UNNEST(range(1, len(t.toks) - 4 + 1)) AS s(s)),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS ndocs
+           FROM g GROUP BY 1),
+    top AS MATERIALIZED (
+      SELECT gram FROM df ORDER BY ndocs DESC, gram ASC LIMIT 20),
+    gm AS MATERIALIZED (
+      SELECT g.doc_id, g.s FROM g JOIN top USING (gram)),
+    cov AS (SELECT gm.doc_id, p.p AS p
+            FROM gm, UNNEST(range(gm.s, gm.s + 5)) AS p(p)
+            GROUP BY 1, 2),
+    c AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+           floor(CAST(COALESCE(c.n_covered, 0) AS DOUBLE)
+                 / CAST(len(t.toks) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS coverage_ratio
+    FROM t LEFT JOIN c USING (doc_id)
+    """,
+)
+def q_boilerplate_coverage_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Boilerplate coverage: what fraction of each document's token
+    positions is covered by any of the corpus's 20 most
+    document-frequent 5-grams — the C4/RefinedWeb-style boilerplate
+    screen for corpora without line structure (headers, footers, and
+    template phrases surface as high-document-frequency n-grams).
+    Tokenize once, enumerate 5-gram start positions with built-in
+    higher-order functions (no Python), reduce to corpus document
+    frequency, broadcast the tiny top-k boilerplate dim back, and
+    count DISTINCT covered positions per doc (overlapping matches
+    must not double-count — the distinct on (doc, position) is the
+    interval-union made set-wise). Scale shape: the df reduce is the
+    one big shuffle (map-side combinable); top-k is
+    TakeOrderedAndProject; coverage re-expands only the MATCHED
+    grams' 5 positions each. No reference counterpart (SURVEY §2.9
+    LLM text-quality family)."""
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
+    ).localCheckpoint()
+    g = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                # sequence(1, n) DESCENDS when n < 1 — short docs must
+                # yield an empty position list, not [1, 0]
+                F.when(
+                    F.size("toks") >= 5,
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                ).otherwise(F.expr("array()").cast("array<int>")),
+                lambda s: F.concat_ws(" ", F.slice("toks", s, 5)),
+            )
+        ).alias("s0", "gram"),
+    ).select(
+        "doc_id", (F.col("s0") + 1).alias("s"), "gram"
+    )
+    df_ = g.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    top = F.broadcast(
+        df_.orderBy(F.col("ndocs").desc(), F.col("gram").asc())
+        .limit(20)
+        .select("gram")
+    )
+    cov = (
+        g.join(top, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + 4)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    c = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_covered")
+    )
+    return (
+        t.join(c, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_covered"), F.lit(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            pround(
+                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                / F.size("toks").cast("double"),
+                6,
+            ).alias("coverage_ratio"),
+        )
+    )
