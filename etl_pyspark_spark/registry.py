@@ -17136,3 +17136,399 @@ def q_boilerplate_coverage_ratio(
             ).alias("coverage_ratio"),
         )
     )
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 100.0) AS INT))
+                AS BIGINT) AS n_distinct_sensitive,
+           (count(DISTINCT CAST(floor(c_acctbal / 100.0) AS INT)) < 3)
+             AS l_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the privacy gate one step past
+    k_anonymity_audit: a quasi-identifier group can be large (k-safe)
+    yet still leak if everyone in it shares the same SENSITIVE value
+    (homogeneity attack). Per (nation, segment) group, count DISTINCT
+    sensitive buckets (account balance in 100-unit bands) and flag
+    groups below l=3. Same one-pass partial-agg shape as the k audit;
+    the distinct count is per group, never global. No reference
+    counterpart (SURVEY §2.9 release-gate family)."""
+    c = read_table(spark, sf_dir, "customer")
+    nd = F.count_distinct(
+        F.floor(F.col("c_acctbal") / F.lit(100.0)).cast("int")
+    )
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        nd.cast("bigint").alias("n_distinct_sensitive"),
+        (nd < 3).alias("l_risk"),
+    )
+
+
+@query(
+    "event_pattern_match",
+    oracle="""
+    WITH s AS (SELECT user_id,
+                      string_agg(substr(event_type, 1, 1), ''
+                                 ORDER BY ts, event_id) AS seq,
+                      count(*) AS n_events
+               FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           regexp_matches(seq, 'v.*c.*p') AS matched
+    FROM s
+    """,
+)
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching (MATCH_RECOGNIZE-lite): does each user's
+    time-ordered journey contain view -> click -> purchase in that
+    order (gaps allowed)? The journey collapses to a compact initial
+    string per user — one groupBy with an in-group array_sort on the
+    (ts, event_id) tiebreak, the user_event_sequence idiom — and the
+    pattern is a single regex over it, evaluated in codegen. Scale
+    shape: per-user event counts are application-bounded (the same
+    bound every sessionization op leans on), so the collected array
+    is small; nothing global, no window. No reference counterpart
+    (SURVEY §2.9 sequence-analytics family)."""
+    ev = read_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: F.substring(s["event_type"], 1, 1),
+        ),
+        "",
+    )
+    return ev.groupBy("user_id").agg(
+        seq.alias("_seq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    ).select(
+        "user_id",
+        "n_events",
+        F.col("_seq").rlike("v.*c.*p").alias("matched"),
+    )
+
+
+@query(
+    "effect_size_cohens_d",
+    oracle=f"""
+    WITH g AS (SELECT
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS na,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS nb,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(18,6)) END) AS sa,
+        sum(CASE WHEN event_type = 'view'
+                 THEN CAST(value AS DECIMAL(18,6)) END) AS sb,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(value * value AS DECIMAL(38,12)) END) AS qa,
+        sum(CASE WHEN event_type = 'view'
+                 THEN CAST(value * value AS DECIMAL(38,12)) END) AS qb
+      FROM events WHERE value IS NOT NULL)
+    SELECT na AS n_click, nb AS n_view,
+           {sql_pround(
+        "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        " / sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)"
+        "          * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+        "        + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)"
+        "          * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))"
+        "       / CAST(na + nb - 2 AS DOUBLE))", 9
+    )} AS cohens_d
+    FROM g
+    """,
+)
+def q_effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized mean difference (click vs view values)
+    — the effect-size companion to the family's significance tests
+    (mann_whitney_u says WHETHER the populations differ; d says by
+    HOW MUCH in pooled-SD units). Sufficient statistics only: counts
+    and decimal-exact Σx / Σx² per group fold in one pass (the x*x
+    product is a single double multiplication, identical in both
+    engines, cast to decimal before the order-free sum); the d
+    formula is one fixed-order double tree with a single sqrt.
+    Scale shape: one map-side-combinable aggregate over the scan —
+    the cheapest possible two-sample statistic. No reference
+    counterpart (SURVEY §2.9 statistics family)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "view"
+    g = ev.agg(
+        F.sum(is_a.cast("int")).cast("bigint").alias("na"),
+        F.sum(is_b.cast("int")).cast("bigint").alias("nb"),
+        F.sum(
+            F.when(is_a, F.col("value").cast("decimal(18,6)"))
+        ).alias("sa"),
+        F.sum(
+            F.when(is_b, F.col("value").cast("decimal(18,6)"))
+        ).alias("sb"),
+        F.sum(
+            F.when(
+                is_a,
+                (F.col("value") * F.col("value")).cast("decimal(38,12)"),
+            )
+        ).alias("qa"),
+        F.sum(
+            F.when(
+                is_b,
+                (F.col("value") * F.col("value")).cast("decimal(38,12)"),
+            )
+        ).alias("qb"),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    sa_d = F.col("sa").cast("double")
+    sb_d = F.col("sb").cast("double")
+    ssa = F.col("qa").cast("double") - sa_d * sa_d / na_d
+    ssb = F.col("qb").cast("double") - sb_d * sb_d / nb_d
+    pooled = (ssa + ssb) / (F.col("na") + F.col("nb") - 2).cast("double")
+    return g.select(
+        F.col("na").alias("n_click"),
+        F.col("nb").alias("n_view"),
+        pround(
+            (sa_d / na_d - sb_d / nb_d) / F.sqrt(pooled), 9
+        ).alias("cohens_d"),
+    )
+
+
+def _pr_curve_oracle() -> str:
+    cuts = "\n      UNION ALL\n".join(
+        f"""      SELECT {q} AS decile,
+             min(CASE WHEN cum_cnt >= ceil({q / 10} * n) THEN value END)
+               AS threshold
+      FROM cc"""
+        for q in range(1, 10)
+    )
+    return f"""
+    WITH d AS (SELECT value, count(*) AS cnt,
+                      sum(CASE WHEN event_type IN ('purchase', 'signup')
+                               THEN 1 ELSE 0 END) AS pos
+               FROM events WHERE value IS NOT NULL GROUP BY value),
+    c AS (SELECT value, cnt, pos,
+                 CAST(sum(cnt) OVER (ORDER BY value
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_cnt,
+                 CAST(sum(pos) OVER (ORDER BY value
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_pos
+          FROM d),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS p FROM d),
+    cc AS (SELECT c.*, t.n, t.p FROM c, t),
+    cuts AS (
+{cuts}),
+    pr AS (SELECT cu.decile,
+                  CAST(cc.value AS DOUBLE) AS threshold,
+                  cc.n - cc.cum_cnt + cc.cnt AS pred_pos,
+                  cc.p - cc.cum_pos + cc.pos AS tp,
+                  cc.p AS p
+           FROM cuts cu JOIN cc ON cc.value = cu.threshold)
+    SELECT CAST(decile AS INT) AS decile, threshold,
+           CAST(pred_pos AS BIGINT) AS n_pred_pos,
+           CAST(tp AS BIGINT) AS tp,
+           {sql_pround(
+        "CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE)", 9
+    )} AS precision_at,
+           {sql_pround("CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)", 9)}
+             AS recall_at,
+           {sql_pround(
+        "2 * CAST(tp AS DOUBLE) / CAST(pred_pos + p AS DOUBLE)", 9
+    )} AS f1_at
+    FROM pr
+    """
+
+
+@query("precision_recall_curve", oracle=_pr_curve_oracle())
+def q_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 at the score's nine decile thresholds
+    ("predict positive when value >= cut") — the operating-point
+    curve beside roc_auc_exact's single scalar, using the family's
+    shared machinery end to end: reduce to DISTINCT scores, ONE
+    with_global_cumsum_multi pass for both cumulative counts (never
+    SinglePartition), discrete-quantile cuts (smallest value whose
+    cumulative count reaches ceil(q*n) — the winsorize rule, so both
+    engines select the identical stored score), and counts-at-cut by
+    an equi-join back to the distinct-score axis. F1 is computed as
+    2*tp/(pred_pos + actual_pos) — ONE integer-derived division, not
+    the P*R composition (fewer double ops, same value). No reference
+    counterpart (SURVEY §2.9 eval family)."""
+    from etl_pyspark_spark.operators.ranks import (
+        with_global_cumsum_multi,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("int").alias("cnt"),
+        F.sum(
+            F.col("event_type").isin("purchase", "signup").cast("int")
+        ).alias("pos"),
+    )
+    c = with_global_cumsum_multi(d, ["value"], ["cnt", "pos"])
+    t = F.broadcast(
+        d.agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("p"),
+        )
+    )
+    cc = c.crossJoin(t).persist()
+    cuts_row = cc.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum_cnt")
+                    >= F.ceil(F.lit(q / 10) * F.col("n")),
+                    F.col("value"),
+                )
+            ).alias(f"t{q}")
+            for q in range(1, 10)
+        ]
+    )
+    cuts = F.broadcast(
+        cuts_row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).cast("int").alias("decile"),
+                            F.col(f"t{q}").alias("threshold"),
+                        )
+                        for q in range(1, 10)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.decile", "s.threshold")
+    )
+    pr = cuts.join(cc, cc["value"] == cuts["threshold"])
+    pred_pos = F.col("n") - F.col("cum_cnt") + F.col("cnt")
+    tp = F.col("p") - F.col("cum_pos") + F.col("pos")
+    return pr.select(
+        "decile",
+        F.col("threshold").cast("double").alias("threshold"),
+        pred_pos.cast("bigint").alias("n_pred_pos"),
+        tp.cast("bigint").alias("tp"),
+        pround(
+            tp.cast("double") / pred_pos.cast("double"), 9
+        ).alias("precision_at"),
+        pround(tp.cast("double") / F.col("p").cast("double"), 9).alias(
+            "recall_at"
+        ),
+        pround(
+            F.lit(2) * tp.cast("double")
+            / (pred_pos + F.col("p")).cast("double"),
+            9,
+        ).alias("f1_at"),
+    )
+
+
+def _golden_record_oracle() -> str:
+    from etl_pyspark_spark.dedup.components import (
+        sql_components_over_pairs,
+    )
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_minhash_pairs,
+        sql_shingles_cte,
+    )
+
+    return (
+        "WITH RECURSIVE "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + ", "
+        + sql_components_over_pairs("pairs", final_name="comp")
+        + """,
+    members AS (SELECT c.component_id, d.doc_id, d.lang, d.source,
+                       d.n_chars
+                FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+    lang_mode AS (
+      SELECT component_id, lang FROM (
+        SELECT component_id, lang,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY count(*) DESC, lang ASC) AS rk
+        FROM members GROUP BY component_id, lang)
+      WHERE rk = 1),
+    src_mode AS (
+      SELECT component_id, source FROM (
+        SELECT component_id, source,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY count(*) DESC, source ASC) AS rk
+        FROM members GROUP BY component_id, source)
+      WHERE rk = 1)
+    SELECT m.component_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(lm.lang) AS golden_lang,
+           min(sm.source) AS golden_source,
+           CAST(max(m.n_chars) AS BIGINT) AS max_chars,
+           CAST(min(m.doc_id) AS BIGINT) AS record_id
+    FROM members m
+    JOIN lang_mode lm USING (component_id)
+    JOIN src_mode sm USING (component_id)
+    GROUP BY m.component_id
+    """
+    )
+
+
+@query("golden_record_merge", oracle=_golden_record_oracle())
+def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record construction: where
+    dedup_canonical_selection keeps one WHOLE row per duplicate
+    cluster, the MDM-style golden record merges per FIELD — the
+    cluster's modal language and source (count-desc, value-asc
+    tiebreak so the mode is deterministic), its max n_chars, and the
+    min doc_id as the stable record key. Field modes are per-cluster
+    count reduces plus a row_number over the component partitioning
+    (WindowGroupLimit shape, partitioned, tiny next to the corpus);
+    clusters come from the session-shared dedup build, so the
+    marginal cost is the merge logic only. No reference counterpart
+    (SURVEY §2.9 dedup/MDM family)."""
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.dedup.shared import dup_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    comp = dup_components(spark, sf_dir)
+    members = comp.join(
+        docs.select("doc_id", "lang", "source", "n_chars"), "doc_id"
+    ).persist()
+
+    def field_mode(col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("component_id").orderBy(
+            F.col("cnt").desc(), F.col(col).asc()
+        )
+        return (
+            members.groupBy("component_id", col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("component_id", F.col(col).alias(out))
+        )
+
+    base = members.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.min("doc_id").cast("bigint").alias("record_id"),
+    )
+    return (
+        base.join(field_mode("lang", "golden_lang"), "component_id")
+        .join(field_mode("source", "golden_source"), "component_id")
+        .select(
+            "component_id",
+            "n_members",
+            "golden_lang",
+            "golden_source",
+            "max_chars",
+            "record_id",
+        )
+    )
