@@ -41,8 +41,6 @@ def test_contract_shapes(spark):
         "similarity_ivf_topk",        # k-means quantizer, recall-tested
         "similarity_pq_topk",         # PQ codebooks, recall-tested
         "stream_dedup_within_watermark",  # batching-dependent state bound
-        "tokenizer_segment",          # greedy matching is iterative;
-                                      # invariant-tested (test_tokenizer)
         "embedding_pca_whiten",       # eigendecomposition, invariant-
                                       # tested (test_pca)
         "tokenizer_bpe_learn",        # iterative argmax+merge; exact
