@@ -17532,3 +17532,306 @@ def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "record_id",
         )
     )
+
+
+@query(
+    "cuped_variance_reduction",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                      THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                      THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                           AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                           AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      FROM per_user),
+    v AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END)
+                  AS DOUBLE) AS sx0,
+             CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END)
+                  AS DOUBLE) AS sy0,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END)
+                  AS DOUBLE) AS sx1,
+             CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END)
+                  AS DOUBLE) AS sy1
+      FROM per_user),
+    th AS (
+      SELECT n, sx / CAST(n AS DOUBLE) AS mean_x,
+             (sxy - sx * sy / CAST(n AS DOUBLE))
+               / (sxx - sx * sx / CAST(n AS DOUBLE)) AS theta
+      FROM g)
+    SELECT th.n AS n_users,
+           {sql_pround("th.theta", 9)} AS theta,
+           {sql_pround(
+        "v.sy0 / CAST(v.n0 AS DOUBLE) - v.sy1 / CAST(v.n1 AS DOUBLE)", 9
+    )} AS diff_raw,
+           {sql_pround(
+        "(v.sy0 / CAST(v.n0 AS DOUBLE)"
+        " - th.theta * (v.sx0 / CAST(v.n0 AS DOUBLE) - th.mean_x))"
+        " - (v.sy1 / CAST(v.n1 AS DOUBLE)"
+        " - th.theta * (v.sx1 / CAST(v.n1 AS DOUBLE) - th.mean_x))", 9
+    )} AS diff_cuped
+    FROM th, v
+    """,
+)
+def q_cuped_variance_reduction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data): the
+    standard variance-reduction adjustment every experimentation
+    platform applies — per user, pre-period activity X predicts
+    post-period metric Y; theta = cov(X,Y)/var(X) over all users,
+    and the reported treatment effect is the difference of
+    theta-adjusted means instead of raw means. Everything reduces to
+    six sufficient statistics: per-user X/Y fold as exact decimals
+    (order-free), the cross-products X², XY are single double
+    multiplications quantized to DECIMAL(38,10) before the order-free
+    sum, and theta/means/diffs are one fixed-order double tree over
+    the 1-row fold. Scale shape: one per-user reduce (map-side
+    combinable) feeding two 1-row aggregates — the cheapest possible
+    shape; nothing finer than user_id ever shuffles. No reference
+    counterpart (SURVEY §2.9 experimentation family, beside
+    ab_test_proportions)."""
+    cut = F.lit("2024-01-15").cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,6)")
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("ts") < cut, F.col("value").cast("decimal(18,6)")
+            ).otherwise(zero)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("ts") >= cut, F.col("value").cast("decimal(18,6)")
+            ).otherwise(zero)
+        ).alias("y"),
+    ).withColumn("variant", F.col("user_id") % 2).persist()
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    g = F.broadcast(
+        per_user.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum((xd * xd).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((xd * yd).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    dzero = F.lit(0).cast("decimal(28,6)")
+    v = F.broadcast(
+        per_user.agg(
+            F.sum((F.col("variant") == 0).cast("int"))
+            .cast("bigint")
+            .alias("n0"),
+            F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(dzero))
+            .cast("double")
+            .alias("sx0"),
+            F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(dzero))
+            .cast("double")
+            .alias("sy0"),
+            F.sum((F.col("variant") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(dzero))
+            .cast("double")
+            .alias("sx1"),
+            F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(dzero))
+            .cast("double")
+            .alias("sy1"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean_x = F.col("sx") / nd
+    theta = (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    )
+    m0y = F.col("sy0") / F.col("n0").cast("double")
+    m1y = F.col("sy1") / F.col("n1").cast("double")
+    m0x = F.col("sx0") / F.col("n0").cast("double")
+    m1x = F.col("sx1") / F.col("n1").cast("double")
+    return g.crossJoin(v).select(
+        F.col("n").alias("n_users"),
+        pround(theta, 9).alias("theta"),
+        pround(m0y - m1y, 9).alias("diff_raw"),
+        pround(
+            (m0y - theta * (m0x - mean_x))
+            - (m1y - theta * (m1x - mean_x)),
+            9,
+        ).alias("diff_cuped"),
+    )
+
+
+@query(
+    "heaps_law_vocab_growth",
+    oracle=f"""
+    WITH dt AS (SELECT doc_id, u.term
+                FROM documents,
+                     UNNEST({_WS_TOKENS_SQL.format(col="text")})
+                       AS u(term)),
+    first_occ AS (SELECT term, min(doc_id) AS doc_id FROM dt
+                  GROUP BY term),
+    newt AS (SELECT doc_id, count(*) AS n_new FROM first_occ
+             GROUP BY doc_id),
+    j AS (SELECT d.doc_id, COALESCE(n.n_new, 0) AS n_new_types
+          FROM documents d LEFT JOIN newt n USING (doc_id))
+    SELECT doc_id,
+           CAST(n_new_types AS BIGINT) AS n_new_types,
+           CAST(sum(n_new_types) OVER (ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS vocab_size
+    FROM j
+    """,
+)
+def q_heaps_law_vocab_growth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: per document (in doc_id
+    ingest order), how many token TYPES appear for the first time,
+    and the running vocabulary size — the curve a corpus team plots
+    to decide when more data stops buying new vocabulary (and the
+    empirical input to tokenizer capacity planning). First
+    occurrences are a single min-reduce on the token axis (never a
+    scan ordered by time); the running total runs on
+    with_global_cumsum's range-exchange machinery, never a
+    SinglePartition window. Scale shape: the (token -> min doc)
+    reduce is the one corpus-wide shuffle, map-side combinable; the
+    cumulative pass moves |documents| rows, not tokens. No reference
+    counterpart (SURVEY §2.9 corpus-analytics family)."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.operators.ranks import with_global_cumsum
+
+    docs = read_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("term")
+    )
+    first_occ = dt.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    newt = first_occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    j = docs.select("doc_id").join(newt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_new"), F.lit(0))
+        .cast("int")
+        .alias("n_new_types"),
+    )
+    c = with_global_cumsum(j, ["doc_id"], "n_new_types", "vocab_size")
+    return c.select(
+        "doc_id",
+        F.col("n_new_types").cast("bigint").alias("n_new_types"),
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+    )
+
+
+_LINKPRED_MID_CAP = 1024
+
+
+@query(
+    "link_prediction_jaccard",
+    oracle="WITH "
+    + _copurchase_edges_sql().replace("e0 AS (", "e0 AS MATERIALIZED (")
+    + f""",
+    und AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS MATERIALIZED (
+      SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    mid AS (SELECT node FROM deg WHERE d <= {_LINKPRED_MID_CAP}),
+    wedge AS (SELECT a.v AS u, b.v AS w
+              FROM und a
+              JOIN mid m ON m.node = a.u
+              JOIN und b ON a.u = b.u AND a.v < b.v),
+    common AS (SELECT u, w, count(*) AS cn FROM wedge GROUP BY u, w),
+    nonadj AS (SELECT c.u, c.w, c.cn FROM common c
+               LEFT JOIN e0 e ON e.u = c.u AND e.v = c.w
+               WHERE e.u IS NULL),
+    sc AS (SELECT n.u, n.w, n.cn,
+                  CAST(n.cn AS DOUBLE)
+                    / CAST(du.d + dw.d - n.cn AS DOUBLE) AS jac
+           FROM nonadj n
+           JOIN deg du ON du.node = n.u
+           JOIN deg dw ON dw.node = n.w)
+    SELECT u, w, CAST(cn AS BIGINT) AS n_common,
+           floor(jac * 1000000000.0 + 0.5) / 1000000000.0 AS jaccard
+    FROM sc ORDER BY jac DESC, u ASC, w ASC LIMIT 50
+    """,
+)
+def q_link_prediction_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: for non-adjacent node
+    pairs at distance 2 in the co-purchase graph, score
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| and keep the top 50 — the classic
+    common-neighbors recommender ("customers who buy these also
+    buy..."). Common-neighbor counting is the wedge join through the
+    middle node, which expands d(m)² per middle and CANNOT be
+    degree-oriented away like triangles (both endpoints are needed
+    per wedge) — so middles above degree 1024 are excluded by a
+    documented cap, the same guard philosophy as the shared
+    mega-basket cap (fixture max degree is 53, so the cap is
+    invisible at any tested scale but bounds the celebrity-node
+    quadratic at 100 TB). Union size comes from degrees, no second
+    pass; the final ranking is TakeOrderedAndProject on the raw
+    double (both engines order the identical IEEE value, ties broken
+    by the pair key). No reference counterpart (SURVEY §2.9 graph /
+    recsys family)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    mid = deg.where(F.col("d") <= _LINKPRED_MID_CAP).select("node")
+    a = und.select(F.col("u").alias("m"), F.col("v").alias("pu"))
+    b = und.select(F.col("u").alias("m"), F.col("v").alias("pw"))
+    wedge = (
+        a.join(mid.withColumnRenamed("node", "m"), "m")
+        .join(b, "m")
+        .where(F.col("pu") < F.col("pw"))
+        .select(F.col("pu").alias("u"), F.col("pw").alias("w"))
+    )
+    common = wedge.groupBy("u", "w").agg(F.count(F.lit(1)).alias("cn"))
+    nonadj = common.join(
+        edges,
+        (edges["u"] == common["u"]) & (edges["v"] == common["w"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
+    sc = nonadj.join(du, "u").join(dw, "w").select(
+        "u",
+        "w",
+        "cn",
+        (
+            F.col("cn").cast("double")
+            / (F.col("du") + F.col("dw") - F.col("cn")).cast("double")
+        ).alias("jac"),
+    )
+    return (
+        sc.orderBy(F.col("jac").desc(), F.col("u").asc(), F.col("w").asc())
+        .limit(50)
+        .select(
+            "u",
+            "w",
+            F.col("cn").cast("bigint").alias("n_common"),
+            pround(F.col("jac"), 9).alias("jaccard"),
+        )
+    )
