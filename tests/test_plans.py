@@ -762,3 +762,61 @@ def test_survival_hazard_single_fact_pass(spark, oracle_sf_dir):
     # one scan of orders for the spells + one for the broadcast
     # horizon row — never a third
     assert tree.count("Scan parquet") <= 2
+
+
+def test_round5_statistics_never_single_partition(spark, oracle_sf_dir):
+    """The round-5 statistics additions run their cumulative/rank
+    passes through operators/ranks like the rest of the family:
+    Mann-Whitney's doubled rank sums, the PR curve's threshold
+    counts, and the Heaps'-law running vocabulary must never plan a
+    SinglePartition exchange."""
+    for name in (
+        "mann_whitney_u",
+        "precision_recall_curve",
+        "heaps_law_vocab_growth",
+    ):
+        tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
+        assert "SinglePartition" not in tree, (name, tree)
+
+
+def test_boilerplate_topk_broadcasts(spark, oracle_sf_dir):
+    """boilerplate_coverage_ratio's 20-gram boilerplate dim must come
+    from a TakeOrderedAndProject (top-k, never a global sort) and
+    join back by broadcast; no cartesian anywhere."""
+    plan = plan_of(QUERIES["boilerplate_coverage_ratio"](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_topk_no_cartesian(spark, oracle_sf_dir):
+    """link_prediction_jaccard's top-50 must be TakeOrderedAndProject
+    and every join keyed (wedge/middle-cap/degree joins are all
+    equi-joins) — no cartesian, no global sort."""
+    plan = plan_of(QUERIES["link_prediction_jaccard"](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_keyed_joins_only(spark, oracle_sf_dir):
+    """attribution_last_touch's candidate join is keyed on user_id
+    (the range predicates ride the equi-key) and both argmax steps
+    are aggregations — never a cartesian, never SinglePartition."""
+    tree = tree_of(QUERIES["attribution_last_touch"](spark, oracle_sf_dir))
+    assert "CartesianProduct" not in tree
+    assert "SinglePartition" not in tree
+
+
+def test_experiment_stats_single_pass_aggregates(spark, oracle_sf_dir):
+    """ab_test_proportions / effect_size_cohens_d / benford reduce to
+    one partial+final aggregate chain over the scan; the tiny dims
+    (Benford expectations, 1-row totals) must broadcast, and no
+    cartesian may appear (1-row combines plan as broadcast
+    nested-loop, which is fine and bounded)."""
+    for name in ("ab_test_proportions", "effect_size_cohens_d"):
+        tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
+        assert tree.count("HashAggregate") >= 2, name
+        assert "CartesianProduct" not in tree, name
+    plan = plan_of(QUERIES["benford_first_digit"](spark, oracle_sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
