@@ -17835,3 +17835,279 @@ def q_link_prediction_jaccard(
             pround(F.col("jac"), 9).alias("jaccard"),
         )
     )
+
+
+def _qini_oracle() -> str:
+    cuts = "\n      UNION ALL\n".join(
+        f"      SELECT {k} AS decile, ceil({k / 10} * n) AS cut FROM t"
+        for k in range(1, 11)
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS t,
+             CAST(sum(CAST(COALESCE(value, 0) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS score,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT user_id,
+             CAST(sum(1) OVER w AS BIGINT) AS cum_one,
+             CAST(sum(t) OVER w AS BIGINT) AS cum_nt,
+             CAST(sum(1 - t) OVER w AS BIGINT) AS cum_nc,
+             CAST(sum(t * y) OVER w AS BIGINT) AS cum_yt,
+             CAST(sum((1 - t) * y) OVER w AS BIGINT) AS cum_yc
+      FROM per_user
+      WINDOW w AS (ORDER BY score DESC, user_id
+                   ROWS UNBOUNDED PRECEDING)),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_user),
+    cuts AS (
+{cuts}),
+    pr AS (SELECT cu.decile, c.cum_one, c.cum_nt, c.cum_nc,
+                  c.cum_yt, c.cum_yc
+           FROM cuts cu JOIN c ON c.cum_one = cu.cut)
+    SELECT CAST(decile AS INT) AS decile,
+           cum_one AS n_at,
+           cum_nt AS n_treat, cum_nc AS n_ctrl,
+           cum_yt AS conv_treat, cum_yc AS conv_ctrl,
+           CASE WHEN cum_nc = 0 THEN NULL ELSE
+             {sql_pround(
+        "CAST(cum_yt AS DOUBLE) - CAST(cum_yc AS DOUBLE)"
+        " * CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE)", 9
+    )} END AS qini
+    FROM pr
+    """
+
+
+@query("uplift_qini_curve", oracle=_qini_oracle())
+def q_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift evaluation: rank users by a targeting
+    score (their total event value), and at each population decile
+    report incremental conversions — treated converters minus
+    control converters scaled to the treated population
+    (Qini(k) = Yt(k) - Yc(k)·Nt(k)/Nc(k)), the standard audit for
+    "does targeting the top-scored users actually cause lift".
+    Treatment is the deterministic user_id-parity split shared with
+    ab_test_proportions. All five cumulative series (population,
+    treated, control, converters of each) come from ONE
+    with_global_cumsum_multi pass over the score-ranked user axis
+    (never SinglePartition); decile boundaries are exact row-count
+    hits (cum_one == ceil(k·n/10) — population rank increments by 1
+    per user, so every boundary exists), and Qini is a fixed-order
+    double tree per boundary row. Scale shape: per-user reduce, one
+    range exchange, a 10-row broadcast of cuts. No reference
+    counterpart (SURVEY §2.9 experimentation family)."""
+    from etl_pyspark_spark.operators.ranks import (
+        with_global_cumsum_multi,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("score"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("y"),
+    ).select(
+        "user_id",
+        "score",
+        "y",
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        (-F.col("score")).alias("negscore"),
+        F.lit(1).alias("one"),
+        (F.col("user_id") % 2).cast("int").alias("nt"),
+        (1 - F.col("user_id") % 2).cast("int").alias("nc"),
+    ).withColumn(
+        "yt", (F.col("t") * F.col("y")).cast("int")
+    ).withColumn(
+        "yc", ((1 - F.col("t")) * F.col("y")).cast("int")
+    ).persist()  # read by the cumulative pass AND the totals fold
+    c = with_global_cumsum_multi(
+        per_user,
+        ["negscore", "user_id"],
+        ["one", "nt", "nc", "yt", "yc"],
+    )
+    tot = F.broadcast(
+        per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cuts = F.broadcast(
+        tot.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("int").alias("decile"),
+                            F.ceil(F.lit(k / 10) * F.col("n")).alias(
+                                "cut"
+                            ),
+                        )
+                        for k in range(1, 11)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.decile", "s.cut")
+    )
+    pr = cuts.join(c, c["cum_one"] == cuts["cut"])
+    qini = F.when(
+        F.col("cum_nc") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        pround(
+            F.col("cum_yt").cast("double")
+            - F.col("cum_yc").cast("double")
+            * F.col("cum_nt").cast("double")
+            / F.col("cum_nc").cast("double"),
+            9,
+        )
+    )
+    return pr.select(
+        "decile",
+        F.col("cum_one").cast("bigint").alias("n_at"),
+        F.col("cum_nt").cast("bigint").alias("n_treat"),
+        F.col("cum_nc").cast("bigint").alias("n_ctrl"),
+        F.col("cum_yt").cast("bigint").alias("conv_treat"),
+        F.col("cum_yc").cast("bigint").alias("conv_ctrl"),
+        qini.alias("qini"),
+    )
+
+
+@query(
+    "ab_required_sample_size",
+    oracle=f"""
+    WITH per_user AS (SELECT user_id,
+                             max(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) AS y
+                      FROM events GROUP BY user_id),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(y) AS BIGINT) AS conv_users
+          FROM per_user),
+    p AS (SELECT n_users, conv_users,
+                 CAST(conv_users AS DOUBLE) / CAST(n_users AS DOUBLE)
+                   AS pb
+          FROM g)
+    SELECT n_users, conv_users,
+           {sql_pround("pb", 9)} AS p_baseline,
+           {sql_pround("0.1 * pb", 9)} AS mde_abs,
+           CAST(ceil(2.801585 * 2.801585 * 2.0 * pb * (1 - pb)
+                     / ((0.1 * pb) * (0.1 * pb))) AS BIGINT)
+             AS n_per_variant
+    FROM p
+    """,
+)
+def q_ab_required_sample_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Experiment power analysis: users-per-variant needed to detect
+    a 10% relative lift on the observed baseline conversion at
+    alpha=0.05 (two-sided) and 80% power —
+    n = 2(z_a+z_b)^2 p(1-p) / delta^2, the planning number every
+    A/B platform prints next to a test readout. z_{{0.975}}+z_{{0.8}}
+    is the shared 6-decimal literal 2.801585 (inverse-normal is not
+    cross-engine computable); baseline p comes from exact per-user
+    counts and the rest is one fixed-order double tree ending in a
+    ceil. One per-user reduce plus a 1-row fold. No reference
+    counterpart (SURVEY §2.9 experimentation family)."""
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("y")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("y").cast("bigint").alias("conv_users"),
+    )
+    pb = F.col("conv_users").cast("double") / F.col("n_users").cast(
+        "double"
+    )
+    mde = F.lit(0.1) * pb
+    zsum = F.lit(2.801585)
+    return g.select(
+        "n_users",
+        "conv_users",
+        pround(pb, 9).alias("p_baseline"),
+        pround(mde, 9).alias("mde_abs"),
+        F.ceil(
+            zsum * zsum * F.lit(2.0) * pb * (F.lit(1) - pb)
+            / (mde * mde)
+        )
+        .cast("bigint")
+        .alias("n_per_variant"),
+    )
+
+
+@query(
+    "ngram_novelty_decay",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col="text")} AS toks
+               FROM documents),
+    g AS (SELECT doc_id, unnest({_ngram_sql("toks", 8)}) AS gram FROM t),
+    fo AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+    d AS (SELECT g.doc_id,
+                 count(*) AS n_grams,
+                 count(*) FILTER (fo.first_doc < g.doc_id) AS n_repeat
+          FROM g JOIN fo USING (gram) GROUP BY g.doc_id)
+    SELECT documents.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_repeat, 0) AS BIGINT) AS n_repeat,
+           {sql_pround(
+        "CAST(COALESCE(n_repeat, 0) AS DOUBLE)"
+        " / GREATEST(COALESCE(n_grams, 0), 1)", 6
+    )} AS repeat_ratio
+    FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+    """,
+)
+def q_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-order n-gram novelty: per document, what fraction of
+    its token 8-grams was ALREADY SEEN in an earlier document
+    (doc_id order) — the corpus-level duplication-pressure curve
+    (substring_dup_spans asks "is this span duplicated anywhere";
+    this asks "was it new when it arrived", the signal that tells a
+    crawl when marginal data stops adding content, the span-level
+    sibling of heaps_law_vocab_growth's type counts). Shape is the
+    substring-dup pipeline with min(first doc) in place of the
+    occurrence count: grams 60-bit-hashed BEFORE the shuffle, the
+    first-occurrence reduce map-side combinable, one keyed join
+    back, one per-doc rollup; parity holds unless md5 collides
+    within the corpus (2^-60 per pair). No reference counterpart
+    (SURVEY §2.9 corpus-analytics family)."""
+    from etl_pyspark_spark.functions import text as T
+    from etl_pyspark_spark.sources.io import spread
+
+    docs = read_table(spark, sf_dir, "documents")
+    toked = spread(docs).select(
+        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
+    )
+    g = toked.select(
+        "doc_id",
+        F.explode(T.ngrams_from_tokens(F.col("toks"), 8)).alias("gram"),
+    ).select("doc_id", T.portable_hash60(F.col("gram")).alias("gh"))
+    fo = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    d = (
+        g.join(fo, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1)
+            ).alias("n_repeat"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    n_grams = F.coalesce(F.col("n_grams"), zero)
+    n_rep = F.coalesce(F.col("n_repeat"), zero)
+    return (
+        docs.select("doc_id")
+        .join(d, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_rep.alias("n_repeat"),
+            pround(
+                n_rep.cast("double") / F.greatest(n_grams, F.lit(1)),
+                6,
+            ).alias("repeat_ratio"),
+        )
+    )
