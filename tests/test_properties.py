@@ -673,3 +673,264 @@ def test_isotonic_matches_sequential_pava(spark):
         assert abs(g - w) < 1e-9, (got, fitted)
     for a, b in zip(got, got[1:]):
         assert a <= b + 1e-12  # monotone
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: each new statistic/graph op checked against a
+# brute-force pure-Python reference on the sf0.001 fixture (the oracle
+# suite proves Spark == DuckDB; these prove the DEFINITION is right).
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_matches_pairwise_definition(spark):
+    """U1 literally IS #(a>b) + 0.5*#(a==b) over click x view pairs;
+    the doubled statistic and the tie-corrected z must match the
+    O(n1*n2) brute force."""
+    import math
+
+    from etl_pyspark_spark.registry import QUERIES
+
+    rows = _tiny_events(spark)
+    a = [r["value"] for r in rows if r["event_type"] == "click"]
+    b = [r["value"] for r in rows if r["event_type"] == "view"]
+    u1 = sum(1.0 for x in a for y in b if x > y) + 0.5 * sum(
+        1 for x in a for y in b if x == y
+    )
+    n1, n2 = len(a), len(b)
+    n = n1 + n2
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(a + b).values())
+    var = n1 * n2 * ((n + 1) - ties / (n * (n - 1))) / 12.0
+    want_z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+    got = QUERIES["mann_whitney_u"](spark, _TINY_SF).collect()[0]
+    assert got["n_click"] == n1 and got["n_view"] == n2
+    assert got["u2_click"] == round(2 * u1)
+    assert abs(got["z_score"] - want_z) < 1e-6
+
+
+def test_attribution_matches_sequential_scan(spark):
+    """Every purchase credited by a brute per-purchase scan of the
+    user's prior events (7-day lookback, latest ts, event_id
+    tiebreak, 'direct' fallback) must give the same channel counts."""
+    import datetime as dt
+    from collections import Counter
+
+    from etl_pyspark_spark.registry import QUERIES
+    from etl_pyspark_spark.sources.io import read_table
+
+    ev = read_table(spark, _TINY_SF, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want: Counter = Counter()
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        lo = r["ts"] - dt.timedelta(days=7)
+        cand = [
+            e
+            for e in by_user[r["user_id"]]
+            if e["event_type"] != "purchase"
+            and e["ts"] < r["ts"]
+            and e["ts"] >= lo
+        ]
+        if not cand:
+            want["direct"] += 1
+        else:
+            best = max(cand, key=lambda e: (e["ts"], e["event_id"]))
+            want[best["event_type"]] += 1
+    got = {
+        r["channel"]: r["n_conversions"]
+        for r in QUERIES["attribution_last_touch"](
+            spark, _TINY_SF
+        ).collect()
+    }
+    assert got == dict(want)
+
+
+def _tiny_copurchase_graph(spark):
+    """Brute co-purchase graph from the sharded tiny lineitem (the cap
+    is far above tiny basket sizes, so plain pairs match)."""
+    from etl_pyspark_spark.sources.io import read_table
+
+    lp = (
+        read_table(spark, _TINY_SF, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in lp:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                edges.add((s[i], s[j]))
+    nbrs: dict = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    return baskets, edges, nbrs
+
+
+def test_bfs_hops_match_python_bfs(spark):
+    """Frontier BFS must label exactly the python BFS distances
+    (capped at 3 hops) from the min-order seed basket."""
+    from etl_pyspark_spark.registry import QUERIES
+
+    baskets, edges, nbrs = _tiny_copurchase_graph(spark)
+    seeds = baskets[min(baskets)]
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in (1, 2, 3):
+        frontier = {
+            w for u in frontier for w in nbrs.get(u, ()) if w not in dist
+        }
+        for w in frontier:
+            dist[w] = h
+    got = {
+        r["node"]: r["hop"]
+        for r in QUERIES["graph_bfs_hops"](spark, _TINY_SF).collect()
+    }
+    assert got == dist
+
+
+def test_link_prediction_matches_brute_jaccard(spark):
+    """Top-50 (jaccard desc, u, w) over brute common-neighbor scores
+    of non-adjacent distance-2 pairs must match pair-for-pair."""
+    from etl_pyspark_spark.registry import QUERIES
+
+    _, edges, nbrs = _tiny_copurchase_graph(spark)
+    cand = {}
+    for m, ns in nbrs.items():
+        s = sorted(ns)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair = (s[i], s[j])
+                if pair not in edges:
+                    cand[pair] = cand.get(pair, 0) + 1
+    scored = [
+        (cn / (len(nbrs[u]) + len(nbrs[w]) - cn), u, w, cn)
+        for (u, w), cn in cand.items()
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(u, w, cn) for _, u, w, cn in scored[:50]]
+    rows = QUERIES["link_prediction_jaccard"](spark, _TINY_SF).collect()
+    got = [(r["u"], r["w"], r["n_common"]) for r in rows]
+    assert got == want
+    for r, (jac, _, _, _) in zip(rows, scored[:50]):
+        assert abs(r["jaccard"] - jac) < 1e-8
+
+
+def test_qini_matches_sequential_sweep(spark):
+    """All ten Qini rows must equal a brute sort-and-scan over
+    per-user (score, variant, conversion) tuples."""
+    import math
+
+    from etl_pyspark_spark.registry import QUERIES
+    from etl_pyspark_spark.sources.io import read_table
+
+    ev = read_table(spark, _TINY_SF, "events").select(
+        "user_id", "value", "event_type"
+    ).collect()
+    agg: dict = {}
+    for r in ev:
+        u = r["user_id"]
+        s, y = agg.get(u, (0.0, 0))
+        agg[u] = (
+            s + (r["value"] or 0.0),
+            max(y, 1 if r["event_type"] == "purchase" else 0),
+        )
+    users = sorted(
+        ((round(s, 6), u, y) for u, (s, y) in agg.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    n = len(users)
+    got = {
+        r["decile"]: r
+        for r in QUERIES["uplift_qini_curve"](spark, _TINY_SF).collect()
+    }
+    for k in range(1, 11):
+        cut = math.ceil(k / 10 * n)
+        top = users[:cut]
+        nt = sum(1 for _, u, _ in top if u % 2 == 1)
+        nc = cut - nt
+        yt = sum(y for _, u, y in top if u % 2 == 1)
+        yc = sum(y for _, u, y in top if u % 2 == 0)
+        r = got[k]
+        assert (r["n_at"], r["n_treat"], r["n_ctrl"]) == (cut, nt, nc), k
+        assert (r["conv_treat"], r["conv_ctrl"]) == (yt, yc), k
+        if nc:
+            assert abs(r["qini"] - (yt - yc * nt / nc)) < 1e-6, k
+
+
+def test_boilerplate_coverage_matches_python(spark):
+    """Top-20 df 5-grams and DISTINCT-position coverage recomputed in
+    pure python must match every per-doc row."""
+    from collections import Counter
+
+    from etl_pyspark_spark.registry import QUERIES
+    from etl_pyspark_spark.sources.io import read_table
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in read_table(spark, _TINY_SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    df: Counter = Counter()
+    for toks in docs.values():
+        grams = {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        }
+        df.update(grams)
+    top = {
+        g
+        for g, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    }
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["boilerplate_coverage_ratio"](
+            spark, _TINY_SF
+        ).collect()
+    }
+    for d, toks in docs.items():
+        covered = set()
+        for i in range(max(len(toks) - 4, 0)):
+            if " ".join(toks[i : i + 5]) in top:
+                covered.update(range(i, i + 5))
+        r = got[d]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_covered"] == len(covered), d
+
+
+def test_heaps_law_matches_sequential_set(spark):
+    """Running vocabulary must equal a sequential set-union sweep in
+    doc_id order."""
+    from etl_pyspark_spark.registry import QUERIES
+    from etl_pyspark_spark.sources.io import read_table
+
+    docs = sorted(
+        (r["doc_id"], [t for t in r["text"].split(" ") if t])
+        for r in read_table(spark, _TINY_SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["heaps_law_vocab_growth"](
+            spark, _TINY_SF
+        ).collect()
+    }
+    seen: set = set()
+    for d, toks in docs:
+        new = set(toks) - seen
+        seen |= set(toks)
+        assert got[d]["n_new_types"] == len(new), d
+        assert got[d]["vocab_size"] == len(seen), d
