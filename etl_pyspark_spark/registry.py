@@ -18111,3 +18111,269 @@ def q_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeat_ratio"),
         )
     )
+
+
+@query(
+    "time_range_window_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           CAST(count(value) OVER w AS BIGINT) AS n_24h,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS sum_24h
+    FROM events WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def q_time_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-INTERVAL RANGE frame: each event's trailing-24-hour count
+    and value sum for its user — the sliding-by-time window (fraud
+    velocity checks, rate features) that row offsets cannot express
+    because event spacing is irregular. The numeric-RANGE sibling is
+    window_range_frame; this is the temporal form, written through
+    the SQL expression API (the python Window API only takes integer
+    offsets). The windowed sum folds DECIMALs — window engines
+    accumulate in different orders (running vs segment tree), so a
+    double sum would drift in the last ulp across engines. Scale
+    shape: partitioned by user, one keyed exchange; per-user frames
+    are application-bounded like every sessionization op."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    w = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("epoch_s"),
+        F.expr(f"count(value) {w}").cast("bigint").alias("n_24h"),
+        F.expr(f"sum(CAST(value AS DECIMAL(18,6))) {w}")
+        .cast("double")
+        .alias("sum_24h"),
+    )
+
+
+@query(
+    "impute_missing_values",
+    oracle="""
+    WITH nn AS (SELECT event_type, value, count(*) AS cnt
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type, value),
+    c AS (SELECT event_type, value,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS tot
+          FROM nn),
+    med AS (SELECT event_type, min(value) AS median_v
+            FROM c WHERE 2 * cum >= tot GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CAST(COALESCE(e.value, m.median_v) AS DOUBLE)
+             AS value_imputed,
+           (e.value IS NULL) AS was_imputed
+    FROM events e JOIN med m USING (event_type)
+    """,
+)
+def q_impute_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation — the standard ML-prep repair for a numeric
+    column with NULLs: each missing value takes its group's DISCRETE
+    median (smallest value whose doubled cumulative count reaches the
+    group total — the exact order statistic, so both engines select
+    the identical stored value; interpolated medians differ in the
+    last ulp). The median search reduces to the per-(type, value)
+    count axis first (reduce-first, like every quantile in the
+    engine) with a PARTITIONED cumulative window, then one broadcast
+    join patches the fact rows. Scale shape: the imputation dim is
+    |types| rows; the fact table is touched exactly once."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    nn = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    med = F.broadcast(
+        nn.select(
+            "event_type",
+            "value",
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(wt).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("median_v"))
+    )
+    return ev.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.col("value"), F.col("median_v"))
+        .cast("double")
+        .alias("value_imputed"),
+        F.col("value").isNull().alias("was_imputed"),
+    )
+
+
+@query(
+    "target_encoding_smoothed",
+    oracle=f"""
+    WITH g AS (SELECT CAST(count(value) AS BIGINT) AS n_all,
+                      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        AS s_all
+               FROM events WHERE value IS NOT NULL),
+    c AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_cat,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS s_cat
+          FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT c.event_type, c.n_cat,
+           {sql_pround(
+        "(c.s_cat + 10.0 * (g.s_all / CAST(g.n_all AS DOUBLE)))"
+        " / CAST(c.n_cat + 10 AS DOUBLE)", 9
+    )} AS encoded
+    FROM c, g
+    """,
+)
+def q_target_encoding_smoothed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Smoothed target (mean) encoding with a Bayesian prior of
+    weight m=10 — the leakage-safe categorical feature encoder:
+    enc(cat) = (Σ_cat + m·global_mean) / (n_cat + m), shrinking rare
+    categories toward the prior. Sums fold as exact decimals; the
+    encoding is a fixed-order double tree per category over the
+    1-row global fold (broadcast). One pass over the facts. No
+    reference counterpart (SURVEY §2.9 feature-engineering family,
+    beside feature_hashing_vectorize)."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    g = F.broadcast(
+        ev.agg(
+            F.count("value").cast("bigint").alias("n_all"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s_all"),
+        )
+    )
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cat"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s_cat"),
+    )
+    gmean = F.col("s_all") / F.col("n_all").cast("double")
+    return c.crossJoin(g).select(
+        "event_type",
+        "n_cat",
+        pround(
+            (F.col("s_cat") + F.lit(10.0) * gmean)
+            / (F.col("n_cat") + 10).cast("double"),
+            9,
+        ).alias("encoded"),
+    )
+
+
+@query(
+    "insert_overwrite_dynamic_partitions",
+    oracle="""
+    WITH full_load AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             CAST(sum(CAST(COALESCE(value, 0) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS val
+      FROM events GROUP BY 1, 2),
+    reload AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             CAST(sum(CAST(COALESCE(value, 0) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS val
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value >= 1.0
+      GROUP BY 1, 2),
+    final_state AS (
+      SELECT * FROM full_load
+      WHERE event_type NOT IN ('click', 'view')
+      UNION ALL SELECT * FROM reload)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM final_state GROUP BY event_type
+    """,
+)
+def q_insert_overwrite_dynamic_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent backfill
+    primitive of a partitioned lake: a full load writes per-type
+    daily rollups partitioned by event_type, then a corrected reload
+    of JUST two types (with a revised filter) overwrites ONLY the
+    partitions it carries — untouched partitions survive, no
+    read-modify-write, no manual partition enumeration (static
+    overwrite mode would wipe the whole table; per-partition deletes
+    don't scale past a handful). Re-reading the final directory
+    proves the semantics: replaced types show the filtered numbers,
+    all others the original load. The layout dir is per-SF so runs
+    at different scale factors can't poison each other's oracle
+    comparisons. Per-day decimal sums survive the parquet round trip
+    losslessly (6-decimal doubles), so the final rollup can re-fold
+    them as decimals. Reference parity: the reference's only write
+    path is full-file replacement (parquet_slicer.py:53-58); partition
+    -granular idempotent reload is SURVEY §2.9 lake-management
+    growth."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{_SCRATCH}/dyn_overwrite_{tag}"
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("val"),
+    )
+    daily.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    upd = (
+        ev.where(
+            F.col("event_type").isin("click", "view")
+            & (F.col("value") >= 1.0)
+        )
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce(F.col("value"), F.lit(0)).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("val"),
+        )
+    )
+    upd.write.partitionBy("event_type").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum(F.col("val").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
