@@ -18397,3 +18397,220 @@ def q_insert_overwrite_dynamic_partitions(
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "min_cost_supplier_q2",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)))
+               AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1, 2),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    offers AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+             e.s_name, e.s_acctbal, e.n_name
+      FROM cost c JOIN eu e ON e.s_suppkey = c.l_suppkey),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost
+      FROM offers GROUP BY l_partkey)
+    SELECT o.l_partkey AS p_partkey, p.p_type, p.p_size,
+           o.s_name, o.n_name,
+           CAST(o.s_acctbal AS DOUBLE) AS s_acctbal,
+           CAST(o.unit_cost AS DOUBLE) AS unit_cost
+    FROM offers o
+    JOIN best b ON b.l_partkey = o.l_partkey
+                AND o.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = o.l_partkey
+    WHERE p.p_size = 15
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC,
+             o.l_suppkey ASC
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each size-15 part,
+    the EUROPE supplier(s) offering the lowest unit cost, ranked by
+    account balance — the correlated-min + join-back composition over
+    a four-table dim chain (the fixtures have no partsupp, so
+    lineitem stands in as the part-supplier bridge with
+    min(extendedprice/quantity) as supply cost, per the adaptation
+    note on the other TPC-H shapes). Unit costs quantize to
+    DECIMAL(18,6) so the min and the equality join-back select
+    identical values in both engines (a raw double min would carry
+    last-ulp division noise into the equi-join). The supplier dim
+    chain broadcasts; the correlated min is min_per_group_join_back
+    at part granularity; the final ranking is TakeOrderedAndProject
+    with a total tie-break."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    p = read_table(spark, sf_dir, "part")
+    cost = (
+        li.where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                (
+                    F.col("l_extendedprice") / F.col("l_quantity")
+                ).cast("decimal(18,6)")
+            ).alias("unit_cost")
+        )
+    )
+    eu = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(
+            r.where(F.col("r_name") == "EUROPE"),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = cost.join(eu, cost.l_suppkey == eu.s_suppkey)
+    best = offers.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    out = (
+        offers.join(best, "l_partkey")
+        .where(F.col("unit_cost") == F.col("best_cost"))
+        .join(
+            F.broadcast(
+                p.where(F.col("p_size") == 15).select(
+                    "p_partkey", "p_type", "p_size"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return (
+        out.orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+            F.col("l_suppkey").asc(),
+        )
+        .limit(100)
+        .select(
+            "p_partkey",
+            "p_type",
+            "p_size",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "systematic_sample",
+    oracle="""
+    WITH r AS (SELECT doc_id, n_chars,
+                      row_number() OVER (ORDER BY n_chars, doc_id)
+                        AS rk
+               FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE (rk - 1) % 20 = 0
+    """,
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling along a sort axis — the
+    stratified-by-construction sample QA teams pull when they want
+    coverage across the whole size distribution rather than a
+    uniform-random draw (which over-represents the mode): rank every
+    document by (n_chars, doc_id) and keep each 20th. The rank is
+    with_global_rank's range-exchange + broadcast-offset machinery —
+    never a SinglePartition window — making this the sampling-family
+    face of the same primitive curriculum/packing queries use. Scale
+    shape: one range exchange, then a modulo filter projection."""
+    from etl_pyspark_spark.operators.ranks import with_global_rank
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    ranked = with_global_rank(
+        docs, ["n_chars", "doc_id"], rank_col="sample_rank"
+    )
+    return ranked.where((F.col("sample_rank") - 1) % 20 == 0).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("sample_rank").cast("bigint").alias("sample_rank"),
+    )
+
+
+@query(
+    "wow_growth_rate",
+    oracle=f"""
+    WITH w AS (SELECT event_type,
+                      CAST(date_trunc('week', ts) AS DATE) AS week,
+                      count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    l AS (SELECT event_type, week, n,
+                 lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                   AS prev_n
+          FROM w)
+    SELECT event_type, week,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(prev_n AS BIGINT) AS prev_events,
+           CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL ELSE
+             {sql_pround(
+        "(CAST(n AS DOUBLE) - CAST(prev_n AS DOUBLE))"
+        " / CAST(prev_n AS DOUBLE)", 6
+    )} END AS wow_growth
+    FROM l
+    """,
+)
+def q_wow_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the KPI-dashboard
+    staple: weekly counts, a lag window PARTITIONED by type (the
+    weekly rollup is |types|x|weeks| rows, so the window input is
+    bounded by construction AND partitioned — never the raw fact
+    table, never SinglePartition), and a guarded percentage change
+    (NULL for the first week and zero-baselines, identically on both
+    engines)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    w = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lw = Window.partitionBy("event_type").orderBy("week")
+    l_ = w.select(
+        "event_type",
+        "week",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.lag("n").over(lw).cast("bigint").alias("prev_events"),
+    )
+    return l_.select(
+        "event_type",
+        "week",
+        "n_events",
+        "prev_events",
+        F.when(
+            F.col("prev_events").isNull() | (F.col("prev_events") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            pround(
+                (
+                    F.col("n_events").cast("double")
+                    - F.col("prev_events").cast("double")
+                )
+                / F.col("prev_events").cast("double"),
+                6,
+            )
+        )
+        .alias("wow_growth"),
+    )
