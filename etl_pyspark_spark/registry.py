@@ -18614,3 +18614,266 @@ def q_wow_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("wow_growth"),
     )
+
+
+@query(
+    "basket_lift_rules",
+    oracle="""
+    WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+             AS n_baskets FROM parts),
+    sup AS (SELECT l_partkey, count(*) AS n_i FROM parts GROUP BY 1),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     count(*) AS n_ab
+              FROM parts a JOIN parts b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_ab AS BIGINT) AS n_both,
+           CAST(sa.n_i AS BIGINT) AS n_a,
+           CAST(sb.n_i AS BIGINT) AS n_b,
+           floor(CAST(p.n_ab AS DOUBLE) / CAST(sa.n_i AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS confidence_ab,
+           floor(CAST(p.n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                 / (CAST(sa.n_i AS DOUBLE) * CAST(sb.n_i AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM pairs p
+    JOIN sup sa ON sa.l_partkey = p.part_a
+    JOIN sup sb ON sb.l_partkey = p.part_b
+    CROSS JOIN nb
+    ORDER BY CAST(p.n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+             / (CAST(sa.n_i AS DOUBLE) * CAST(sb.n_i AS DOUBLE)) DESC,
+             p.part_a ASC, p.part_b ASC
+    LIMIT 50
+    """,
+)
+def q_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (Apriori level 2): for part pairs with
+    support >= 3 baskets, confidence P(b|a) and lift
+    P(a,b)/(P(a)P(b)) — basket_part_pairs' raw co-occurrence turned
+    into the rule metrics a recommender or store-layout analysis
+    actually consumes. Counts are exact integers (pair support from
+    the capped self-join, item supports one reduce, basket total a
+    1-row broadcast); confidence and lift are single-division /
+    fixed-order double trees, and the top-50 ranks on the RAW lift
+    expression (identical IEEE value both engines) with a total
+    tie-break — TakeOrderedAndProject, never a global sort. The
+    support floor prunes the rule space BEFORE the dimension joins,
+    the standard Apriori anti-monotonicity cut."""
+    from etl_pyspark_spark.operators.baskets import capped_basket_items
+
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = capped_basket_items(li, "l_orderkey", "l_partkey").persist()
+    nb = F.broadcast(
+        parts.agg(
+            F.count_distinct("l_orderkey").cast("bigint").alias(
+                "n_baskets"
+            )
+        )
+    )
+    sup = parts.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    a = parts.alias("a")
+    b = parts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    sa = sup.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_i").alias("na")
+    )
+    sb = sup.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_i").alias("nb_")
+    )
+    j = pairs.join(sa, "part_a").join(sb, "part_b").crossJoin(nb)
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_baskets").cast("double")
+    ) / (F.col("na").cast("double") * F.col("nb_").cast("double"))
+    return (
+        j.orderBy(
+            lift.desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(50)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_both"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb_").cast("bigint").alias("n_b"),
+            pround(
+                F.col("n_ab").cast("double") / F.col("na").cast("double"),
+                6,
+            ).alias("confidence_ab"),
+            pround(lift, 6).alias("lift"),
+        )
+    )
+
+
+@query(
+    "pareto_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM rev),
+    c AS (SELECT l_partkey, rev_c,
+                 CAST(sum(rev_c) OVER (ORDER BY rev_c DESC,
+                                       l_partkey ASC
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_c
+          FROM rev)
+    SELECT c.l_partkey,
+           c.rev_c AS revenue_cents,
+           floor(CAST(c.cum_c AS DOUBLE) / CAST(t.total_c AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS cum_share,
+           CASE WHEN CAST(c.cum_c AS DOUBLE) / CAST(t.total_c AS DOUBLE)
+                     <= 0.8 THEN 'A'
+                WHEN CAST(c.cum_c AS DOUBLE) / CAST(t.total_c AS DOUBLE)
+                     <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, t
+    """,
+)
+def q_pareto_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto / ABC classification: rank parts by revenue and label
+    the heads that carry the first 80% of cumulative revenue 'A',
+    the next 15% 'B', the tail 'C' — the inventory-management /
+    catalog-curation standard. Per-line revenue quantizes to integer
+    cents BEFORE any summation (double sums are order-dependent;
+    cent sums are exact), the descending cumulative total runs on
+    with_global_cumsum's range-exchange machinery (cent totals
+    negated for the descending order, never a SinglePartition
+    window), and each class label is one division against the 1-row
+    broadcast total. Scale shape: one part-keyed reduce, one range
+    exchange — the same cost as any global sort of the part dim."""
+    from etl_pyspark_spark.operators.ranks import with_global_cumsum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_c")
+    ).withColumn("neg_rev", -F.col("rev_c")).persist()
+    t = F.broadcast(
+        rev.agg(F.sum("rev_c").cast("bigint").alias("total_c"))
+    )
+    c = with_global_cumsum(
+        rev, ["neg_rev", "l_partkey"], "rev_c", "cum_c"
+    )
+    share = F.col("cum_c").cast("double") / F.col("total_c").cast(
+        "double"
+    )
+    return c.crossJoin(t).select(
+        "l_partkey",
+        F.col("rev_c").alias("revenue_cents"),
+        pround(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_minhash_pairs,
+        sql_shingles_cte,
+    )
+
+    return (
+        "WITH "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(final_name="pairs")
+        + """,
+    sides AS (SELECT doc_id,
+                     CASE WHEN ('0x' || substr(md5('split:'
+                                  || CAST(doc_id AS VARCHAR)), 1, 15))
+                               ::BIGINT % 100 < 95
+                          THEN 'train' ELSE 'test' END AS side
+              FROM documents),
+    labeled AS (SELECT least(a.side, b.side) AS side_a,
+                       greatest(a.side, b.side) AS side_b
+                FROM pairs p
+                JOIN sides a ON a.doc_id = p.doc_id_a
+                JOIN sides b ON b.doc_id = p.doc_id_b)
+    SELECT side_a, side_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM labeled GROUP BY 1, 2
+    """
+    )
+
+
+@query("split_leakage_audit", oracle=_split_leakage_oracle())
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: how many verified near-duplicate
+    pairs STRADDLE the train_test_split_assign boundary — the
+    eval-hygiene check benchmark_decontaminate (exact n-gram
+    containment vs an external benchmark) cannot do for WITHIN-corpus
+    splits, and the reason dedup must run before splitting (a test
+    doc whose near-twin is in training inflates every metric).
+    Composes two session-shared artifacts: the dedup family's
+    verified pair table (paid once by dedup_shared_build) and the
+    same salted portable-hash split rule as the assignment query, so
+    the audit's marginal cost is two broadcast-joins and a 3-row
+    rollup."""
+    from etl_pyspark_spark.dedup.shared import verified_pairs
+    from etl_pyspark_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    side = F.when(
+        T.portable_hash60(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+        < 95,
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    sides = F.broadcast(docs.select("doc_id", side.alias("side")))
+    pairs = verified_pairs(spark, sf_dir)
+    labeled = (
+        pairs.join(
+            sides.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("side").alias("sa"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sides.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("side").alias("sb"),
+            ),
+            "doc_id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("side_a"),
+            F.greatest("sa", "sb").alias("side_b"),
+        )
+    )
+    return labeled.groupBy("side_a", "side_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
