@@ -7933,6 +7933,45 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_shared_build",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 10 = 0),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    n AS (SELECT count(*) AS n_nodes FROM (
+            SELECT u AS x FROM e0 UNION SELECT v FROM e0))
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(min(n.n_nodes) AS BIGINT) AS n_nodes
+    FROM e0, n
+    """,
+)
+def q_graph_shared_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit one-time build of the graph family's shared
+    co-purchase edge table (memoized per session+fixture in
+    _copurchase_edges) — registered AHEAD of the six consumers so a
+    full bench session attributes the build cost here and the family
+    queries measure their marginal logic, exactly the accounting
+    dedup_shared_build gives the dedup family. Returns the edge/node
+    census a graph-pipeline build step would log."""
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("u").alias("x"))
+        .union(edges.select(F.col("v").alias("x")))
+        .distinct()
+    )
+    return edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).crossJoin(
+        F.broadcast(
+            nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        )
+    )
+
+
+@query(
     "graph_triangle_count",
     oracle="""
     WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
