@@ -19028,3 +19028,154 @@ def q_survey_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seg").alias("c_mktsegment"),
         F.col("w").alias("weight_micro"),
     )
+
+
+@query(
+    "dau_mau_stickiness",
+    oracle=f"""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events WHERE ts IS NOT NULL),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    mau AS (SELECT d.day, count(DISTINCT u.user_id) AS mau
+            FROM days d JOIN ud u
+              ON u.day <= d.day AND u.day > d.day - INTERVAL 28 DAY
+            GROUP BY d.day)
+    SELECT d.day,
+           CAST(a.dau AS BIGINT) AS dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           {sql_pround(
+        "CAST(a.dau AS DOUBLE) / CAST(m.mau AS DOUBLE)", 6
+    )} AS stickiness
+    FROM days d JOIN dau a USING (day) JOIN mau m USING (day)
+    """,
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the product-health staple: daily
+    actives over trailing-28-day actives. Sliding-window DISTINCT
+    cannot ride a window frame (distinct doesn't decompose), so the
+    standard exact form is the one used here: reduce to the DISTINCT
+    (user, day) table first (the one fact-table pass), then a
+    bounded range join of that table against the day spine — work is
+    |active user-days| x O(28), independent of raw event volume, and
+    the join is the interval_overlap_join shape Spark executes as a
+    keyed-broadcast range probe at this dimensionality. At 100 TB the
+    user-day table is the materialized activity rollup every growth
+    stack maintains anyway."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct().persist()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d_spine = days.select(F.col("day").alias("dday"))
+    mau = (
+        d_spine.join(
+            ud,
+            (F.col("day") <= F.col("dday"))
+            & (F.col("day") > F.date_sub(F.col("dday"), 28)),
+        )
+        .groupBy("dday")
+        .agg(F.count_distinct("user_id").alias("mau"))
+        .withColumnRenamed("dday", "day")
+    )
+    return (
+        days.join(dau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            pround(
+                F.col("dau").cast("double") / F.col("mau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "new_returning_daily",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events WHERE ts IS NOT NULL),
+    first_seen AS (SELECT user_id, min(day) AS first_day FROM ud
+                   GROUP BY user_id)
+    SELECT u.day,
+           CAST(sum(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN u.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM ud u JOIN first_seen f USING (user_id)
+    GROUP BY u.day
+    """,
+)
+def q_new_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning active users per day — the acquisition/
+    retention split on every growth dashboard: a user's first active
+    day classifies them 'new' exactly once, 'returning' every active
+    day after. First-seen is one min-reduce on the user axis (the
+    heaps_law first-occurrence pattern on users instead of tokens)
+    joined back to the distinct user-day table; both shuffles are
+    keyed on user_id and map-side combinable."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct().persist()
+    first_seen = ud.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    return (
+        ud.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+    )
+
+
+@query(
+    "activity_frequency_histogram",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events WHERE ts IS NOT NULL),
+    per_user AS (SELECT user_id, count(*) AS active_days FROM ud
+                 GROUP BY user_id)
+    SELECT CAST(active_days AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY active_days
+    """,
+)
+def q_activity_frequency_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The power-user curve (L30 histogram): how many users were
+    active on exactly k distinct days — the engagement-depth
+    distribution whose right-lean distinguishes a habit product from
+    a drive-by one. Two keyed reduces over the distinct user-day
+    table; the histogram axis is bounded by the calendar, the
+    user axis never leaves its hash partitioning."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    per_user = ud.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("active_days")
+    )
+    return per_user.groupBy("active_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(
+        F.col("active_days").cast("bigint").alias("active_days"),
+        "n_users",
+    )
