@@ -19179,3 +19179,189 @@ def q_activity_frequency_histogram(
         F.col("active_days").cast("bigint").alias("active_days"),
         "n_users",
     )
+
+
+@query(
+    "order_cohort_ltv",
+    oracle=f"""
+    WITH first_order AS (
+      SELECT o_custkey, CAST(min(year(o_orderdate)) AS INT) AS cohort
+      FROM orders GROUP BY o_custkey),
+    rev AS (
+      SELECT f.cohort,
+             CAST(year(o.o_orderdate) AS INT) - f.cohort AS age,
+             CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev_c,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM first_order GROUP BY cohort),
+    c AS (SELECT r.cohort, r.age, r.n_active, s.cohort_size,
+                 CAST(sum(r.rev_c) OVER (PARTITION BY r.cohort
+                                         ORDER BY r.age
+                                         ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_rev_c
+          FROM rev r JOIN sz s USING (cohort))
+    SELECT cohort, age, n_active, cohort_size,
+           {sql_pround(
+        "CAST(cum_rev_c AS DOUBLE) / 100.0"
+        " / CAST(cohort_size AS DOUBLE)", 6
+    )} AS ltv_per_customer
+    FROM c
+    """,
+)
+def q_order_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    year, cumulative revenue per cohort member at each cohort age —
+    the LTV table every subscription/commerce business steers by
+    (cohort_retention counts WHO comes back; this prices what they
+    bring). Revenue quantizes to integer cents before any sum; the
+    cumulative runs in a window PARTITIONED by cohort whose input is
+    the |cohorts| x |ages| rollup (bounded by the calendar on both
+    axes, never fact rows); the final per-member division is one
+    double op. First-order assignment is a min-reduce on the
+    customer axis — the first-occurrence pattern again."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    first_order = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("cohort")
+    )
+    rev = (
+        o.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.year("o_orderdate").cast("int") - F.col("cohort")).alias(
+                "age"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev_c"),
+            F.count_distinct("o_custkey").cast("bigint").alias(
+                "n_active"
+            ),
+        )
+    )
+    sz = first_order.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = rev.join(F.broadcast(sz), "cohort").select(
+        "cohort",
+        "age",
+        "n_active",
+        "cohort_size",
+        F.sum("rev_c").over(w).cast("bigint").alias("cum_rev_c"),
+    )
+    return c.select(
+        "cohort",
+        "age",
+        "n_active",
+        "cohort_size",
+        pround(
+            F.col("cum_rev_c").cast("double")
+            / F.lit(100.0)
+            / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("ltv_per_customer"),
+    )
+
+
+@query(
+    "seasonal_residual_anomaly",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE ts IS NOT NULL
+                 AND event_type = 'click'
+               GROUP BY 1),
+    dw AS (SELECT day, n, dayofweek(day) AS dow FROM d),
+    m AS (SELECT dow,
+                 CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS expected
+          FROM dw GROUP BY dow),
+    r AS (SELECT dw.day, dw.n, m.expected,
+                 abs(CAST(dw.n AS DOUBLE) - m.expected) AS absresid
+          FROM dw JOIN m USING (dow)),
+    med AS (SELECT min(absresid) AS mad FROM (
+              SELECT absresid,
+                     sum(1) OVER (ORDER BY absresid
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     count(*) OVER () AS tot
+              FROM r)
+            WHERE 2 * cum >= tot)
+    SELECT r.day, r.n AS n_events,
+           {sql_pround("r.expected", 6)} AS expected,
+           {sql_pround("CAST(r.n AS DOUBLE) - r.expected", 6)}
+             AS residual,
+           (r.absresid > 3 * med.mad) AS is_anomaly
+    FROM r, med
+    """,
+)
+def q_seasonal_residual_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-aware anomaly detection (STL-lite): daily click
+    counts deseasonalized by their day-of-week mean, then flagged
+    where the residual exceeds 3x the MAD — the robust alerting rule
+    that survives both weekly rhythm (which a raw threshold trips
+    on) and outlier contamination (which a stddev rule trips on).
+    Composes the engine's established exact pieces: integer day
+    counts, one double division per weekday mean, and the MAD as a
+    DISCRETE median (2*cum >= tot) over the |days|-bounded residual
+    axis via with_global_cumsum — never a SinglePartition window.
+    anomaly_daily_counts is the unseasonal sibling; this is the one
+    you can page on."""
+    from etl_pyspark_spark.operators.ranks import with_global_cumsum
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & (F.col("event_type") == "click")
+    )
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dw = d.select("day", "n", F.dayofweek("day").alias("dow"))
+    m = dw.groupBy("dow").agg(
+        (
+            F.sum("n").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("expected")
+    )
+    r = dw.join(F.broadcast(m), "dow").select(
+        "day",
+        "n",
+        "expected",
+        F.abs(F.col("n").cast("double") - F.col("expected")).alias(
+            "absresid"
+        ),
+    ).withColumn("one", F.lit(1)).persist()
+    c = with_global_cumsum(r, ["absresid", "day"], "one", "cum")
+    med = F.broadcast(
+        c.crossJoin(
+            F.broadcast(
+                r.agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+            )
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .agg(F.min("absresid").alias("mad"))
+    )
+    return r.crossJoin(med).select(
+        "day",
+        F.col("n").alias("n_events"),
+        pround(F.col("expected"), 6).alias("expected"),
+        pround(
+            F.col("n").cast("double") - F.col("expected"), 6
+        ).alias("residual"),
+        (F.col("absresid") > 3 * F.col("mad")).alias("is_anomaly"),
+    )
