@@ -19365,3 +19365,152 @@ def q_seasonal_residual_anomaly(
         ).alias("residual"),
         (F.col("absresid") > 3 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+@query(
+    "conversion_wilson_ci",
+    oracle=f"""
+    WITH per_user AS (SELECT user_id,
+                             max(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) AS y
+                      FROM events GROUP BY user_id),
+    seg AS (SELECT user_id % 5 AS segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS k
+            FROM per_user GROUP BY 1)
+    SELECT CAST(segment AS INT) AS segment, n, k,
+           {sql_pround("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)", 9)}
+             AS p_hat,
+           {sql_pround(
+        "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+        " + 1.959964 * 1.959964 / (2 * CAST(n AS DOUBLE))"
+        " - 1.959964 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+        "   * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+        "   / CAST(n AS DOUBLE)"
+        "   + 1.959964 * 1.959964"
+        "     / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+        " / (1 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))", 9
+    )} AS wilson_lo,
+           {sql_pround(
+        "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+        " + 1.959964 * 1.959964 / (2 * CAST(n AS DOUBLE))"
+        " + 1.959964 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+        "   * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+        "   / CAST(n AS DOUBLE)"
+        "   + 1.959964 * 1.959964"
+        "     / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+        " / (1 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))", 9
+    )} AS wilson_hi
+    FROM seg
+    """,
+)
+def q_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence intervals on per-segment conversion —
+    the interval every honest dashboard should draw instead of a
+    bare proportion (Wilson stays inside [0,1] and behaves at small
+    n where the Wald interval collapses). Segments are a
+    deterministic user_id%5 partition; counts are exact bigints; the
+    Wilson bounds are one fixed-order double tree per segment with
+    the z=1.959964 literal shared across engines (inverse-normal is
+    not cross-engine computable) and a single sqrt (correctly
+    rounded identically). One per-user reduce, one 5-group fold."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("y")
+    )
+    seg = per_user.groupBy(
+        (F.col("user_id") % 5).cast("int").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    z = F.lit(1.959964)
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    half = z * F.sqrt(
+        p * (F.lit(1) - p) / nd + z * z / (F.lit(4) * nd * nd)
+    )
+    center = p + z * z / (F.lit(2) * nd)
+    denom = F.lit(1) + z * z / nd
+    return seg.select(
+        "segment",
+        "n",
+        "k",
+        pround(p, 9).alias("p_hat"),
+        pround((center - half) / denom, 9).alias("wilson_lo"),
+        pround((center + half) / denom, 9).alias("wilson_hi"),
+    )
+
+
+@query(
+    "forecast_backtest_mape",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    f AS (SELECT a.day, a.n AS actual, p.n AS forecast
+          FROM d a JOIN d p ON p.day = a.day - INTERVAL 7 DAY),
+    ape AS (SELECT day, actual, forecast,
+                   CAST(floor(abs(CAST(actual AS DOUBLE)
+                                  - CAST(forecast AS DOUBLE))
+                              / CAST(actual AS DOUBLE)
+                              * 1000000000.0 + 0.5) AS BIGINT)
+                     AS ape_n
+            FROM f WHERE actual > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           {sql_pround(
+        "CAST(sum(ape_n) AS DOUBLE) / count(*) / 1000000000.0", 9
+    )} AS mape,
+           {sql_pround(
+        "CAST(max(ape_n) AS DOUBLE) / 1000000000.0", 9
+    )} AS worst_ape
+    FROM ape
+    """,
+)
+def q_forecast_backtest_mape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast backtest: score the seasonal-naive forecast
+    (same weekday last week) against daily actuals with MAPE and the
+    worst single-day error — the evaluation loop that keeps any
+    forecasting pipeline honest, and the baseline every fancier
+    model must beat (if it can't beat naive-seasonal, ship
+    naive-seasonal). The seven-day self-join is the date-spine
+    pattern on the |days|-bounded rollup; each APE quantizes to a
+    1e-9 integer before the cross-day sum so the mean is
+    order-free."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()
+    a = d.select(F.col("day"), F.col("n").alias("actual"))
+    p = d.select(
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("n").alias("forecast"),
+    )
+    f = a.join(p, "day").where(F.col("actual") > 0)
+    ape_n = F.floor(
+        F.abs(
+            F.col("actual").cast("double")
+            - F.col("forecast").cast("double")
+        )
+        / F.col("actual").cast("double")
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return f.select(ape_n.alias("ape_n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        pround(
+            F.sum("ape_n").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000000.0),
+            9,
+        ).alias("mape"),
+        pround(
+            F.max("ape_n").cast("double") / F.lit(1000000000.0), 9
+        ).alias("worst_ape"),
+    )
