@@ -820,3 +820,31 @@ def test_experiment_stats_single_pass_aggregates(spark, oracle_sf_dir):
     plan = plan_of(QUERIES["benford_first_digit"](spark, oracle_sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round5_second_wave_never_single_partition(spark, oracle_sf_dir):
+    """The later round-5 rank/cumulative consumers (systematic
+    sampling, ABC classification, Qini curve, seasonal anomaly MAD)
+    all ride operators/ranks — never a SinglePartition exchange."""
+    for name in (
+        "systematic_sample",
+        "pareto_abc_classification",
+        "uplift_qini_curve",
+        "seasonal_residual_anomaly",
+    ):
+        tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
+        assert "SinglePartition" not in tree, (name, tree)
+
+
+def test_engagement_and_rules_keyed_joins(spark, oracle_sf_dir):
+    """DAU/MAU's bounded range join and the association-rule /
+    min-cost-supplier compositions must plan keyed or broadcast joins
+    only — no cartesian products — and the rule/supplier top-k must
+    be TakeOrderedAndProject."""
+    for name in ("dau_mau_stickiness", "split_leakage_audit"):
+        tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
+        assert "CartesianProduct" not in tree, name
+    for name in ("basket_lift_rules", "min_cost_supplier_q2"):
+        plan = plan_of(QUERIES[name](spark, oracle_sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
