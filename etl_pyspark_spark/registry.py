@@ -15184,7 +15184,17 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "blocking_recall_eval",
     oracle="""
-    WITH s AS (SELECT * FROM customer WHERE c_custkey % 3 = 0),
+    WITH s AS (
+      SELECT * FROM (
+        SELECT c_nationkey, c_custkey, c_name,
+               row_number() OVER (
+                 PARTITION BY c_nationkey
+                 ORDER BY ('0x' || substr(md5('strat:'
+                            || CAST(c_custkey AS VARCHAR)), 1, 15))
+                            ::BIGINT,
+                          c_custkey) AS rk
+        FROM customer WHERE c_custkey % 3 = 0)
+      WHERE rk <= 500),
     truth AS (
       SELECT a.c_nationkey AS nk, a.c_custkey AS ka, b.c_custkey AS kb,
              (substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16))
@@ -15216,11 +15226,34 @@ def q_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic 1-in-3 customer stratum (the standard
     measure-recall-on-a-sample trick: at 100 TB you never score
     all pairs — the stratum's recall estimates the population's
-    because the blocking key is hash-independent of the sample). One equi-join on the coarse key, codegen'd levenshtein
+    because the blocking key is hash-independent of the sample),
+    CAPPED at 500 customers per nation by salted-hash rank
+    (round-5 fix: a purely proportional stratum still densifies
+    quadratically when customers grow against the fixed nation
+    count — measured 216 s at the 10x smoke; the absolute cap makes
+    the ground-truth pair space O(nations * cap^2) FOREVER, and the
+    hash-rank sample stays unbiased for the same independence
+    reason; WindowGroupLimit shape, pruned during the shuffle
+    read). One equi-join on the coarse key, codegen'd levenshtein
     on in-block pairs only, a per-nation rollup, one
     integer->double division for the recall."""
-    cust = read_table(spark, sf_dir, "customer").where(
+    from pyspark.sql.window import Window
+
+    from etl_pyspark_spark.functions import text as T
+
+    strat = read_table(spark, sf_dir, "customer").where(
         F.col("c_custkey") % 3 == 0
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        T.portable_hash60(
+            F.concat(F.lit("strat:"), F.col("c_custkey").cast("string"))
+        ),
+        F.col("c_custkey"),
+    )
+    cust = (
+        strat.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 500)
+        .drop("_rk")
     )
     a = cust.select(
         F.col("c_nationkey").alias("nk"),
