@@ -19547,3 +19547,187 @@ def q_forecast_backtest_mape(
             F.max("ape_n").cast("double") / F.lit(1000000000.0), 9
         ).alias("worst_ape"),
     )
+
+
+@query(
+    "tv_distance_drift",
+    oracle=f"""
+    WITH lab AS (SELECT event_type,
+                        CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                             THEN 'a' ELSE 'b' END AS half
+                 FROM events WHERE ts IS NOT NULL),
+    c AS (SELECT event_type,
+                 CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nb
+          FROM lab GROUP BY event_type),
+    t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                 CAST(sum(nb) AS BIGINT) AS tb FROM c),
+    s AS (SELECT CAST(sum(abs(CAST(c.na AS DECIMAL(38,0)) * t.tb
+                              - CAST(c.nb AS DECIMAL(38,0)) * t.ta))
+                      AS DECIMAL(38,0)) AS num,
+                 min(t.ta) AS ta, min(t.tb) AS tb,
+                 CAST(count(*) AS BIGINT) AS n_categories
+          FROM c, t)
+    SELECT n_categories, ta AS n_first_half, tb AS n_second_half,
+           {sql_pround(
+        "CAST(num AS DOUBLE)"
+        " / (2 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))", 9
+    )} AS tv_distance
+    FROM s
+    """,
+)
+def q_tv_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the first- and second-half
+    event-type distributions — the drift divergence with NO
+    logarithm (KL/JS need cross-engine log, which doesn't exist;
+    chisq_event_type_drift weights by expected counts, TV is the
+    plain L1/2 with the 'largest possible probability difference of
+    any event' reading). Integer cross-products keep the sum exact:
+    TV = Σ|na_i*tb - nb_i*ta| / (2*ta*tb), accumulated as
+    DECIMAL(38,0) (the ks_two_sample trick applied to categories
+    instead of a CDF), ONE double division at the end. One 5-group
+    reduce, two 1-row folds."""
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    c = ev.groupBy("event_type").agg(
+        F.sum((F.col("ts") < cut).cast("int")).cast("bigint").alias("na"),
+        F.sum((F.col("ts") >= cut).cast("int"))
+        .cast("bigint")
+        .alias("nb"),
+    ).persist()
+    t = F.broadcast(
+        c.agg(
+            F.sum("na").cast("bigint").alias("ta"),
+            F.sum("nb").cast("bigint").alias("tb"),
+        )
+    )
+    s = c.crossJoin(t).agg(
+        F.sum(
+            F.abs(
+                F.col("na").cast("decimal(38,0)") * F.col("tb")
+                - F.col("nb").cast("decimal(38,0)") * F.col("ta")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("num"),
+        F.min("ta").alias("ta"),
+        F.min("tb").alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )
+    return s.select(
+        "n_categories",
+        F.col("ta").alias("n_first_half"),
+        F.col("tb").alias("n_second_half"),
+        pround(
+            F.col("num").cast("double")
+            / (
+                F.lit(2)
+                * F.col("ta").cast("double")
+                * F.col("tb").cast("double")
+            ),
+            9,
+        ).alias("tv_distance"),
+    )
+
+
+def _xcorr_oracle(max_lag: int) -> str:
+    return f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(sum(CASE WHEN event_type = 'click'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS y
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    lags AS (SELECT CAST(unnest(range(0, {max_lag + 1})) AS INT)
+               AS lag),
+    p AS (SELECT l.lag, a.x, b.y
+          FROM lags l
+          JOIN d a ON TRUE
+          JOIN d b ON b.day = a.day + CAST(l.lag AS INT)),
+    g AS (SELECT lag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM p GROUP BY lag)
+    SELECT lag, n,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS pearson_r
+    FROM g
+    """
+
+
+@query("lagged_cross_correlation", oracle=_xcorr_oracle(7))
+def q_lagged_cross_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lead-lag discovery: Pearson correlation between daily clicks
+    and purchases LAGGED 0-7 days — does engagement predict
+    conversion, and at what delay (the answer is the lag with max
+    |r|; marketing mix models and capacity planners both start
+    here). The series pair table at each lag comes from one
+    date-spine shift-join of the |days|-bounded rollup (8 lags x
+    ~30 days = a few hundred rows from ONE fact pass); everything
+    else is integer sufficient statistics per lag and a single
+    fixed-order double tree with one sqrt — revenue_autocorrelation's
+    machinery pointed across two series instead of one."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint()
+    lags = F.broadcast(
+        spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    )
+    a = d.select("day", "x")
+    b = d.select(F.col("day").alias("bday"), "y")
+    p = (
+        lags.crossJoin(a)
+        .join(
+            b,
+            F.col("bday")
+            == F.expr("date_add(day, lag)"),
+        )
+    )
+    g = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return g.select(
+        "lag", "n", pround(num / den, 9).alias("pearson_r")
+    )
