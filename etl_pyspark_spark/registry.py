@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pyspark_spark.functions.compat import pround, sql_pround
+from etl_pyspark_spark.operators.baskets import MAX_BASKET
+from etl_pyspark_spark.operators.blocking import MAX_BLOCK
 from etl_pyspark_spark.operators.pipeline import events_pipeline
 from etl_pyspark_spark.sources.io import read_table
 
@@ -1286,14 +1288,16 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "basket_cap_audit",
-    oracle="""
+    # f-string keeps the oracle's cap literal synchronized with the
+    # engine-side operators/baskets.MAX_BASKET by construction.
+    oracle=f"""
     WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     s AS (SELECT l_orderkey, count(*) AS basket_size FROM lp GROUP BY 1)
     SELECT count(*) AS n_baskets,
-           CAST(sum(CASE WHEN basket_size > 256 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN basket_size > {MAX_BASKET} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_truncated,
-           CAST(sum(CASE WHEN basket_size > 256
-                         THEN basket_size - 256 ELSE 0 END)
+           CAST(sum(CASE WHEN basket_size > {MAX_BASKET}
+                         THEN basket_size - {MAX_BASKET} ELSE 0 END)
                 AS BIGINT) AS n_items_dropped,
            CAST(max(basket_size) AS BIGINT) AS max_basket_size
     FROM s
@@ -6783,20 +6787,37 @@ def q_fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join keys carry the O(n^2) candidate space down to per-block
     grids BEFORE any levenshtein runs (the classic entity-resolution
     blocking pattern; swap the prefix for q-gram or phonetic keys as
-    recall demands). Levenshtein evaluates JVM-side, codegen'd, only
-    on in-block pairs."""
+    recall demands), and block membership is hard-capped at MAX_BLOCK
+    via operators/blocking (WindowGroupLimit hash-rank truncation on
+    the same keys the join shuffles on — shared exchange, O(cap^2)
+    per-block pair work forever).  The cap never binds on honest
+    fixture blocks (max 14 members at sf0.1; er_block_cap_audit
+    reports it), so the oracle is cap-free.  Levenshtein evaluates
+    JVM-side, codegen'd, only on surviving in-block pairs."""
+    from etl_pyspark_spark.operators.blocking import capped_block_members
+
     cust = read_table(spark, sf_dir, "customer")
-    a = cust.select(
+    blocked = capped_block_members(
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.col("c_nationkey").alias("nk"),
+            F.substring("c_name", 1, 16).alias("blk"),
+        ),
+        ["nk", "blk"],
+        "c_custkey",
+    )
+    a = blocked.select(
         F.col("c_custkey").alias("custkey_a"),
         F.col("c_name").alias("name_a"),
-        F.col("c_nationkey").alias("nk"),
-        F.substring("c_name", 1, 16).alias("blk"),
+        "nk",
+        "blk",
     )
-    b = cust.select(
+    b = blocked.select(
         F.col("c_custkey").alias("custkey_b"),
         F.col("c_name").alias("name_b"),
-        F.col("c_nationkey").alias("nk"),
-        F.substring("c_name", 1, 16).alias("blk"),
+        "nk",
+        "blk",
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
@@ -6805,6 +6826,47 @@ def q_fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 1)
         .select("custkey_a", "custkey_b", dist.alias("edit_dist"))
     )
+
+
+@query(
+    "er_block_cap_audit",
+    # f-string keeps the oracle's cap literal synchronized with the
+    # engine-side operators/blocking.MAX_BLOCK by construction.
+    oracle=f"""
+    WITH s AS (SELECT c_nationkey, substr(c_name, 1, 16) AS blk,
+                      count(*) AS block_size
+               FROM customer GROUP BY 1, 2)
+    SELECT count(*) AS n_blocks,
+           CAST(sum(CASE WHEN block_size > {MAX_BLOCK} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(sum(CASE WHEN block_size > {MAX_BLOCK}
+                         THEN block_size - {MAX_BLOCK} ELSE 0 END)
+                AS BIGINT) AS n_members_dropped,
+           CAST(max(block_size) AS BIGINT) AS max_block_size
+    FROM s
+    """,
+)
+def q_er_block_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-block truncation audit — the observability half of the
+    MAX_BLOCK cap (operators/blocking) that fuzzy_name_match_blocked
+    and entity_resolution_clusters apply before their in-block
+    self-joins: one row reporting how many (nation, name-prefix)
+    blocks exceed the cap and how many memberships the cap would
+    drop. Runs on the UNCAPPED block-size table (a single map-side
+    combinable keyed count — linear, no pair expansion), so the
+    release card can state the truncation instead of silently eating
+    it. On the fixture every count is 0 truncated (blocks peak at 14
+    members at sf0.1); the synthetic mega-block regression in
+    tests/test_blocking.py exercises the binding case."""
+    from etl_pyspark_spark.operators.blocking import (
+        block_truncation_audit,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    return block_truncation_audit(cust, ["nk", "blk"])
 
 
 @query(
@@ -14144,24 +14206,38 @@ def q_entity_resolution_clusters(
     pairwise match gets wrong: A~B and B~C must land A, B, C in ONE
     entity even when A and C don't match directly — exactly what
     the recursive-CTE oracle replays. Blocking keeps candidate
-    generation off the O(n^2) cliff; the propagation loop's shuffles
+    generation off the O(n^2) cliff, and block membership is
+    hard-capped at MAX_BLOCK (operators/blocking hash-rank
+    WindowGroupLimit — cap-free on honest fixture blocks, bounded
+    O(cap^2) on pathological ones); the propagation loop's shuffles
     are keyed on node id with per-round lineage truncation. Emits
     only multi-record entities (the interesting ones) with their
     sorted member list."""
     from etl_pyspark_spark.dedup.components import connected_components
+    from etl_pyspark_spark.operators.blocking import capped_block_members
 
     cust = read_table(spark, sf_dir, "customer")
-    a = cust.select(
+    blocked = capped_block_members(
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.col("c_nationkey").alias("nk"),
+            F.substring("c_name", 1, 16).alias("blk"),
+        ),
+        ["nk", "blk"],
+        "c_custkey",
+    )
+    a = blocked.select(
         F.col("c_custkey").alias("custkey_a"),
         F.col("c_name").alias("name_a"),
-        F.col("c_nationkey").alias("nk"),
-        F.substring("c_name", 1, 16).alias("blk"),
+        "nk",
+        "blk",
     )
-    b = cust.select(
+    b = blocked.select(
         F.col("c_custkey").alias("custkey_b"),
         F.col("c_name").alias("name_b"),
-        F.col("c_nationkey").alias("nk"),
-        F.substring("c_name", 1, 16).alias("blk"),
+        "nk",
+        "blk",
     )
     pairs = (
         a.join(b, ["nk", "blk"])
