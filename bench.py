@@ -89,21 +89,30 @@ def main() -> None:
     }
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
 
-    # previous per-query record, for jitter detection (see below)
-    prev: dict[str, float] = {}
-    prev_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_PREV",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_last.json"),
+    # previous per-query record, for jitter detection (see below).
+    # Prefer the per-SF archive: bench_last.json is overwritten by
+    # EVERY full run at ANY scale factor, so one run at another SF
+    # between rounds would otherwise blind the detector (r05 verdict
+    # #3); the .scratch/bench_sf{sf}_last.json copy survives that.
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_last = os.path.join(
+        here, ".scratch", f"bench_sf{_sf_of(sf_dir)}_last.json"
     )
-    try:
-        with open(prev_path) as fh:
-            rec = json.load(fh)
+    prev: dict[str, float] = {}
+    candidates = [os.path.join(here, "bench_last.json"), sf_last]
+    env_prev = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if env_prev:
+        candidates = [env_prev]
+    for prev_path in candidates:
+        try:
+            with open(prev_path) as fh:
+                rec = json.load(fh)
+        except Exception:
+            continue
         # only comparable at the same scale factor
         if rec.get("sf") == _sf_of(sf_dir):
             prev = rec.get("queries", {})
-    except Exception:
-        pass
+            break
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
@@ -199,6 +208,25 @@ def main() -> None:
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
+    # Durable archives for full runs (r05 verdict #3): a per-SF "last"
+    # copy (so a run at another SF can't blind the jitter detector)
+    # and an immutable per-round record the next round's adjudication
+    # can cite even after bench_last.json is overwritten. The round
+    # key derives from the driver's CORRECTNESS_r*.json count, the
+    # same convention tests/test_entry_rotation.py uses.
+    if not only and not os.environ.get("SPARK_GRAFT_BENCH_OUT"):
+        import glob as _glob
+
+        rnd = len(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
+        for arch in (
+            sf_last,
+            os.path.join(
+                here, ".scratch", f"bench_r{rnd}_sf{_sf_of(sf_dir)}.json"
+            ),
+        ):
+            os.makedirs(os.path.dirname(arch), exist_ok=True)
+            with open(arch, "w") as fh:
+                fh.write(line + "\n")
     sys.stdout.flush()
     sys.stderr.flush()
     print(line, flush=True)

@@ -31,6 +31,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CACHE: dict[tuple, DataFrame] = {}
+# Keep stages for at most this many distinct (app, fixture) groups; a
+# long session touches several fixtures (sf0.001/0.01/0.1 + scale
+# smokes) and each group pins ~5 cached stages — evict the oldest
+# group's blocks instead of growing executor storage for the app's
+# lifetime.  Two groups lets the test suite interleave its unit and
+# oracle fixtures without thrash.
+_CACHE_MAX_GROUPS = 2
+
+
+def _evict_stale_groups(new_group: tuple) -> None:
+    groups: list[tuple] = []
+    for k in _CACHE:
+        if k[:2] not in groups:
+            groups.append(k[:2])
+    while len(groups) >= _CACHE_MAX_GROUPS and new_group not in groups:
+        victim = groups.pop(0)
+        for k in [k for k in _CACHE if k[:2] == victim]:
+            try:
+                _CACHE.pop(k).unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 def _memo(
@@ -48,6 +69,7 @@ def _memo(
     )
     df = _CACHE.get(key)
     if df is None:
+        _evict_stale_groups(key[:2])
         df = builder().cache()
         _CACHE[key] = df
     return df

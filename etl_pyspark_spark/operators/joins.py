@@ -167,18 +167,25 @@ def asof_join(
     # backward: right rows (side=0) sort BEFORE left rows at equal ts
     # and the frame looks back => "<=" semantics. forward: the side
     # order flips (right after left at equal ts) and the frame looks
-    # ahead with first() => ">=" semantics.
+    # ahead with first() => ">=" semantics.  The trailing _rrow key
+    # pins the pick when the right side carries DUPLICATE (key, ts)
+    # rows: without it the carried struct would be whichever row the
+    # shuffle happened to order last, varying across runs.  With it
+    # the winner is the greatest (backward) / least (forward) carried
+    # right-row struct — deterministic across runs and layouts (left
+    # rows all carry a NULL _rrow, so the extra key never reorders
+    # across sides).
     if forward:
         w = (
             Window.partitionBy("_k")
-            .orderBy("_ts", F.col("_side").desc())
+            .orderBy("_ts", F.col("_side").desc(), "_rrow")
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     else:
         w = (
             Window.partitionBy("_k")
-            .orderBy("_ts", "_side")
+            .orderBy("_ts", "_side", "_rrow")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731

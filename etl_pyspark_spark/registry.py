@@ -13233,6 +13233,23 @@ def _copurchase_edges_sql() -> str:
 
 
 _EDGE_CACHE: dict[tuple, DataFrame] = {}
+# A long session touches several fixtures (sf0.001/0.01/0.1 + scale
+# smokes); keep only the most recent ones so superseded checkpoint
+# blocks are unpersisted and their driver references dropped (the
+# ContextCleaner frees the JVM-side blocks once unreferenced) instead
+# of pinning block-manager memory for the app's lifetime.
+_EDGE_CACHE_MAX = 2
+
+
+def _edge_cache_put(key: tuple, edges: DataFrame) -> None:
+    while len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+        oldest = next(iter(_EDGE_CACHE))
+        old = _EDGE_CACHE.pop(oldest)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    _EDGE_CACHE[key] = edges
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13275,7 +13292,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    _EDGE_CACHE[key] = edges
+    _edge_cache_put(key, edges)
     return edges
 
 
@@ -17346,7 +17363,7 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       string_agg(substr(event_type, 1, 1), ''
                                  ORDER BY ts, event_id) AS seq,
                       count(*) AS n_events
-               FROM events GROUP BY user_id)
+               FROM events WHERE ts IS NOT NULL GROUP BY user_id)
     SELECT user_id,
            CAST(n_events AS BIGINT) AS n_events,
            regexp_matches(seq, 'v.*c.*p') AS matched
@@ -17362,9 +17379,15 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern is a single regex over it, evaluated in codegen. Scale
     shape: per-user event counts are application-bounded (the same
     bound every sessionization op leans on), so the collected array
-    is small; nothing global, no window. No reference counterpart
-    (SURVEY §2.9 sequence-analytics family)."""
-    ev = read_table(spark, sf_dir, "events")
+    is small; nothing global, no window. NULL timestamps are dropped
+    up front like every other temporal events query — Spark's
+    array_sort puts a NULL ts field first while DuckDB's string_agg
+    ORDER BY defaults NULLS LAST, so an unfiltered journey string
+    would silently diverge across engines on NULL-bearing data. No
+    reference counterpart (SURVEY §2.9 sequence-analytics family)."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
     seq = F.array_join(
         F.transform(
             F.array_sort(

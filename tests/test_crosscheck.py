@@ -42,6 +42,45 @@ def test_asof_impls_agree_on_generated_data(spark):
     assert a.where(F.col("asof_rts") > F.col("lts")).count() == 0
 
 
+def test_asof_duplicate_right_ts_is_deterministic(spark):
+    """When the right side carries DUPLICATE (key, ts) rows the carried
+    match must be layout-independent: the window's trailing _rrow
+    tiebreak pins the greatest (backward) / least (forward) right-row
+    struct, so rerunning under a different physical partitioning keeps
+    the same answer."""
+    from etl_pyspark_spark.operators.joins import asof_join
+
+    left = spark.range(0, 100).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 20).cast("long").alias("lts"),
+    )
+    # right: every (k, rts) appears 3 times with different payloads
+    right = spark.range(0, 5 * 10 * 3).select(
+        (F.col("id") % 5).alias("k"),
+        ((F.col("id") / 15).cast("long") * 2).alias("rts"),
+        F.pmod(F.hash("id"), F.lit(1000)).alias("payload"),
+    )
+    for direction in ("backward", "forward"):
+        a = {
+            r["lid"]: r["asof_payload"]
+            for r in asof_join(
+                left, right, "k", "lts", "rts", ["payload"],
+                direction=direction,
+            ).collect()
+        }
+        b = {
+            r["lid"]: r["asof_payload"]
+            for r in asof_join(
+                left.repartition(7, "lid"),
+                right.repartition(11, "payload"),
+                "k", "lts", "rts", ["payload"],
+                direction=direction,
+            ).collect()
+        }
+        assert a == b, direction
+
+
 def test_minhash_recall_against_exact_jaccard(spark, oracle_sf_dir):
     """Two independent near-dup implementations checked against each
     other on the corpus: MinHash-LSH verified pairs must be a SUBSET

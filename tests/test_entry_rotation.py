@@ -5,20 +5,27 @@ rounds; most of the registry has never been driver-checked. This test
 rehearses a rotating driver sample through the driver's EXACT entry
 surface — ``__spark_entry__.queries()`` / ``oracle_sql()`` loaded from
 the file, not the registry internals — value-hash comparing a
-deterministic 50-query window keyed on round number. Two disjoint
-windows per run; over rounds the key advances, so the whole registry
-cycles through the rehearsal even if the external sample stays put.
+deterministic 50-query window keyed on round number (derived from the
+CORRECTNESS_r*.json count, so it advances by construction). Windows
+2r and 2r+1 run each round — disjoint within a run AND fresh versus
+the previous round's pair — so the whole registry cycles through the
+rehearsal even if the external sample stays put.
 """
 
 from __future__ import annotations
 
+import glob
 import importlib.util
 
 import pytest
 
 from tests.oracle_utils import compare, duckdb_connect
 
-_ROUND = 5  # advance each round; windows r and r+1 run every round
+# Derived from repo state so the rehearsal rotates by construction
+# (r05 verdict #2): the driver writes one CORRECTNESS_r{N}.json per
+# completed round, so during round N+1 the count IS the current round
+# key — no hand-bumped constant to forget.
+_ROUND = len(glob.glob("/root/repo/CORRECTNESS_r*.json")) + 1
 _WINDOW = 50
 
 
@@ -42,13 +49,14 @@ def _rotation(names: list[str], key: int) -> list[str]:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("key", [_ROUND, _ROUND + 1])
+@pytest.mark.parametrize("key", [2 * _ROUND, 2 * _ROUND + 1])
 def test_entry_surface_rotation(key, spark, oracle_sf_dir):
     mod = _entry_module()
     qs, oracles = mod.queries(), mod.oracle_sql()
     sample = _rotation(sorted(oracles), key)
     # the two parametrized windows must actually be disjoint
-    other = set(_rotation(sorted(oracles), _ROUND + 1 + _ROUND - key))
+    other_key = 2 * _ROUND + (2 * _ROUND + 1) - key
+    other = set(_rotation(sorted(oracles), other_key))
     assert not set(sample) & other
     con = duckdb_connect(oracle_sf_dir)
     try:
