@@ -52,12 +52,17 @@ def main() -> None:
     # Pay-once lake layouts (partitioned/bucketed/clustered/z-ordered)
     # are ingest-time costs: build them untimed so layout queries
     # measure the pruned scan they exist to demonstrate.
-    try:
-        from etl_pyspark_spark.registry import ensure_layouts
+    # SPARK_GRAFT_BENCH_NO_LAYOUTS=1 skips the build for restricted
+    # scale-smoke runs whose target queries don't read any layout —
+    # at 30x data the untimed zorder/cluster sorts would dominate the
+    # smoke's wall clock for nothing.
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_LAYOUTS"):
+        try:
+            from etl_pyspark_spark.registry import ensure_layouts
 
-        ensure_layouts(spark, sf_dir)
-    except Exception as exc:  # pragma: no cover
-        print(f"bench: ensure_layouts failed: {exc}", file=sys.stderr)
+            ensure_layouts(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover
+            print(f"bench: ensure_layouts failed: {exc}", file=sys.stderr)
 
     # Warm the JVM/codegen paths AND the Python worker pool (numpy
     # import costs ~0.2s x 32 workers on first pandas-path query) so

