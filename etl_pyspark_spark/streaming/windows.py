@@ -44,6 +44,15 @@ from etl_pyspark_spark.sources.io import normalize_event_ts
 
 _MEM_IDS = itertools.count()
 
+# State-store metrics of the most recent run_to_memory_table stream,
+# one dict per stateful operator of the FINAL progress event:
+# {"operatorName", "numRowsTotal", "numRowsUpdated", ...}. Populated
+# after awaitTermination so the state-size audit
+# (tests/test_state_size.py, BASELINE.md round-6 table) can pin
+# per-key-bounded state empirically without changing any query's
+# surface.
+LAST_STATE_METRICS: list[dict] = []
+
 
 @contextmanager
 def stream_shuffle_partitions(spark: SparkSession):
@@ -96,6 +105,15 @@ def run_to_memory_table(
             .start()
         )
         q.awaitTermination()
+    LAST_STATE_METRICS.clear()
+    try:
+        for p in reversed(q.recentProgress):
+            ops = p.get("stateOperators") or []
+            if ops:
+                LAST_STATE_METRICS.extend(ops)
+                break
+    except Exception:
+        pass
     return spark.table(name)
 
 

@@ -46,9 +46,6 @@ def test_contract_shapes(spark):
         "tokenizer_bpe_learn",        # iterative argmax+merge; exact
                                       # parity with a pure-Python BPE
                                       # pinned in test_tokenizer
-        "text_compression_ratio",     # ratio depends on the zlib
-                                      # build; invariants pinned in
-                                      # test_crosscheck
     }
     df = mod.entry(spark)
     assert df.count() > 0
