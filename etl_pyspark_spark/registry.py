@@ -19934,3 +19934,680 @@ def q_lagged_cross_correlation(
     return g.select(
         "lag", "n", pround(num / den, 9).alias("pearson_r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: compliance cascade, retrieval diversification, matryoshka
+# embedding tradeoff, integer-exact double-exponential smoothing,
+# degree assortativity, encoding-quality audit, dedup threshold sweep.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gdpr_erasure_cascade",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    o_del AS (SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM del)),
+    cnts AS (
+      SELECT 'customer' AS table_name,
+             CAST((SELECT count(*) FROM del) AS BIGINT) AS n_erase,
+             CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
+      UNION ALL
+      SELECT 'orders',
+             CAST((SELECT count(*) FROM o_del) AS BIGINT),
+             CAST((SELECT count(*) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem',
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM o_del))
+                  AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT))
+    SELECT table_name, n_erase, n_total,
+           CAST(n_total - n_erase AS BIGINT) AS n_surviving
+    FROM cnts
+    """,
+)
+def q_gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact cascade: a deterministic delete set of
+    data subjects (every 97th custkey — standing in for the day's
+    erasure requests) propagated through the foreign-key chain
+    customer -> orders -> lineitem, reporting per-table rows to erase
+    vs surviving. This is the audit a compliance pipeline runs BEFORE
+    the destructive pass — and at 100 TB the erasure itself is these
+    exact semi-joins flipped to anti-joins feeding an
+    insert-overwrite. Scale shape: the subject set flows down the
+    chain as keyed semi-joins (orderkeys of erased customers, then
+    lineitems of those orders) — each hop is one equi-join shuffle on
+    the child's own key, no fact-side fan-out; the per-table counts
+    are map-side-combinable 1-row aggregates unioned at the end. No
+    reference counterpart (SURVEY §2.9 governance family)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    del_c = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_o = orders.join(
+        del_c, orders["o_custkey"] == del_c["c_custkey"], "leftsemi"
+    ).select("o_orderkey")
+    del_l = li.join(
+        del_o, li["l_orderkey"] == del_o["o_orderkey"], "leftsemi"
+    )
+
+    def one(name: str, erase_df: DataFrame, total_df: DataFrame):
+        e = erase_df.agg(F.count(F.lit(1)).alias("n_erase"))
+        t = total_df.agg(F.count(F.lit(1)).alias("n_total"))
+        return e.crossJoin(t).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_erase").cast("bigint").alias("n_erase"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+            (F.col("n_total") - F.col("n_erase"))
+            .cast("bigint")
+            .alias("n_surviving"),
+        )
+
+    return (
+        one("customer", del_c, cust)
+        .unionByName(one("orders", del_o, orders))
+        .unionByName(one("lineitem", del_l, li))
+    )
+
+
+def _matryoshka_oracle() -> str:
+    from etl_pyspark_spark.similarity.cosine import sql_cosine
+
+    full = sql_pround(sql_cosine("c.embedding", "q.embedding"), 6)
+    # cosine over the 8-dim prefix of both vectors
+    trunc = sql_pround(
+        sql_cosine("c.embedding[1:8]", "q.embedding[1:8]"), 6
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 8),
+    simf AS (SELECT q.query_id, c.vec_id AS neighbor_id, {full} AS s
+             FROM embeddings c JOIN q ON c.vec_id <> q.query_id),
+    simt AS (SELECT q.query_id, c.vec_id AS neighbor_id, {trunc} AS s
+             FROM embeddings c JOIN q ON c.vec_id <> q.query_id),
+    topf AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY s DESC, neighbor_id) AS rk FROM simf)
+             WHERE rk <= 10),
+    topt AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY s DESC, neighbor_id) AS rk FROM simt)
+             WHERE rk <= 10)
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.neighbor_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM topf f LEFT JOIN topt t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """
+
+
+@query("matryoshka_dim_tradeoff", oracle=_matryoshka_oracle())
+def q_matryoshka_dim_tradeoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style dimensionality tradeoff audit: for each of 8
+    query vectors, how much of the exact top-10 under FULL 64-dim
+    cosine survives when retrieval uses only the first 8 dimensions
+    (the truncated-prefix regime MRL-trained embedders are built
+    for)? recall@10 per query is the number a platform quotes before
+    switching its ANN index to truncated vectors — storage and
+    compute drop 8x, this measures what ranking quality it costs.
+    Scale shape: both rankings ride brute_force_topk's plan
+    (broadcast 8-row query set against the corpus scan, corpus never
+    shuffles for the join; slice() keeps the prefix cosine in
+    whole-stage codegen), and the overlap join keys on the 8x10-row
+    top lists — dimension-bounded. No reference counterpart (SURVEY
+    §2.9 similarity family)."""
+    from etl_pyspark_spark.similarity.cosine import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    full = brute_force_topk(emb, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    emb8 = emb.select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    q8 = emb8.where(F.col("vec_id") < 8)
+    trunc = brute_force_topk(emb8, q8, k=10).select(
+        F.col("query_id").alias("t_query_id"),
+        F.col("neighbor_id").alias("t_neighbor_id"),
+    )
+    j = full.join(
+        trunc,
+        (F.col("query_id") == F.col("t_query_id"))
+        & (F.col("neighbor_id") == F.col("t_neighbor_id")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("t_neighbor_id").cast("bigint").alias("n_overlap"),
+        (F.count("t_neighbor_id").cast("double") / F.lit(10.0)).alias(
+            "recall_at_10"
+        ),
+    )
+
+
+def _mmr_oracle(k: int = 5, lam: float = 0.5) -> str:
+    from etl_pyspark_spark.similarity.cosine import sql_cosine
+
+    rel = sql_pround(sql_cosine("c.embedding", "q.embedding"), 6)
+    psim = sql_pround(sql_cosine("a.embedding", "b.embedding"), 6)
+    steps = []
+    prev = "s1"
+    for i in range(2, k + 1):
+        steps.append(
+            f"""sel{i - 1} AS (
+      {' UNION ALL '.join(f'SELECT * FROM s{j}' for j in range(1, i))}),
+    sc{i} AS (
+      SELECT c.neighbor_id, c.rel,
+             {lam} * c.rel - {1 - lam} * max(p.sim) AS score
+      FROM cand c
+      JOIN ps p ON p.id_a = c.neighbor_id
+      JOIN sel{i - 1} s ON s.neighbor_id = p.id_b
+      WHERE c.neighbor_id NOT IN (SELECT neighbor_id FROM sel{i - 1})
+      GROUP BY c.neighbor_id, c.rel),
+    s{i} AS (
+      SELECT {i} AS rank, neighbor_id, rel, score AS mmr_score
+      FROM sc{i} ORDER BY score DESC, neighbor_id LIMIT 1)"""
+        )
+        prev = f"s{i}"
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cand AS (SELECT neighbor_id, rel FROM
+             (SELECT c.vec_id AS neighbor_id, {rel} AS rel,
+                     row_number() OVER (ORDER BY {rel} DESC, c.vec_id)
+                       AS rk
+              FROM embeddings c, q WHERE c.vec_id <> 0)
+             WHERE rk <= 20),
+    ps AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, {psim} AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id IN (SELECT neighbor_id FROM cand)
+            AND b.vec_id IN (SELECT neighbor_id FROM cand)
+            AND a.vec_id <> b.vec_id),
+    s1 AS (SELECT 1 AS rank, neighbor_id, rel, rel AS mmr_score
+           FROM cand ORDER BY rel DESC, neighbor_id LIMIT 1),
+    {','.join(steps)}
+    {' UNION ALL '.join(f'SELECT * FROM s{j}' for j in range(1, k + 1))}
+    """
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval: greedily pick
+    5 of the query's top-20 cosine candidates, each step maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-already-selected
+    (lambda = 0.5) — the standard rerank that keeps a RAG context
+    window from filling with five copies of the same passage. Scale
+    shape: the expensive part (corpus-wide scoring) is
+    brute_force_topk's broadcast-against-scan plan; the candidate
+    set and its 20x20 pairwise sims then collapse into ONE row
+    (bounded collect_list aggregates), and the whole greedy loop
+    unrolls as higher-order array expressions over that row — pure
+    whole-stage codegen, zero extra jobs, constant work regardless
+    of corpus size (a first cut as five chained limit(1) DataFrames
+    measured 4.9-14.8 s of per-step job overhead for identical
+    results; arrays run it in milliseconds). Every sim is
+    pround(6)-rounded BEFORE the MMR arithmetic, so both engines
+    fold identical doubles and the greedy choice sequence is
+    deterministic (ties break on neighbor_id). No reference
+    counterpart (SURVEY §2.9 similarity family)."""
+    from etl_pyspark_spark.similarity.cosine import (
+        brute_force_topk,
+        as_double,
+        cosine,
+    )
+
+    lam, k = 0.5, 5
+    emb = read_table(spark, sf_dir, "embeddings")
+    q0 = emb.where(F.col("vec_id") == 0)
+    cand = brute_force_topk(emb, q0, k=20).select(
+        "neighbor_id", F.col("cos_sim").alias("rel")
+    )
+    cvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("v"),
+    ).join(F.broadcast(cand.select("neighbor_id")), "neighbor_id")
+    a = cvec.select(
+        F.col("neighbor_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = cvec.select(
+        F.col("neighbor_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    ps = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        pround(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+    )
+    # one row: 20 candidates + 380 pair sims (bounded aggregates)
+    one = cand.agg(
+        F.collect_list(F.struct("neighbor_id", "rel")).alias("c")
+    ).crossJoin(
+        F.broadcast(
+            ps.agg(
+                F.collect_list(F.struct("id_a", "id_b", "sim")).alias(
+                    "p"
+                )
+            )
+        )
+    )
+
+    def pick_best(arr):
+        """argmax by (score DESC, neighbor_id ASC) over an array of
+        (neighbor_id, rel, score) structs — a fold, no sort."""
+        return F.aggregate(
+            arr,
+            F.element_at(arr, 1),
+            lambda acc, e: F.when(
+                (e["score"] > acc["score"])
+                | (
+                    (e["score"] == acc["score"])
+                    & (e["neighbor_id"] < acc["neighbor_id"])
+                ),
+                e,
+            ).otherwise(acc),
+        )
+
+    c, p = F.col("c"), F.col("p")
+    first = pick_best(
+        F.transform(
+            c,
+            lambda e: F.struct(
+                e["neighbor_id"].alias("neighbor_id"),
+                e["rel"].alias("rel"),
+                e["rel"].alias("score"),
+            ),
+        )
+    )
+    init = F.array(
+        F.struct(
+            F.lit(1).alias("rank"),
+            first["neighbor_id"].alias("neighbor_id"),
+            first["rel"].alias("rel"),
+            first["score"].alias("mmr_score"),
+        )
+    )
+
+    def step(st, i):
+        picked = F.transform(st, lambda s: s["neighbor_id"])
+        scored = F.transform(
+            F.filter(
+                c,
+                lambda e: ~F.array_contains(picked, e["neighbor_id"]),
+            ),
+            lambda e: F.struct(
+                e["neighbor_id"].alias("neighbor_id"),
+                e["rel"].alias("rel"),
+                (
+                    F.lit(lam) * e["rel"]
+                    - F.lit(1 - lam)
+                    * F.array_max(
+                        F.transform(
+                            F.filter(
+                                p,
+                                lambda x: (
+                                    x["id_a"] == e["neighbor_id"]
+                                )
+                                & F.array_contains(picked, x["id_b"]),
+                            ),
+                            lambda x: x["sim"],
+                        )
+                    )
+                ).alias("score"),
+            ),
+        )
+        best = pick_best(scored)
+        return F.concat(
+            st,
+            F.array(
+                F.struct(
+                    i.cast("int").alias("rank"),
+                    best["neighbor_id"].alias("neighbor_id"),
+                    best["rel"].alias("rel"),
+                    best["score"].alias("mmr_score"),
+                )
+            ),
+        )
+
+    picks = F.aggregate(F.sequence(F.lit(2), F.lit(k)), init, step)
+    return (
+        one.select(F.explode(picks).alias("s"))
+        .select("s.rank", "s.neighbor_id", "s.rel", "s.mmr_score")
+    )
+
+
+@query(
+    "holt_winters_level_trend",
+    oracle="""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY d) AS i, x FROM daily),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx),
+    rec AS (
+      SELECT CAST(1 AS BIGINT) AS i, x AS l, CAST(0 AS BIGINT) AS b
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT r.i + 1,
+             (ix.x + r.l + r.b) >> 1,
+             ((((ix.x + r.l + r.b) >> 1) - r.l) + r.b) >> 1
+      FROM rec r JOIN idx ix ON ix.i = r.i + 1),
+    fin AS (SELECT r.l, r.b FROM rec r, n WHERE r.i = n.n_days)
+    SELECT CAST(h AS BIGINT) AS horizon_days,
+           CAST(l + h * b AS BIGINT) AS forecast_cents,
+           l AS level_cents, b AS trend_cents
+    FROM fin, UNNEST(generate_series(1, 7)) AS g(h)
+    """,
+)
+def q_holt_winters_level_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Double-exponential smoothing (Holt's level+trend, alpha = beta
+    = 1/2) over daily order revenue, emitting the 1..7-day-ahead
+    linear forecast — the classic ops-forecasting recurrence that a
+    single EWMA (ewma_order_price) can't express because trend needs
+    a SECOND coupled state variable. Cross-engine exactness: revenue
+    is quantized to bigint cents and both recurrence updates are
+    integer adds plus ONE arithmetic right-shift (alpha = 1/2 makes
+    the smoothing a floor-halving, and >> floors identically in
+    Spark and DuckDB, including on negative trend deltas) — the
+    dyadic-exactness idiom, extended to a 2-state linear recurrence.
+    Scale shape: the fact-scale work is one keyed daily aggregation
+    (map-side combinable); the fold then runs over the ~2.4k-day
+    array INSIDE one aggregate via F.aggregate (codegen, sequential
+    by construction — a recurrence is inherently ordered, and the
+    array is bounded by the calendar, the same bounded-by-
+    construction argument as survival_hazard_table), replayed by the
+    oracle as a recursive CTE. No reference counterpart (SURVEY
+    §2.9 time-series family)."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                * 100
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("a")
+    )
+    state = F.aggregate(
+        F.slice(F.col("a"), 2, 10_000_000),
+        F.struct(
+            F.element_at(F.col("a"), 1)["x"].alias("l"),
+            F.lit(0).cast("bigint").alias("b"),
+        ),
+        lambda st, e: F.struct(
+            F.shiftright(e["x"] + st["l"] + st["b"], 1).alias("l"),
+            F.shiftright(
+                (F.shiftright(e["x"] + st["l"] + st["b"], 1) - st["l"])
+                + st["b"],
+                1,
+            ).alias("b"),
+        ),
+    )
+    fin = arr.select(
+        state["l"].alias("level_cents"), state["b"].alias("trend_cents")
+    )
+    return fin.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("_h"),
+        "level_cents",
+        "trend_cents",
+    ).select(
+        F.col("_h").cast("bigint").alias("horizon_days"),
+        "level_cents",
+        "trend_cents",
+    ).select(
+        "horizon_days",
+        (
+            F.col("level_cents")
+            + F.col("horizon_days") * F.col("trend_cents")
+        )
+        .cast("bigint")
+        .alias("forecast_cents"),
+        "level_cents",
+        "trend_cents",
+    )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="WITH "
+    + _copurchase_edges_sql().replace("e0 AS (", "e0 AS MATERIALIZED (")
+    + f""",
+    und AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+      FROM und GROUP BY u),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM und e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM pairs)
+    SELECT n AS n_edge_ends, sxy, sxx,
+           {sql_pround(
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 9
+    )} AS assortativity
+    FROM s
+    """,
+)
+def q_graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edge ends —
+    THE one-number summary of whether hubs attach to hubs
+    (assortative, r > 0) or to leaves (disassortative, r < 0), which
+    decides whether degree-capped algorithms (the MAX_BASKET /
+    mid-degree guards) cut a fringe or the core. Exactness: all six
+    sufficient statistics are bigint sums of bounded integers
+    (degrees are capped by the shared basket cap), folded into one
+    double formula whose sqrt is correctly rounded — the Pearson
+    idiom the stats family already pins. Scale shape: two joins of
+    the edge list against the degree table (count-driven broadcast /
+    shuffle-hash strategy shared with link_prediction_jaccard — the
+    fact-scale edge list never sorts), then a 1-row aggregate."""
+    n_edges = _copurchase_edge_count(spark, sf_dir)
+    if n_edges <= 1_000_000:
+        dim = F.broadcast
+    else:
+        dim = lambda df: df.hint("shuffle_hash")  # noqa: E731
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    pairs = und.join(dim(du), "u").join(dim(dv), "v")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        "sxy",
+        "sxx",
+        pround(num / den, 9).alias("assortativity"),
+    )
+
+
+@query(
+    "token_burstiness_vmr",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_WS_TOKENS_SQL.format(col='text')}) AS tok
+      FROM documents),
+    per_doc AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY 1, 2),
+    stats AS (SELECT tok,
+                     CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(c) AS BIGINT) AS tf,
+                     CAST(sum(c * c) AS BIGINT) AS sc2
+              FROM per_doc GROUP BY tok)
+    SELECT tok, df, tf,
+           CAST(df * sc2 - tf * tf AS DOUBLE)
+             / CAST(df * tf AS DOUBLE) AS vmr
+    FROM stats
+    ORDER BY df DESC, tok LIMIT 20
+    """,
+)
+def q_token_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness for the top-20 document-frequency terms: the
+    variance-to-mean ratio of per-document counts over the documents
+    CONTAINING each term. Content words are bursty (VMR >> 0 — they
+    pile up in a few documents), function words are Poisson-flat
+    (VMR near 0); the ratio is the standard Church/Gale dispersion
+    signal for stopword discovery and index compression planning,
+    orthogonal to plain frequency (tfidf_top_terms ranks; this
+    measures CLUMPING). Exactness: df, tf, sum(c^2) are integer
+    sufficient statistics, and VMR = (df*sc2 - tf^2)/(df*tf) is ONE
+    bigint->double division — exactly rounded in both engines.
+    Scale shape: tokenize-once explode -> two map-side-combinable
+    keyed aggregations -> TakeOrderedAndProject top-20; nothing
+    global, no window."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    )
+    per_doc = toks.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stats = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    vmr = (
+        F.col("df") * F.col("sc2") - F.col("tf") * F.col("tf")
+    ).cast("double") / (F.col("df") * F.col("tf")).cast("double")
+    return (
+        stats.select("tok", "df", "tf", vmr.alias("vmr"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(20)
+    )
+
+
+def _threshold_sweep_oracle() -> str:
+    from etl_pyspark_spark.dedup.minhash import (
+        sql_minhash_pairs,
+        sql_shingles_cte,
+    )
+
+    return (
+        "WITH "
+        + sql_shingles_cte()
+        + ", "
+        + sql_minhash_pairs(threshold=0.5, final_name="vp")
+        + """,
+    thr AS (SELECT CAST(UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+              AS threshold),
+    surv AS (SELECT t.threshold, p.doc_id_a, p.doc_id_b
+             FROM vp p JOIN thr t ON p.jaccard >= t.threshold),
+    pairs AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM surv GROUP BY 1),
+    docs AS (SELECT threshold,
+                    CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+             FROM (SELECT threshold, doc_id_a AS d FROM surv
+                   UNION ALL
+                   SELECT threshold, doc_id_b AS d FROM surv)
+             GROUP BY 1)
+    SELECT t.threshold, COALESCE(p.n_pairs, 0) AS n_pairs,
+           COALESCE(d.n_docs_affected, 0) AS n_docs_affected
+    FROM thr t
+    LEFT JOIN pairs p ON p.threshold = t.threshold
+    LEFT JOIN docs d ON d.threshold = t.threshold
+    """
+    )
+
+
+@query("dedup_threshold_sweep", oracle=_threshold_sweep_oracle())
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity sweep: from ONE pass of the
+    shared MinHash-verified pair table (threshold 0.5), how many
+    pairs and how many distinct documents would each candidate
+    release threshold (0.5..0.9) act on — the dial a release engineer
+    turns before committing a dedup pass, answered without re-running
+    candidate generation per setting (the verified jaccard is exact,
+    so higher thresholds are pure filters over the same pairs).
+    Scale shape: the family-shared build pays the LSH + verify cost
+    once (dedup_shared_build); this query is a 5-way threshold
+    explode over the surviving pair list (|pairs| x 5 rows) and two
+    keyed counts — marginal cost near zero at any corpus size."""
+    from etl_pyspark_spark.dedup.shared import verified_pairs
+
+    vp = verified_pairs(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], "threshold double"
+    )
+    surv = vp.join(
+        F.broadcast(thr), F.col("jaccard") >= F.col("threshold")
+    )
+    pairs = surv.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs = (
+        surv.select("threshold", F.col("doc_id_a").alias("d"))
+        .unionByName(
+            surv.select("threshold", F.col("doc_id_b").alias("d"))
+        )
+        .groupBy("threshold")
+        .agg(
+            F.countDistinct("d").cast("bigint").alias("n_docs_affected")
+        )
+    )
+    return (
+        thr.join(pairs, "threshold", "left")
+        .join(docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias(
+                "n_docs_affected"
+            ),
+        )
+    )

@@ -18,6 +18,13 @@ from etl_pyspark_spark.sources.io import FIXTURE_TABLES
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the buffer pool and give it a spill dir: DuckDB's default
+    # limit (80% of RAM) lets a long oracle sweep's pool grow until it
+    # collides with the Spark JVM + Python workers sharing the host (a
+    # full-registry sweep once died with bad_alloc on the 356th
+    # oracle). 16 GB is ~100x any single oracle's working set.
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in FIXTURE_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
