@@ -20611,3 +20611,305 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _hard_negative_oracle() -> str:
+    from etl_pyspark_spark.similarity.cosine import sql_cosine
+
+    cos = sql_pround(sql_cosine("c.embedding", "q.embedding"), 6)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding
+               FROM embeddings WHERE vec_id < 8),
+    sims AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    c.label AS n_label, {cos} AS cos_sim
+             FROM embeddings c JOIN q
+               ON c.vec_id <> q.query_id AND c.label <> q.q_label),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+               FROM sims)
+    SELECT query_id, neighbor_id, n_label AS neighbor_label, cos_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """
+
+
+@query("hard_negative_mining", oracle=_hard_negative_oracle())
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the 5 most-similar corpus vectors carrying a DIFFERENT
+    label — the near-miss negatives that make an embedding model
+    actually learn boundaries (random negatives are trivially easy;
+    these are the ones it currently confuses). Scale shape: identical
+    to brute_force_topk's broadcast-queries-against-corpus-scan plan
+    with the label-mismatch predicate fused into the join condition
+    (evaluated before any cosine math), one window shuffle keyed by
+    query for the per-query rank, WindowGroupLimit top-5. At corpus
+    scale the same query swaps the scan for the IVF/LSH candidate
+    generators the similarity family already provides. No reference
+    counterpart (SURVEY §2.9 similarity family)."""
+    from etl_pyspark_spark.similarity.cosine import as_double, cosine
+    from pyspark.sql.window import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    sim = pround(cosine(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("q_label") != F.col("neighbor_label")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            sim.alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 5)
+    )
+
+
+# millis, not millionths: the centroid SUM vectors feed a double
+# dot product, and every partial there must stay under 2^53 to be
+# exactly representable — q3 keeps sums ~5e5 and dot terms ~1e13 at
+# bench scale (exact), where q6 overflowed to order-dependent
+# rounding (observed last-ulp cross-engine drift)
+_Q3 = "1000.0"
+
+
+def _label_centroid_sql() -> str:
+    """CTE text ``cent`` : per-label centroid SUM vectors with
+    elements quantized to bigint millis BEFORE summing, so the
+    per-dimension sums are exact integers in any summation order.
+    Cosine is scale-invariant, so the un-divided sum vector IS the
+    centroid for any angular comparison."""
+    return f"""
+    exploded AS (
+      SELECT label, g.i AS pos,
+             CAST(floor(embedding[g.i] * {_Q3} + 0.5) AS BIGINT) AS q
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS g(i)),
+    sums AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s
+             FROM exploded GROUP BY 1, 2),
+    cent AS (SELECT label,
+                    list(CAST(s AS DOUBLE) ORDER BY pos) AS cv
+             FROM sums GROUP BY label)
+    """
+
+
+def _centroid_sep_oracle() -> str:
+    from etl_pyspark_spark.similarity.cosine import sql_cosine
+
+    cos = sql_pround(sql_cosine("a.cv", "b.cv"), 6)
+    return (
+        "WITH "
+        + _label_centroid_sql()
+        + f"""
+    SELECT a.label AS label_a, b.label AS label_b, {cos} AS centroid_cos
+    FROM cent a JOIN cent b ON a.label < b.label
+    """
+    )
+
+
+@query("label_centroid_separation", oracle=_centroid_sep_oracle())
+def q_label_centroid_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Class-separability diagnostic: pairwise cosine between
+    per-label centroid vectors — high off-diagonal similarity means
+    two labels are entangled in embedding space and a classifier (or
+    a semantic-dedup threshold) will confuse them. Exactness:
+    elements are quantized to bigint millis BEFORE the
+    per-dimension sums, making the centroid sums exact integers in
+    any summation/partition order; cosine is scale-invariant, so the
+    un-divided sum vector stands in for the mean and no
+    cross-engine-unsafe division happens at all. Scale shape:
+    posexplode -> one (label, dim) keyed aggregation (map-side
+    combinable, |labels| x dims rows) -> 10-row centroid table ->
+    45-pair self-join: everything after the first reduce is
+    dimension-bounded, independent of corpus size."""
+    from etl_pyspark_spark.similarity.cosine import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x") * F.lit(1e3) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    sums = exploded.groupBy("label", "pos").agg(
+        F.sum("q").cast("bigint").alias("s")
+    )
+    cent = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda e: e["s"].cast("double"),
+        ).alias("cv")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("cv").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("cv").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            pround(cosine(F.col("ca"), F.col("cb")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+    )
+
+
+def _label_outlier_oracle() -> str:
+    from etl_pyspark_spark.similarity.cosine import sql_cosine
+
+    cos = sql_pround(sql_cosine("e.embedding", "c.cv"), 6)
+    return (
+        "WITH "
+        + _label_centroid_sql()
+        + f"""
+    SELECT e.vec_id, e.label, {cos} AS centroid_cos
+    FROM embeddings e JOIN cent c ON c.label = e.label
+    ORDER BY centroid_cos ASC, e.vec_id LIMIT 10
+    """
+    )
+
+
+@query("embedding_label_outliers", oracle=_label_outlier_oracle())
+def q_embedding_label_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-noise candidates: the 10 vectors LEAST similar to their
+    own label's centroid — the standard first pass of mislabel
+    detection / confident-learning pipelines (a vector far from its
+    class center is either an outlier or wearing the wrong label).
+    Composes the exact integer-sum centroids of
+    label_centroid_separation (10-row broadcast) with one cosine per
+    vector and a TakeOrderedAndProject bottom-10 — a single corpus
+    scan, no window, no shuffle beyond the dimension-bounded
+    centroid reduce."""
+    from etl_pyspark_spark.similarity.cosine import as_double, cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x") * F.lit(1e3) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.sum("q").cast("bigint").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda e: e["s"].cast("double"),
+            ).alias("cv")
+        )
+    )
+    return (
+        emb.select(
+            "vec_id", "label", as_double(F.col("embedding")).alias("v")
+        )
+        .join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            pround(cosine(F.col("v"), F.col("cv")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+        .orderBy(F.col("centroid_cos").asc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "cow_delete_plan",
+    oracle=f"""
+    WITH f AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(count(*) FILTER (
+               WHERE l_shipdate >= TIMESTAMP '{_SKIP_LO}'
+                 AND l_shipdate < TIMESTAMP '{_SKIP_HI}'
+                 AND l_discount > 0.05) AS BIGINT) AS n_rows_deleted,
+             CAST(count(*) AS BIGINT) AS n_rows_total
+      FROM read_parquet(
+        '/root/repo/.scratch/skipping_lineitem_sf0.01/*.parquet',
+        filename = true)
+      GROUP BY 1)
+    SELECT file_name, n_rows_total, n_rows_deleted,
+           CAST(n_rows_total - n_rows_deleted AS BIGINT)
+             AS n_rows_rewritten,
+           n_rows_deleted > 0 AS needs_rewrite
+    FROM f
+    """,
+)
+def q_cow_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE planning — the file-level audit a
+    lakehouse engine (Delta/Iceberg CoW) computes before executing
+    ``DELETE WHERE``: per physical file, how many rows match the
+    predicate, how many survivors a rewrite would carry, and whether
+    the file needs rewriting at all (files with zero matches are left
+    untouched — on the range-clustered layout the ship-date predicate
+    prunes most files to needs_rewrite = false, which is exactly why
+    clustering by the delete key matters operationally). Scale
+    shape: one scan grouped by input_file_name() with conditional
+    counts — map-side combinable, |files| output rows; the actual
+    rewrite would then touch ONLY needs_rewrite files. Uses the per-SF
+    skipping layout so Spark and the oracle read the same physical
+    files (the layout_skipping_report convention). No reference
+    counterpart (SURVEY §2.9 lake-maintenance family)."""
+    dst = _ensure_skipping_lineitem(spark, sf_dir)
+    back = spark.read.parquet(dst).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+            "file_name"
+        ),
+        "l_shipdate",
+        "l_discount",
+    )
+    lo = F.lit(_SKIP_LO).cast("timestamp")
+    hi = F.lit(_SKIP_HI).cast("timestamp")
+    hit = (
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (F.col("l_discount") > 0.05)
+    )
+    f = back.groupBy("file_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_total"),
+        F.sum(hit.cast("bigint")).cast("bigint").alias("n_rows_deleted"),
+    )
+    return f.select(
+        "file_name",
+        "n_rows_total",
+        "n_rows_deleted",
+        (F.col("n_rows_total") - F.col("n_rows_deleted"))
+        .cast("bigint")
+        .alias("n_rows_rewritten"),
+        (F.col("n_rows_deleted") > 0).alias("needs_rewrite"),
+    )
