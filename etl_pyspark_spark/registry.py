@@ -20116,13 +20116,14 @@ def _mmr_oracle(k: int = 5, lam: float = 0.5) -> str:
         prev = f"s{i}"
     return f"""
     WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-    cand AS (SELECT neighbor_id, rel FROM
+    cand AS MATERIALIZED (SELECT neighbor_id, rel FROM
              (SELECT c.vec_id AS neighbor_id, {rel} AS rel,
                      row_number() OVER (ORDER BY {rel} DESC, c.vec_id)
                        AS rk
               FROM embeddings c, q WHERE c.vec_id <> 0)
              WHERE rk <= 20),
-    ps AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, {psim} AS sim
+    ps AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {psim} AS sim
            FROM embeddings a JOIN embeddings b
              ON a.vec_id IN (SELECT neighbor_id FROM cand)
             AND b.vec_id IN (SELECT neighbor_id FROM cand)
