@@ -848,3 +848,67 @@ def test_engagement_and_rules_keyed_joins(spark, oracle_sf_dir):
         plan = plan_of(QUERIES[name](spark, oracle_sf_dir))
         assert "TakeOrderedAndProject" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_er_block_cap_is_window_group_limit(spark, oracle_sf_dir):
+    """The MAX_BLOCK cap inside the blocked fuzzy join must compile to
+    WindowGroupLimit on the block keys (map-side pruning before the
+    self-join's exchange), and the join itself must stay an equi-join
+    — the round-6 guard that closed the last uncapped quadratic.
+    entity_resolution_clusters composes the same capped pair builder
+    but its connected-components checkpoint truncates lineage, hiding
+    the cap from the final tree — its pair-stage shape is covered by
+    the fuzzy pin plus tests/test_blocking.py's direct plan pin; here
+    we still pin it cartesian-free."""
+    tree = tree_of(QUERIES["fuzzy_name_match_blocked"](spark, oracle_sf_dir))
+    assert "WindowGroupLimit" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    er = tree_of(
+        QUERIES["entity_resolution_clusters"](spark, oracle_sf_dir)
+    )
+    assert "CartesianProduct" not in er
+    assert "BroadcastNestedLoopJoin" not in er
+
+
+def test_hard_negative_corpus_not_shuffled(spark, oracle_sf_dir):
+    """Same contract as similarity_cosine_topk: the 8-row query set
+    broadcasts (label-mismatch fused into the nested-loop condition),
+    the corpus never shuffles for the join, top-5 is a
+    WindowGroupLimit."""
+    tree = tree_of(QUERIES["hard_negative_mining"](spark, oracle_sf_dir))
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "WindowGroupLimit" in tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_gdpr_cascade_semi_joins_only(spark, oracle_sf_dir):
+    """Erasure propagation must flow as keyed LeftSemi joins — no
+    fact-side fan-out, no cartesian."""
+    tree = tree_of(QUERIES["gdpr_erasure_cascade"](spark, oracle_sf_dir))
+    assert "LeftSemi" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_round6_additions_never_single_partition(spark, oracle_sf_dir):
+    """Round-6 fact-scan queries keep partial aggregation and never
+    collapse to a SinglePartition exchange (the bounded single-row
+    folds — holt_winters' calendar array, mmr's candidate row — are
+    constant-size aggregates, exempt by the same argument as
+    score_decile_lift)."""
+    for name in (
+        "token_burstiness_vmr",
+        "graph_degree_assortativity",
+        "cow_delete_plan",
+        "label_centroid_separation",
+        "embedding_label_outliers",
+        "dedup_threshold_sweep",
+        "matryoshka_dim_tradeoff",
+    ):
+        tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
+        assert "SinglePartition" not in tree, (name, tree)
+
+
+def test_label_outliers_bottomk_is_take_ordered(spark, oracle_sf_dir):
+    plan = plan_of(QUERIES["embedding_label_outliers"](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in plan
