@@ -20914,3 +20914,113 @@ def q_cow_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_rewritten"),
         (F.col("n_rows_deleted") > 0).alias("needs_rewrite"),
     )
+
+
+@query(
+    "funnel_window_constrained",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND e.ts > v.t AND e.ts <= v.t + INTERVAL 1 HOUR
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.ts > c.t AND e.ts <= c.t + INTERVAL 24 HOUR
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT)
+             AS n_click_within_1h,
+           CAST((SELECT count(*) FROM p) AS BIGINT)
+             AS n_purchase_within_24h
+    """,
+)
+def q_funnel_window_constrained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-constrained funnel (the ClickHouse ``windowFunnel``
+    semantics a plain sequential funnel can't express): view ->
+    FIRST click within 1 HOUR of the first view -> FIRST purchase
+    within 24 HOURS of that click. The per-step deadline is the part
+    that matters commercially (a purchase three weeks later is not
+    funnel conversion), and it changes the algebra: each stage is a
+    min() over a bounded half-open interval anchored at the previous
+    stage's timestamp, so the chain is two keyed joins with range
+    predicates on the SAME user key — one shuffle partitioning
+    reused down the whole funnel, no window functions, no
+    per-user explode. Counts divide downstream into step conversion
+    rates. No reference counterpart (SURVEY §2.9 sequence-analytics
+    family)."""
+    ev = read_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("vt"))
+            & (F.col("ts") <= F.col("vt") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("ct"))
+            & (F.col("ts") <= F.col("ct") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    nc = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_click_within_1h")
+    )
+    np_ = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchase_within_24h")
+    )
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+@query(
+    "listagg_order_report",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_totalprice DESC, o_orderkey)
+             FILTER (WHERE o_totalprice > 350000) AS top_keys_csv
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_listagg_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 LISTAGG (Spark 4's F.listagg) with deterministic
+    WITHIN GROUP ordering and a FILTER clause — the standards-track
+    string aggregation surface (DuckDB twin: string_agg ... ORDER
+    BY ... FILTER). The (price DESC, orderkey) tiebreak makes the
+    concatenated string identical across engines and partitionings;
+    the filter keeps the aggregated payload bounded (only
+    >350k-priced orders are listed, the count still covers all).
+    One keyed aggregation, map-side combinable."""
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        # WITHIN GROUP is SQL-parser-only surface in PySpark 4
+        F.expr(
+            "listagg(CASE WHEN o_totalprice > 350000"
+            " THEN CAST(o_orderkey AS STRING) END, ',')"
+            " WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)"
+        ).alias("top_keys_csv"),
+    )
