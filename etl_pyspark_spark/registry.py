@@ -1411,7 +1411,13 @@ def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram the depths — the BOM-explosion / org-hierarchy shape
     that needed iterative driver loops before Spark 4. Iterations are
     internal unions driven until the frontier empties; per-round work
-    is one hash aggregate, bounded by log2(max key) rounds here."""
+    is one hash aggregate, bounded by log2(max key) rounds here. The
+    recursion-row guard is sized to the data: total walk rows are
+    ~|parts| * log2(max partkey), which passes Spark's 1M default at
+    fixture scale but not at the 30x/100x grow smokes (block-shifted
+    keys deepen the chain to ~35 and parts grow with the facts) —
+    raise the guard rather than silently truncating the walk."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
     _register_views(spark, sf_dir, "part")
     return spark.sql(
         """

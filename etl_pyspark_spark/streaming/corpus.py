@@ -44,7 +44,15 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the documents fixture (schema from the batch
     footer — metadata only)."""
     ensure_compat(spark)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # directory-shaped table (lake layout / grow-mode fixtures):
+        # stream the directory — the glob filter below would match
+        # zero leaf files and replay an empty corpus
+        return spark.readStream.schema(schema).parquet(path)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")

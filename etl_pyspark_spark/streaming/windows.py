@@ -80,12 +80,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     default-built Spark 4 sessions, TIMESTAMP) to a microsecond
     TIMESTAMP — ``withWatermark`` requires TIMESTAMP and rejects NTZ."""
     ensure_compat(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # directory-shaped table (the real lake layout, and the
+        # grow-mode scale fixtures): stream the directory itself —
+        # pathGlobFilter would silently match ZERO leaf files and
+        # replay an empty stream (bit the 30x smoke)
+        sdf = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file fixture layout: several tables share sf_dir, so
+        # scope the file source to this table's one file
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_event_ts(sdf, "ts")
 
 
