@@ -21030,3 +21030,187 @@ def q_listagg_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)"
         ).alias("top_keys_csv"),
     )
+
+
+@query(
+    "parquet_footer_stats",
+    oracle="""
+    SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
+           CAST(row_group_id AS BIGINT) AS row_group_id,
+           CAST(row_group_num_rows AS BIGINT) AS n_rows,
+           CAST(stats_min_value AS BIGINT) AS min_orderkey,
+           CAST(stats_max_value AS BIGINT) AS max_orderkey,
+           CAST(stats_null_count AS BIGINT) AS n_nulls
+    FROM parquet_metadata(
+      '/root/repo/.scratch/skipping_lineitem_sf0.01/*.parquet')
+    WHERE path_in_schema = 'l_orderkey'
+    """,
+)
+def q_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-only statistics inventory: per (file, row group), the
+    row count and the l_orderkey min/max/null-count read from parquet
+    FOOTER metadata — zero data pages touched. This is the
+    manifest-building / skipping-index primitive every lakehouse
+    table format maintains (Delta's add-file stats, Iceberg
+    manifests), and the reason a 100 TB table can answer pruning
+    questions in seconds: the job's input is |files| footers, not
+    bytes of data. Distribution shape: the file list parallelizes
+    across tasks; each task opens only its files' footers via
+    pyarrow inside an Arrow-batched ``mapInPandas`` (the one honest
+    use of Python here — Spark has no footer-stats SQL surface;
+    DuckDB does, which is exactly the oracle: ``parquet_metadata``).
+    Uses the per-SF skipping layout so both engines read the same
+    physical files."""
+    import os as _os
+
+    dst = _ensure_skipping_lineitem(spark, sf_dir)
+    paths = sorted(
+        _os.path.join(dst, f)
+        for f in _os.listdir(dst)
+        if f.endswith(".parquet")
+    )
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(8, "path")
+
+    def footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for chunk in batches:
+            rows = []
+            for p in chunk["path"]:
+                md = pq.ParquetFile(p).metadata
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    col = next(
+                        rg.column(i)
+                        for i in range(rg.num_columns)
+                        if rg.column(i).path_in_schema == "l_orderkey"
+                    )
+                    st = col.statistics
+                    rows.append(
+                        (
+                            p.rsplit("/", 1)[-1],
+                            g,
+                            rg.num_rows,
+                            st.min,
+                            st.max,
+                            st.null_count,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name",
+                    "row_group_id",
+                    "n_rows",
+                    "min_orderkey",
+                    "max_orderkey",
+                    "n_nulls",
+                ],
+            )
+
+    return pdf.mapInPandas(
+        footers,
+        "file_name string, row_group_id long, n_rows long,"
+        " min_orderkey long, max_orderkey long, n_nulls long",
+    )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                 * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS line_total
+      FROM lineitem GROUP BY 1),
+    childless AS (
+      SELECT count(*) AS n FROM orders o
+      WHERE o.o_orderkey NOT IN (SELECT l_orderkey FROM ls)),
+    orphans AS (
+      SELECT count(*) AS n FROM lineitem l
+      WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+    drift AS (
+      SELECT count(*) AS n FROM orders o JOIN ls
+        ON ls.l_orderkey = o.o_orderkey
+      WHERE abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - line_total)
+            > 0.01)
+    SELECT 'orders_without_lineitems' AS check_name,
+           CAST(childless.n AS BIGINT) AS n_violations,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+    FROM childless
+    UNION ALL
+    SELECT 'lineitems_without_order', CAST(orphans.n AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    FROM orphans
+    UNION ALL
+    SELECT 'totalprice_vs_line_sum_drift', CAST(drift.n AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    FROM drift
+    """,
+)
+def q_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table referential-integrity audit — the reconciliation
+    pass dq_expectations (single-table rules) cannot express: orders
+    with no line items, line items pointing at no order, and orders
+    whose header total drifts from the recomputed line-level sum by
+    more than a cent. Exactness: the line total is a chain of exact
+    DECIMAL multiplications (price(18,2) x (1-disc)(8,4) x
+    (1+tax)(8,4) fits scale 10 exactly in both engines) summed per
+    order, so the drift comparison is exact arithmetic, not float
+    tolerance. Scale shape: one keyed line-level aggregation
+    (map-side combinable), two anti-join counts and one equi-join
+    filter count — all on the orderkey partitioning, no windows. On
+    the fixture the drift check FIRES (the generator doesn't maintain
+    the TPC-H header identity), which is the point: audits earn
+    their keep on dirty data."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(8,4)"))
+        ).alias("line_total")
+    )
+    n_orders = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_lines = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    childless = (
+        o.join(ls, o["o_orderkey"] == ls["l_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    drift = (
+        o.join(ls, o["o_orderkey"] == ls["l_orderkey"])
+        .where(
+            F.abs(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                - F.col("line_total")
+            )
+            > 0.01
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+
+    def row(name, viol, checked):
+        return viol.crossJoin(checked).select(
+            F.lit(name).alias("check_name"),
+            F.col("v").alias("n_violations"),
+            F.col("n").alias("n_checked"),
+        )
+
+    return (
+        row("orders_without_lineitems", childless, n_orders)
+        .unionByName(row("lineitems_without_order", orphans, n_lines))
+        .unionByName(
+            row("totalprice_vs_line_sum_drift", drift, n_orders)
+        )
+    )
