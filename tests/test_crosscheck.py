@@ -200,3 +200,83 @@ def test_block_cosine_pairs_string_cluster_scopes_pairs(spark):
     for r in got:
         assert r["id_a"] % 2 == r["id_b"] % 2  # never cross-cluster
         assert r["cos_sim"] == 1.0
+
+
+def test_mmr_matches_pure_python_greedy(spark, oracle_sf_dir):
+    """Third implementation of the MMR rerank: a pure-Python greedy
+    over the same fixture embeddings, with the dot product folded in
+    the engine's exact left-to-right IEEE order and the same
+    pround(6) rounding — so every selection step must match the
+    Spark higher-order-array implementation EXACTLY (floats
+    included), not approximately. Catches any subtle bug in the
+    unrolled F.aggregate/F.filter expression (wrong tiebreak, stale
+    picked-set, off-by-one in the fold) that the DuckDB oracle could
+    share by construction."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from etl_pyspark_spark.registry import QUERIES
+
+    tbl = pq.read_table(
+        f"{oracle_sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    vecs = {
+        int(i): [float(x) for x in e]
+        for i, e in zip(
+            tbl.column("vec_id").to_pylist(),
+            tbl.column("embedding").to_pylist(),
+        )
+    }
+
+    def pr6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        na, nb = math.sqrt(dot(a, a)), math.sqrt(dot(b, b))
+        return dot(a, b) / (na * nb)
+
+    q = vecs[0]
+    rel = {
+        i: pr6(cos(q, v)) for i, v in vecs.items() if i != 0
+    }
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:20]
+    sim = {
+        (a, b): pr6(cos(vecs[a], vecs[b]))
+        for a in cand
+        for b in cand
+        if a != b
+    }
+    picked = []
+    first = min(cand, key=lambda i: (-rel[i], i))
+    picked.append((1, first, rel[first], rel[first]))
+    for step in range(2, 6):
+        chosen = {p[1] for p in picked}
+        best = None
+        for i in cand:
+            if i in chosen:
+                continue
+            score = 0.5 * rel[i] - 0.5 * max(
+                sim[(i, j)] for j in chosen
+            )
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        picked.append((step, best[1], rel[best[1]], best[2]))
+
+    got = sorted(
+        (
+            (r["rank"], r["neighbor_id"], r["rel"], r["mmr_score"])
+            for r in QUERIES["mmr_diversified_topk"](
+                spark, oracle_sf_dir
+            ).collect()
+        )
+    )
+    assert got == picked, (got, picked)
