@@ -21214,3 +21214,170 @@ def q_referential_integrity_audit(
             row("totalprice_vs_line_sum_drift", drift, n_orders)
         )
     )
+
+
+@query(
+    "graph_temporal_edge_novelty",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l.l_orderkey, l.l_partkey,
+                       date_trunc('quarter', o.o_orderdate) AS q
+                FROM lineitem l JOIN orders o
+                  ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_orderkey % 10 = 0),
+    e AS (SELECT a.l_partkey AS u, b.l_partkey AS v, a.q
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.q = b.q
+           AND a.l_partkey < b.l_partkey),
+    first_seen AS (SELECT u, v, min(q) AS first_q
+                   FROM e GROUP BY 1, 2),
+    per_q AS (SELECT q, count(*) AS n_active
+              FROM (SELECT DISTINCT u, v, q FROM e) GROUP BY 1),
+    new_q AS (SELECT first_q AS q, count(*) AS n_new
+              FROM first_seen GROUP BY 1)
+    SELECT CAST(p.q AS DATE) AS quarter,
+           CAST(p.n_active AS BIGINT) AS n_active_edges,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_edges,
+           CAST(COALESCE(n.n_new, 0) AS DOUBLE)
+             / CAST(p.n_active AS DOUBLE) AS novelty_rate
+    FROM per_q p LEFT JOIN new_q n ON n.q = p.q
+    """,
+)
+def q_graph_temporal_edge_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal graph dynamics: per quarter, how many co-purchase
+    edges are ACTIVE and what fraction are NEW (first ever seen that
+    quarter) — the edge-novelty decay curve that tells a recommender
+    team whether the item graph has stabilized (retrain less) or is
+    still churning (retrain more). Distinct from the static graph
+    family: the time dimension rides the SAME sharded basket
+    expansion (order date joins in before the pair self-join, so
+    edges carry their quarter for free), then two keyed aggregates
+    (first-seen min, per-quarter distinct actives) on the edge key.
+    Scale shape: the pair explosion is bounded by the shared basket
+    discipline; everything after is |edges|-scale keyed aggregation,
+    output bounded by the calendar."""
+    from etl_pyspark_spark.operators.baskets import capped_basket_items
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 10 == 0
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("quarter", "o_orderdate").alias("q")
+    )
+    # MAX_BASKET hash-rank cap BEFORE the pair self-join (the shared
+    # mega-basket guard); the quarter is constant per order, so it
+    # joins back onto the capped membership for free
+    lp = capped_basket_items(li, "l_orderkey", "l_partkey").join(
+        o, F.col("l_orderkey") == o["o_orderkey"]
+    ).select("l_orderkey", "l_partkey", "q")
+    a = lp.select("l_orderkey", "q", F.col("l_partkey").alias("u"))
+    b = lp.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("q").alias("q2"),
+        F.col("l_partkey").alias("v"),
+    )
+    e = a.join(
+        b,
+        (F.col("l_orderkey") == F.col("ok2"))
+        & (F.col("q") == F.col("q2"))
+        & (F.col("u") < F.col("v")),
+    ).select("u", "v", "q")
+    first_seen = e.groupBy("u", "v").agg(F.min("q").alias("first_q"))
+    per_q = (
+        e.distinct()
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_edges"))
+    )
+    new_q = first_seen.groupBy(F.col("first_q").alias("q")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    return (
+        per_q.join(new_q, "q", "left")
+        .select(
+            F.col("q").cast("date").alias("quarter"),
+            "n_active_edges",
+            F.coalesce("n_new", F.lit(0))
+            .cast("bigint")
+            .alias("n_new_edges"),
+            (
+                F.coalesce("n_new", F.lit(0)).cast("double")
+                / F.col("n_active_edges").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+@query(
+    "data_retention_expiry_audit",
+    oracle="""
+    WITH h AS (SELECT max(ts) AS horizon FROM events),
+    ev AS (SELECT CAST(count(*) FILTER (
+                    WHERE ts < horizon - INTERVAL 180 DAY) AS BIGINT)
+                    AS n_expired,
+                  CAST(count(*) AS BIGINT) AS n_total
+           FROM events, h),
+    oh AS (SELECT max(o_orderdate) AS horizon FROM orders),
+    od AS (SELECT CAST(count(*) FILTER (
+                    WHERE o_orderdate < horizon - INTERVAL 730 DAY)
+                    AS BIGINT) AS n_expired,
+                  CAST(count(*) AS BIGINT) AS n_total
+           FROM orders, oh)
+    SELECT 'events_180d' AS policy, n_expired, n_total,
+           CAST(n_expired AS DOUBLE) / CAST(n_total AS DOUBLE)
+             AS expired_frac
+    FROM ev
+    UNION ALL
+    SELECT 'orders_730d', n_expired, n_total,
+           CAST(n_expired AS DOUBLE) / CAST(n_total AS DOUBLE)
+    FROM od
+    """,
+)
+def q_data_retention_expiry_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention-policy expiry audit — the scheduled twin of
+    gdpr_erasure_cascade (that one erases named subjects on request;
+    this one finds everything past its table-level retention clock):
+    per policy, rows older than the horizon (events > 180 days,
+    orders > 730 days, anchored at each table's own max event time so
+    the fixture replays deterministically). At 100 TB the same
+    predicate drives partition-level drops on a date-partitioned
+    layout — which is why retention policies and partition keys
+    should agree. One conditional aggregate per table (map-side
+    combinable), a broadcast 1-row horizon join, no shuffles beyond
+    the aggregates."""
+    ev = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders")
+
+    def audit(df, ts_col, days, name):
+        h = df.agg(F.max(ts_col).alias("horizon"))
+        return (
+            df.crossJoin(F.broadcast(h))
+            .agg(
+                F.sum(
+                    (
+                        F.col(ts_col)
+                        < F.col("horizon")
+                        - F.expr(f"INTERVAL {days} DAY")
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("n_expired"),
+                F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            )
+            .select(
+                F.lit(name).alias("policy"),
+                "n_expired",
+                "n_total",
+                (
+                    F.col("n_expired").cast("double")
+                    / F.col("n_total").cast("double")
+                ).alias("expired_frac"),
+            )
+        )
+
+    return audit(ev, "ts", 180, "events_180d").unionByName(
+        audit(o, "o_orderdate", 730, "orders_730d")
+    )
