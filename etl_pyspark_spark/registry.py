@@ -21381,3 +21381,127 @@ def q_data_retention_expiry_audit(
     return audit(ev, "ts", 180, "events_180d").unionByName(
         audit(o, "o_orderdate", 730, "orders_730d")
     )
+
+
+@query(
+    "ohlc_daily_bars",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS DATE) AS day, ts, event_id, value
+               FROM events WHERE value IS NOT NULL),
+    o AS (SELECT day, value AS open_v FROM
+          (SELECT *, row_number() OVER (PARTITION BY day
+             ORDER BY ts, event_id) AS rn FROM e) WHERE rn = 1),
+    c AS (SELECT day, value AS close_v FROM
+          (SELECT *, row_number() OVER (PARTITION BY day
+             ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+          WHERE rn = 1),
+    hl AS (SELECT day, max(value) AS high_v, min(value) AS low_v,
+                  CAST(count(*) AS BIGINT) AS n_ticks
+           FROM e GROUP BY day)
+    SELECT hl.day, o.open_v, hl.high_v, hl.low_v, c.close_v, hl.n_ticks
+    FROM hl JOIN o USING (day) JOIN c USING (day)
+    """,
+)
+def q_ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event value stream — the market-data /
+    metrics-downsampling primitive (open/close are the
+    deterministically FIRST/LAST readings by (ts, event_id), high/low
+    plain extrema). Scale shape: ONE keyed aggregation does all six
+    outputs — open and close ride min/max over (ts, event_id, value)
+    STRUCTS inside the same partial-aggregable pass (struct ordering
+    is lexicographic, so the min struct IS the first reading), no
+    windows, no second shuffle; the oracle spells the same picks as
+    rank-1 windows. Output is calendar-bounded."""
+    e = read_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    day = F.to_date("ts").alias("day")
+    return (
+        e.select(
+            day,
+            F.struct("ts", "event_id", "value").alias("s"),
+            "value",
+        )
+        .groupBy("day")
+        .agg(
+            F.min("s")["value"].alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max("s")["value"].alias("close_v"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+    )
+
+
+@query(
+    "attribution_linear_touch",
+    oracle="""
+    WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS cts
+                  FROM events WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, event_type, ts AS tts FROM events
+              WHERE event_type IN ('view', 'click')),
+    pairs AS (SELECT c.conv_id, t.event_type
+              FROM conv c JOIN touch t
+                ON t.user_id = c.user_id
+               AND t.tts < c.cts
+               AND t.tts >= c.cts - INTERVAL 7 DAY),
+    sized AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS k
+              FROM pairs GROUP BY 1),
+    credited AS (
+      SELECT p.event_type,
+             CAST(floor(1.0 / s.k * 1000000000.0 + 0.5)
+                  / 1000000000.0 AS DECIMAL(20,9)) AS credit
+      FROM pairs p JOIN sized s ON s.conv_id = p.conv_id)
+    SELECT event_type AS channel,
+           CAST(sum(credit) AS DECIMAL(20,9)) AS total_credit,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM credited GROUP BY 1
+    """,
+)
+def q_attribution_linear_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one unit
+    of credit EQUALLY across the user's view/click touches in the 7
+    preceding days — the allocation last-touch attribution throws
+    away (attribution_last_touch crowns one touch; this pays the
+    whole path, the other industry-standard model). Exactness: the
+    per-touch share 1/k is pround(9)-rounded — the double is within
+    5e-18 of n/1e9, so the DECIMAL(20,9) cast lands on the identical
+    exact decimal in both engines — and credits then sum as exact
+    decimals in any order. Scale shape: one user-keyed range join
+    (touch windows are bounded by the 7-day horizon), a per-
+    conversion count, and a keyed credit sum — all on the same user/
+    conversion partitioning; no windows, no explode."""
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"),
+        "event_type",
+        F.col("ts").alias("tts"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("tu") == F.col("cu"))
+        & (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAY")),
+    ).select("conv_id", "event_type")
+    sized = pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    credited = pairs.join(sized, "conv_id").select(
+        "event_type",
+        pround(F.lit(1.0) / F.col("k"), 9)
+        .cast("decimal(20,9)")
+        .alias("credit"),
+    )
+    return credited.groupBy(
+        F.col("event_type").alias("channel")
+    ).agg(
+        F.sum("credit").cast("decimal(20,9)").alias("total_credit"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+    )
