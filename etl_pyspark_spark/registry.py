@@ -1413,12 +1413,27 @@ def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     internal unions driven until the frontier empties; per-round work
     is one hash aggregate, bounded by log2(max key) rounds here. The
     recursion-row guard is sized to the data: total walk rows are
-    ~|parts| * log2(max partkey), which passes Spark's 1M default at
-    fixture scale but not at the 30x/100x grow smokes (block-shifted
-    keys deepen the chain to ~35 and parts grow with the facts) —
-    raise the guard rather than silently truncating the walk."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
+    exactly |parts| * (floor(log2(max partkey)) + 1) + |parts|, which
+    passes Spark's 1M default at fixture scale but not at the
+    30x/100x grow smokes (block-shifted keys deepen the chain to ~35
+    and parts grow with the facts). The guard is raised to 2x that
+    measured need — NOT a blanket 1e9 (advice r06: that silently
+    removed the runaway-recursion net for every later query on the
+    shared session) — and never lowered below a value another query
+    already requested. No try/finally restore: the returned DataFrame
+    is lazy, so restoring before the caller executes it would re-trip
+    the 1M default mid-walk."""
     _register_views(spark, sf_dir, "part")
+    import math
+
+    stats = spark.table("part").agg(
+        F.count(F.lit(1)).alias("n"), F.max("p_partkey").alias("mx")
+    ).first()
+    depth = int(math.log2(max(int(stats["mx"] or 1), 1))) + 2
+    need = 2 * int(stats["n"] or 0) * depth + 1_000_000
+    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if need > cur:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
     return spark.sql(
         """
         WITH RECURSIVE walk(part, node, depth) AS (
@@ -3336,6 +3351,17 @@ def q_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SCRATCH = "/root/repo/.scratch"
+
+# Scale factor the static oracle strings are evaluated against. The
+# driver's correctness crosscheck always runs at sf0.01, so oracles
+# that must name a concrete on-disk layout path (deflate sizes,
+# range-clustered lineitem) derive it from this constant instead of a
+# string literal; a crosscheck at another SF exports
+# SPARK_GRAFT_ORACLE_SF before importing the registry and both the
+# engine side (which self-ensures the per-SF layout from the actual
+# sf_dir) and the oracle side then read the SAME files (advice r06:
+# the literal defeated _ensure_deflate_sizes' per-SF design).
+_ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
 
 
 @query(
@@ -12704,7 +12730,7 @@ _SKIP_HI = "1997-06-01 00:00:00"
              min(l_shipdate) AS fmin, max(l_shipdate) AS fmax,
              count(*) AS n_rows
       FROM read_parquet(
-        '/root/repo/.scratch/skipping_lineitem_sf0.01/*.parquet',
+        '{_SCRATCH}/skipping_lineitem_{_ORACLE_SF}/*.parquet',
         filename = true)
       GROUP BY filename),
     m AS (SELECT filename, n_rows,
@@ -12823,15 +12849,15 @@ def _ensure_deflate_sizes(sf_dir: str) -> str:
     # plumbing against an independent single-process computation.
     oracle=f"""
     SELECT d.doc_id,
-           CAST(octet_length(encode(d.text)) AS BIGINT) AS raw_bytes,
+           CAST(octet_length(encode(COALESCE(d.text, ''))) AS BIGINT) AS raw_bytes,
            s.compressed_bytes,
-           CASE WHEN octet_length(encode(d.text)) = 0 THEN NULL
+           CASE WHEN octet_length(encode(COALESCE(d.text, ''))) = 0 THEN NULL
                 ELSE CAST(s.compressed_bytes AS DOUBLE)
-                     / CAST(octet_length(encode(d.text)) AS DOUBLE)
+                     / CAST(octet_length(encode(COALESCE(d.text, ''))) AS DOUBLE)
            END AS compression_ratio
     FROM documents d
     JOIN read_parquet(
-      '{_SCRATCH}/deflate_sizes_sf0.01/sizes.parquet') s
+      '{_SCRATCH}/deflate_sizes_{_ORACLE_SF}/sizes.parquet') s
       USING (doc_id)
     """,
 )
@@ -13320,13 +13346,18 @@ _EDGE_CACHE_MAX = 2
 
 
 def _edge_cache_put(key: tuple, edges: DataFrame) -> None:
+    # Eviction = dropping the dict reference, nothing more. The cached
+    # frames are localCheckpoint-backed, and unpersist() on a
+    # checkpointed plan is a CacheManager no-op (the RDD blocks are
+    # not registered there) — and if it ever did free them, a still-
+    # live consumer could not recompute (lineage truncated) and would
+    # die with checkpoint-block-not-found (advice r06). Once the last
+    # Python/JVM reference goes, the ContextCleaner reclaims the
+    # checkpoint blocks.
     while len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
         oldest = next(iter(_EDGE_CACHE))
-        old = _EDGE_CACHE.pop(oldest)
-        try:
-            old.unpersist(blocking=False)
-        except Exception:
-            pass
+        _EDGE_CACHE.pop(oldest)
+        _EDGE_COUNTS.pop(oldest, None)
     _EDGE_CACHE[key] = edges
 
 
@@ -20867,7 +20898,7 @@ def q_embedding_label_outliers(
                  AND l_discount > 0.05) AS BIGINT) AS n_rows_deleted,
              CAST(count(*) AS BIGINT) AS n_rows_total
       FROM read_parquet(
-        '/root/repo/.scratch/skipping_lineitem_sf0.01/*.parquet',
+        '{_SCRATCH}/skipping_lineitem_{_ORACLE_SF}/*.parquet',
         filename = true)
       GROUP BY 1)
     SELECT file_name, n_rows_total, n_rows_deleted,
@@ -21034,7 +21065,7 @@ def q_listagg_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "parquet_footer_stats",
-    oracle="""
+    oracle=f"""
     SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
            CAST(row_group_id AS BIGINT) AS row_group_id,
            CAST(row_group_num_rows AS BIGINT) AS n_rows,
@@ -21042,7 +21073,7 @@ def q_listagg_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(stats_max_value AS BIGINT) AS max_orderkey,
            CAST(stats_null_count AS BIGINT) AS n_nulls
     FROM parquet_metadata(
-      '/root/repo/.scratch/skipping_lineitem_sf0.01/*.parquet')
+      '{_SCRATCH}/skipping_lineitem_{_ORACLE_SF}/*.parquet')
     WHERE path_in_schema = 'l_orderkey'
     """,
 )
