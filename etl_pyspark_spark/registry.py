@@ -1,21538 +1,181 @@
-"""Query registry: named Spark queries + matching DuckDB oracle SQL.
+"""Query registry facade: QUERIES / ORACLES over per-family modules.
 
-This is the engine's public correctness surface (driver contract in
-``__spark_entry__.py``). Every operator from SURVEY.md §2 (reference
-surface + §2.9 growth plan) registers here as:
-
-- ``QUERIES[name]``: ``(spark, sf_dir) -> DataFrame``
-- ``ORACLES[name]``: equivalent ANSI SQL for DuckDB over the same
-  parquet fixtures (omitted only for genuinely non-SQL-expressible
-  ops; the driver then records a weaker rows-only check).
-
-Cross-engine determinism rules used throughout (FIXTURES.md §C):
-
-- Alias every computed column identically on both sides (the driver
-  sorts columns by name before hashing).
-- Sums of doubles are order-dependent; both sides cast terms to
-  ``DECIMAL(18,6)`` first so the sum is exact, then cast the result to
-  double. (A binary double can never be an exact decimal midpoint, so
-  the two engines' double->decimal roundings always agree.)
-- Division by zero must yield NULL on both sides (ANSI off in Spark).
-- LIMIT/top-k always carries a total tiebreak order.
-- Raw event timestamps are returned as epoch seconds or truncated
-  units, never as raw ns-precision timestamps.
-"""
+The registry was a single 21.5k-line module through round 6; it is now
+split per family under ``etl_pyspark_spark/queries/`` (r06 verdict #5),
+imported here in the ORIGINAL definition order so module-level
+registration and cross-family helper shadowing behave identically.
+Every public (and historically reachable private) name is re-exported
+so ``from etl_pyspark_spark.registry import X`` keeps working for every X
+the old module defined."""
 
 from __future__ import annotations
 
-import os
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from etl_pyspark_spark.functions.compat import pround, sql_pround
-from etl_pyspark_spark.operators.baskets import MAX_BASKET
-from etl_pyspark_spark.operators.blocking import MAX_BLOCK
-from etl_pyspark_spark.operators.pipeline import events_pipeline
-from etl_pyspark_spark.sources.io import read_table
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a (spark, sf_dir) -> DataFrame callable plus oracle SQL."""
-
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def dec_sum(col, alias: str):
-    """Order-insensitive exact sum of a double expression (see module doc)."""
-    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
-
-
-def _dec_sum_sql(expr: str, alias: str) -> str:
-    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
-
-
-# ---------------------------------------------------------------------------
-# Reference surface: the flagship pipeline (SURVEY.md §2.8)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "reference_pipeline",
-    oracle="""
-    SELECT
-      event_id,
-      user_id,
-      event_type,
-      floor(value * 1000000.0 + 0.5) / 1000000.0 AS value,
-      CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-      CAST(hour(ts) AS INT) AS event_hour,
-      (user_id IN (1, 2, 3)) AS is_key_user,
-      (hour(ts) BETWEEN 7 AND 9 OR hour(ts) BETWEEN 17 AND 19) AS is_peak_hour,
-      floor((CASE WHEN minute(ts) <> 0
-                  THEN value / CAST(minute(ts) AS DOUBLE) END)
-            * 1000000.0 + 0.5) / 1000000.0 AS value_per_minute,
-      concat_ws(' ', 'Event', CAST(event_id AS VARCHAR), 'by user',
-                CAST(user_id AS VARCHAR), 'type', event_type, 'value',
-                CAST(round(value, 2) AS VARCHAR)) AS event_summary
-    FROM events
-    WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
-      AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
-    """,
-)
-def q_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's whole ETL as one Spark query (SURVEY §2.8);
-    scan -> null-drop -> derive -> flags -> summary, zero shuffles."""
-    return events_pipeline(read_table(spark, sf_dir, "events"))
-
-
-# ---------------------------------------------------------------------------
-# Relational core: filters / projections (SURVEY §2.2 grown per §2.9)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "filter_project",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5)
-             / 1000000.0 AS disc_price,
-           floor(l_quantity * 100.0 + 0.5) / 100.0 AS qty
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate + projection; filters and the 4-column ReadSchema both
-    push into the parquet scan (verified in tests/test_plans.py)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.where(
-        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & F.col("l_discount").between(0.05, 0.07)
-        & (F.col("l_quantity") < 24)
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        pround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
-            "disc_price"
-        ),
-        pround(F.col("l_quantity"), 2).alias("qty"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Aggregations (SURVEY §2.9: groupBy/agg, distinct, rollup/cube)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "agg_pricing_summary",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           {_dec_sum_sql('l_quantity', 'sum_qty')},
-           {_dec_sum_sql('l_extendedprice', 'sum_base_price')},
-           {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-           {_dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)',
-                         'sum_charge')},
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-shaped hash aggregate; Spark does partial (map-side)
-    + final agg automatically, one shuffle on the 2 group keys."""
-    li = read_table(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice")
-    disc = F.col("l_discount")
-    tax = F.col("l_tax")
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dec_sum(F.col("l_quantity"), "sum_qty"),
-            dec_sum(price, "sum_base_price"),
-            dec_sum(price * (1 - disc), "sum_disc_price"),
-            dec_sum(price * (1 - disc) * (1 + tax), "sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@query(
-    "agg_distinct",
-    oracle="""
-    SELECT o_orderstatus,
-           count(DISTINCT o_custkey) AS n_customers,
-           count(*) AS n_orders,
-           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
-           CAST(max(o_totalprice) AS DOUBLE) AS max_price
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count(DISTINCT) expands to a two-phase agg in Spark (distinct
-    keys shuffled once, then counted) — no driver-side dedup."""
-    o = read_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.min("o_totalprice").cast("double").alias("min_price"),
-        F.max("o_totalprice").cast("double").alias("max_price"),
-    )
-
-
-@query(
-    "agg_rollup",
-    oracle=f"""
-    SELECT r_name, n_name,
-           {_dec_sum_sql('c_acctbal', 'total_acctbal')},
-           count(*) AS n_customers
-    FROM customer
-      JOIN nation ON c_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
-    """,
-)
-def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over a two-level dimension hierarchy (region -> nation)."""
-    c = read_table(spark, sf_dir, "customer")
-    n = read_table(spark, sf_dir, "nation")
-    r = read_table(spark, sf_dir, "region")
-    joined = c.join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
-    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    return joined.rollup("r_name", "n_name").agg(
-        dec_sum(F.col("c_acctbal"), "total_acctbal"),
-        F.count(F.lit(1)).alias("n_customers"),
-    )
-
-
-@query(
-    "agg_cube",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           {_dec_sum_sql('l_quantity', 'sum_qty')},
-           count(*) AS n
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE (all grouping-set combinations) over lineitem flags."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        dec_sum(F.col("l_quantity"), "sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Joins (SURVEY §2.9): broadcast equi, outer, semi/anti, multiway,
-# range (non-equi), as-of
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "join_inner_broadcast",
-    oracle=f"""
-    SELECT n_name,
-           {_dec_sum_sql('o_totalprice', 'total_revenue')},
-           count(*) AS n_orders
-    FROM orders
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name
-    """,
-)
-def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-to-dimension equi join; both dims broadcast so the orders
-    scan never shuffles for the join (only for the final group-by)."""
-    o = read_table(spark, sf_dir, "orders")
-    c = read_table(spark, sf_dir, "customer")
-    n = read_table(spark, sf_dir, "nation")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            dec_sum(F.col("o_totalprice"), "total_revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-
-
-@query(
-    "join_shuffle_hash",
-    oracle=f"""
-    SELECT o_orderpriority, count(*) AS n_lines,
-           {_dec_sum_sql("l_extendedprice", "total_price")}
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY o_orderpriority
-    """,
-)
-def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact join with the SHUFFLE_HASH strategy: both sides
-    shuffle on the key but NEITHER sorts — the smaller side builds a
-    hash map per partition. For high-cardinality, evenly-distributed
-    keys this beats sort-merge (no two n-log-n sorts) and beats
-    broadcast when no side fits in memory; plan-pinned as
-    ShuffledHashJoin in tests/test_plans.py."""
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    return (
-        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            dec_sum(F.col("l_extendedprice"), "total_price"),
-        )
-    )
-
-
-@query(
-    "join_left_outer",
-    oracle="""
-    SELECT c_custkey, c_name,
-           count(o_orderkey) AS n_orders,
-           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6))), 0)
-                AS DOUBLE) AS total_spent
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey, c_name
-    """,
-)
-def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join keeping customers with zero orders (count=0,
-    total 0)."""
-    c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), F.lit(0)
-            )
-            .cast("double")
-            .alias("total_spent"),
-        )
-    )
-
-
-@query(
-    "join_semi",
-    oracle="""
-    SELECT c_custkey, c_mktsegment FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-    """,
-)
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join (EXISTS): customers with at least one finished
-    order; semi joins never duplicate or widen the left side."""
-    c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_mktsegment"
-    )
-
-
-@query(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey
-                        AND o_orderpriority = '1-URGENT'
-                        AND o_orderstatus = 'F')
-    """,
-)
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS): customers with no finished urgent
-    order (predicate chosen to be non-degenerate on the fixtures)."""
-    c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
-    )
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
-    )
-
-
-@query(
-    "join_full_outer",
-    oracle="""
-    WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust
-                  FROM customer GROUP BY c_nationkey),
-         supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp
-                  FROM supplier GROUP BY s_nationkey)
-    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
-           coalesce(n_cust, 0) AS n_cust,
-           coalesce(n_supp, 0) AS n_supp
-    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
-    """,
-)
-def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL OUTER join of two aggregates (nations having customers
-    and/or suppliers)."""
-    c = (
-        read_table(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("nk"))
-        .agg(F.count(F.lit(1)).alias("n_cust"))
-    )
-    s = (
-        read_table(spark, sf_dir, "supplier")
-        .groupBy(F.col("s_nationkey").alias("nk"))
-        .agg(F.count(F.lit(1)).alias("n_supp"))
-    )
-    return c.join(s, c.nk == s.nk, "full").select(
-        F.coalesce(c.nk, s.nk).alias("nationkey"),
-        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
-        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
-    )
-
-
-@query(
-    "join_range",
-    oracle=f"""
-    SELECT r_regionkey AS band_id,
-           count(*) AS n_orders,
-           {_dec_sum_sql('o_totalprice', 'band_total')}
-    FROM orders
-      JOIN region ON o_totalprice >= r_regionkey * 12000.0
-                 AND o_totalprice <  (r_regionkey + 1) * 12000.0
-    GROUP BY r_regionkey
-    """,
-)
-def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi band join: orders bucketed into price bands derived
-    from the 5-row region table. The tiny side broadcasts, so the plan
-    is BroadcastNestedLoopJoin — the only sane physical strategy for a
-    pure range predicate; at scale the small side MUST be the
-    broadcast one (it is, by construction)."""
-    o = read_table(spark, sf_dir, "orders")
-    bands = read_table(spark, sf_dir, "region").select(
-        F.col("r_regionkey").alias("band_id"),
-        (F.col("r_regionkey") * 12000.0).alias("lo"),
-        ((F.col("r_regionkey") + 1) * 12000.0).alias("hi"),
-    )
-    return (
-        o.join(
-            F.broadcast(bands),
-            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
-        )
-        .groupBy("band_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dec_sum(F.col("o_totalprice"), "band_total"),
-        )
-    )
-
-
-@query(
-    "join_range_binned",
-    oracle="""
-    WITH iv AS (SELECT o_orderkey,
-                       date_diff('day', DATE '1970-01-01', o_orderdate) AS s
-                FROM orders WHERE o_orderkey % 13 = 0),
-         pt AS (SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS p
-                FROM lineitem WHERE l_orderkey % 17 = 0)
-    SELECT o_orderkey, count(*) AS n_ship_events
-    FROM iv JOIN pt ON p >= s AND p < s + 30
-    GROUP BY o_orderkey
-    """,
-)
-def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Big-big interval join: ship events vs 30-day order windows,
-    rewritten as a bin equi-join + residual filter
-    (operators/joins.range_join_binned). Neither side broadcasts; the
-    shuffle is keyed by bin, blow-up bounded at 2x — the scale path
-    where a naive theta join nested-loops."""
-    from etl_pyspark_spark.operators.joins import range_join_binned
-
-    epoch = F.lit("1970-01-01")
-    iv = (
-        read_table(spark, sf_dir, "orders")
-        .where(F.col("o_orderkey") % 13 == 0)
-        .select(
-            "o_orderkey",
-            F.datediff(F.col("o_orderdate"), epoch).alias("s"),
-            (F.datediff(F.col("o_orderdate"), epoch) + 30).alias("e"),
-        )
-    )
-    pt = (
-        read_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 17 == 0)
-        .select(F.datediff(F.col("l_shipdate"), epoch).alias("p"))
-    )
-    return (
-        range_join_binned(pt, iv, "p", "s", "e", bin_width=30)
-        .groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_ship_events"))
-    )
-
-
-@query(
-    "join_asof",
-    oracle="""
-    SELECT p.event_id,
-           p.user_id,
-           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch_s,
-           s.signup_epoch_s AS asof_signup_epoch_s,
-           s.signup_value AS asof_signup_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (
-        SELECT user_id, ts,
-               CAST(floor(epoch(ts)) AS BIGINT) AS signup_epoch_s,
-               value AS signup_value
-        FROM events WHERE event_type = 'signup') s
-      ON p.user_id = s.user_id AND s.ts <= p.ts
-    """,
-)
-def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each purchase event picks up the latest prior signup
-    per user (union + window implementation in operators/joins.py —
-    one shuffle, no UDF, scales to both sides being huge)."""
-    from etl_pyspark_spark.operators.joins import asof_join
-
-    ev = read_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.unix_timestamp("ts").alias("purchase_epoch_s"),
-    )
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id",
-        "ts",
-        F.unix_timestamp("ts").alias("signup_epoch_s"),
-        F.col("value").alias("signup_value"),
-    )
-    out = asof_join(
-        purchases,
-        signups,
-        key="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=["signup_epoch_s", "signup_value"],
-    )
-    return out.select(
-        "event_id", "user_id", "purchase_epoch_s",
-        "asof_signup_epoch_s", "asof_signup_value",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Sorts / limits / top-k (SURVEY §2.9)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "sort_limit",
-    oracle="""
-    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 15
-    """,
-)
-def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-N: Spark plans TakeOrderedAndProject (per-partition
-    heap + driver merge of N), never a full sort of the table."""
-    o = read_table(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .select(
-            "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
-        )
-        .limit(15)
-    )
-
-
-@query(
-    "topk_per_group",
-    oracle="""
-    SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rk
-    FROM (
-      SELECT c_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY c_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC)
-               AS rk
-      FROM customer JOIN orders ON c_custkey = o_custkey)
-    WHERE rk <= 3
-    """,
-)
-def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer via a ranking window + filter (the
-    distributed top-k-per-group idiom; Spark pushes the rk<=3 filter
-    into the window sort as a group-limit)."""
-    from etl_pyspark_spark.operators.windows import top_k_per_group
-
-    c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
-    joined = c.join(o, c.c_custkey == o.o_custkey).select(
-        "c_custkey",
-        "o_orderkey",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
-    )
-    return top_k_per_group(
-        joined,
-        ["c_custkey"],
-        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
-        k=3,
-    )
-
-
-# ---------------------------------------------------------------------------
-# Set operations (SURVEY §2.9)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "set_union",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) of two key sets."""
-    c = read_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = read_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.union(s).distinct()
-
-
-@query(
-    "set_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct)."""
-    c = read_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = read_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.intersect(s)
-
-
-@query(
-    "set_except",
-    oracle="""
-    SELECT c_custkey AS entity_id FROM customer
-    EXCEPT
-    SELECT user_id FROM events
-    """,
-)
-def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): customer keys that never appear as an event
-    user. ``subtract`` is Spark's EXCEPT DISTINCT (``exceptAll`` would
-    be multiset semantics, which SQL EXCEPT is not)."""
-    c = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("entity_id")
-    )
-    e = read_table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("entity_id")
-    )
-    return c.subtract(e)
-
-
-@query(
-    "distinct_pairs",
-    oracle="""
-    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-    """,
-)
-def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dropDuplicates on a column subset (exact distinct)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").dropDuplicates()
-
-
-# ---------------------------------------------------------------------------
-# Window functions (SURVEY §2.9: ranking, lag/lead, frames)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "window_rank",
-    oracle="""
-    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           row_number() OVER w AS rn,
-           rank() OVER w AS rnk,
-           dense_rank() OVER w AS drnk,
-           ntile(4) OVER w AS quartile
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_totalprice DESC, o_orderkey ASC)
-    """,
-)
-def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking family over a per-customer window (one shuffle on
-    o_custkey, in-partition sort)."""
-    from pyspark.sql.window import Window
-
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-    )
-
-
-@query(
-    "window_lag_lead",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-           lag(value, 1) OVER w AS prev_value,
-           lead(value, 1) OVER w AS next_value,
-           CAST(floor(epoch(ts)) AS BIGINT)
-             - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w
-             AS secs_since_prev
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-    """,
-)
-def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead along each user's event timeline (sessionization
-    building block)."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    epoch_s = F.unix_timestamp("ts")
-    return ev.select(
-        "event_id",
-        "user_id",
-        epoch_s.alias("epoch_s"),
-        F.lag("value", 1).over(w).alias("prev_value"),
-        F.lead("value", 1).over(w).alias("next_value"),
-        (epoch_s - F.lag(epoch_s, 1).over(w)).alias("secs_since_prev"),
-    )
-
-
-@query(
-    "window_moving_agg",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
-             / count(*) OVER w AS moving_avg_3,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
-             AS moving_sum_3
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-    """,
-)
-def q_window_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-frame aggregate (3-order moving sum/avg per customer);
-    decimal-cast inside the frame so both engines sum exactly."""
-    from pyspark.sql.window import Window
-
-    o = read_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(-2, 0)
-    )
-    msum = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
-    mcount = F.count(F.lit(1)).over(w)
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        (msum / mcount).alias("moving_avg_3"),
-        msum.alias("moving_sum_3"),
-    )
-
-
-@query(
-    "window_cumulative",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
-                OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate ASC, o_orderkey ASC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_total,
-           first_value(o_orderkey)
-             OVER (PARTITION BY o_custkey
-                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS first_order
-    FROM orders
-    """,
-)
-def q_window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total + first_value (cumulative frame)."""
-    from pyspark.sql.window import Window
-
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-        .over(wcum)
-        .cast("double")
-        .alias("running_total"),
-        F.first("o_orderkey").over(w).alias("first_order"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Scalar functions: JSON / arrays / strings / dates (SURVEY §2.9)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "json_extract",
-    oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-           count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS k_sum
-    FROM events
-    GROUP BY 1
-    """,
-)
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction from the events.props string column
-    (get_json_object stays JVM-side; no Python in the loop)."""
-    ev = read_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
-        ev.select((k % 10).alias("k_mod"), k.alias("k"))
-        .groupBy("k_mod")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("k_sum"))
-    )
-
-
-@query(
-    "explode_tokens",
-    oracle="""
-    SELECT token, count(*) AS freq
-    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-    WHERE token <> ''
-    GROUP BY token
-    ORDER BY freq DESC, token ASC
-    LIMIT 20
-    """,
-)
-def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """split + explode + count: the canonical array pipeline (word
-    frequency top-20 over documents)."""
-    docs = read_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
-        .where(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("token").asc())
-        .limit(20)
-    )
-
-
-@query(
-    "scalar_string_date",
-    oracle="""
-    SELECT o_orderkey,
-           upper(o_orderpriority) AS prio_upper,
-           length(o_orderpriority) AS prio_len,
-           substr(o_orderpriority, 1, 1) AS prio_code,
-           CAST(year(o_orderdate) AS INT) AS order_year,
-           CAST(month(o_orderdate) AS INT) AS order_month,
-           CAST(day(o_orderdate) AS INT) AS order_day,
-           CAST(o_orderdate AS DATE) AS order_date,
-           concat(o_orderstatus, '-', CAST(year(o_orderdate) AS VARCHAR))
-             AS status_year,
-           abs(o_totalprice - 50000.0) AS price_dev,
-           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_kbucket
-    FROM orders
-    """,
-)
-def q_scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/date/math scalar-function medley (upper, length, substr,
-    year/month/day, concat, abs, floor) — all JVM builtins."""
-    o = read_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.upper("o_orderpriority").alias("prio_upper"),
-        F.length("o_orderpriority").alias("prio_len"),
-        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
-        F.to_date("o_orderdate").alias("order_date"),
-        F.concat_ws(
-            "-", F.col("o_orderstatus"), F.year("o_orderdate").cast("string")
-        ).alias("status_year"),
-        F.abs(F.col("o_totalprice") - 50000.0).alias("price_dev"),
-        F.floor(F.col("o_totalprice") / 1000.0).alias("price_kbucket"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# LLM-pipeline: text analysis (BASELINE.json north star; SURVEY §2.9)
-# ---------------------------------------------------------------------------
-
-_WS_TOKENS_SQL = "list_filter(string_split({col}, ' '), t -> t <> '')"
-_STOP_HITS_SQL = (
-    "len(list_filter(list_filter(string_split(lower({col}), ' '), t -> t <> ''),"
-    " t -> list_contains({stops}, t)))"
-)
-
-
-def _sql_str_list(words) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
-
-
-@query(
-    "text_stats",
-    oracle=f"""
-    SELECT doc_id, lang, source,
-           length(text) AS n_chars_actual,
-           len({_WS_TOKENS_SQL.format(col='text')}) AS n_words,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
-             AS n_bpe_tokens,
-           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
-           len(list_distinct({_WS_TOKENS_SQL.format(col='text')}))
-             AS n_unique_words
-    FROM documents
-    """,
-)
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace words, BPE-ish regex tokens,
-    punctuation chars, unique words — all JVM expressions."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    c = F.col("text")
-    return docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.length(c).alias("n_chars_actual"),
-        T.ws_token_count(c).alias("n_words"),
-        T.bpe_token_count(c).alias("n_bpe_tokens"),
-        T.punct_count(c).alias("n_punct"),
-        F.size(F.array_distinct(T.ws_tokens(c))).alias("n_unique_words"),
-    )
-
-
-@query(
-    "text_quality",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(length(text) AS DOUBLE) AS n_chars,
-             CAST(len({_WS_TOKENS_SQL.format(col='text')}) AS DOUBLE) AS n_words,
-             CAST({_STOP_HITS_SQL.format(col='text',
-                    stops=_sql_str_list(['the','and','of','to','a','in','is','that']))}
-                  AS DOUBLE) AS n_stop,
-             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
-                  AS DOUBLE) AS n_punct
-      FROM documents)
-    SELECT doc_id,
-           floor((0.3 * least(n_chars / 400.0, 1.0)
-                + 0.3 * least(n_words / 60.0, 1.0)
-                + 0.3 * least((CASE WHEN n_words > 0 THEN n_stop / n_words
-                                    ELSE 0.0 END) * 8.0, 1.0)
-                + 0.1 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars
-                                    ELSE 0.0 END)) * 1000000.0 + 0.5)
-             / 1000000.0 AS quality
-    FROM t
-    """,
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite document quality score (length/word/stopword/punct
-    signals), deterministic double arithmetic on both engines."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    staged = docs.select(
-        "doc_id",
-        "text",
-        T.ws_tokens(F.col("text")).alias("__toks"),
-        T.ws_tokens(F.lower(F.col("text"))).alias("__ltoks"),
-    )
-    return staged.select(
-        "doc_id",
-        pround(
-            T.quality_score(
-                F.col("text"), toks=F.col("__toks"), ltoks=F.col("__ltoks")
-            ),
-            6,
-        ).alias("quality"),
-    )
-
-
-#: DuckDB twin of functions/text.word_ngrams (list comprehension over a
-#: 1-based index series; empty list below n tokens)
-_NGRAMS_SQL = (
-    "CASE WHEN len({t}) >= {n} THEN "
-    "[{expr} for i in generate_series(1, len({t}) - {n} + 1)] "
-    "ELSE [] END"
-)
-
-
-def _ngram_sql(tok_expr: str, n: int) -> str:
-    joined = " || ' ' || ".join(f"{tok_expr}[i+{j}]" if j else f"{tok_expr}[i]"
-                                for j in range(n))
-    return _NGRAMS_SQL.format(t=tok_expr, n=n, expr=joined)
-
-
-@query(
-    "text_repetition_ratio",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
-               FROM documents),
-    g AS (SELECT doc_id, {_ngram_sql('toks', 3)} AS tri FROM t)
-    SELECT doc_id, len(tri) AS n_trigrams,
-           {sql_pround("CASE WHEN len(tri) > 0 THEN 1.0 - len(list_distinct(tri))*1.0/len(tri) ELSE 0.0 END")}
-             AS repetition
-    FROM g
-    """,
-)
-def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signal: fraction of duplicated word
-    trigrams per document (templated/spammy text repeats phrases).
-    Pure array expressions, no explode, no shuffle — and staged as
-    tokenize-once -> grams-once projections (inlining the tokenizer
-    into the gram lambda re-splits the text per element; measured 20x).
-    ``spread`` fans the single-row-group fixture scan out to all cores
-    — on a real many-file lake it is a no-op."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    toked = docs.select("doc_id", T.ws_tokens(F.col("text")).alias("toks"))
-    gramd = toked.select(
-        "doc_id", T.ngrams_from_tokens(F.col("toks"), 3).alias("tri")
-    )
-    return gramd.select(
-        "doc_id",
-        F.size("tri").alias("n_trigrams"),
-        pround(T.repetition_from_grams(F.col("tri")), 6).alias("repetition"),
-    )
-
-
-@query(
-    "ngram_corpus_top",
-    oracle=f"""
-    WITH t AS (SELECT {_WS_TOKENS_SQL.format(col='text')} AS toks
-               FROM documents),
-    g AS (SELECT unnest({_ngram_sql('toks', 2)}) AS bigram FROM t)
-    SELECT bigram, count(*) AS n_docs_x_occurrences
-    FROM g GROUP BY bigram
-    ORDER BY n_docs_x_occurrences DESC, bigram
-    LIMIT 30
-    """,
-)
-def q_ngram_corpus_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level n-gram statistics (the classic training-data
-    frequency table): explode per-doc bigrams, one partial+final
-    count shuffle, global top-30 via TakeOrderedAndProject (never a
-    full sort). At 100 TB the explode multiplies rows ~L-fold but the
-    map-side partial aggregation collapses them before the exchange —
-    the shuffle carries only distinct bigrams per partition."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    toked = docs.select(T.ws_tokens(F.col("text")).alias("toks"))
-    return (
-        toked.select(
-            F.explode(T.ngrams_from_tokens(F.col("toks"), 2)).alias("bigram")
-        )
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n_docs_x_occurrences"))
-        .orderBy(F.col("n_docs_x_occurrences").desc(), F.col("bigram"))
-        .limit(30)
-    )
-
-
-@query(
-    "c4_quality_filter",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang,
-             len({_WS_TOKENS_SQL.format(col='text')}) AS n_words,
-             len(list_distinct({_WS_TOKENS_SQL.format(col='text')}))
-               AS n_unique
-      FROM documents)
-    SELECT doc_id, lang, n_words,
-           {sql_pround("n_unique * 1.0 / n_words")} AS unique_ratio
-    FROM t
-    WHERE n_words >= 50 AND n_unique * 1.0 / n_words >= 0.45
-    """,
-)
-def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style rule-based corpus gate: minimum length (>= 50 words)
-    plus lexical-diversity floor (unique-token ratio >= 0.45 — the
-    cheap proxy for boilerplate). Keeps ~40% of the fixture corpus.
-    Pure scan+filter: predicates are plain expressions, so the gate
-    runs at scan speed and composes in front of any expensive dedup
-    stage (cheapest-first gating, as in corpus_prep_pipeline)."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    toks = T.ws_tokens(F.col("text"))
-    sig = docs.select(
-        "doc_id",
-        "lang",
-        F.size(toks).alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
-    )
-    ratio = F.col("n_unique").cast("double") / F.col("n_words")
-    return sig.where(
-        (F.col("n_words") >= 50) & (ratio >= 0.45)
-    ).select(
-        "doc_id",
-        "lang",
-        "n_words",
-        pround(ratio, 6).alias("unique_ratio"),
-    )
-
-
-@query(
-    "doc_chunk_packing",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
-               FROM documents),
-    c AS (SELECT doc_id, toks,
-                 unnest(generate_series(0,
-                        CAST(ceil(len(toks)/32.0) AS INT) - 1)) AS chunk_id
-          FROM t)
-    SELECT doc_id, chunk_id,
-           array_to_string(
-             toks[chunk_id*32+1 : least((chunk_id+1)*32, len(toks))],
-             ' ') AS chunk_text,
-           least((chunk_id+1)*32, len(toks)) - chunk_id*32 AS n_tokens
-    FROM c
-    """,
-)
-def q_doc_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence chunking for training-sample prep: each document's
-    token stream splits into fixed 32-token windows (doc_id, chunk_id,
-    text, length) — the stage that turns a cleaned corpus into
-    trainer-shaped rows. Narrow plan: tokenize once, explode a chunk
-    index, slice — the only data growth is the chunk count and there
-    is ZERO shuffle, so it streams at scan speed at any corpus size."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    toks = T.ws_tokens(F.col("text"))
-    chunked = docs.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.size(toks) / F.lit(32.0)).cast("int") - 1,
-            )
-        ).alias("chunk_id"),
-    )
-    width = F.least(
-        (F.col("chunk_id") + 1) * 32, F.size("toks")
-    ) - F.col("chunk_id") * 32
-    return chunked.select(
-        "doc_id",
-        "chunk_id",
-        F.concat_ws(
-            " ", F.slice(F.col("toks"), F.col("chunk_id") * 32 + 1, width)
-        ).alias("chunk_text"),
-        width.cast("long").alias("n_tokens"),
-    )
-
-
-@query(
-    "benchmark_decontaminate",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
-               FROM documents),
-    g AS (SELECT doc_id, unnest({_ngram_sql('toks', 4)}) AS gram FROM t),
-    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-    contaminated AS (
-      SELECT DISTINCT doc_id FROM g
-      WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench))
-    SELECT d.doc_id, d.lang,
-           (d.doc_id IN (SELECT doc_id FROM contaminated))
-             AS is_contaminated
-    FROM documents d WHERE d.doc_id % 97 <> 0
-    """,
-)
-def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag training documents sharing any
-    word 4-gram with a held-out benchmark set (here the doc_id % 97
-    slice stands in for the eval suite). The benchmark's distinct
-    grams are TINY next to the corpus, so the membership probe is a
-    broadcast semi-join against the exploded training grams — the
-    fact side shuffles nothing, which is the only shape that survives
-    a 100 TB corpus x benchmark-suite sweep."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    grams = docs.select(
-        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
-    ).select(
-        "doc_id", F.explode(T.ngrams_from_tokens(F.col("toks"), 4)).alias("gram")
-    )
-    bench_grams = (
-        grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
-    )
-    train = docs.where(F.col("doc_id") % 97 != 0)
-    contaminated = (
-        grams.where(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench_grams), "gram", "semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_contaminated", F.lit(True))
-    )
-    return (
-        train.join(contaminated, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            F.coalesce("is_contaminated", F.lit(False)).alias(
-                "is_contaminated"
-            ),
-        )
-    )
-
-
-@query(
-    "basket_part_pairs",
-    oracle="""
-    WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-              FROM parts a JOIN parts b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey)
-    SELECT part_a, part_b, count(*) AS n_orders
-    FROM pairs GROUP BY 1, 2
-    ORDER BY n_orders DESC, part_a, part_b
-    LIMIT 20
-    """,
-)
-def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket co-occurrence (the recommendation-mining
-    primitive): part pairs appearing in the same order, counted and
-    top-20 ranked. The pair explosion is a self-join keyed on
-    l_orderkey, so work scales with sum(basket_size^2) — bounded by
-    real basket sizes AND hard-capped at MAX_BASKET items per order
-    (operators/baskets: WindowGroupLimit hash-rank truncation, so one
-    pathological mega-basket costs O(cap^2), never O(n^2)) — and the
-    two sides share one orderkey shuffle. Top-20 via
-    TakeOrderedAndProject, never a global sort. The cap never binds
-    on honest baskets (fixture orders carry <= 7 lines), so the
-    oracle is cap-free."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
-
-    li = read_table(spark, sf_dir, "lineitem")
-    parts = capped_basket_items(li, "l_orderkey", "l_partkey")
-    a = parts.alias("a")
-    b = parts.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
-        .limit(20)
-    )
-
-
-@query(
-    "basket_cap_audit",
-    # f-string keeps the oracle's cap literal synchronized with the
-    # engine-side operators/baskets.MAX_BASKET by construction.
-    oracle=f"""
-    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    s AS (SELECT l_orderkey, count(*) AS basket_size FROM lp GROUP BY 1)
-    SELECT count(*) AS n_baskets,
-           CAST(sum(CASE WHEN basket_size > {MAX_BASKET} THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_truncated,
-           CAST(sum(CASE WHEN basket_size > {MAX_BASKET}
-                         THEN basket_size - {MAX_BASKET} ELSE 0 END)
-                AS BIGINT) AS n_items_dropped,
-           CAST(max(basket_size) AS BIGINT) AS max_basket_size
-    FROM s
-    """,
-)
-def q_basket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mega-basket truncation audit — the observability half of the
-    shared MAX_BASKET cap (operators/baskets) that basket_part_pairs,
-    pagerank_copurchase, item_item_cosine and the co-purchase graph
-    family apply before pair expansion: one row reporting how many
-    baskets exceed the cap and how many memberships the cap would
-    drop. Runs on the UNCAPPED membership table (a single map-side
-    combinable keyed count — linear, no pair expansion), so the
-    release card can state the truncation instead of silently eating
-    it. On the fixture every count is 0 truncated (orders carry <= 7
-    lines); the synthetic mega-basket regression in
-    tests/test_baskets.py exercises the binding case."""
-    from etl_pyspark_spark.operators.baskets import (
-        basket_truncation_audit,
-    )
-
-    li = read_table(spark, sf_dir, "lineitem")
-    return basket_truncation_audit(li, "l_orderkey", "l_partkey")
-
-
-@query(
-    "concurrent_sessions_peak",
-    oracle="""
-    WITH iv AS (SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
-    seg AS (
-      SELECT CAST(s AS DATE) AS day, s,
-             least(e, CAST(CAST(s AS DATE) + 1 AS TIMESTAMP)) AS e
-      FROM iv
-      UNION ALL
-      SELECT CAST(s AS DATE) + 1 AS day,
-             CAST(CAST(s AS DATE) + 1 AS TIMESTAMP) AS s, e
-      FROM iv WHERE e > CAST(CAST(s AS DATE) + 1 AS TIMESTAMP)
-    ),
-    pts AS (SELECT day, s AS t, 1 AS d FROM seg
-            UNION ALL
-            SELECT day, e AS t, -1 AS d FROM seg),
-    sw AS (SELECT day, sum(d) OVER (PARTITION BY day ORDER BY t, d
-                                    ROWS UNBOUNDED PRECEDING) AS conc
-           FROM pts)
-    SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency
-    FROM sw GROUP BY day
-    """,
-)
-def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Peak concurrency via the sweep-line pattern: each event opens a
-    30-minute activity interval; interval starts are +1 points, ends
-    are -1, and a running sum ordered by time gives the live count —
-    max per day is the peak. Intervals are CLIPPED at midnight into
-    per-day segments (an interval spans ≤ 2 days at this length), so
-    each day's sweep starts seeded with the sessions still open at
-    midnight — exact at day boundaries (advice r02: the unclipped
-    per-day partition undercounted peaks near midnight). Each point
-    carries its segment's owning day, so the window still partitions
-    by DAY — no global single-partition sort at any scale. Ends sort
-    before starts at a tie: half-open intervals."""
-    ev = read_table(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
-
-    iv = ev.select(
-        F.col("ts").alias("s"),
-        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
-    )
-    day_end = F.date_add(F.to_date("s"), 1).cast("timestamp")
-    seg = iv.select(
-        F.to_date("s").alias("day"),
-        F.col("s"),
-        F.least(F.col("e"), day_end).alias("e"),
-    ).unionAll(
-        iv.where(F.col("e") > day_end).select(
-            F.date_add(F.to_date("s"), 1).alias("day"),
-            day_end.alias("s"),
-            F.col("e"),
-        )
-    )
-    pts = seg.select("day", F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
-        seg.select("day", F.col("e").alias("t"), F.lit(-1).alias("d"))
-    )
-    w = (
-        Window.partitionBy("day")
-        .orderBy("t", "d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sw = pts.select("day", F.sum("d").over(w).alias("conc"))
-    return sw.groupBy("day").agg(
-        F.max("conc").cast("bigint").alias("peak_concurrency")
-    )
-
-
-@query(
-    "sql_recursive_hierarchy",
-    oracle="""
-    WITH RECURSIVE walk(part, node, depth) AS (
-      SELECT p_partkey, p_partkey, 0 FROM part
-      UNION ALL
-      SELECT part, node // 2, depth + 1 FROM walk WHERE node > 1
-    ),
-    depths AS (SELECT part, max(depth) AS root_depth
-               FROM walk GROUP BY part)
-    SELECT root_depth, count(*) AS n_parts
-    FROM depths GROUP BY root_depth
-    """,
-)
-def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive CTE (Spark 4's WITH RECURSIVE): walk each part up a
-    binary ancestor chain (node -> node div 2) to the root and
-    histogram the depths — the BOM-explosion / org-hierarchy shape
-    that needed iterative driver loops before Spark 4. Iterations are
-    internal unions driven until the frontier empties; per-round work
-    is one hash aggregate, bounded by log2(max key) rounds here. The
-    recursion-row guard is sized to the data: total walk rows are
-    exactly |parts| * (floor(log2(max partkey)) + 1) + |parts|, which
-    passes Spark's 1M default at fixture scale but not at the
-    30x/100x grow smokes (block-shifted keys deepen the chain to ~35
-    and parts grow with the facts). The guard is raised to 2x that
-    measured need — NOT a blanket 1e9 (advice r06: that silently
-    removed the runaway-recursion net for every later query on the
-    shared session) — and never lowered below a value another query
-    already requested. No try/finally restore: the returned DataFrame
-    is lazy, so restoring before the caller executes it would re-trip
-    the 1M default mid-walk."""
-    _register_views(spark, sf_dir, "part")
-    import math
-
-    stats = spark.table("part").agg(
-        F.count(F.lit(1)).alias("n"), F.max("p_partkey").alias("mx")
-    ).first()
-    depth = int(math.log2(max(int(stats["mx"] or 1), 1))) + 2
-    need = 2 * int(stats["n"] or 0) * depth + 1_000_000
-    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
-    if need > cur:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
-    return spark.sql(
-        """
-        WITH RECURSIVE walk(part, node, depth) AS (
-          SELECT p_partkey, p_partkey, 0 FROM part
-          UNION ALL
-          SELECT part, node DIV 2, depth + 1 FROM walk WHERE node > 1
-        ),
-        depths AS (SELECT part, max(depth) AS root_depth
-                   FROM walk GROUP BY part)
-        SELECT root_depth, count(*) AS n_parts
-        FROM depths GROUP BY root_depth
-        """
-    )
-
-
-@query(
-    "dq_expectations",
-    oracle="""
-    SELECT 'orders_totalprice_positive' AS rule,
-           count(*) FILTER (WHERE o_totalprice <= 0) AS n_violations,
-           count(*) AS n_checked
-    FROM orders
-    UNION ALL
-    SELECT 'orders_status_domain',
-           count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')),
-           count(*)
-    FROM orders
-    UNION ALL
-    SELECT 'lineitem_quantity_range',
-           count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50),
-           count(*)
-    FROM lineitem
-    UNION ALL
-    SELECT 'lineitem_discount_range',
-           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1),
-           count(*)
-    FROM lineitem
-    UNION ALL
-    SELECT 'lineitem_orphan_orderkey',
-           (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem
-             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))),
-           (SELECT count(DISTINCT l_orderkey) FROM lineitem)
-    """,
-)
-def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality expectations (deequ-style, engine-
-    native): domain, range, and referential-integrity rules evaluated
-    as conditional aggregates — ONE pass per table for all row-level
-    rules (no per-rule scans), plus one broadcast anti-join for the
-    foreign-key rule. The violations table is the pipeline gate a
-    100 TB ingest runs before publishing a partition."""
-    o = read_table(spark, sf_dir, "orders")
-    li = read_table(spark, sf_dir, "lineitem")
-    orders_rules = o.agg(
-        F.lit("orders_totalprice_positive").alias("rule"),
-        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_violations"),
-        F.count(F.lit(1)).alias("n_checked"),
-    ).unionByName(
-        o.agg(
-            F.lit("orders_status_domain").alias("rule"),
-            F.sum(
-                (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
-            ).alias("n_violations"),
-            F.count(F.lit(1)).alias("n_checked"),
-        )
-    )
-    li_rules = li.agg(
-        F.lit("lineitem_quantity_range").alias("rule"),
-        F.sum(
-            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
-        ).alias("n_violations"),
-        F.count(F.lit(1)).alias("n_checked"),
-    ).unionByName(
-        li.agg(
-            F.lit("lineitem_discount_range").alias("rule"),
-            F.sum(
-                ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
-                    "long"
-                )
-            ).alias("n_violations"),
-            F.count(F.lit(1)).alias("n_checked"),
-        )
-    )
-    # the FK probe shuffles on orderkey (both sides are fact-sized at
-    # scale — broadcasting the dim would lie about the 100 TB shape);
-    # the distinct and the anti-join share the same key partitioning
-    lkeys = li.select("l_orderkey").distinct()
-    orphans = lkeys.join(
-        o.select("o_orderkey"),
-        lkeys.l_orderkey == o.o_orderkey,
-        "left_anti",
-    )
-    fk_rule = orphans.agg(
-        F.lit("lineitem_orphan_orderkey").alias("rule"),
-        F.count(F.lit(1)).alias("n_violations"),
-    ).crossJoin(
-        lkeys.agg(F.count(F.lit(1)).alias("n_checked"))
-    )
-    return orders_rules.unionByName(li_rules).unionByName(fk_rule)
-
-
-@query(
-    "length_bucket_batching",
-    oracle="""
-    WITH b AS (
-      SELECT doc_id, n_chars,
-             ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
-      FROM documents)
-    SELECT bucket, count(*) AS n_docs,
-           min(n_chars) AS min_chars, max(n_chars) AS max_chars
-    FROM b GROUP BY bucket
-    """,
-)
-def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-quantile bucketing for training-batch packing: ntile(8)
-    over (n_chars, doc_id) groups similar-length documents so padded
-    batches waste minimal compute — the classic seq-len bucketing
-    trick. Round 4: the ntile comes from
-    operators/ranks.with_global_ntile — a range exchange plus
-    per-partition offsets, NEVER a single-partition window — so the
-    identical per-row labeling runs on 100 TB of rows; the ANSI tile
-    formula matches the oracle's ntile exactly."""
-    from etl_pyspark_spark.operators.ranks import with_global_ntile
-
-    docs = read_table(spark, sf_dir, "documents")
-    b = with_global_ntile(
-        docs.select("doc_id", "n_chars"),
-        ["n_chars", "doc_id"],
-        8,
-        tile_col="bucket",
-    )
-    return b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
-    )
-
-
-@query(
-    "text_normalize_clean",
-    oracle=f"""
-    SELECT doc_id,
-           array_to_string(
-             list_filter({_WS_TOKENS_SQL.format(col='lower(text)')},
-                         t -> NOT list_contains(
-                           ['the','and','of','to','a','in','is','that'], t)),
-             ' ') AS clean_text
-    FROM documents
-    """,
-)
-def q_text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalization pass every corpus pipeline starts with: lowercase,
-    whitespace-tokenize, strip (en) stopwords, re-join — pure array
-    expressions, zero shuffle, scan-speed. The output column feeds
-    shingling/fingerprinting so dedup keys ignore case and stopword
-    noise."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    stops = F.array(
-        *[F.lit(s) for s in T.LANG_STOPWORDS["en"]]
-    )
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    toks = T.ws_tokens(F.lower(F.col("text")))
-    return docs.select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.filter(toks, lambda t: ~F.array_contains(stops, t)),
-        ).alias("clean_text"),
-    )
-
-
-@query(
-    "train_test_split_assign",
-    oracle="""
-    WITH assigned AS (
-      SELECT doc_id, source,
-             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
-                             1, 15))::BIGINT % 100 AS bucket
-      FROM documents)
-    SELECT source,
-           count(*) FILTER (WHERE bucket < 95) AS n_train,
-           count(*) FILTER (WHERE bucket >= 95) AS n_test
-    FROM assigned GROUP BY source
-    """,
-)
-def q_train_test_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 95/5 train/test split: the salted portable hash of
-    the stable doc key picks the side, so membership never changes
-    across runs, machines, or engines — the property a held-out set
-    must have (a random() split silently leaks test docs into training
-    on every re-run). Per-source counts verify the rate lands evenly;
-    one narrow pass, one tiny aggregate."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    bucket = (
-        T.portable_hash60(
-            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-        )
-        % 100
-    )
-    assigned = docs.select("doc_id", "source", bucket.alias("bucket"))
-    return assigned.groupBy("source").agg(
-        F.sum((F.col("bucket") < 95).cast("long")).alias("n_train"),
-        F.sum((F.col("bucket") >= 95).cast("long")).alias("n_test"),
-    )
-
-
-@query(
-    "event_dedup_time_window",
-    oracle="""
-    WITH seq AS (
-      SELECT event_id, user_id, event_type, ts,
-             lag(ts) OVER (PARTITION BY user_id, event_type
-                           ORDER BY ts, event_id) AS prev_ts
-      FROM events)
-    SELECT event_id, user_id, event_type
-    FROM seq
-    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 60 SECOND
-    """,
-)
-def q_event_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Telemetry debounce: drop an event when the SAME (user, type)
-    fired within the previous 60 seconds (lag-based throttle — the
-    standard window-expressible form; exact keep-from-last-EMITTED
-    needs sequential state, which is the streaming
-    dropDuplicatesWithinWatermark path). One window shuffle keyed by
-    (user, type)."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
-        F.lag("ts").over(w)
-    )
-    return (
-        ev.select("event_id", "user_id", "event_type", "ts",
-                  gap_us.alias("gap_us"))
-        .where(F.col("gap_us").isNull() | (F.col("gap_us") > 60_000_000))
-        .select("event_id", "user_id", "event_type")
-    )
-
-
-@query(
-    "shard_assignment",
-    oracle="""
-    WITH s AS (
-      SELECT doc_id, n_chars,
-             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
-                             1, 15))::BIGINT % 8 AS shard_id
-      FROM documents)
-    SELECT shard_id, count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
-    FROM s GROUP BY shard_id
-    """,
-)
-def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-shard assignment: hash docs into 8 shards and report
-    the balance (docs + chars per shard) — the pre-write check before
-    a partitioned export feeds N data-loader workers. Hash placement
-    gives even shards without a shuffle-heavy sort; the same shard_id
-    expression would drive ``partitionBy`` on the export write."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    shard = (
-        T.portable_hash60(
-            F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
-        )
-        % 8
-    )
-    return (
-        docs.select(shard.alias("shard_id"), "n_chars")
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-    )
-
-
-@query(
-    "vocab_oov_rate",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id,
-                         unnest({_WS_TOKENS_SQL.format(col='text')}) AS tok
-                  FROM documents),
-    vocab AS (SELECT tok FROM toks GROUP BY tok
-              ORDER BY count(*) DESC, tok LIMIT 20),
-    flagged AS (SELECT t.doc_id,
-                       (v.tok IS NULL) AS oov
-                FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
-    SELECT doc_id,
-           count(*) AS n_tokens,
-           count(*) FILTER (WHERE oov) AS n_oov,
-           {sql_pround("count(*) FILTER (WHERE oov) * 1.0 / count(*)")}
-             AS oov_rate
-    FROM flagged GROUP BY doc_id
-    """,
-)
-def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary coverage: build the top-20 corpus vocabulary (count
-    desc, token tiebreak — deterministic), then score every document's
-    out-of-vocabulary token rate — the tokenizer-fit signal a training
-    pipeline tracks when corpus and tokenizer drift apart. The vocab
-    is aggregated output (tiny) so the membership probe broadcasts;
-    the corpus-side explode never shuffles except the final per-doc
-    count, which reuses the doc_id grouping."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("tok")
-    )
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "tok")
-        .limit(20)
-        .select("tok", F.lit(True).alias("in_vocab"))
-    )
-    flagged = toks.join(F.broadcast(vocab), "tok", "left")
-    oov = F.col("in_vocab").isNull()
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(oov.cast("long")).alias("n_oov"),
-        pround(
-            F.sum(oov.cast("long")).cast("double") / F.count(F.lit(1)), 6
-        ).alias("oov_rate"),
-    )
-
-
-@query(
-    "dedup_incremental_ingest",
-    oracle="""
-    WITH fp AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(regexp_replace(lower(trim(text)),
-                                                ' +', ' ', 'g')),
-                             1, 15))::BIGINT AS fingerprint
-      FROM documents),
-    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
-    batch AS (SELECT * FROM fp WHERE doc_id >= 250
-              QUALIFY row_number() OVER (PARTITION BY fingerprint
-                                         ORDER BY doc_id) = 1)
-    SELECT b.doc_id, b.fingerprint
-    FROM batch b WHERE b.fingerprint NOT IN
-      (SELECT fingerprint FROM hist)
-    """,
-)
-def q_dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ingest dedup: a new batch (doc_id >= 250) dedupes
-    within itself (keep lowest doc_id per fingerprint) and then
-    anti-joins against the HISTORICAL accepted fingerprints (doc_id <
-    250 stands in for the lake's fingerprint table). This is the
-    every-day shape of production dedup at 100 TB: the history side is
-    a narrow (fingerprint) table read from the lake, the join is keyed
-    by the 60-bit fingerprint, and no document text crosses the
-    shuffle — only hashes."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    fp = docs.select(
-        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
-    )
-    hist = fp.where(F.col("doc_id") < 250).select("fingerprint").distinct()
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    batch = (
-        fp.where(F.col("doc_id") >= 250)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    return batch.join(hist, "fingerprint", "left_anti").select(
-        "doc_id", "fingerprint"
-    )
-
-
-@query(
-    "funnel_conversion",
-    oracle="""
-    WITH e AS (SELECT * FROM events
-               WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
-    u AS (SELECT DISTINCT user_id FROM e),
-    v AS (SELECT user_id, min(ts) AS t FROM e
-          WHERE event_type = 'view' GROUP BY 1),
-    c AS (SELECT e2.user_id, min(e2.ts) AS t FROM e e2
-          JOIN v ON e2.user_id = v.user_id AND e2.ts > v.t
-          WHERE e2.event_type = 'click' GROUP BY 1),
-    p AS (SELECT e2.user_id, min(e2.ts) AS t FROM e e2
-          JOIN c ON e2.user_id = c.user_id AND e2.ts > c.t
-          WHERE e2.event_type = 'purchase' GROUP BY 1)
-    SELECT u.user_id,
-           (v.user_id IS NOT NULL) AS reached_view,
-           (c.user_id IS NOT NULL) AS reached_click,
-           (p.user_id IS NOT NULL) AS reached_purchase
-    FROM u LEFT JOIN v USING (user_id)
-           LEFT JOIN c USING (user_id)
-           LEFT JOIN p USING (user_id)
-    """,
-)
-def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis (view -> click -> purchase within day
-    one): each stage's first-event time must follow the previous
-    stage's. Three stage aggregations keyed by user_id share one
-    partitioning, and every per-stage table is orders of magnitude
-    smaller than the event log — the joins broadcast. The classic
-    product-analytics query, expressed so the event scan happens
-    once per stage with pushed predicates."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
-    )
-    users = ev.select("user_id").distinct()
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_t"))
-    )
-    c = (
-        ev.alias("e")
-        .join(v, "user_id")
-        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("v_t")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_t"))
-    )
-    p = (
-        ev.alias("e")
-        .join(c, "user_id")
-        .where(
-            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_t"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_t"))
-    )
-    return (
-        users.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            F.col("v_t").isNotNull().alias("reached_view"),
-            F.col("c_t").isNotNull().alias("reached_click"),
-            F.col("p_t").isNotNull().alias("reached_purchase"),
-        )
-    )
-
-
-@query(
-    "cohort_retention",
-    oracle="""
-    WITH f AS (SELECT user_id,
-                      CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cw
-               FROM events GROUP BY 1),
-    a AS (SELECT DISTINCT user_id,
-                 CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
-          FROM events)
-    SELECT f.cw AS cohort_week, a.w - f.cw AS week_offset,
-           count(*) AS n_users
-    FROM f JOIN a USING (user_id)
-    GROUP BY 1, 2
-    """,
-)
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users grouped by first-seen week,
-    counted in every later week they stayed active. Two aggregations
-    keyed by user_id reuse one partitioning; the per-user summary
-    tables are tiny next to the event log, so the cohort join
-    broadcasts. At 100 TB the event scan is the only heavy pass."""
-    ev = read_table(spark, sf_dir, "events")
-    week = lambda col: F.floor(F.unix_timestamp(col) / 604800).cast("bigint")
-    first = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
-    active = ev.select(
-        "user_id", week(F.col("ts")).alias("w")
-    ).distinct()
-    return (
-        first.join(active, "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.col("w") - F.col("cohort_week")).alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-
-
-@query(
-    "feature_hashing_vectorize",
-    oracle="""
-    WITH toks AS (SELECT doc_id,
-                         unnest(list_filter(string_split(text, ' '),
-                                            x -> x <> '')) AS tok
-                  FROM documents),
-    b AS (SELECT doc_id,
-                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 AS bucket,
-                 count(*) AS cnt
-          FROM toks GROUP BY doc_id, bucket)
-    SELECT doc_id,
-           string_agg(bucket || ':' || cnt, ',' ORDER BY bucket)
-             AS features
-    FROM b GROUP BY doc_id
-    """,
-)
-def q_feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature hashing (the hashing trick): tokens hash into 32
-    buckets, per-doc bucket counts form a fixed-width sparse vector —
-    vocabulary-free featurization, the property that matters at
-    100 TB where a global vocabulary is itself a big-data problem.
-    Serialized as a canonical 'bucket:count' string so the sparse
-    vector is hash-comparable across engines. Explode -> two
-    aggregations on the same doc_id partitioning."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("tok")
-    )
-    b = (
-        toks.select(
-            "doc_id", (T.portable_hash60(F.col("tok")) % 32).alias("bucket")
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return b.groupBy("doc_id").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("bucket", "cnt"))
-                ),
-                lambda s: F.concat_ws(
-                    ":", s["bucket"].cast("string"), s["cnt"].cast("string")
-                ),
-            ),
-        ).alias("features")
-    )
-
-
-@query(
-    "pii_scrub",
-    oracle="""
-    SELECT event_id,
-           regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
-           len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs
-    FROM events
-    """,
-)
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII-style redaction pass: mask digit runs in the raw payload
-    and count the redactions (the audit signal). Portable regex only
-    ([0-9]+ means the same in Java regex and DuckDB's RE2); a real
-    deployment swaps in the email/phone/SSN pattern set — the plan
-    shape (scan -> regexp map, zero shuffles) is what matters at
-    100 TB."""
-    ev = read_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.regexp_replace(F.col("props"), "[0-9]+", "#").alias("scrubbed"),
-        F.size(
-            F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0)
-        ).alias("n_digit_runs"),
-    )
-
-
-@query(
-    "text_language_id",
-    oracle=f"""
-    WITH s AS (
-      SELECT doc_id, lang AS lang_meta,
-        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['the','and','of','to','a','in','is','that']))} AS sc_en,
-        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['der','die','das','und','ist','nicht','ein','zu']))} AS sc_de,
-        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['el','la','de','que','y','en','un','es']))} AS sc_es,
-        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['le','la','et','les','des','un','une','est']))} AS sc_fr
-      FROM documents)
-    SELECT doc_id, lang_meta,
-           CASE WHEN sc_en = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_en > 0 THEN 'en'
-                WHEN sc_de = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_de > 0 THEN 'de'
-                WHEN sc_es = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_es > 0 THEN 'es'
-                WHEN sc_fr = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_fr > 0 THEN 'fr'
-                ELSE 'und' END AS lang_pred,
-           sc_en, sc_de, sc_es, sc_fr
-    FROM s
-    """,
-)
-def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-voting language ID (n-gram-free heuristic; ties resolve
-    en > de > es > fr)."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    staged = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        T.ws_tokens(F.lower(F.col("text"))).alias("__ltoks"),
-    )
-    c = F.col("text")
-    scores = T.language_scores(c, ltoks=F.col("__ltoks"))
-    return staged.select(
-        "doc_id",
-        F.col("lang").alias("lang_meta"),
-        T.language_id(c, ltoks=F.col("__ltoks")).alias("lang_pred"),
-        scores["en"].alias("sc_en"),
-        scores["de"].alias("sc_de"),
-        scores["es"].alias("sc_es"),
-        scores["fr"].alias("sc_fr"),
-    )
-
-
-@query(
-    "doc_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           ('0x' || substr(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')),
-                           1, 15))::BIGINT AS fingerprint
-    FROM documents
-    """,
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable 60-bit md5 fingerprint of normalized text (exact-dedup
-    key; identical integer in Spark, DuckDB, Python)."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
-    )
-
-
-# ---------------------------------------------------------------------------
-# LLM-pipeline: deduplication (exact; fuzzy variants in dedup/)
-# ---------------------------------------------------------------------------
-
-
-def _dedup_shared_build_oracle() -> str:
-    from etl_pyspark_spark.dedup.components import sql_components_over_pairs
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_minhash_pairs,
-        sql_shingles_cte,
-    )
-
-    return (
-        "WITH RECURSIVE "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + ", "
-        + sql_components_over_pairs("pairs", final_name="comp")
-        + """
-    SELECT CAST((SELECT count(*) FROM hashed) AS BIGINT)
-             AS n_shingle_hashes,
-           CAST((SELECT count(DISTINCT doc_id) FROM hashed) AS BIGINT)
-             AS n_docs_shingled,
-           CAST((SELECT count(*) FROM pairs) AS BIGINT)
-             AS n_verified_pairs,
-           CAST((SELECT count(DISTINCT component_id) FROM comp) AS BIGINT)
-             AS n_dup_clusters
-    """
-    )
-
-
-@query("dedup_shared_build", oracle=_dedup_shared_build_oracle())
-def q_dedup_shared_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize the dedup family's shared intermediates (shingle
-    hashes, per-doc hash sets, verified near-dup pairs, dup-cluster
-    labels — dedup/shared.py) and return their summary counts.
-
-    Registered AHEAD of the family so a sequential run (the driver's
-    bench, or a production DAG) pays the derivation exactly once,
-    visibly, HERE — and every downstream dedup query's number measures
-    its own logic over the shared tables. This is the zorder_build /
-    zorder_scan split applied to the dedup pipeline: at 100 TB these
-    intermediates are checkpointed parquet between pipeline stages,
-    and this entry is the stage that writes them. The summary counts
-    are oracle-checked end-to-end (the DuckDB twin re-derives the
-    whole chain, recursive-CTE components included), so the build is
-    verified, not just timed."""
-    from etl_pyspark_spark.dedup import shared
-
-    sh = shared.shingle_hashes(spark, sf_dir)
-    shared.doc_hash_sets(spark, sf_dir)
-    pairs = shared.verified_pairs(spark, sf_dir)
-    comp = shared.dup_components(spark, sf_dir)
-    a = sh.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingle_hashes"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs_shingled"),
-    )
-    b = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_verified_pairs")
-    )
-    c = comp.agg(
-        F.countDistinct("component_id").cast("bigint").alias("n_dup_clusters")
-    )
-    return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
-
-
-@query(
-    "dedup_exact",
-    oracle="""
-    SELECT ('0x' || substr(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')),
-                           1, 15))::BIGINT AS fingerprint,
-           min(doc_id) AS keep_doc_id,
-           count(*) AS group_size
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by normalized-text fingerprint: one deterministic
-    representative (min doc_id) per duplicate group. A hash group-by —
-    the 100 TB shape (no sort, partial agg on the fingerprint)."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            T.doc_fingerprint(F.col("text")).alias("fingerprint"), "doc_id"
-        )
-        .groupBy("fingerprint")
-        .agg(
-            F.min("doc_id").alias("keep_doc_id"),
-            F.count(F.lit(1)).alias("group_size"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# LLM-pipeline: fuzzy deduplication (MinHash-LSH, exact n-gram Jaccard,
-# SimHash). The full pipelines are deterministic md5 arithmetic, so the
-# DuckDB oracles replay them bit-exactly (SQL generators in dedup/).
-# ---------------------------------------------------------------------------
-
-
-def _minhash_oracle() -> str:
-    from etl_pyspark_spark.dedup.minhash import sql_minhash_pairs, sql_shingles_cte
-
-    return f"WITH {sql_shingles_cte()}, {sql_minhash_pairs()}"
-
-
-def _ngram_oracle() -> str:
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_ngram_jaccard_pairs,
-        sql_shingles_cte,
-    )
-
-    return f"WITH {sql_shingles_cte()}, {sql_ngram_jaccard_pairs()}"
-
-
-@query("dedup_minhash_lsh", oracle=_minhash_oracle())
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (16 perms, 8 bands x 2 rows) with
-    exact-Jaccard verification at threshold 0.5; candidate space is the
-    LSH buckets, never the O(n^2) pair grid (dedup/minhash.py). The
-    shingle/signature/pair stages are session-shared (dedup/shared.py)
-    with components/canonical/ngram — each derived once, like
-    checkpointed intermediate tables in a production dedup DAG."""
-    from etl_pyspark_spark.dedup.shared import verified_pairs
-
-    return verified_pairs(spark, sf_dir)
-
-
-def _components_oracle() -> str:
-    from etl_pyspark_spark.dedup.components import sql_components_over_pairs
-    from etl_pyspark_spark.dedup.minhash import sql_minhash_pairs, sql_shingles_cte
-
-    return (
-        "WITH RECURSIVE "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + ", "
-        + sql_components_over_pairs("pairs")
-    )
-
-
-@query("dedup_components", oracle=_components_oracle())
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster labeling: MinHash-LSH pairs -> connected
-    components via distributed hash-min propagation (the keep-one-per-
-    cluster step of corpus dedup); oracle replays it as a recursive
-    CTE (dedup/components.py). Pairs and labels are session-shared
-    stages (dedup/shared.py)."""
-    from etl_pyspark_spark.dedup.shared import dup_components
-
-    return dup_components(spark, sf_dir)
-
-
-@query("dedup_ngram_jaccard", oracle=_ngram_oracle())
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs >= 0.5 via the shingle inverted
-    index (complete candidates: any positive-Jaccard pair shares a
-    shingle). The exact-recall twin of dedup_minhash_lsh. Postings
-    come from the session-shared hash-set stage (dedup/shared.py)."""
-    from etl_pyspark_spark.dedup.ngram import ngram_jaccard_pairs
-    from etl_pyspark_spark.dedup.shared import doc_hash_sets
-
-    sh = doc_hash_sets(spark, sf_dir).select(
-        "doc_id", F.explode("hs").alias("h60")
-    )
-    docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.5, sh=sh)
-
-
-@query("dedup_ngram_prefix", oracle=_ngram_oracle())
-def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-filtered exact Jaccard (PPJoin-style): index only each
-    doc's hash-order prefix, add a length filter, verify candidates
-    against full sets — provably the same pairs as dedup_ngram_jaccard
-    (shared oracle) with ~4x fewer candidate comparisons at t=0.5."""
-    from etl_pyspark_spark.dedup.ngram import ngram_jaccard_pairs_prefix
-    from etl_pyspark_spark.dedup.shared import doc_hash_sets
-
-    docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs_prefix(
-        docs, threshold=0.5, sets=doc_hash_sets(spark, sf_dir)
-    )
-
-
-def _simhash_oracle() -> str:
-    from etl_pyspark_spark.dedup.simhash import sql_simhash_cte
-
-    return f"WITH {sql_simhash_cte()} SELECT doc_id, simhash FROM sig"
-
-
-def _simhash_pairs_oracle() -> str:
-    from etl_pyspark_spark.dedup.simhash import sql_simhash_cte, sql_simhash_pairs
-
-    return f"WITH {sql_simhash_cte()} {sql_simhash_pairs()}"
-
-
-@query("dedup_simhash", oracle=_simhash_oracle())
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprint per document (token-hash bit voting;
-    dedup/simhash.py, session-shared stage)."""
-    from etl_pyspark_spark.dedup.shared import simhash_sigs
-
-    return simhash_sigs(spark, sf_dir)
-
-
-@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
-def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance <= 6, candidates from
-    the 4-byte-band pigeonhole join (Manku et al., WWW'07); the
-    fingerprint stage is session-shared with dedup_simhash."""
-    from etl_pyspark_spark.dedup.shared import simhash_sigs
-    from etl_pyspark_spark.dedup.simhash import simhash_pairs
-
-    return simhash_pairs(simhash_sigs(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# LLM-pipeline: similarity search over embeddings (similarity/)
-# ---------------------------------------------------------------------------
-
-
-def _sql_cos(a: str, b: str) -> str:
-    from etl_pyspark_spark.similarity.cosine import sql_cosine
-
-    return sql_pround(sql_cosine(a, b), 6)
-
-
-@query(
-    "embedding_norms",
-    oracle=None,  # set below (needs similarity import)
-)
-def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 norm + dimensionality per embedding — the sanity scan every
-    vector pipeline starts with; dot/norm stay in whole-stage codegen."""
-    from etl_pyspark_spark.similarity.cosine import as_double, l2_norm
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    v = as_double(F.col("embedding"))
-    return emb.select(
-        "vec_id",
-        "label",
-        F.size("embedding").alias("dim"),
-        pround(l2_norm(v), 6).alias("l2_norm"),
-    )
-
-
-def _norms_oracle() -> str:
-    from etl_pyspark_spark.similarity.cosine import sql_dot
-
-    return f"""
-    SELECT vec_id, label, len(embedding) AS dim,
-           {sql_pround(f"sqrt({sql_dot('embedding', 'embedding')})", 6)} AS l2_norm
-    FROM embeddings
-    """
-
-
-ORACLES["embedding_norms"] = _norms_oracle()
-
-
-def _cosine_topk_oracle() -> str:
-    cos = _sql_cos("q.embedding", "c.embedding")
-    return f"""
-    WITH sims AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {cos} AS cos_sim
-      FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
-      JOIN embeddings c ON c.vec_id <> q.vec_id),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
-      FROM sims)
-    SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 10
-    """
-
-
-@query("similarity_cosine_topk", oracle=_cosine_topk_oracle())
-def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-10 for 8 query vectors: broadcast
-    nested-loop of the query set against the corpus scan (corpus never
-    shuffles for the join), one window shuffle for the rank."""
-    from etl_pyspark_spark.similarity.cosine import brute_force_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=10)
-
-
-def _assign_centroid_oracle() -> str:
-    cos = _sql_cos("v.embedding", "c.embedding")
-    return f"""
-    WITH sims AS (
-      SELECT v.vec_id, c.vec_id AS centroid_id, {cos} AS cos_sim
-      FROM embeddings v
-      JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c ON true),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY cos_sim DESC, centroid_id ASC)
-               AS rk
-      FROM sims)
-    SELECT vec_id, centroid_id, cos_sim FROM ranked WHERE rk = 1
-    """
-
-
-@query("embedding_assign_nearest_centroid", oracle=_assign_centroid_oracle())
-def q_embedding_assign_nearest_centroid(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Deterministic clustering assignment: every vector labeled with
-    its nearest of 8 FIXED centroids (the first 8 vectors) by cosine —
-    the assignment half of k-means, made oracle-checkable by pinning
-    the centroids instead of fitting them (the fitted variant is
-    similarity_ivf_topk's quantizer, recall-tested). Plan: broadcast
-    nested-loop of the 8-row centroid set against the corpus scan (the
-    corpus never shuffles for the join), one window shuffle for the
-    argmax — identical shape at any corpus size."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.similarity.cosine import as_double, cosine
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
-    c = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"),
-        as_double(F.col("embedding")).alias("cv"),
-    )
-    sim = pround(cosine(F.col("vv"), F.col("cv")), 6)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        v.crossJoin(F.broadcast(c))
-        .select("vec_id", "centroid_id", sim.alias("cos_sim"))
-        .select("*", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") == 1)
-        .drop("rk")
-    )
-
-
-def _ann_pairs_oracle(threshold: float) -> str:
-    from etl_pyspark_spark.similarity.lsh import sql_banded_cte
-
-    cos = _sql_cos("a.embedding", "b.embedding")
-    return f"""
-    WITH banded AS ({sql_banded_cte('embeddings', 'vec_id', 'embedding')}),
-    cand AS (SELECT DISTINCT l.vid AS id_a, r.vid AS id_b
-             FROM banded l JOIN banded r
-               ON l.band = r.band AND l.bucket = r.bucket
-             WHERE l.vid < r.vid)
-    SELECT c.id_a, c.id_b, {cos} AS cos_sim
-    FROM cand c
-    JOIN embeddings a ON a.vec_id = c.id_a
-    JOIN embeddings b ON b.vec_id = c.id_b
-    WHERE {cos} >= {threshold}
-    """
-
-
-@query("similarity_ann_lsh", oracle=_ann_pairs_oracle(0.2))
-def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate all-pairs similarity: random-hyperplane LSH buckets
-    (2 bands x 4 bits, deterministic planes) generate candidates; exact
-    cosine >= 0.2 verifies (threshold calibrated to the near-random
-    fixture embeddings; a production near-dup run would use ~0.9).
-    Pairs are computed per bucket group by one numpy triangle GEMM
-    (applyInPandas) — vectors shuffle at most once per band and the
-    candidate pair list is never materialized. The scale path — no
-    cross join anywhere."""
-    from etl_pyspark_spark.similarity.lsh import bucket_cosine_pairs
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    return bucket_cosine_pairs(emb, threshold=0.2)
-
-
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.4
-    """,
-)
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs
-    with cosine >= 0.4 (fixture-calibrated; production semantic dedup
-    uses ~0.9+). Computed with the block-partitioned BLAS algorithm
-    (similarity/blockpairs.py) — exact O(n^2) coverage without a
-    cross join, ~100x faster than per-pair expression eval; the LSH
-    path (similarity_ann_lsh) is the approximate alternative and this
-    exact twin measures its recall."""
-    from etl_pyspark_spark.similarity.blockpairs import block_cosine_pairs
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    return block_cosine_pairs(emb, threshold=0.4)
-
-
-# ---------------------------------------------------------------------------
-# Structured Streaming (streaming/windows.py): watermarked event-time
-# windows + stateful dedup, replayed to completion over the bounded
-# fixture so each equals a batch aggregation — which is what the DuckDB
-# oracle computes.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "stream_tumbling_agg",
-    oracle="""
-    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
-           event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming 1-hour tumbling windows per event_type (watermarked
-    event-time aggregation, AvailableNow replay == batch result)."""
-    from etl_pyspark_spark.streaming.windows import tumbling_counts
-
-    return tumbling_counts(spark, sf_dir)
-
-
-@query(
-    "stream_sliding_agg",
-    oracle="""
-    SELECT CAST(floor(epoch(ts) / 1800) * 1800 - o.off AS BIGINT)
-             AS window_start_s,
-           count(*) AS n_events
-    FROM events, UNNEST([0, 1800]) AS o(off)
-    GROUP BY 1
-    """,
-)
-def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming 1h/30m sliding windows; the oracle materializes the
-    two windows each event belongs to."""
-    from etl_pyspark_spark.streaming.windows import sliding_counts
-
-    return sliding_counts(spark, sf_dir)
-
-
-@query(
-    "stream_session_window",
-    oracle="""
-    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-    lagd AS (
-      SELECT user_id, tus,
-             CASE WHEN lag(tus) OVER w IS NULL
-                    OR tus - lag(tus) OVER w >= 1800000000
-                  THEN 1 ELSE 0 END AS new_s
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
-    sess AS (
-      SELECT user_id, tus,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
-                              ROWS UNBOUNDED PRECEDING) AS sid
-      FROM lagd)
-    SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events
-    FROM sess GROUP BY user_id, sid
-    """,
-)
-def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming session windows (30-min gap) per user; the oracle
-    rebuilds sessions with the classic lag/cumsum assignment."""
-    from etl_pyspark_spark.streaming.windows import session_windows
-
-    return session_windows(spark, sf_dir)
-
-
-@query(
-    "stream_stream_join",
-    oracle="""
-    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
-           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delay_s
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON c.user_id = p.user_id
-     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-    """,
-)
-def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream inner join (click->purchase
-    attribution within 30 min per user); the time-range conjunct
-    bounds both sides' state (streaming/joins.py)."""
-    from etl_pyspark_spark.streaming.joins import click_purchase_attribution
-
-    return click_purchase_attribution(spark, sf_dir)
-
-
-@query(
-    "stream_dedup",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
-)
-def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming dedup on (user_id, event_type) — append mode
-    emits each key's first sighting only."""
-    from etl_pyspark_spark.streaming.windows import streaming_dedup
-
-    return streaming_dedup(spark, sf_dir)
-
-
-# ---------------------------------------------------------------------------
-# Multimodal binary columns (multimodal/assets.py): metadata JVM-side,
-# byte "decode"/frame-sample via Arrow mapInPandas. Payloads are the
-# UTF-8 bytes of documents.text (pure ASCII fixture), so the DuckDB
-# oracles can replay the byte math with ord(substr(...)).
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "multimodal_metadata",
-    oracle="""
-    SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-                ELSE 'video/mp4' END AS media_type,
-           CAST(strlen(text) AS INT) AS n_bytes,
-           md5(text) AS checksum
-    FROM documents
-    """,
-)
-def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata over opaque binary payloads (size + md5 checksum
-    + media type), all JVM expressions on the binary column."""
-    from etl_pyspark_spark.multimodal.assets import with_payload
-
-    docs = read_table(spark, sf_dir, "documents")
-    return with_payload(docs).select(
-        "doc_id", "media_type", "n_bytes", "checksum"
-    )
-
-
-@query(
-    "multimodal_byte_features",
-    oracle=f"""
-    WITH bytes AS (
-      SELECT doc_id, unicode(substr(text, i, 1)) AS b
-      FROM documents, UNNEST(generate_series(1, strlen(text))) AS g(i))
-    SELECT doc_id,
-           CAST(count(*) AS INT) AS n_bytes,
-           {sql_pround('CAST(sum(b) AS DOUBLE) / count(*)', 6)} AS mean_byte,
-           CAST(min(b) AS INT) AS min_byte,
-           CAST(max(b) AS INT) AS max_byte
-    FROM bytes GROUP BY doc_id
-    """,
-)
-def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction from binary payloads through Arrow-batched
-    mapInPandas (numpy byte stats standing in for image decode — the
-    stub point is multimodal.assets.decode_media_stub)."""
-    from etl_pyspark_spark.multimodal.assets import byte_features, with_payload
-
-    docs = read_table(spark, sf_dir, "documents")
-    feats = byte_features(with_payload(docs))
-    return feats.select(
-        "doc_id",
-        "n_bytes",
-        pround(F.col("mean_byte"), 6).alias("mean_byte"),
-        "min_byte",
-        "max_byte",
-    )
-
-
-@query(
-    "multimodal_frame_sample",
-    oracle="""
-    WITH sampled AS (
-      SELECT doc_id, unicode(substr(text, i, 1)) AS b
-      FROM documents,
-           UNNEST(generate_series(1, strlen(text), 64)) AS g(i))
-    SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
-           CAST(sum(b) AS BIGINT) AS frame_byte_sum
-    FROM sampled GROUP BY doc_id
-    """,
-)
-def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-stride frame sampling from binary payloads (every 64th
-    byte ~ every k-th video frame) via mapInPandas; compared on frame
-    count + sampled-byte sum."""
-    from etl_pyspark_spark.multimodal.assets import frame_sample, with_payload
-
-    docs = read_table(spark, sf_dir, "documents")
-    frames = frame_sample(with_payload(docs), stride=64)
-    return frames.select(
-        "doc_id",
-        "n_frames",
-        F.aggregate(
-            "frame_bytes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
-        ).alias("frame_byte_sum"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# SQL layer: the engine is also driveable through spark.sql over temp
-# views — demonstrated with TPC-H-shaped analytical queries. (The
-# reference has no SQL surface at all, SURVEY.md TL;DR.)
-# ---------------------------------------------------------------------------
-
-
-def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
-    for t in tables:
-        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
-
-
-@query(
-    "sql_shipping_priority",
-    oracle="""
-    SELECT l_orderkey,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue,
-           CAST(year(o_orderdate) AS INT) AS order_year
-    FROM customer JOIN orders ON c_custkey = o_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-    GROUP BY l_orderkey, year(o_orderdate)
-    ORDER BY revenue DESC, l_orderkey ASC
-    LIMIT 10
-    """,
-)
-def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape, expressed through the spark.sql surface over
-    temp views — Catalyst plans it identically to the DataFrame API
-    (broadcast the filtered dims, single agg shuffle, top-N)."""
-    _register_views(spark, sf_dir, "customer", "orders", "lineitem")
-    return spark.sql("""
-        SELECT l_orderkey,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-               CAST(year(o_orderdate) AS INT) AS order_year
-        FROM customer JOIN orders ON c_custkey = o_custkey
-                      JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        GROUP BY l_orderkey, year(o_orderdate)
-        ORDER BY revenue DESC, l_orderkey ASC
-        LIMIT 10
-    """)
-
-
-@query(
-    "sql_local_supplier_volume",
-    oracle="""
-    SELECT n_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue
-    FROM customer
-      JOIN orders ON c_custkey = o_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
-      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-      JOIN nation ON s_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-    GROUP BY n_name
-    """,
-)
-def q_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape (local supplier volume): 6-table join through
-    spark.sql; nation/region broadcast, customer-supplier co-nation
-    equi-condition rides the supplier join."""
-    _register_views(
-        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
-        "nation", "region",
-    )
-    return spark.sql("""
-        SELECT n_name,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-        FROM customer
-          JOIN orders ON c_custkey = o_custkey
-          JOIN lineitem ON l_orderkey = o_orderkey
-          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-          JOIN nation ON s_nationkey = n_nationkey
-          JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-        GROUP BY n_name
-    """)
-
-
-@query(
-    "sql_correlated_subquery",
-    oracle="""
-    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
-    FROM orders o
-    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
-                              WHERE i.o_custkey = o.o_custkey)
-    """,
-)
-def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery (orders > 2x their customer's
-    average); Catalyst decorrelates it into an aggregate + join —
-    no per-row re-execution, unlike a naive interpreter."""
-    _register_views(spark, sf_dir, "orders")
-    return spark.sql("""
-        SELECT o_orderkey, o_custkey,
-               CAST(o_totalprice AS DOUBLE) AS o_totalprice
-        FROM orders o
-        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
-                                  WHERE i.o_custkey = o.o_custkey)
-    """)
-
-
-@query(
-    "agg_grouping_sets",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(grouping(o_orderstatus) AS INT) AS g_status,
-           CAST(grouping(o_orderpriority) AS INT) AS g_prio
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-)
-def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS with grouping() indicators (finer control
-    than rollup/cube; one shuffle, expand-node fan-out before it)."""
-    _register_views(spark, sf_dir, "orders")
-    return spark.sql("""
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               CAST(grouping(o_orderstatus) AS INT) AS g_status,
-               CAST(grouping(o_orderpriority) AS INT) AS g_prio
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """)
-
-
-# ---------------------------------------------------------------------------
-# More aggregation surface: exact percentiles, pivot, deterministic
-# sampling, approximate distinct
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "agg_percentiles",
-    oracle=f"""
-    SELECT o_orderstatus,
-           {sql_pround('quantile_cont(o_totalprice, 0.5)', 6)} AS p50,
-           {sql_pround('quantile_cont(o_totalprice, 0.9)', 6)} AS p90,
-           {sql_pround('quantile_cont(o_totalprice, 0.99)', 6)} AS p99
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
-    ``quantile_cont``). The exact form sorts per group — fine for
-    bounded group counts; unbounded cardinality at 100 TB switches to
-    ``percentile_approx`` (t-digest, mergeable map-side)."""
-    o = read_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        pround(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
-        pround(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
-        pround(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
-    )
-
-
-@query(
-    "pivot_status_by_year",
-    oracle="""
-    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-           count(*) FILTER (o_orderstatus = 'O') AS status_O,
-           count(*) FILTER (o_orderstatus = 'F') AS status_F,
-           count(*) FILTER (o_orderstatus = 'P') AS status_P
-    FROM orders GROUP BY 1
-    """,
-)
-def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long->wide) with a pinned value list — pinning avoids the
-    extra distinct-values job AND makes the output schema static, which
-    any 100 TB pipeline wants."""
-    o = read_table(spark, sf_dir, "orders")
-    return (
-        o.select(F.year("o_orderdate").alias("order_year"), "o_orderstatus")
-        .groupBy("order_year")
-        .pivot("o_orderstatus", ["O", "F", "P"])
-        .count()
-        .select(
-            "order_year",
-            F.coalesce("O", F.lit(0)).alias("status_O"),
-            F.coalesce("F", F.lit(0)).alias("status_F"),
-            F.coalesce("P", F.lit(0)).alias("status_P"),
-        )
-    )
-
-
-@query(
-    "sample_deterministic",
-    oracle=f"""
-    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
-    FROM lineitem
-    WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
-                              CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
-          % 100 < 5
-    """,
-)
-def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5% deterministic hash-sample. ``df.sample()`` is seed-and-
-    partitioning dependent — useless for reproducible pipelines or
-    cross-engine checks; hashing the key is stable under any
-    parallelism, re-run, or engine."""
-    from etl_pyspark_spark.functions.text import portable_hash60
-
-    li = read_table(spark, sf_dir, "lineitem")
-    key = F.concat_ws(
-        "_",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
-    )
-    return li.where(portable_hash60(key) % 100 < 5).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("double").alias("l_quantity"),
-    )
-
-
-@query("hll_sketch_rollup")  # no oracle: sketch estimate is estimator-specific
-def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (Spark 4 Datasketches HLL):
-    per-(year, month) customer sketches union into per-year estimates
-    WITHOUT touching raw data again. This is the continuous-aggregate
-    pattern at 100 TB — monthly rollups store a few-KB sketch instead
-    of a customer set, and any coarser grain (year, lifetime) is a
-    sketch merge, not a re-scan. Rows-only driver check;
-    tests/test_sketches.py bounds the estimates against exact
-    countDistinct (HLL lgk=12 => ~1.6% standard error)."""
-    o = read_table(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-    ).agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
-    return (
-        monthly.groupBy("order_year")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "approx_customers"
-            ),
-            F.count(F.lit(1)).alias("n_months"),
-        )
-        .orderBy("order_year")
-    )
-
-
-@query(
-    "observed_quality_gate",
-    oracle="""
-    SELECT doc_id, lang, n_chars
-    FROM documents
-    WHERE n_chars >= 200
-    """,
-)
-def q_observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline audit counters via ``Dataset.observe``: the gate both
-    filters AND accumulates pass/fail metrics in the SAME job — no
-    second pass over the data to know what a 100 TB filter dropped.
-    The observation rides the existing plan as accumulator-style
-    metrics (collected on the driver at job end); the returned rows
-    are plain filter output, so the query stays fully oracle-checked
-    while tests/test_sketches.py asserts the metrics agree with the
-    oracle counts."""
-    from pyspark.sql import Observation
-
-    docs = read_table(spark, sf_dir, "documents")
-    obs = Observation("quality_gate")
-    observed = docs.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum((F.col("n_chars") >= 200).cast("long")).alias("n_pass"),
-    )
-    out = observed.where(F.col("n_chars") >= 200).select(
-        "doc_id", "lang", "n_chars"
-    )
-    # stash the Observation so tests can read the metrics after an action
-    out._graft_observation = obs
-    return out
-
-
-@query("approx_count_distinct")  # no oracle: estimator-specific result
-def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate (mergeable sketch — the 100 TB
-    replacement for exact countDistinct's full shuffle). No SQL oracle:
-    Spark's HLL++ and DuckDB's approx estimator differ by design;
-    tests/test_sketches.py bounds the relative error vs exact instead."""
-    o = read_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-        F.approx_count_distinct("o_orderkey", 0.02).alias("approx_orders"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Array / map scalar functions beyond explode (SURVEY §2.9)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "array_functions",
-    oracle="""
-    WITH t AS (SELECT doc_id,
-                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
-               FROM documents)
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           list_sort(toks[1:5]) AS first5_sorted,
-           list_contains(toks, 'spark') AS has_spark,
-           len(list_distinct(toks)) AS n_distinct,
-           list_sort(list_distinct(toks))[1] AS first_token_alpha
-    FROM t
-    """,
-)
-def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function medley: slice/sort/contains/distinct/min — all
-    JVM higher-order functions on the token array."""
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents")
-    # split once, reference five times (CollapseProject keeps
-    # multiply-referenced non-trivial exprs un-inlined)
-    docs = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.sort_array(F.slice(toks, 1, 5)).alias("first5_sorted"),
-        F.array_contains(toks, "spark").alias("has_spark"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.array_min(F.array_distinct(toks)).alias("first_token_alpha"),
-    )
-
-
-@query(
-    "map_functions",
-    oracle="""
-    SELECT event_id, 'k' AS prop_key,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_value
-    FROM events
-    """,
-)
-def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """props JSON -> MapType -> exploded (key, value) rows:
-    from_json(map<string,bigint>) + explode — schemaless-property
-    normalization, the standard event-pipeline shape."""
-    ev = read_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
-    return ev.select(
-        "event_id", F.explode(m).alias("prop_key", "prop_value")
-    ).select("event_id", "prop_key", "prop_value")
-
-
-# ---------------------------------------------------------------------------
-# Pandas UDF surface (Arrow-vectorized Python, SURVEY §2.7): only used
-# where built-ins genuinely cannot express the logic; demonstrated here
-# with a deterministic scorer so the oracle can still check it.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "pandas_udf_score",
-    oracle=f"""
-    SELECT doc_id,
-           {sql_pround('ln(1.0 + CAST(strlen(text) AS DOUBLE)) / '
-                       '(1.0 + exp(-(CAST(len(list_filter(string_split(text, '
-                       "' '), x -> x <> '')) AS DOUBLE) / 50.0 - 1.0)))", 6)}
-             AS udf_score
-    FROM documents
-    """,
-)
-def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-vectorized scalar pandas_udf (numpy log/sigmoid over whole
-    batches — the ~10-100x-faster-than-row-Python path). Deterministic
-    float64 math, so DuckDB replays it exactly."""
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # no type hints: registry uses `from __future__ import annotations`,
-    # which stringifies them beyond pandas_udf's resolver
-    @pandas_udf("double", PandasUDFType.SCALAR)
-    def score(text):
-        import numpy as np
-
-        n_chars = text.str.len().astype("float64")
-        n_words = text.str.split(" ").map(
-            lambda ts: sum(1 for t in ts if t)
-        ).astype("float64")
-        return pd.Series(
-            np.log1p(n_chars) / (1.0 + np.exp(-(n_words / 50.0 - 1.0)))
-        )
-
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", pround(score(F.col("text")), 6).alias("udf_score")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Statistical aggregates, multiset ops, date/string medleys, structs,
-# second window family — coverage widening per SURVEY §2.9.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "agg_statistics",
-    oracle=f"""
-    SELECT l_returnflag,
-           {sql_pround('avg(l_quantity)', 6)} AS avg_qty,
-           {sql_pround('stddev_samp(l_quantity)', 6)} AS std_qty,
-           {sql_pround('var_samp(l_quantity)', 6)} AS var_qty,
-           {sql_pround('corr(l_quantity, l_extendedprice)', 4)} AS corr_qty_price,
-           {sql_pround('covar_samp(l_quantity, l_extendedprice)', 6)} AS covar_qty_price,
-           {sql_pround('skewness(l_quantity)', 4)} AS skew_qty
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregate family (avg/stddev/variance/corr/covar/
-    skewness) — single-pass moment computation per group."""
-    li = read_table(spark, sf_dir, "lineitem")
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
-        pround(F.avg(q), 6).alias("avg_qty"),
-        pround(F.stddev_samp(q), 6).alias("std_qty"),
-        pround(F.var_samp(q), 6).alias("var_qty"),
-        pround(F.corr(q, p), 4).alias("corr_qty_price"),  # moment accumulation order differs beyond ~1e-6
-        pround(F.covar_samp(q, p), 6).alias("covar_qty_price"),
-        pround(F.skewness(q), 4).alias("skew_qty"),  # third-moment accumulation differs beyond ~1e-6
-    )
-
-
-@query(
-    "agg_min_max_by",
-    oracle="""
-    SELECT o_orderstatus,
-           arg_max(o_orderkey, o_totalprice) AS top_orderkey,
-           arg_min(o_orderkey, o_totalprice) AS bottom_orderkey,
-           CAST(max(o_totalprice) AS DOUBLE) AS top_price
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (argmax/argmin) — fetch the extreme row's key
-    without a self-join or window. (o_totalprice values are distinct
-    per status group in the fixtures, so the arg is deterministic.)"""
-    o = read_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.expr("max_by(o_orderkey, o_totalprice)").alias("top_orderkey"),
-        F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_orderkey"),
-        F.max("o_totalprice").cast("double").alias("top_price"),
-    )
-
-
-@query(
-    "agg_collect_list",
-    oracle="""
-    SELECT c_nationkey AS nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
-           count(*) AS n_customers
-    FROM customer GROUP BY c_nationkey
-    """,
-)
-def q_agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set into a sorted array (collection order is partition-
-    dependent, so determinism comes from sort_array — same rule as the
-    oracle's list_sort)."""
-    c = read_table(spark, sf_dir, "customer")
-    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
-        F.count(F.lit(1)).alias("n_customers"),
-    )
-
-
-@query(
-    "set_multiset_ops",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT ALL
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def q_set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL (multiset semantics: min of the two
-    multiplicities per value) — intersectAll, the bag-algebra
-    counterpart of set_intersect."""
-    c = read_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = read_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.intersectAll(s)
-
-
-@query(
-    "promo_revenue_ratio",
-    oracle="""
-    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
-           CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
-             AS promo_revenue,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY 1
-    """,
-)
-def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional aggregation over a broadcast
-    fact-dimension join (part broadcasts; lineitem never shuffles for
-    the join)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    p = read_table(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(18,6)")
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.year("l_shipdate").alias("ship_year"))
-        .agg(
-            F.sum(promo).cast("double").alias("promo_revenue"),
-            F.sum(rev).cast("double").alias("total_revenue"),
-        )
-    )
-
-
-@query(
-    "scalar_dates",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
-             AS days_since_epoch_start,
-           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
-           CAST(last_day(o_orderdate) AS DATE) AS month_end,
-           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
-           CAST(dayofweek(o_orderdate) AS INT) AS dow,  -- 0=Sunday
-           CAST(weekofyear(o_orderdate) AS INT) AS week
-    FROM orders
-    """,
-)
-def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date arithmetic medley: datediff, interval add, last_day,
-    quarter trunc, day-of-week, ISO week."""
-    o = read_table(spark, sf_dir, "orders")
-    d = F.to_date("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.datediff(d, F.lit("1995-01-01")).cast("bigint").alias(
-            "days_since_epoch_start"
-        ),
-        F.date_add(d, 90).alias("due_date"),
-        F.last_day(d).alias("month_end"),
-        F.to_date(F.date_trunc("quarter", d)).alias("quarter_start"),
-        (F.dayofweek(d) - 1).alias("dow"),  # 0=Sunday, DuckDB numbering
-        F.weekofyear(d).alias("week"),
-    )
-
-
-@query(
-    "scalar_strings2",
-    oracle="""
-    SELECT doc_id,
-           regexp_extract(text, '([a-z]+)', 1) AS first_word,
-           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head,
-           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
-           replace(lang, 'e', 'E') AS lang_swapped,
-           reverse(source) AS source_rev,
-           CASE WHEN strpos(text, 'spark') > 0
-                THEN strpos(text, 'spark') ELSE 0 END AS spark_pos,
-           left(upper(text), 12) AS head_upper
-    FROM documents
-    """,
-)
-def q_scalar_strings2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second string medley: regexp extract/replace, lpad, replace,
-    reverse, instr, upper+substr — all JVM builtins."""
-    docs = read_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.regexp_extract(t, "([a-z]+)", 1).alias("first_word"),
-        F.regexp_replace(
-            F.substring(t, 1, 2_000_000_000), "[aeiou]", "_"
-        ).alias("devoweled_head"),
-        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
-        F.regexp_replace("lang", "e", "E").alias("lang_swapped"),
-        F.reverse("source").alias("source_rev"),
-        F.instr(t, "spark").alias("spark_pos"),
-        F.upper(F.substring(t, 1, 12)).alias("head_upper"),
-    )
-
-
-@query(
-    "struct_operations",
-    oracle="""
-    SELECT event_id,
-           {'uid': user_id, 'etype': event_type}.uid AS uid,
-           {'uid': user_id, 'etype': event_type}.etype AS etype,
-           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
-    FROM events WHERE user_id % 100 = 7
-    """,
-)
-def q_struct_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """StructType construction + field access (named_struct / dot
-    path) — nested types the reference never reaches."""
-    ev = read_table(spark, sf_dir, "events")
-    s = F.struct(
-        F.col("user_id").alias("uid"), F.col("event_type").alias("etype")
-    )
-    return ev.where(F.col("user_id") % 100 == 7).select(
-        "event_id",
-        s.getField("uid").alias("uid"),
-        s.getField("etype").alias("etype"),
-        F.unix_timestamp("ts").alias("epoch_s"),
-    )
-
-
-@query(
-    "window_distribution",
-    oracle=f"""
-    SELECT o_orderkey, o_custkey,
-           {sql_pround('percent_rank() OVER w', 6)} AS pct_rank,
-           {sql_pround('cume_dist() OVER w', 6)} AS cume,
-           nth_value(o_orderkey, 2) OVER w2 AS second_order
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_totalprice ASC, o_orderkey ASC),
-           w2 AS (PARTITION BY o_custkey
-                  ORDER BY o_totalprice ASC, o_orderkey ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-)
-def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window family: percent_rank, cume_dist, nth_value
-    over the full-partition frame."""
-    from pyspark.sql.window import Window
-
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
-    )
-    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
-        pround(F.cume_dist().over(w), 6).alias("cume"),
-        F.nth_value("o_orderkey", 2).over(w2).alias("second_order"),
-    )
-
-
-@query(
-    "explode_variants",
-    oracle="""
-    WITH t AS (SELECT doc_id,
-                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
-               FROM documents WHERE doc_id < 20)
-    SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, toks[i] AS token
-    FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
-    """,
-)
-def q_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """posexplode: positional explosion (token index + value)."""
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents")
-    return (
-        docs.where(F.col("doc_id") < 20)
-        .select("doc_id", F.posexplode(ws_tokens(F.col("text"))))
-        .select("doc_id", F.col("pos").cast("int").alias("pos"),
-                F.col("col").alias("token"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# IO round-trips: the reference's scatter/process/gather file pipeline
-# (SURVEY §2.1 S1-S8, §2.5) re-expressed as distributed sinks/scans —
-# typed parquet end-to-end, no pandas text hop (S6/S7 anti-pattern).
-# ---------------------------------------------------------------------------
-
-_SCRATCH = "/root/repo/.scratch"
-
-# Scale factor the static oracle strings are evaluated against. The
-# driver's correctness crosscheck always runs at sf0.01, so oracles
-# that must name a concrete on-disk layout path (deflate sizes,
-# range-clustered lineitem) derive it from this constant instead of a
-# string literal; a crosscheck at another SF exports
-# SPARK_GRAFT_ORACLE_SF before importing the registry and both the
-# engine side (which self-ensures the per-SF layout from the actual
-# sf_dir) and the oracle side then read the SAME files (advice r06:
-# the literal defeated _ensure_deflate_sizes' per-SF design).
-_ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
-
-
-@query(
-    "pipeline_roundtrip",
-    oracle=ORACLES["reference_pipeline"],
-)
-def q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's full lifecycle — transform, chunked zstd parquet
-    sink (slicer's fixed-row chunking as a write option,
-    reference parquet_slicer.py:53-58), distributed re-scan (assembler
-    gather, parquet_assembler.py:29-37) — with zero fidelity loss: the
-    oracle is the same SQL as reference_pipeline because a parquet
-    round trip preserves every type and value (the reference's text
-    hop, nyc_taxi_etl.py:110-115, preserved neither)."""
-    from etl_pyspark_spark.sources.io import read_parquet, write_parquet
-
-    out = f"{_SCRATCH}/pipeline_roundtrip"
-    df = QUERIES["reference_pipeline"](spark, sf_dir)
-    write_parquet(df, out, max_records_per_file=5000)
-    return read_parquet(spark, out)
-
-
-@query(
-    "xml_roundtrip",
-    oracle="""
-    SELECT n_nationkey, n_name, n_regionkey
-    FROM nation
-    """,
-)
-def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native XML source/sink (new in Spark 4 — previously the
-    external spark-xml package): write the nation dim as row-tagged
-    XML, read it back with an explicit schema. Rounds out the text-
-    format surface (CSV/JSON/text/XML) the ingest edge of a lake
-    needs; like the CSV path, the pinned read schema makes the round
-    trip lossless."""
-    out = f"{_SCRATCH}/xml_roundtrip"
-    n = read_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
-    (
-        n.write.format("xml")
-        .option("rootTag", "nations")
-        .option("rowTag", "nation")
-        .mode("overwrite")
-        .save(out)
-    )
-    return (
-        spark.read.format("xml")
-        .option("rowTag", "nation")
-        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
-        .load(out)
-    )
-
-
-@query(
-    "csv_roundtrip",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus,
-           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           CAST(year(o_orderdate) AS INT) AS order_year
-    FROM orders WHERE o_orderkey % 10 = 3
-    """,
-)
-def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed CSV sink + schema'd CSV scan (replaces the
-    reference's pandas text round trip, parquet_assembler.py:17-28,
-    which re-inferred every dtype; here the explicit read schema
-    pins the types so the round trip is lossless)."""
-    from etl_pyspark_spark.sources.io import read_csv
-
-    out = f"{_SCRATCH}/csv_roundtrip"
-    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 3)
-    sel = o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
-        F.year("o_orderdate").alias("order_year"),
-    )
-    sel.write.mode("overwrite").option("header", "true").csv(out)
-    return read_csv(
-        spark,
-        out,
-        schema="o_orderkey bigint, o_orderstatus string, "
-        "o_totalprice double, order_year int",
-    )
-
-
-@query(
-    "orc_roundtrip",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DOUBLE) AS l_quantity, l_returnflag
-    FROM lineitem WHERE l_orderkey % 40 = 7
-    """,
-)
-def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC sink + scan (zlib): the second columnar format Spark ships
-    natively — same vectorized reader, predicate pushdown and column
-    pruning as parquet, so lakes standardized on ORC plug in with a
-    one-word format switch."""
-    out = f"{_SCRATCH}/orc_roundtrip"
-    li = read_table(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % 40 == 7
-    )
-    sel = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("double").alias("l_quantity"),
-        "l_returnflag",
-    )
-    sel.write.mode("overwrite").option("compression", "zlib").orc(out)
-    return spark.read.orc(out)
-
-
-@query(
-    "json_roundtrip",
-    oracle="""
-    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 = 2
-    """,
-)
-def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed JSON-lines sink + schema'd scan (the third
-    interchange format next to parquet/csv)."""
-    from etl_pyspark_spark.sources.io import read_json
-
-    out = f"{_SCRATCH}/json_roundtrip"
-    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 2)
-    d.select("doc_id", "lang", "n_chars").write.mode("overwrite").json(out)
-    return read_json(
-        spark, out, schema="doc_id bigint, lang string, n_chars bigint"
-    )
-
-
-@query("stream_dedup_within_watermark")  # no oracle: batching-dependent
-def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dropDuplicatesWithinWatermark: streaming dedup whose state is
-    *bounded* by the watermark delay — the production choice for
-    unbounded key spaces (plain dropDuplicates state grows forever).
-    Keys recurring further apart than the delay may legitimately both
-    survive, so the exact result depends on micro-batch boundaries:
-    registered rows-only; tests/test_streaming.py checks the
-    invariants (no within-batch dups, count between distinct-count and
-    input-count)."""
-    from etl_pyspark_spark.streaming.windows import run_to_memory_table, stream_events
-
-    sdf = stream_events(spark, sf_dir)
-    dd = sdf.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
-        ["user_id", "event_type"]
-    )
-    return run_to_memory_table(
-        dd.select("user_id", "event_type"), spark, mode="append"
-    )
-
-
-@query(
-    "stream_cdc_upsert",
-    oracle="""
-    SELECT user_id, event_id AS latest_event_id,
-           CAST(floor(epoch(ts)) AS BIGINT) AS latest_epoch_s, value
-    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                       ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events)
-    WHERE rn = 1
-    """,
-)
-def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC apply (MERGE without a table format): each
-    micro-batch upserts into a keyed lake table via foreachBatch —
-    current-state read + union + keep-latest-per-key window + a
-    versioned-directory commit. Bounded replay converges to exactly
-    the batch latest-per-key result (the oracle). On a real lake this
-    becomes ``MERGE INTO`` on Delta/Iceberg; the plan shape per batch
-    — keyed window over current ∪ delta, rewrite only the table — is
-    what foreachBatch exists for. Commit protocol (the one-file
-    miniature of a Delta/Iceberg snapshot log): each batch writes a
-    NEW version dir ``v{batch_id}``, then flips a ``CURRENT`` manifest
-    with one atomic rename — readers resolve through the manifest, so
-    the table is never observed missing or half-written, and a crash
-    between write and flip simply leaves the previous version current.
-    Per-key partitioning would bound the rewrite to touched partitions
-    at scale."""
-    import os
-    import shutil
-    import tempfile
-
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.streaming.windows import (
-        stream_events,
-        stream_shuffle_partitions,
-    )
-
-    out = f"{_SCRATCH}/stream_cdc_upsert"
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    manifest = os.path.join(out, "CURRENT")
-
-    def current_version_dir() -> str | None:
-        try:
-            with open(manifest) as fh:
-                p = os.path.join(out, fh.read().strip())
-            return p if os.path.isdir(p) else None
-        except OSError:
-            return None
-
-    sdf = stream_events(spark, sf_dir)
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        new = batch_df
-        cur_dir = current_version_dir()
-        if cur_dir is not None:
-            cur = spark.read.parquet(cur_dir)
-            new = cur.unionByName(batch_df)
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        latest = (
-            new.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-        vname = f"v{batch_id}"
-        latest.write.mode("overwrite").parquet(os.path.join(out, vname))
-        # atomic flip: the only mutation readers can observe
-        fd, tmp = tempfile.mkstemp(dir=out, prefix=".manifest.")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(vname)
-        os.replace(tmp, manifest)
-        # retire superseded versions (best-effort vacuum)
-        for d in os.listdir(out):
-            if d.startswith("v") and d != vname:
-                shutil.rmtree(os.path.join(out, d), ignore_errors=True)
-
-    with stream_shuffle_partitions(spark):
-        q = (
-            sdf.writeStream.foreachBatch(upsert)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(current_version_dir()).select(
-        "user_id",
-        F.col("event_id").alias("latest_event_id"),
-        F.unix_timestamp("ts").alias("latest_epoch_s"),
-        "value",
-    )
-
-
-@query(
-    "stream_foreach_batch_sink",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-           value
-    FROM events WHERE event_type = 'purchase' AND value > 50.0
-    """,
-)
-def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch sink: each micro-batch lands as zstd parquet via
-    the same distributed writer the batch engine uses (idempotent by
-    batch-id partition dir); the query returns the re-scanned sink.
-    This is the streaming->lake shape (what the reference's
-    chunk-text-files wanted to be, nyc_taxi_etl.py:105-119)."""
-    from etl_pyspark_spark.sources.io import read_parquet
-    from etl_pyspark_spark.streaming.windows import stream_events
-
-    out = f"{_SCRATCH}/stream_foreach_batch"
-    import shutil
-
-    shutil.rmtree(out, ignore_errors=True)
-    sdf = stream_events(spark, sf_dir)
-    filtered = sdf.where(
-        (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
-    ).select(
-        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch_s"), "value"
-    )
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").option("compression", "zstd").parquet(
-            f"{out}/batch_id={batch_id}"
-        )
-
-    from etl_pyspark_spark.streaming.windows import stream_shuffle_partitions
-
-    with stream_shuffle_partitions(spark):
-        q = (
-            filtered.writeStream.foreachBatch(sink)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{out}_ckpt")
-            .start()
-        )
-        q.awaitTermination()
-    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
-    return read_parquet(spark, out).drop("batch_id")
-
-
-# ---------------------------------------------------------------------------
-# Skew handling + HAVING + custom stateful streaming
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "agg_salted_hot_keys",
-    oracle=f"""
-    SELECT l_returnflag,
-           {_dec_sum_sql('l_extendedprice', 'sum_price')},
-           count(*) AS n
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q_agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted two-stage aggregation over a 3-value hot key
-    (operators/skew.py): identical result to the plain group-by —
-    which is exactly what the oracle asserts — but no single reducer
-    ever sees a whole hot key's rows."""
-    from etl_pyspark_spark.operators.skew import salted_agg
-
-    li = read_table(spark, sf_dir, "lineitem")
-    return salted_agg(
-        li,
-        keys=["l_returnflag"],
-        salt_cols=["l_orderkey", "l_linenumber"],
-        partial_aggs=[
-            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("_ps"),
-            F.count(F.lit(1)).alias("_pn"),
-        ],
-        merge_aggs=[
-            F.sum("_ps").cast("double").alias("sum_price"),
-            F.sum("_pn").alias("n"),
-        ],
-    )
-
-
-@query(
-    "having_filter",
-    oracle="""
-    SELECT c_custkey, c_name, count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-             AS total_spent
-    FROM customer JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey, c_name
-    HAVING count(*) >= 15
-    """,
-)
-def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: post-aggregation HAVING filter (big spenders by
-    order count)."""
-    c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_spent"),
-        )
-        .where(F.col("n_orders") >= 15)
-    )
-
-
-@query(
-    "stream_stateful_counter",
-    oracle="""
-    SELECT user_id, count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY user_id
-    """,
-)
-def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator via applyInPandasWithState:
-    a per-user running (count, sum) GroupState, emitted at end of
-    replay. This is the escape hatch for stateful logic that built-in
-    streaming aggregation can't express (custom eviction, nested
-    state machines); here it intentionally reimplements a groupBy so
-    the oracle can verify the state machinery exactly."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql import types as T
-
-    from etl_pyspark_spark.streaming.windows import run_to_memory_table, stream_events
-
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("n_events", T.LongType()),
-            T.StructField("sum_value", T.DoubleType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("n", T.LongType()),
-            T.StructField("s_micro", T.LongType()),  # decimal(18,6) as int
-        ]
-    )
-
-    def count_events(key, pdfs, state: GroupState):
-        n, s_micro = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            # accumulate in integer micros: exact, order-independent,
-            # matches the oracle's DECIMAL(18,6) sum
-            s_micro += int(
-                round(sum(round(float(v) * 1e6) for v in pdf["value"]))
-            )
-        state.update((n, s_micro))
-        import pandas as pd
-
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s_micro / 1e6]}
-        )
-
-    sdf = stream_events(spark, sf_dir)
-    counted = (
-        sdf.select("user_id", "value")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            count_events,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    )
-    mem = run_to_memory_table(counted, spark, mode="update")
-    # update mode re-emits a user on every batch; the last emission per
-    # user is the final state (single-batch replay emits exactly once)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        mem.select("*", F.row_number().over(w).alias("_rk"))
-        .where(F.col("_rk") == 1)
-        .drop("_rk")
-    )
-
-
-@query(
-    "dedup_latest_per_key",
-    oracle="""
-    SELECT user_id, event_id AS latest_event_id,
-           CAST(floor(epoch(ts)) AS BIGINT) AS latest_epoch_s, value
-    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                       ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events)
-    WHERE rn = 1
-    """,
-)
-def q_dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-record-per-key dedup (operators/windows.dedup_latest) —
-    the CDC/training-snapshot staple: one window shuffle on the key,
-    rank filter pushed into the sort as a group-limit."""
-    from etl_pyspark_spark.operators.windows import dedup_latest
-
-    ev = read_table(spark, sf_dir, "events")
-    return dedup_latest(
-        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
-    ).select(
-        "user_id",
-        F.col("event_id").alias("latest_event_id"),
-        F.unix_timestamp("ts").alias("latest_epoch_s"),
-        "value",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Partitioned lake layout + partition pruning, range frames, Q2/Q22
-# shapes, higher-order functions
-# ---------------------------------------------------------------------------
-
-
-def _ensure_orders_by_year(spark: SparkSession, sf_dir: str) -> str:
-    """Hive-partitioned orders layout under scratch — written once per
-    sf_dir (marker file), so repeat queries time the pruned SCAN, not
-    the one-time layout build (same pay-once pattern as bucketing)."""
-    from etl_pyspark_spark.sources.io import (
-        fixture_fingerprint,
-        marker_current,
-        write_marker,
-        write_parquet,
-    )
-
-    out = f"{_SCRATCH}/orders_by_year"
-    marker = f"{out}/.built_for"
-    want = fixture_fingerprint(sf_dir, "orders")
-    if not marker_current(marker, want):
-        o = read_table(spark, sf_dir, "orders")
-        write_parquet(
-            o.withColumn("order_year", F.year("o_orderdate")),
-            out,
-            partition_by=["order_year"],
-        )
-        write_marker(marker, want)
-    return out
-
-
-@query(
-    "partitioned_layout_pruning",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus,
-           CAST(o_totalprice AS DOUBLE) AS o_totalprice
-    FROM orders WHERE year(o_orderdate) = 1996
-    """,
-)
-def q_partitioned_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-partitioned lake layout: write orders partitioned by
-    order_year, read back with a partition filter. The year predicate
-    is resolved from directory names (PartitionFilters in the scan,
-    asserted in tests/test_plans.py) — at 100 TB this is the
-    difference between scanning one partition and scanning the lake."""
-    from etl_pyspark_spark.sources.io import read_parquet
-
-    out = _ensure_orders_by_year(spark, sf_dir)
-    return (
-        read_parquet(spark, out)
-        .where(F.col("order_year") == 1996)
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-        )
-    )
-
-
-@query(
-    "dpp_join_pruning",
-    oracle=f"""
-    WITH cal AS (
-      SELECT DISTINCT year(o_orderdate) AS order_year FROM orders
-    )
-    SELECT o.order_year, count(*) AS n_orders,
-           {_dec_sum_sql("o_totalprice", "total_price")}
-    FROM (SELECT *, year(o_orderdate) AS order_year FROM orders) o
-    JOIN cal ON o.order_year = cal.order_year
-    WHERE cal.order_year IN (1996, 1997)
-    GROUP BY o.order_year
-    """,
-)
-def q_dpp_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic partition pruning: the fact side is the hive-partitioned
-    orders layout, the filter lives on the DIM side only — Spark turns
-    the dim's filtered build set into a runtime partition filter on the
-    fact scan (``dynamicpruningexpression`` in the plan, pinned in
-    tests/test_plans.py). At 100 TB this is star-schema 101: the fact
-    table never materializes partitions the dim filter excludes, even
-    though no literal predicate mentions them."""
-    from etl_pyspark_spark.sources.io import read_parquet
-
-    out = _ensure_orders_by_year(spark, sf_dir)
-    facts = read_parquet(spark, out)
-    # dim built from parquet (not a local relation, which would
-    # constant-fold): distinct years, filtered AFTER the join is
-    # declared — exactly the shape DPP exists for
-    cal = (
-        read_table(spark, sf_dir, "orders")
-        .select(F.year("o_orderdate").alias("order_year"))
-        .distinct()
-        .where(F.col("order_year").isin(1996, 1997))
-    )
-    return (
-        facts.join(cal, "order_year")
-        .groupBy("order_year")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dec_sum(F.col("o_totalprice"), "total_price"),
-        )
-    )
-
-
-@query(
-    "bucketed_join_colocated",
-    oracle=f"""
-    SELECT c_mktsegment, count(*) AS n_orders,
-           {_dec_sum_sql("o_totalprice", "total_price")}
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_mktsegment
-    """,
-)
-def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed-table co-located join: orders and customer bucketed on
-    custkey via saveAsTable, then sort-merge joined with ZERO Exchange
-    on either side (pinned in tests/test_plans.py). The per-query
-    shuffle is pre-paid once at ingest (sources/bucketed.py)."""
-    from etl_pyspark_spark.sources.bucketed import (
-        colocated_join,
-        ensure_bucketed_fixtures,
-    )
-
-    ensure_bucketed_fixtures(spark, sf_dir)
-    j = colocated_join(
-        spark,
-        "orders_bkt",
-        "customer_bkt",
-        lambda l, r: l.o_custkey == r.c_custkey,
-    )
-    return j.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dec_sum(F.col("o_totalprice"), "total_price"),
-    )
-
-
-@query(
-    "window_range_frame",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
-                          RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
-             AS n_price_neighbors
-    FROM orders
-    """,
-)
-def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame (value-based window): rows within +-1000 of each
-    order's price — value neighborhoods, not row offsets."""
-    o = read_table(spark, sf_dir, "orders")
-    # the python Window API only takes integer offsets; fractional
-    # RANGE frames go through the SQL expression form
-    frame = F.expr(
-        "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
-        "RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)"
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
-        frame.alias("n_price_neighbors"),
-    )
-
-
-@query(
-    "min_per_group_join_back",
-    oracle="""
-    SELECT s.s_nationkey AS nationkey, s.s_suppkey, s.s_name,
-           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
-    FROM supplier s
-    JOIN (SELECT s_nationkey, min(s_acctbal) AS min_bal
-          FROM supplier GROUP BY s_nationkey) m
-      ON s.s_nationkey = m.s_nationkey AND s.s_acctbal = m.min_bal
-    """,
-)
-def q_min_per_group_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: aggregate-then-join-back (rows attaining the
-    per-group minimum). The agg side is tiny after reduction, so it
-    broadcasts; no window sort needed."""
-    s = read_table(spark, sf_dir, "supplier")
-    m = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
-    return (
-        s.join(
-            F.broadcast(m),
-            (s.s_nationkey == m.nk) & (s.s_acctbal == m.min_bal),
-        )
-        .select(
-            F.col("s_nationkey").alias("nationkey"),
-            "s_suppkey",
-            "s_name",
-            F.col("s_acctbal").cast("double").alias("s_acctbal"),
-        )
-    )
-
-
-@query(
-    "global_avg_filter_anti",
-    oracle="""
-    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
-    FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                      AND year(o_orderdate) >= 1998)
-    """,
-)
-def q_global_avg_filter_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: uncorrelated scalar subquery (global average,
-    computed once and broadcast as a literal-like join) + anti join
-    (customers with positive balance above average and no orders)."""
-    _register_views(spark, sf_dir, "customer", "orders")
-    return spark.sql("""
-        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
-        FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                          AND year(o_orderdate) >= 1998)
-    """)
-
-
-@query(
-    "higher_order_functions",
-    oracle="""
-    WITH t AS (SELECT doc_id,
-                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
-               FROM documents)
-    SELECT doc_id,
-           list_transform(toks[1:3], x -> upper(x)) AS head_upper,
-           len(list_filter(toks, x -> length(x) > 5)) AS n_long,
-           list_has_any(toks, ['spark', 'sql']) AS mentions_engine,
-           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
-             AS total_chars,
-           list_reduce(list_prepend('', toks[1:2]),
-                       (acc, x) -> acc || '|' || x) AS piped_head
-    FROM t
-    """,
-)
-def q_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Higher-order array functions: transform, filter, exists,
-    aggregate (fold) — lambda expressions compiled into codegen, the
-    JVM-side alternative to exploding + re-grouping."""
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents")
-    # split once, reference five times (CollapseProject keeps
-    # multiply-referenced non-trivial exprs un-inlined; 3.7x faster)
-    docs = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    return docs.select(
-        "doc_id",
-        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias(
-            "head_upper"
-        ),
-        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
-        F.exists(
-            toks, lambda x: (x == "spark") | (x == "sql")
-        ).alias("mentions_engine"),
-        F.aggregate(
-            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-        ).alias("total_chars"),
-        F.aggregate(
-            F.slice(toks, 1, 2),
-            F.lit(""),
-            lambda acc, x: F.concat(acc, F.lit("|"), x),
-        ).alias("piped_head"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Calendar spine, schema evolution, null semantics
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "date_spine_join",
-    oracle="""
-    WITH spine AS (
-      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1998-12-01',
-                                         INTERVAL 1 MONTH)) AS DATE) AS month_start),
-    m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-                 count(*) AS n_orders
-          FROM orders GROUP BY 1)
-    SELECT spine.month_start, coalesce(m.n_orders, 0) AS n_orders
-    FROM spine LEFT JOIN m ON spine.month_start = m.month_start
-    """,
-)
-def q_date_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar spine: generate a complete month sequence with
-    ``sequence()`` + explode, left-join actuals, zero-fill gaps — the
-    standard fix for time series that must not silently skip empty
-    periods. The spine is generated in-engine (one row -> explode),
-    never collected or hand-built on the driver."""
-    spine = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("1995-01-01").cast("date"),
-                F.lit("1998-12-01").cast("date"),
-                F.expr("INTERVAL 1 MONTH"),
-            )
-        ).alias("month_start")
-    )
-    o = read_table(spark, sf_dir, "orders")
-    m = o.groupBy(
-        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start")
-    ).agg(F.count(F.lit(1)).alias("n_orders"))
-    return spine.join(m, "month_start", "left").select(
-        "month_start", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
-    )
-
-
-@query(
-    "schema_evolution_merge",
-    oracle="""
-    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           CASE WHEN year(o_orderdate) >= 1997
-                THEN upper(o_orderpriority) END AS priority_tag
-    FROM orders
-    """,
-)
-def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution in a parquet lake: an old batch (2 columns) and
-    a new batch (3 columns) coexist in one dataset; ``mergeSchema``
-    reconciles the footers and old rows surface NULL for the added
-    column — append-only evolution with no rewrite of history."""
-    from etl_pyspark_spark.sources.io import write_parquet
-
-    out = f"{_SCRATCH}/orders_evolving"
-    o = read_table(spark, sf_dir, "orders")
-    old_batch = o.where(F.year("o_orderdate") < 1997).select(
-        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
-    )
-    new_batch = o.where(F.year("o_orderdate") >= 1997).select(
-        "o_orderkey",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
-        F.upper("o_orderpriority").alias("priority_tag"),
-    )
-    write_parquet(old_batch, f"{out}/batch=old")
-    write_parquet(new_batch, f"{out}/batch=new")
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(out)
-        .select("o_orderkey", "o_totalprice", "priority_tag")
-    )
-
-
-@query(
-    "null_semantics",
-    oracle="""
-    WITH t AS (
-      SELECT event_id,
-             nullif(user_id % 97, 0) AS maybe_uid,
-             value
-      FROM events)
-    SELECT a.event_id AS id_a, b.event_id AS id_b, a.maybe_uid
-    FROM t a JOIN t b
-      ON a.maybe_uid IS NOT DISTINCT FROM b.maybe_uid
-     AND a.event_id < b.event_id AND a.event_id + 1 = b.event_id
-    """,
-)
-def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-safe equality (`<=>` / IS NOT DISTINCT FROM): NULL keys
-    *match each other* in the join — the semantics dedup and CDC diff
-    pipelines need (plain `=` silently drops every NULL row)."""
-    ev = read_table(spark, sf_dir, "events")
-    t = ev.select(
-        "event_id",
-        F.nullif(F.col("user_id") % 97, F.lit(0)).alias("maybe_uid"),
-        "value",
-    )
-    a = t.select(
-        F.col("event_id").alias("id_a"), F.col("maybe_uid").alias("uid_a")
-    )
-    b = t.select(
-        F.col("event_id").alias("id_b"), F.col("maybe_uid").alias("uid_b")
-    )
-    return (
-        a.join(
-            b,
-            a.uid_a.eqNullSafe(b.uid_b)
-            & (a.id_a < b.id_b)
-            & (a.id_a + 1 == b.id_b),
-        )
-        .select("id_a", "id_b", F.col("uid_a").alias("maybe_uid"))
-    )
-
-
-@query("join_asof_cogroup", oracle=ORACLES["join_asof"])
-def q_join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join, cogroup implementation: both sides shuffle once on
-    user_id, each cogroup runs pandas merge_asof locally
-    (operators/joins.asof_join_cogroup). Same oracle as join_asof —
-    two independent implementations pinned to one answer."""
-    from etl_pyspark_spark.operators.joins import asof_join_cogroup
-
-    ev = read_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.unix_timestamp("ts").alias("purchase_epoch_s"),
-    )
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id",
-        "ts",
-        F.unix_timestamp("ts").alias("signup_epoch_s"),
-        F.col("value").alias("signup_value"),
-    )
-    out = asof_join_cogroup(
-        purchases,
-        signups,
-        key="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=["signup_epoch_s", "signup_value"],
-    )
-    return out.select(
-        "event_id", "user_id", "purchase_epoch_s",
-        "asof_signup_epoch_s", "asof_signup_value",
-    )
-
-
-@query(
-    "multimodal_arrow_stats",
-    oracle="""
-    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(strlen(text) % 251 AS BIGINT) AS shard
-    FROM documents
-    """,
-)
-def q_multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInArrow: the zero-pandas Arrow path — RecordBatches in,
-    RecordBatches out, columnar compute via pyarrow.compute. The
-    fastest Python lane (no pandas boxing); right for byte-level
-    metadata over huge binary columns."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from etl_pyspark_spark.multimodal.assets import with_payload
-
-    docs = read_table(spark, sf_dir, "documents")
-    assets = with_payload(docs).select("doc_id", "payload")
-
-    def stats(batches):
-        for batch in batches:
-            n = pc.binary_length(batch.column("payload")).cast(pa.int64())
-            shard = pc.subtract(
-                n, pc.multiply(pc.divide(n, 251), pa.scalar(251, pa.int64()))
-            )  # n % 251 (integer divide truncates; no pc.mod in this pyarrow)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column("doc_id"), n, shard],
-                names=["doc_id", "n_bytes", "shard"],
-            )
-
-    return assets.mapInArrow(
-        stats, schema="doc_id bigint, n_bytes bigint, shard bigint"
-    )
-
-
-@query(
-    "map_hof_functions",
-    oracle="""
-    SELECT event_id,
-           2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_doubled,
-           2 AS n_entries,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 AS k_high
-    FROM events
-    """,
-)
-def q_map_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map higher-order functions: transform_values, map_concat,
-    map_filter, element access — the MapType manipulation surface over
-    the parsed props column."""
-    ev = read_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
-    doubled = F.transform_values(m, lambda _, v: v * 2)
-    merged = F.map_concat(
-        doubled, F.create_map(F.lit("one"), F.lit(1).cast("bigint"))
-    )
-    high = F.map_filter(m, lambda _, v: v >= 50)
-    return ev.select(
-        "event_id",
-        F.element_at(doubled, "k").alias("k_doubled"),
-        F.size(merged).alias("n_entries"),
-        (F.size(high) > 0).alias("k_high"),
-    )
-
-
-@query("similarity_ivf_topk")  # no oracle: k-means quantizer is estimator-specific
-def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 for 8 query vectors: k-means coarse
-    quantizer (16 cells), 4 probed cells per query, per-cell GEMM
-    (similarity/ivf.py). Rows-only check; tests/test_sketches.py
-    bounds recall against the exact brute-force top-k."""
-    from etl_pyspark_spark.similarity.ivf import ivf_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 8))
-
-
-@query(
-    "multi_exists_correlated",
-    oracle="""
-    WITH late AS (
-      SELECT l_orderkey, l_suppkey
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      WHERE o_orderstatus = 'F'
-        AND l_shipdate > o_orderdate + INTERVAL 90 DAY),
-    allsup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
-    SELECT s_name, count(*) AS numwait
-    FROM late l1
-    JOIN supplier ON s_suppkey = l1.l_suppkey
-    JOIN nation ON n_nationkey = s_nationkey
-               AND n_name IN ('NATION_1', 'NATION_3')
-    WHERE EXISTS (SELECT 1 FROM allsup l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM late l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey)
-    GROUP BY s_name
-    """,
-)
-def q_multi_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (sole-late-supplier-in-multi-supplier-order):
-    correlated EXISTS -> left-semi join, NOT EXISTS -> left-anti join,
-    both on the order key with a supplier-mismatch residual; dims
-    broadcast. (Lateness adapted to this fixture's columns: shipped
-    >90 days after o_orderdate.)"""
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .where(
-            (F.col("o_orderstatus") == "F")
-            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
-        )
-        .select("l_orderkey", "l_suppkey")
-    )
-    allsup = li.select("l_orderkey", "l_suppkey").distinct()
-    l1 = late.alias("l1")
-    has_other = l1.join(
-        allsup.alias("l2"),
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
-    )
-    sole_late = has_other.alias("lhs").join(
-        late.alias("l3"),
-        (F.col("lhs.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("lhs.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
-    )
-    s = read_table(spark, sf_dir, "supplier")
-    n = read_table(spark, sf_dir, "nation").where(
-        F.col("n_name").isin("NATION_1", "NATION_3")
-    )
-    return (
-        sole_late.join(
-            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
-        )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-    )
-
-
-@query(
-    "disjunctive_predicates",
-    oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue,
-           count(*) AS n
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
-           AND l_quantity BETWEEN 1 AND 20)
-       OR (p_type = 'STANDARD' AND p_size BETWEEN 10 AND 30
-           AND l_quantity BETWEEN 10 AND 35)
-       OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 50
-           AND l_quantity BETWEEN 20 AND 50)
-    """,
-)
-def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
-    extracts the common join key as the hash condition and keeps the
-    disjunction residual, plus pushes the per-side implied filters
-    (p_type IN (...), quantity range) below the join."""
-    li = read_table(spark, sf_dir, "lineitem")
-    p = read_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    q, sz, ty = F.col("l_quantity"), F.col("p_size"), F.col("p_type")
-    cond = (
-        ((ty == "PROMO") & sz.between(1, 15) & q.between(1, 20))
-        | ((ty == "STANDARD") & sz.between(10, 30) & q.between(10, 35))
-        | ((ty == "ECONOMY") & sz.between(20, 50) & q.between(20, 50))
-    )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    return j.where(cond).agg(
-        F.sum(rev).cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@query(
-    "explode_outer_nulls",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0 THEN []
-                  ELSE list_filter(string_split(text, ' '), x -> x <> '')[1:3]
-             END AS toks
-      FROM documents WHERE doc_id < 50)
-    SELECT doc_id, u.token
-    FROM t LEFT JOIN (SELECT doc_id AS d2, unnest(toks) AS token FROM t) u
-      ON t.doc_id = u.d2
-    """,
-)
-def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explode_outer: rows with empty arrays survive with a NULL
-    element (plain explode silently drops them — a classic data-loss
-    bug in token pipelines)."""
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents")
-    toks = F.when(
-        F.col("doc_id") % 5 == 0, F.array().cast("array<string>")
-    ).otherwise(F.slice(ws_tokens(F.col("text")), 1, 3))
-    return (
-        docs.where(F.col("doc_id") < 50)
-        .select("doc_id", F.explode_outer(toks).alias("token"))
-    )
-
-
-@query(
-    "union_missing_columns",
-    oracle="""
-    SELECT o_orderkey AS entity_key, 'order' AS kind,
-           CAST(o_totalprice AS DOUBLE) AS amount,
-           o_orderstatus AS status
-    FROM orders WHERE o_orderkey % 100 = 1
-    UNION ALL
-    SELECT c_custkey, 'customer',
-           CAST(c_acctbal AS DOUBLE), NULL
-    FROM customer WHERE c_custkey % 20 = 1
-    """,
-)
-def q_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unionByName(allowMissingColumns=True): schema-divergent
-    entity streams unify with NULL fill — the append-log shape for
-    heterogeneous records."""
-    o = read_table(spark, sf_dir, "orders").where(
-        F.col("o_orderkey") % 100 == 1
-    ).select(
-        F.col("o_orderkey").alias("entity_key"),
-        F.lit("order").alias("kind"),
-        F.col("o_totalprice").cast("double").alias("amount"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    c = read_table(spark, sf_dir, "customer").where(
-        F.col("c_custkey") % 20 == 1
-    ).select(
-        F.col("c_custkey").alias("entity_key"),
-        F.lit("customer").alias("kind"),
-        F.col("c_acctbal").cast("double").alias("amount"),
-    )
-    return o.unionByName(c, allowMissingColumns=True)
-
-
-# ---------------------------------------------------------------------------
-# Temporal operators (operators/temporal.py): sessionization, SCD2,
-# CDC merge — plus remaining TPC-H decision-support shapes.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "sessionize_events",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                          > 1800000000
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    sess AS (
-      SELECT user_id, ts,
-             CAST(sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-      FROM flagged)
-    SELECT user_id, session_seq, min(ts) AS session_start,
-           max(ts) AS session_end, count(*) AS n_events
-    FROM sess GROUP BY user_id, session_seq
-    """,
-)
-def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (gaps-and-islands, 30-min inactivity): the
-    window shuffle partitions by user_id and the session groupBy reuses
-    that partitioning — one partition-by-user pass end-to-end. Gap
-    arithmetic in integer microseconds (operators/temporal.py)."""
-    from etl_pyspark_spark.operators.temporal import sessionize
-
-    ev = read_table(spark, sf_dir, "events")
-    return sessionize(ev, gap_seconds=1800)
-
-
-@query(
-    "scd2_intervals",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_orderstatus,
-           o_orderdate AS valid_from,
-           lead(o_orderdate) OVER w AS valid_to,
-           lead(o_orderdate) OVER w IS NULL AS is_current
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 (type-2 slowly-changing dimension): each customer's order
-    history becomes [valid_from, valid_to) validity intervals via
-    lead(); NULL valid_to = current row. One window shuffle on the
-    dimension key."""
-    from etl_pyspark_spark.operators.temporal import scd2_intervals
-
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"
-    )
-    out = scd2_intervals(
-        o, key_col="o_custkey", ts_col="o_orderdate", tiebreak_col="o_orderkey"
-    )
-    return out.select(
-        "o_custkey", "o_orderkey", "o_orderstatus",
-        "valid_from", "valid_to", "is_current",
-    )
-
-
-@query(
-    "merge_upsert",
-    oracle="""
-    WITH base AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus,
-             CAST(o_totalprice AS DOUBLE) AS o_totalprice
-      FROM orders WHERE o_orderkey % 3 <> 0),
-    upd AS (
-      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-             CAST(o_totalprice * CAST(1.1 AS DOUBLE) AS DOUBLE) AS o_totalprice
-      FROM orders WHERE o_orderkey % 2 = 0)
-    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
-           COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
-           COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
-           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
-    FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
-    """,
-)
-def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC merge/upsert (batch MERGE INTO): an update batch replaces
-    matching base rows, inserts the rest, base passes through — full
-    outer join + coalesce (operators/temporal.py). With a bucketed
-    base table the base-side exchange disappears entirely."""
-    from etl_pyspark_spark.operators.temporal import merge_upsert
-
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
-    )
-    base = o.where(F.col("o_orderkey") % 3 != 0)
-    upd = o.where(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey",
-        "o_custkey",
-        F.lit("U").alias("o_orderstatus"),
-        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
-    )
-    return merge_upsert(base, upd, "o_orderkey")
-
-
-_STRATA_THRESH = {  # floor(rate * 2^60), exact integer literals
-    "F": (2**60) // 2,        # 50%
-    "O": (2**60) // 5,        # 20%
-    "P": (4 * 2**60) // 5,    # 80%
-}
-
-
-@query(
-    "sample_stratified",
-    oracle=f"""
-    SELECT o_orderkey, o_orderstatus,
-           CAST(o_totalprice AS DOUBLE) AS o_totalprice
-    FROM orders
-    WHERE ('0x' || substr(md5('strat:' || CAST(o_orderkey AS VARCHAR)),
-                          1, 15))::BIGINT
-          < CASE o_orderstatus
-              WHEN 'F' THEN {_STRATA_THRESH['F']}
-              WHEN 'O' THEN {_STRATA_THRESH['O']}
-              ELSE {_STRATA_THRESH['P']} END
-    """,
-)
-def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified deterministic sampling: a different rate per stratum
-    (50% F / 20% O / 80% P) by comparing the portable 60-bit key hash
-    against floor(rate*2^60) — the engine-stable version of
-    ``df.sampleBy``, reproducible at any parallelism."""
-    from etl_pyspark_spark.functions.text import portable_hash60
-
-    o = read_table(spark, sf_dir, "orders")
-    h = portable_hash60(
-        F.concat(F.lit("strat:"), F.col("o_orderkey").cast("string"))
-    )
-    thresh = (
-        F.when(F.col("o_orderstatus") == "F", F.lit(_STRATA_THRESH["F"]))
-        .when(F.col("o_orderstatus") == "O", F.lit(_STRATA_THRESH["O"]))
-        .otherwise(F.lit(_STRATA_THRESH["P"]))
-    )
-    return o.where(h < thresh).select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
-    )
-
-
-@query(
-    "custdist_distribution",
-    oracle="""
-    SELECT c_count, count(*) AS custdist
-    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-          FROM customer c LEFT JOIN orders o
-            ON c.c_custkey = o.o_custkey
-           AND o.o_orderpriority <> '1-URGENT'
-          GROUP BY c.c_custkey)
-    GROUP BY c_count
-    """,
-)
-def q_custdist_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape (customer order-count distribution): LEFT join
-    with the filter in the ON clause (zero-order customers must
-    survive), count per customer, then histogram the counts. The
-    per-customer groupBy reuses the join's c_custkey partitioning —
-    no extra Exchange before the (tiny) second aggregation."""
-    c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(
-            o,
-            (c.c_custkey == o.o_custkey)
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(
-        F.count(F.lit(1)).alias("custdist")
-    )
-
-
-@query(
-    "small_qty_revenue",
-    oracle="""
-    WITH pa AS (
-      SELECT l_partkey,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-               / count(*) AS avg_qty
-      FROM lineitem GROUP BY l_partkey)
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(7.0 AS DOUBLE) AS avg_yearly
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    JOIN pa USING (l_partkey)
-    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-      AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
-    """,
-)
-def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
-    scalar subquery avg(l_quantity) per part decorrelates into one
-    per-part aggregate joined back to lineitem; the part dimension
-    filter broadcasts. Per-part averages go through decimal sums so
-    the 0.2*avg threshold is bit-identical across engines."""
-    li = read_table(spark, sf_dir, "lineitem")
-    p = read_table(spark, sf_dir, "part").where(
-        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
-    )
-    pa = li.groupBy("l_partkey").agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(pa, "l_partkey")
-        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
-        .agg(
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
-                    "double"
-                )
-                / F.lit(7.0)
-            ).alias("avg_yearly")
-        )
-    )
-
-
-@query(
-    "top_supplier_revenue",
-    oracle="""
-    WITH rev AS (
-      SELECT l_suppkey,
-             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1997-01-01'
-      GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN rev ON s_suppkey = l_suppkey
-    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
-    """,
-)
-def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape (top supplier): max-over-aggregate via a 1-row
-    broadcast join against the revenue aggregate — no global sort, no
-    single-partition window; ties all survive, as in the spec. Exact
-    decimal revenue sums make the max comparison engine-stable."""
-    li = read_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    rev = li.groupBy("l_suppkey").agg(
-        dec_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")),
-            "total_revenue",
-        )
-    )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
-    s = read_table(spark, sf_dir, "supplier")
-    return (
-        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-@query(
-    "priority_line_counts",
-    oracle="""
-    SELECT l_linestatus,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
-    GROUP BY l_linestatus
-    """,
-)
-def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape (priority line counts): conditional CASE
-    aggregation over a fact-fact join — one shuffle join on the order
-    key, then a tiny two-group aggregate with both counts computed in
-    a single pass (no second scan per CASE branch)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Binary-file source, lake compaction, hypertable rollup, UDAF/UDTF
-# surfaces.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "binary_file_source",
-    oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           md5(text) AS checksum
-    FROM documents WHERE doc_id < 200
-    """,
-)
-def q_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``binaryFile`` DataSource round-trip: payloads materialized as
-    one file per asset (task-side foreachPartition, nothing through
-    the driver), re-ingested with pathGlobFilter + per-file splits,
-    metadata (length/md5) computed JVM-side on the content column.
-    This is the real on-disk shape of an image/audio lake."""
-    from etl_pyspark_spark.multimodal.assets import (
-        read_binary_assets,
-        with_payload,
-        write_binary_files,
-    )
-
-    out = f"{_SCRATCH}/binfiles"
-    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    write_binary_files(with_payload(docs), out)
-    return read_binary_assets(spark, out)
-
-
-@query(
-    "compact_small_files",
-    oracle="""
-    SELECT event_id, user_id, event_type, ts,
-           CAST(value AS DOUBLE) AS value
-    FROM events WHERE event_id % 4 = 1
-    """,
-)
-def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction: a fragmented sink (48 tiny part files,
-    the classic foreachBatch residue) compacted to 4 with ``coalesce``
-    — a narrow, zero-shuffle rewrite — then re-scanned losslessly."""
-    from etl_pyspark_spark.sources.io import compact_small_files
-
-    frag = f"{_SCRATCH}/compact_src"
-    dst = f"{_SCRATCH}/compact_dst"
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("event_id") % 4 == 1
-    ).select(
-        "event_id", "user_id", "event_type", "ts",
-        F.col("value").cast("double").alias("value"),
-    )
-    ev.repartition(48).write.mode("overwrite").parquet(frag)
-    return compact_small_files(spark, frag, dst, target_files=4)
-
-
-@query(
-    "time_rollup_multigrain",
-    oracle="""
-    WITH hourly AS (
-      SELECT date_trunc('hour', ts) AS bucket_start, event_type,
-             count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2),
-    daily AS (
-      SELECT date_trunc('day', bucket_start) AS bucket_start, event_type,
-             CAST(sum(n_events) AS BIGINT) AS n_events,
-             CAST(sum(CAST(sum_value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM hourly GROUP BY 1, 2),
-    weekly AS (
-      SELECT date_trunc('week', bucket_start) AS bucket_start, event_type,
-             CAST(sum(n_events) AS BIGINT) AS n_events,
-             CAST(sum(CAST(sum_value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM daily GROUP BY 1, 2)
-    SELECT 'hour' AS grain, * FROM hourly
-    UNION ALL SELECT 'day', * FROM daily
-    UNION ALL SELECT 'week', * FROM weekly
-    """,
-)
-def q_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style continuous aggregate (hour -> day -> week):
-    each coarser grain re-aggregates the FINER aggregate, not the raw
-    events — at 100 TB the day/week rollups read thousands of rows
-    instead of billions. Re-aggregation stays exact because sums pass
-    through decimals at every level (a double re-sum would drift with
-    partitioning). Spark caches the hourly aggregate; day and week
-    reuse it."""
-    ev = read_table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dec_sum(F.col("value"), "sum_value"),
-        )
-        .cache()
-    )
-
-    def roll_up(df: DataFrame, grain: str) -> DataFrame:
-        return df.groupBy(
-            F.date_trunc(grain, F.col("bucket_start")).alias("bucket_start"),
-            "event_type",
-        ).agg(
-            F.sum("n_events").alias("n_events"),
-            dec_sum(F.col("sum_value"), "sum_value"),
-        )
-
-    daily = roll_up(hourly, "day").cache()
-    weekly = roll_up(daily, "week")
-    tag = lambda df, g: df.select(  # noqa: E731
-        F.lit(g).alias("grain"), "bucket_start", "event_type",
-        "n_events", "sum_value",
-    )
-    return (
-        tag(hourly, "hour")
-        .unionByName(tag(daily, "day"))
-        .unionByName(tag(weekly, "week"))
-    )
-
-
-@query(
-    "grouped_median_udaf",
-    oracle="""
-    WITH s AS (
-      SELECT event_type, value,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY value, event_id) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM events)
-    SELECT event_type, value AS median_value
-    FROM s WHERE rn = (n + 1) // 2
-    """,
-)
-def q_grouped_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom UDAF surface: lower median per group via a grouped-agg
-    pandas UDF (Series -> scalar, Arrow-batched — Spark has no exact
-    distributed median aggregate; percentile_approx is a sketch).
-    Selecting an ELEMENT (not interpolating) keeps the result
-    engine-exact. Scale note: a grouped-agg pandas UDF materializes
-    each group in one worker — fine for bounded group counts like
-    event types; use approx sketches when groups can be huge."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # explicit GROUPED_AGG: hint-based inference needs pandas importable
-    # from the module globals where annotations resolve
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def lower_median(v):
-        s = v.sort_values().reset_index(drop=True)
-        return float(s.iloc[(len(s) - 1) // 2])
-
-    ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        lower_median(F.col("value")).alias("median_value")
-    )
-
-
-@query(
-    "udtf_numbered_tokens",
-    oracle="""
-    WITH t AS (SELECT doc_id,
-                      list_filter(string_split(text, ' '), x -> x <> '') AS ts
-               FROM documents WHERE doc_id < 30)
-    SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, ts[g.i] AS token
-    FROM t, UNNEST(generate_series(1, len(ts))) AS g(i)
-    """,
-)
-def q_udtf_numbered_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF surface (Spark 4): a table function emitting
-    (pos, token) rows per input document, applied with LATERAL.
-    Coverage of the UDTF API — row-at-a-time Python is the slow path;
-    the production equivalent is posexplode(ws_tokens(...)), which the
-    explode_tokens query already pins."""
-    from pyspark.sql.functions import udtf
-
-    @udtf(returnType="pos int, token string")
-    class NumberedTokens:
-        def eval(self, text: str):
-            if text is None:
-                return
-            pos = 0
-            for tok in text.split(" "):
-                if tok != "":
-                    yield pos, tok
-                    pos += 1
-
-    spark.udtf.register("numbered_tokens", NumberedTokens)
-    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
-    docs.createOrReplaceTempView("udtf_docs")
-    return spark.sql(
-        """
-        SELECT d.doc_id, f.pos, f.token
-        FROM udtf_docs d, LATERAL numbered_tokens(d.text) f
-        """
-    )
-
-
-# ---------------------------------------------------------------------------
-# Skew-salted join, iterative PageRank, fuzzy matching, text source,
-# unpivot.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "salted_join",
-    oracle="""
-    SELECT e.event_id, e.event_type,
-           CAST(e.value AS DOUBLE) AS value,
-           d.type_code
-    FROM events e
-    JOIN (SELECT event_type,
-                 CAST(('0x' || substr(md5(event_type), 1, 15))::BIGINT % 1000
-                      AS BIGINT) AS type_code
-          FROM (SELECT DISTINCT event_type FROM events)) d
-      ON e.event_type = d.event_type
-    WHERE e.event_id % 10 = 0
-    """,
-)
-def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted equi join (operators/skew.salted_join): event_type
-    has ~5 hot values, so a plain shuffle join lands each on ONE
-    reducer; salting splits every hot key across 8 buckets (fact salt
-    = event_id % 8, dim replicated x8). Broadcast is disabled via hint
-    to exercise the shuffle path — the result is identical to the
-    plain join, which is what the oracle checks."""
-    from etl_pyspark_spark.functions.text import portable_hash60
-    from etl_pyspark_spark.operators.skew import salted_join
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("event_id") % 10 == 0
-    ).select(
-        "event_id", "event_type", F.col("value").cast("double").alias("value")
-    )
-    dim = (
-        read_table(spark, sf_dir, "events")
-        .select("event_type")
-        .distinct()
-        .withColumn("type_code", portable_hash60(F.col("event_type")) % 1000)
-        .hint("shuffle_hash")  # forbid broadcast: exercise salted shuffle
-    )
-    return salted_join(
-        ev, dim, key="event_type", salt_from="event_id", buckets=8
-    ).select("event_id", "event_type", "value", "type_code")
-
-
-def _pagerank_oracle() -> str:
-    from etl_pyspark_spark.operators.graph import sql_pagerank_int
-
-    nodes_sql = "SELECT DISTINCT user_id AS node FROM events WHERE user_id < 150"
-    edges_sql = """
-      SELECT DISTINCT node AS src, (node * 13 + 7) % 150 AS dst FROM nodes
-      UNION
-      SELECT DISTINCT node, (node * 29 + 3) % 150 FROM nodes
-    """
-    return sql_pagerank_int(nodes_sql, edges_sql, iterations=5)
-
-
-@query("pagerank_iterative", oracle=_pagerank_oracle())
-def q_pagerank_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-quantized PageRank, 5 rounds (operators/graph.py): the
-    canonical iterative keyed dataflow — join + groupBy per round,
-    localCheckpoint lineage truncation, no driver state. Bit-exact
-    across engines because every step is bigint arithmetic; the oracle
-    unrolls the same 5 rounds as CTEs. Graph: deterministic referral
-    edges u -> (13u+7)%150, u -> (29u+3)%150 over the event users."""
-    from etl_pyspark_spark.operators.graph import pagerank_int
-
-    nodes = (
-        read_table(spark, sf_dir, "events")
-        .where(F.col("user_id") < 150)
-        .select(F.col("user_id").alias("node"))
-        .distinct()
-    )
-    edges = (
-        nodes.select(
-            F.col("node").alias("src"),
-            ((F.col("node") * 13 + 7) % 150).alias("dst"),
-        )
-        .union(
-            nodes.select(
-                F.col("node"), ((F.col("node") * 29 + 3) % 150).alias("dst")
-            )
-        )
-        .distinct()
-    )
-    return pagerank_int(nodes, edges, iterations=5)
-
-
-@query(
-    "fuzzy_name_match",
-    oracle="""
-    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-           levenshtein(a.c_name, b.c_name) AS edit_dist
-    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-    WHERE a.c_custkey < 150 AND b.c_custkey < 150
-      AND levenshtein(a.c_name, b.c_name) <= 2
-    """,
-)
-def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching: near-identical entity names at
-    Levenshtein <= 2 (both engines implement the same DP edit
-    distance — integer result, engine-exact). The quadratic verify is
-    bounded here by a key filter; at corpus scale the candidate set
-    comes from blocking (length bands / q-gram prefixes, same
-    lossless-filter playbook as dedup/ngram.py) before the O(len^2)
-    verify touches any pair."""
-    c = read_table(spark, sf_dir, "customer").where(
-        F.col("c_custkey") < 150
-    ).select("c_custkey", "c_name")
-    a = c.select(
-        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
-    )
-    b = c.select(
-        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
-    )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
-        a.join(b, F.col("key_a") < F.col("key_b"))
-        .where(dist <= 2)
-        .select("key_a", "key_b", dist.alias("edit_dist"))
-    )
-
-
-@query(
-    "text_line_parse",
-    oracle="""
-    SELECT event_id, user_id, event_type,
-           CAST(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
-             AS value
-    FROM events WHERE event_id % 8 = 3
-    """,
-)
-def q_text_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-line source round-trip: pipe-delimited lines written with
-    ``df.write.text``, re-read with ``spark.read.text`` and parsed via
-    one ``from_csv`` (typed, single pass — not N regexp_extract
-    calls). Doubles travel as DECIMAL(18,6) strings so the re-parsed
-    value is the same IEEE double on every engine. This is the
-    reference's S6/S7 text hop (nyc_taxi_etl.py:105-119) done
-    losslessly and distributed."""
-    out = f"{_SCRATCH}/text_lines"
-    ev = read_table(spark, sf_dir, "events").where(F.col("event_id") % 8 == 3)
-    lines = ev.select(
-        F.concat_ws(
-            "|",
-            F.col("event_id").cast("string"),
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
-            F.col("value").cast("decimal(18,6)").cast("string"),
-        ).alias("value")
-    )
-    lines.write.mode("overwrite").text(out)
-    parsed = spark.read.text(out).select(
-        F.from_csv(
-            F.col("value"),
-            "event_id bigint, user_id bigint, event_type string, value double",
-            {"sep": "|"},
-        ).alias("r")
-    )
-    return parsed.select("r.event_id", "r.user_id", "r.event_type", "r.value")
-
-
-@query(
-    "unpivot_long",
-    oracle="""
-    WITH wide AS (
-      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-             count(*) FILTER (o_orderstatus = 'O') AS status_O,
-             count(*) FILTER (o_orderstatus = 'F') AS status_F,
-             count(*) FILTER (o_orderstatus = 'P') AS status_P
-      FROM orders GROUP BY 1)
-    SELECT order_year, 'status_O' AS status, status_O AS n FROM wide
-    UNION ALL SELECT order_year, 'status_F', status_F FROM wide
-    UNION ALL SELECT order_year, 'status_P', status_P FROM wide
-    """,
-)
-def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot/melt (wide -> long), the inverse of pivot_status_by_year:
-    one ``unpivot`` expands columns to rows in a single narrow pass —
-    no shuffle, no N-way self-union scan."""
-    wide = QUERIES["pivot_status_by_year"](spark, sf_dir)
-    return wide.unpivot(
-        ids=["order_year"],
-        values=["status_O", "status_F", "status_P"],
-        variableColumnName="status",
-        valueColumnName="n",
-    )
-
-
-@query(
-    "stream_chained_agg",
-    oracle="""
-    WITH mx AS (SELECT max(ts) AS m FROM events)
-    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start_s,
-           event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events, mx
-    WHERE epoch_us(date_trunc('day', ts)) + 86400000000
-          <= epoch_us(mx.m) - 3600000000
-    GROUP BY 1, 2
-    """,
-)
-def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chained stateful streaming (Spark >= 3.4 multiple stateful
-    operators): daily windows re-aggregate hourly windows inside ONE
-    always-on query (streaming/chained.py). Append mode means a day
-    emits only once the watermark (max event time - 1h) passes its
-    end — the oracle applies the same integer-microsecond cutoff to
-    the batch equivalent, and decimal sums make hour->day
-    re-aggregation exact."""
-    from etl_pyspark_spark.streaming.chained import hourly_then_daily
-
-    return hourly_then_daily(spark, sf_dir)
-
-
-@query(
-    "variant_json_extract",
-    oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INT) // 25 AS k_bucket,
-           count(*) AS n,
-           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
-             AS k_min,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
-             AS k_max
-    FROM events GROUP BY 1
-    """,
-)
-def q_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 VARIANT type: ``parse_json`` once into a binary variant
-    column, then typed ``variant_get`` paths — semi-structured data
-    without per-access string re-parsing (the scale advantage over
-    get_json_object, which re-parses the JSON text per extraction)."""
-    ev = read_table(spark, sf_dir, "events")
-    v = ev.select(F.parse_json(F.col("props")).alias("pv"))
-    k = F.variant_get(F.col("pv"), "$.k", "int")
-    return (
-        v.select(k.alias("k"))
-        .select(F.expr("k div 25").alias("k_bucket"), "k")
-        .groupBy("k_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("k").alias("k_min"),
-            F.max("k").alias("k_max"),
-        )
-    )
-
-
-@query(
-    "range_source_generate",
-    oracle="""
-    SELECT i AS id, i * i % 97 AS sq_mod,
-           CAST(i // 1000 AS BIGINT) AS bucket
-    FROM generate_series(0, 99999) AS g(i)
-    """,
-)
-def q_range_source_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range source: ``spark.range`` generates partitioned data with no
-    input files at all (each task materializes its own id span) — the
-    synthetic-data / backfill-spine source, infinitely scalable because
-    there is nothing to read."""
-    return spark.range(0, 100_000).select(
-        F.col("id"),
-        (F.col("id") * F.col("id") % 97).alias("sq_mod"),
-        F.expr("id div 1000").alias("bucket"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Remaining TPC-H decision-support shapes (Q4, Q7-Q11, Q16, Q20), adapted
-# to the fixture star schema. The fixtures have no partsupp table, so
-# where the original uses ps_supplycost / ps_availqty the lineitem
-# relation stands in as the part-supplier bridge (same join topology,
-# same operator shapes).
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "order_priority_exists",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS n_orders
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey
-                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
-    GROUP BY o_orderpriority
-    """,
-)
-def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape (order-priority checking): correlated EXISTS with
-    an inequality spanning both relations -> left-semi join. The date
-    filter prunes orders before the join (quarter of a year reaches
-    the shuffle, not the full table) and the semi join short-circuits
-    per order key — no lineitem pre-aggregation needed."""
-    o = read_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    li = read_table(spark, sf_dir, "lineitem")
-    qualified = o.join(
-        li,
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
-        "left_semi",
-    )
-    return qualified.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-
-
-@query(
-    "forecast_revenue_change",
-    oracle=f"""
-    SELECT {_dec_sum_sql("l_extendedprice * l_discount", "revenue_delta")},
-           count(*) AS n_lines
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.02 AND 0.08
-      AND l_quantity < 24.0
-    """,
-)
-def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape (forecasting revenue change): pure scan ->
-    conjunctive range predicates -> single-row global aggregate. All
-    three predicates push into the parquet scan (min/max row-group
-    pruning); the aggregate is partial per partition + a 1-row final
-    merge — the cheapest possible full-table query at any scale."""
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        & F.col("l_discount").between(0.02, 0.08)
-        & (F.col("l_quantity") < 24.0)
-    ).agg(
-        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
-
-
-@query(
-    "nation_pair_volume",
-    oracle=f"""
-    SELECT supp_nation, cust_nation,
-           CAST(year(l_shipdate) AS INT) AS ship_year,
-           {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
-    FROM lineitem
-      JOIN (SELECT s_suppkey, n_name AS supp_nation
-            FROM supplier JOIN nation ON s_nationkey = n_nationkey) s
-        ON s_suppkey = l_suppkey
-      JOIN orders ON o_orderkey = l_orderkey
-      JOIN (SELECT c_custkey, n_name AS cust_nation
-            FROM customer JOIN nation ON c_nationkey = n_nationkey) c
-        ON c_custkey = o_custkey
-    WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
-       OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
-    GROUP BY supp_nation, cust_nation, ship_year
-    """,
-)
-def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape (volume shipping between a nation pair): nation
-    joined twice under different roles with a disjunctive pair
-    predicate spanning both roles. Both role dims are pre-restricted
-    to the two nations the OR implies (2/25 of suppliers/customers)
-    BEFORE joining, so the fact join carries only matching rows;
-    supplier side broadcasts, and the one residual shuffle is
-    lineitem |x| orders on the order key."""
-    nat = read_table(spark, sf_dir, "nation").where(
-        F.col("n_name").isin("NATION_1", "NATION_2")
-    )
-    s = (
-        read_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    c = (
-        read_table(spark, sf_dir, "customer")
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
-    )
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    pair = (
-        (F.col("supp_nation") == "NATION_1")
-        & (F.col("cust_nation") == "NATION_2")
-    ) | (
-        (F.col("supp_nation") == "NATION_2")
-        & (F.col("cust_nation") == "NATION_1")
-    )
-    return (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .where(pair)
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("int").alias("ship_year"),
-        )
-        .agg(
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "revenue",
-            )
-        )
-    )
-
-
-@query(
-    "market_share_ratio",
-    oracle=f"""
-    WITH vol AS (
-      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS v,
-             n1.n_name AS supp_nation
-      FROM lineitem
-        JOIN part ON p_partkey = l_partkey
-        JOIN supplier ON s_suppkey = l_suppkey
-        JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        JOIN orders ON o_orderkey = l_orderkey
-        JOIN customer ON c_custkey = o_custkey
-        JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        JOIN region ON n2.n_regionkey = r_regionkey
-      WHERE r_name = 'EUROPE' AND p_type = 'PROMO')
-    SELECT order_year,
-           {sql_pround(
-        "CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v "
-        "ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) "
-        "/ CAST(sum(v) AS DOUBLE)"
-    )} AS mkt_share
-    FROM vol GROUP BY order_year
-    """,
-)
-def q_market_share_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape (national market share): 8-table snowflake join,
-    then a ratio of two conditional aggregates in ONE pass (no second
-    scan for the numerator). All dims (part filtered to one type,
-    supplier+nation, customer-nation+region) broadcast; the fact
-    shuffle is lineitem |x| orders only. Both sums are exact decimal
-    so the final double division is bit-identical cross-engine."""
-    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
-    nat = read_table(spark, sf_dir, "nation")
-    reg = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    s = (
-        read_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    c = (
-        read_table(spark, sf_dir, "customer")
-        .join(
-            F.broadcast(
-                nat.join(
-                    F.broadcast(reg),
-                    F.col("n_regionkey") == F.col("r_regionkey"),
-                )
-            ),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .select("c_custkey")
-    )
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    v = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    zero = F.lit(0).cast("decimal(18,6)")
-    num = (
-        F.sum(F.when(F.col("supp_nation") == "NATION_5", v).otherwise(zero))
-        .cast("double")
-    )
-    den = F.sum(v).cast("double")
-    return (
-        li.join(
-            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
-        )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
-        .agg(pround(num / den).alias("mkt_share"))
-    )
-
-
-@query(
-    "product_profit_by_nation",
-    oracle=f"""
-    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
-           {_dec_sum_sql(
-        "l_extendedprice * (1 - l_discount) "
-        "- p_retailprice * l_quantity * CAST(0.01 AS DOUBLE)",
-        "profit",
-    )}
-    FROM lineitem
-      JOIN part ON p_partkey = l_partkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN nation ON s_nationkey = n_nationkey
-      JOIN orders ON o_orderkey = l_orderkey
-    WHERE p_name LIKE '%widget%'
-    GROUP BY 1, 2
-    """,
-)
-def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape (product-type profit): substring part filter,
-    profit = revenue minus cost as one arithmetic expression summed
-    per (nation, year). No partsupp fixture, so cost is modeled as 1%
-    of p_retailprice per unit — the operator shape (5-way join,
-    expression agg) is Q9's. part and supplier+nation broadcast; the
-    only shuffle is the order-key join then the small agg."""
-    part = read_table(spark, sf_dir, "part").where(
-        F.col("p_name").like("%widget%")
-    )
-    nat = read_table(spark, sf_dir, "nation")
-    s = (
-        read_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("nation"))
-    )
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * F.lit(0.01)
-    return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(
-            "nation", F.year("o_orderdate").cast("int").alias("order_year")
-        )
-        .agg(dec_sum(profit, "profit"))
-    )
-
-
-@query(
-    "returned_item_ranking",
-    oracle=f"""
-    SELECT c_custkey, c_name, n_name,
-           {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
-    FROM customer
-      JOIN orders ON o_custkey = c_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
-      JOIN nation ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
-      AND l_returnflag = 'R'
-    GROUP BY 1, 2, 3
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
-)
-def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape (returned-item reporting): date-windowed fact
-    join, revenue per customer, global top-20. TakeOrderedAndProject
-    keeps the limit per-partition before the single-row-exchange
-    merge — no full sort of the aggregate output. Exact decimal
-    revenue makes the DESC order (plus custkey tiebreak)
-    deterministic cross-engine."""
-    c = read_table(spark, sf_dir, "customer")
-    nat = read_table(spark, sf_dir, "nation")
-    o = read_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
-    )
-    li = read_table(spark, sf_dir, "lineitem").where(
-        F.col("l_returnflag") == "R"
-    )
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "revenue",
-            )
-        )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-    )
-
-
-@query(
-    "important_part_value",
-    oracle="""
-    WITH pv AS (
-      SELECT l_partkey,
-             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-               AS pvd
-      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
-           JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
-                       'NATION_5')
-      GROUP BY l_partkey)
-    SELECT l_partkey, CAST(pvd AS DOUBLE) AS part_value
-    FROM pv
-    WHERE CAST(pvd AS DOUBLE)
-          > (SELECT CAST(sum(pvd) AS DOUBLE) FROM pv) / 1600.0
-    """,
-)
-def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (important stock): grouped value per part
-    filtered against a FRACTION OF THE GLOBAL TOTAL — an uncorrelated
-    scalar aggregate over the same derived relation. The grouped
-    relation is computed once and reused for both branches (total is
-    a 1-row re-aggregate broadcast back); the threshold compare
-    happens on exact decimal sums cast to double, so both engines
-    pick the identical row set."""
-    nat = read_table(spark, sf_dir, "nation").where(
-        F.col("n_name").isin(
-            "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"
-        )
-    )
-    s = (
-        read_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey")
-    )
-    li = read_table(spark, sf_dir, "lineitem")
-    pv = (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy("l_partkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
-                )
-            ).alias("pvd")
-        )
-    )
-    total = pv.agg(F.sum("pvd").cast("double").alias("grand"))
-    return (
-        pv.crossJoin(F.broadcast(total))
-        .where(F.col("pvd").cast("double") > F.col("grand") / 1600.0)
-        .select(
-            "l_partkey", F.col("pvd").cast("double").alias("part_value")
-        )
-    )
-
-
-@query(
-    "supplier_cnt_distribution",
-    oracle="""
-    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE p_brand <> 'Brand#1'
-      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                            WHERE s_acctbal < 0)
-    GROUP BY p_brand, p_size
-    """,
-)
-def q_supplier_cnt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape (part/supplier relationship): NOT IN exclusion
-    list -> anti join against a tiny filtered dim, then COUNT DISTINCT
-    per (brand, size). The distinct dedupes map-side inside the single
-    agg shuffle (partial aggregation on (brand, size, suppkey)) — no
-    separate dropDuplicates pass."""
-    part = read_table(spark, sf_dir, "part").where(
-        (F.col("p_brand") != "Brand#1")
-        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
-    )
-    bad = read_table(spark, sf_dir, "supplier").where(
-        F.col("s_acctbal") < 0
-    ).select("s_suppkey")
-    li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(
-            F.broadcast(bad),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-            "left_anti",
-        )
-        .groupBy("p_brand", "p_size")
-        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
-    )
-
-
-@query(
-    "qualified_promo_suppliers",
-    oracle="""
-    SELECT s_suppkey, s_name
-    FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
-                     'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7',
-                     'NATION_8', 'NATION_9')
-      AND s_suppkey IN (
-        SELECT l_suppkey
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE p_name LIKE '%gear%'
-          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        GROUP BY l_suppkey
-        HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 200)
-    """,
-)
-def q_qualified_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape (potential part promotion): IN over an
-    aggregate-HAVING subquery -> group lineitem by supplier with a
-    decimal quantity threshold, then left-semi join the (tiny,
-    nation-filtered) supplier dim against it. The heavy side is
-    aggregated BEFORE the semi join, so the join input is one row per
-    supplier, not raw lineitems."""
-    nat = read_table(spark, sf_dir, "nation").where(
-        F.col("n_name").isin(*[f"NATION_{i}" for i in range(10)])
-    )
-    s = (
-        read_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_name")
-    )
-    part = read_table(spark, sf_dir, "part").where(
-        F.col("p_name").like("%gear%")
-    )
-    li = read_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    qualified = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
-        .where(F.col("qty") > 200)
-        .select("l_suppkey")
-    )
-    return s.join(
-        qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Embedding compression: scalar int8 quantization (similarity/quantize.py)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "embedding_quantize_int8",
-    oracle="""
-    WITH t AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
-    m AS (
-      SELECT vec_id, v,
-             list_max(list_transform(v, x -> abs(x))) AS max_abs
-      FROM t),
-    qz AS (
-      SELECT vec_id, v, max_abs,
-             list_transform(v, x -> CASE WHEN max_abs > 0.0
-                 THEN CAST(floor(x / max_abs * 127.0 + 0.5) AS INT)
-                 ELSE 0 END) AS q
-      FROM m)
-    SELECT vec_id,
-           CAST(len(v) AS INT) AS n_dims,
-           floor(max_abs * 1000000.0 + 0.5) / 1000000.0 AS scale,
-           floor(list_sum(list_transform(list_zip(v, q),
-                 p -> abs(p[1] - CAST(p[2] AS DOUBLE) * max_abs / 127.0)))
-                 / len(v) * 100000000.0 + 0.5) / 100000000.0
-             AS mean_abs_err,
-           CAST(list_max(q) AS INT) AS max_code
-    FROM qz
-    """,
-)
-def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar int8 embedding quantization (similarity/quantize.py):
-    per-vector symmetric codes — 4x less storage and shuffle for every
-    downstream similarity join. Pure codegen'd array lambdas (no UDF,
-    no shuffle); codes, scale, and reconstruction error are exact IEEE
-    arithmetic, so the full pipeline hash-matches the DuckDB oracle."""
-    from etl_pyspark_spark.similarity.quantize import dequantize, quantize_int8
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    qd = quantize_int8(emb)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    err = F.zip_with(
-        v,
-        dequantize(F.col("q"), F.col("max_abs")),
-        lambda a, b: F.abs(a - b),
-    )
-    sum_err = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
-    return qd.select(
-        "vec_id",
-        F.size("embedding").alias("n_dims"),
-        pround(F.col("max_abs"), 6).alias("scale"),
-        pround(sum_err / F.size("embedding"), 8).alias("mean_abs_err"),
-        F.array_max("q").alias("max_code"),
-    )
-
-
-def _quantized_rerank_oracle(k: int, expand: int, n_queries: int) -> str:
-    from etl_pyspark_spark.similarity.cosine import sql_cosine
-
-    cos = sql_cosine("qe.embedding", "ce.embedding")
-    return f"""
-    WITH codes AS (
-      SELECT vec_id,
-             list_transform(
-               list_transform(embedding, x -> CAST(x AS DOUBLE)),
-               x -> CASE WHEN list_max(list_transform(embedding,
-                              y -> abs(CAST(y AS DOUBLE)))) > 0.0
-                    THEN CAST(floor(x / list_max(list_transform(embedding,
-                              y -> abs(CAST(y AS DOUBLE)))) * 127.0 + 0.5)
-                         AS INT)
-                    ELSE 0 END) AS q
-      FROM embeddings),
-    norms AS (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, x -> CAST(x * x AS BIGINT)))
-                  AS BIGINT) AS qq
-      FROM codes),
-    coarse AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             CASE WHEN a.qq > 0 AND b.qq > 0 THEN
-               CAST(list_sum(list_transform(list_zip(a.q, b.q),
-                    p -> CAST(p[1] * p[2] AS BIGINT))) AS DOUBLE)
-               / (sqrt(CAST(a.qq AS DOUBLE)) * sqrt(CAST(b.qq AS DOUBLE)))
-             END AS qcos
-      FROM norms a JOIN norms b
-        ON a.vec_id < {n_queries} AND b.vec_id <> a.vec_id),
-    cand AS (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY qcos DESC, neighbor_id ASC) AS crk
-      FROM coarse WHERE qcos IS NOT NULL),
-    rerank AS (
-      SELECT c.query_id, c.neighbor_id,
-             floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-      FROM cand c
-      JOIN embeddings qe ON qe.vec_id = c.query_id
-      JOIN embeddings ce ON ce.vec_id = c.neighbor_id
-      WHERE c.crk <= {expand})
-    SELECT query_id, neighbor_id, cos_sim,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
-    FROM rerank
-    QUALIFY rk <= {k}
-    """
-
-
-@query(
-    "similarity_quantized_rerank",
-    oracle=_quantized_rerank_oracle(k=10, expand=30, n_queries=8),
-)
-def q_similarity_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage ANN (similarity/quantize.py): int8 coarse scoring over
-    broadcast query codes (4x fewer scan bytes than float32 brute
-    force, no corpus shuffle), top-30 candidates per query, then exact
-    cosine re-rank of only those candidates to top-10. Deterministic
-    integer/IEEE arithmetic end-to-end, so even the approximation
-    hash-matches the DuckDB oracle."""
-    from etl_pyspark_spark.similarity.quantize import quantized_rerank_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    return quantized_rerank_topk(
-        emb, emb.where(F.col("vec_id") < 8), k=10, expand=30
-    )
-
-
-# ---------------------------------------------------------------------------
-# Flagship LLM-data pipeline: quality gate -> exact dedup -> near dedup,
-# composed as ONE Spark DAG (the production shape: cheap narrow filters
-# first, the expensive near-dedup only over survivors).
-# ---------------------------------------------------------------------------
-
-
-def _sql_quality_inline(col: str) -> str:
-    """DuckDB quality-score expression (twin of text.quality_score,
-    same term grouping as the text_quality oracle)."""
-    from etl_pyspark_spark.functions.compat import sql_pround
-    from etl_pyspark_spark.functions.text import LANG_STOPWORDS
-
-    n_chars = f"CAST(length({col}) AS DOUBLE)"
-    n_words = f"CAST(len({_WS_TOKENS_SQL.format(col=col)}) AS DOUBLE)"
-    n_stop = (
-        f"CAST({_STOP_HITS_SQL.format(col=col, stops=_sql_str_list(LANG_STOPWORDS['en']))}"
-        " AS DOUBLE)"
-    )
-    n_punct = (
-        f"CAST(length(regexp_replace({col}, '[A-Za-z0-9 ]', '', 'g'))"
-        " AS DOUBLE)"
-    )
-    raw = (
-        f"0.3 * least({n_chars} / 400.0, 1.0)"
-        f" + 0.3 * least({n_words} / 60.0, 1.0)"
-        f" + 0.3 * least((CASE WHEN {n_words} > 0 THEN {n_stop} / {n_words}"
-        f" ELSE 0.0 END) * 8.0, 1.0)"
-        f" + 0.1 * (1.0 - CASE WHEN {n_chars} > 0 THEN {n_punct} / {n_chars}"
-        f" ELSE 0.0 END)"
-    )
-    return sql_pround(raw)
-
-
-def _sql_lang_inline(col: str) -> str:
-    """DuckDB language-vote expression (twin of text.language_id; tie
-    order en > de > es > fr, all-zero -> 'und')."""
-    from etl_pyspark_spark.functions.text import LANG_STOPWORDS
-
-    sc = {
-        lang: _STOP_HITS_SQL.format(col=col, stops=_sql_str_list(words))
-        for lang, words in LANG_STOPWORDS.items()
-    }
-    top = f"greatest({', '.join(sc.values())})"
-    whens = " ".join(
-        f"WHEN {expr} = {top} AND {expr} > 0 THEN '{lang}'"
-        for lang, expr in sc.items()
-    )
-    return f"CASE {whens} ELSE 'und' END"
-
-
-def _corpus_prep_oracle() -> str:
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_minhash_pairs,
-        sql_shingles_cte,
-    )
-
-    return f"""
-    WITH enriched AS (
-      SELECT doc_id, text,
-             {_sql_lang_inline('text')} AS lang_pred,
-             {_sql_quality_inline('text')} AS quality,
-             ('0x' || substr(md5(regexp_replace(lower(trim(text)),
-                                                ' +', ' ', 'g')),
-                             1, 15))::BIGINT AS fingerprint,
-             len({_WS_TOKENS_SQL.format(col='text')}) AS n_words,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
-               AS n_bpe_tokens
-      FROM documents),
-    gated AS (SELECT * FROM enriched
-              WHERE quality >= 0.4 AND lang_pred <> 'und'),
-    kept AS (SELECT * FROM gated
-             QUALIFY row_number() OVER (PARTITION BY fingerprint
-                                        ORDER BY doc_id) = 1),
-    {sql_shingles_cte(table='kept')},
-    {sql_minhash_pairs(final_name='pairs')}
-    SELECT doc_id, lang_pred, quality, n_words, n_bpe_tokens
-    FROM kept
-    WHERE doc_id NOT IN (SELECT doc_id_b FROM pairs)
-    """
-
-
-def _canonical_oracle() -> str:
-    from etl_pyspark_spark.dedup.components import sql_components_over_pairs
-    from etl_pyspark_spark.dedup.minhash import sql_minhash_pairs, sql_shingles_cte
-
-    return (
-        "WITH RECURSIVE "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + ", "
-        + sql_components_over_pairs("pairs", final_name="comp")
-        + f""",
-    scored AS (SELECT doc_id, {_sql_quality_inline('text')} AS quality
-               FROM documents),
-    ranked AS (SELECT c.component_id, s.doc_id,
-                      row_number() OVER (PARTITION BY c.component_id
-                                         ORDER BY s.quality DESC, s.doc_id)
-                        AS rk
-               FROM comp c JOIN scored s ON s.doc_id = c.doc_id)
-    SELECT component_id,
-           count(*) AS n_members,
-           min(doc_id) FILTER (WHERE rk = 1) AS canonical_doc_id
-    FROM ranked GROUP BY component_id
-    """
-    )
-
-
-@query("dedup_canonical_selection", oracle=_canonical_oracle())
-def q_dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware canonical selection: label duplicate clusters
-    (MinHash-LSH pairs -> connected components), then keep each
-    cluster's HIGHEST-quality member (doc_id tiebreak) instead of the
-    arbitrary min-id — the policy step that decides which copy of a
-    near-duplicate group enters the training set. One window over the
-    component partitioning; the cluster table is tiny next to the
-    corpus, so the quality join broadcasts."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.dedup.shared import dup_components
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    comp = dup_components(spark, sf_dir)
-    scored = docs.select(
-        "doc_id", pround(T.quality_score(F.col("text")), 6).alias("quality")
-    )
-    members = comp.join(scored, "doc_id")
-    w = Window.partitionBy("component_id").orderBy(
-        F.col("quality").desc(), F.col("doc_id").asc()
-    )
-    return (
-        members.withColumn("rk", F.row_number().over(w))
-        .groupBy("component_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
-                "canonical_doc_id"
-            ),
-        )
-    )
-
-
-def _media_prep_oracle() -> str:
-    from etl_pyspark_spark.functions.compat import sql_pround
-
-    return f"""
-    WITH meta AS (
-      SELECT doc_id,
-             CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-                  ELSE 'video/mp4' END AS media_type,
-             strlen(text) AS n_bytes,
-             md5(text) AS checksum,
-             text
-      FROM documents),
-    gated AS (SELECT * FROM meta WHERE n_bytes >= 200),
-    kept AS (SELECT * FROM gated
-             QUALIFY row_number() OVER (PARTITION BY checksum
-                                        ORDER BY doc_id) = 1),
-    bytes AS (SELECT doc_id, unicode(substr(text, i, 1)) AS b
-              FROM kept, UNNEST(generate_series(1, strlen(text))) AS g(i)),
-    feats AS (SELECT doc_id,
-                     {sql_pround('CAST(sum(b) AS DOUBLE) / count(*)', 6)}
-                       AS mean_byte
-              FROM bytes GROUP BY doc_id)
-    SELECT k.doc_id, k.media_type, CAST(k.n_bytes AS INT) AS n_bytes,
-           f.mean_byte
-    FROM kept k JOIN feats f ON f.doc_id = k.doc_id
-    """
-
-
-@query("media_prep_pipeline", oracle=_media_prep_oracle())
-def q_media_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship multimodal prep DAG (the media twin of
-    corpus_prep_pipeline): metadata extraction (JVM expressions on the
-    binary payload) -> size gate -> checksum exact dedup (one hash
-    window) -> Arrow-batched feature extraction on the SURVIVORS only.
-    Cheap-first ordering again: bytes cross into Python exactly once,
-    for the gated deduped subset; at 100 TB of media that ordering is
-    the difference between decoding everything and decoding what you
-    keep."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.multimodal.assets import byte_features, with_payload
-
-    docs = read_table(spark, sf_dir, "documents")
-    assets = with_payload(docs)
-    gated = assets.where(F.col("n_bytes") >= 200)
-    w = Window.partitionBy("checksum").orderBy("doc_id")
-    kept = (
-        gated.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    feats = byte_features(kept)
-    return kept.select("doc_id", "media_type", "n_bytes").join(
-        feats.select(
-            "doc_id", pround(F.col("mean_byte"), 6).alias("mean_byte")
-        ),
-        "doc_id",
-    )
-
-
-def _stream_corpus_prep_oracle() -> str:
-    return f"""
-    WITH enriched AS (
-      SELECT doc_id,
-             {_sql_lang_inline('text')} AS lang_pred,
-             {_sql_quality_inline('text')} AS quality,
-             ('0x' || substr(md5(regexp_replace(lower(trim(text)),
-                                                ' +', ' ', 'g')),
-                             1, 15))::BIGINT AS fingerprint
-      FROM documents)
-    SELECT lang_pred, count(DISTINCT fingerprint) AS n_accepted
-    FROM enriched
-    WHERE quality >= 0.4 AND lang_pred <> 'und'
-    GROUP BY lang_pred
-    """
-
-
-@query("stream_corpus_prep", oracle=_stream_corpus_prep_oracle())
-def q_stream_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental corpus prep (streaming/corpus.py): the flagship
-    gate + exact dedup running as a stateful stream — score, gate,
-    ``dropDuplicates`` keyed by fingerprint (16-byte state rows), then
-    summarize accepted docs per predicted language. The summary is
-    order-independent, so bounded replay hash-matches a plain SQL
-    oracle even though micro-batch arrival order is not pinned."""
-    from etl_pyspark_spark.streaming.corpus import incremental_corpus_prep
-
-    return incremental_corpus_prep(spark, sf_dir)
-
-
-@query("corpus_prep_pipeline", oracle=_corpus_prep_oracle())
-def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship training-data prep pipeline as ONE Spark DAG:
-    language-ID + quality scoring (narrow codegen'd expressions) gate
-    the corpus FIRST, exact fingerprint dedup keeps one doc per
-    normalized text (single hash shuffle), and MinHash-LSH near-dedup
-    runs only over those survivors, dropping the higher doc_id of each
-    verified pair (Jaccard >= 0.5). Cheap-first ordering is the 100 TB
-    shape: the expensive shingle/signature stages see only the gated,
-    exact-deduped fraction of the corpus. Deterministic md5/LCG/IEEE
-    arithmetic end-to-end -> the whole composition hash-matches one
-    DuckDB oracle."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.dedup.minhash import verified_near_duplicates
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    # the scoring projection is CPU-bound per row; fan the single-row-
-    # group fixture scan out to all cores (no-op on a many-file lake),
-    # and tokenize ONCE into projected arrays — every signal derives
-    # from the same two token columns instead of re-splitting the text
-    # (language_id alone otherwise re-splits 4x per row)
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    c = F.col("text")
-    staged = docs.select(
-        "doc_id",
-        "text",
-        T.ws_tokens(c).alias("__toks"),
-        T.ws_tokens(F.lower(c)).alias("__ltoks"),
-    )
-    enriched = staged.select(
-        "doc_id",
-        "text",
-        T.language_id(c, ltoks=F.col("__ltoks")).alias("lang_pred"),
-        pround(
-            T.quality_score(c, toks=F.col("__toks"), ltoks=F.col("__ltoks")),
-            6,
-        ).alias("quality"),
-        T.doc_fingerprint(c).alias("fingerprint"),
-        F.size("__toks").alias("n_words"),
-        T.bpe_token_count(c).alias("n_bpe_tokens"),
-    )
-    gated = enriched.where(
-        (F.col("quality") >= 0.4) & (F.col("lang_pred") != "und")
-    )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    # cache at the pipeline boundary: the exact-deduped survivor set
-    # feeds BOTH the LSH branch and the final anti-join, and its
-    # lineage (scoring projection + fingerprint window) is the most
-    # expensive recompute in the DAG. Size is the post-gate corpus
-    # slice — the thing you'd checkpoint to the lake at 100 TB.
-    kept = (
-        gated.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-        .cache()
-    )
-    near_drops = (
-        verified_near_duplicates(kept)
-        .select(F.col("doc_id_b").alias("doc_id"))
-        .distinct()
-    )
-    return kept.join(near_drops, "doc_id", "left_anti").select(
-        "doc_id", "lang_pred", "quality", "n_words", "n_bpe_tokens"
-    )
-
-
-@query(
-    "tfidf_top_terms",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, t AS term
-      FROM documents,
-           UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
-             AS u(t)),
-    tf AS (SELECT doc_id, term, count(*) AS tf
-           FROM toks GROUP BY doc_id, term),
-    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term,
-             floor((CAST(tf.tf AS DOUBLE)
-                    * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)))
-                   * 1000000.0 + 0.5) / 1000000.0 AS score
-      FROM tf JOIN df USING (term), n)
-    SELECT doc_id, term, score,
-           row_number() OVER (PARTITION BY doc_id
-                              ORDER BY score DESC, term ASC) AS rk
-    FROM scored
-    QUALIFY rk <= 3
-    """,
-)
-def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document keyword extraction: TF x rational IDF
-    ``(N - df + 0.5) / (df + 0.5)`` (the BM25 idf core without the
-    log — pure IEEE division, so scores are bit-identical
-    cross-engine), top-3 terms per doc. Shape at scale: explode ->
-    (doc, term) count, term document-frequency as a re-aggregate of
-    that SAME table (no second corpus scan), tiny df/N sides broadcast
-    back, one window for the per-doc rank."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    score = pround(
-        F.col("tf").cast("double")
-        * (
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ),
-        6,
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("term").asc()
-    )
-    return (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(n))
-        .select("doc_id", "term", score.alias("score"))
-        .select("*", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") <= 3)
-    )
-
-
-@query(
-    "profile_table",
-    oracle="""
-    SELECT 'o_orderkey' AS column_name,
-           count(*) FILTER (o_orderkey IS NULL) AS n_nulls,
-           count(DISTINCT o_orderkey) AS n_distinct
-    FROM orders
-    UNION ALL
-    SELECT 'o_custkey',
-           count(*) FILTER (o_custkey IS NULL),
-           count(DISTINCT o_custkey) FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus',
-           count(*) FILTER (o_orderstatus IS NULL),
-           count(DISTINCT o_orderstatus) FROM orders
-    UNION ALL
-    SELECT 'o_totalprice',
-           count(*) FILTER (o_totalprice IS NULL),
-           count(DISTINCT o_totalprice) FROM orders
-    UNION ALL
-    SELECT 'o_orderdate',
-           count(*) FILTER (o_orderdate IS NULL),
-           count(DISTINCT o_orderdate) FROM orders
-    UNION ALL
-    SELECT 'o_orderpriority',
-           count(*) FILTER (o_orderpriority IS NULL),
-           count(DISTINCT o_orderpriority) FROM orders
-    """,
-)
-def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-profiling operator: per-column null count + exact distinct
-    count for every column of a table, in ONE pass. Spark plans the
-    N-distinct aggregate with a single Expand(N) over the scan — one
-    read of the table, not N — then unpivots the wide result row to
-    (column, stats) long form. The scan-once property is what matters
-    at 100 TB; swap count_distinct for approx_count_distinct when the
-    exact cardinality isn't worth the expand."""
-    o = read_table(spark, sf_dir, "orders")
-    cols = o.columns
-    wide = o.agg(
-        *[
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
-            for c in cols
-        ],
-        *[F.count_distinct(F.col(c)).alias(f"dist_{c}") for c in cols],
-    )
-    per_col = [
-        wide.select(
-            F.lit(c).alias("column_name"),
-            F.col(f"nulls_{c}").alias("n_nulls"),
-            F.col(f"dist_{c}").alias("n_distinct"),
-        )
-        for c in cols
-    ]
-    out = per_col[0]
-    for p in per_col[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-@query(
-    "rebalance_hint_write",
-    oracle=f"""
-    SELECT event_type, count(*) AS n_events,
-           {_dec_sum_sql("value", "sum_value")}
-    FROM events GROUP BY event_type
-    """,
-)
-def q_rebalance_hint_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AQE rebalance write: ``hint("rebalance")`` lets the adaptive
-    engine pick output partitioning from RUNTIME sizes — splitting
-    skewed partitions and merging tiny ones — instead of a hand-tuned
-    ``repartition(N)`` that is wrong at every other scale. The written
-    lake files come out uniformly sized whether the input is 60 MB or
-    60 TB; the read-back aggregate proves losslessness."""
-    dst = f"{_SCRATCH}/rebalance_write"
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type",
-        F.col("value").cast("double").alias("value"),
-    )
-    ev.hint("rebalance").write.mode("overwrite").parquet(dst)
-    return (
-        spark.read.parquet(dst)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dec_sum(F.col("value"), "sum_value"),
-        )
-    )
-
-
-def _docgen_oracle() -> str:
-    from etl_pyspark_spark.sources.pyds import sql_docgen_cte
-
-    return f"""
-    WITH {sql_docgen_cte(2000)}
-    SELECT split_part(text, ' ', 1) AS first_word,
-           count(*) AS n_docs,
-           count(DISTINCT text) AS n_unique_texts
-    FROM gen GROUP BY 1
-    """
-
-
-@query("python_datasource_docgen", oracle=_docgen_oracle())
-def q_python_datasource_docgen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom Python DataSource (Spark 4 DataSource API,
-    sources/pyds.py): the engine-native replacement for the
-    reference's HTTP-fetch + file-slicing connector (SURVEY §2.1
-    S1/S3) — the source declares a schema and a partition plan and
-    each task materializes only its own split, driver-free. The
-    deterministic LCG content makes even the connector path
-    value-hash-checkable against a SQL replay."""
-    from etl_pyspark_spark.sources.pyds import register_docgen
-
-    if not register_docgen(spark):  # pragma: no cover - Spark 4 here
-        raise RuntimeError("Python DataSource API unavailable")
-    df = (
-        spark.read.format("docgen")
-        .option("n", 2000)
-        .option("numpartitions", 8)
-        .load()
-    )
-    return df.groupBy(
-        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_word")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count_distinct(F.col("text")).alias("n_unique_texts"),
-    )
-
-
-def ensure_zorder_lineitem(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per fixture fingerprint) the Z-ordered lineitem
-    copy. Split out of the query so the bench warm-up pays the
-    ingest-time rewrite untimed and ``zorder_layout`` times the pruned
-    SCAN — the operator's actual point (advice r02 #3)."""
-    from etl_pyspark_spark.sources.io import (
-        fixture_fingerprint,
-        marker_current,
-        write_marker,
-        write_zordered,
-    )
-
-    dst = f"{_SCRATCH}/zorder_lineitem"
-    marker = f"{dst}/.built_for"
-    want = fixture_fingerprint(sf_dir, "lineitem")
-    if not marker_current(marker, want):
-        li = read_table(spark, sf_dir, "lineitem")
-        day = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01"))
-        # The Morton interleave uses the low 16 bits of each dimension.
-        # Quantize any dimension whose max overflows that (shiftright
-        # by excess bit-length — integer-exact, order-preserving) so
-        # large partkeys keep 2-D locality instead of silently
-        # truncating to their low 16 bits (advice r02). One tiny
-        # build-time agg; shift 0 == no-op at small sf.
-        mx = li.agg(
-            F.max(day).alias("a"), F.max("l_partkey").alias("b")
-        ).first()
-        sh_a = max(0, int(mx["a"] or 0).bit_length() - 16)
-        sh_b = max(0, int(mx["b"] or 0).bit_length() - 16)
-        write_zordered(
-            li,
-            dst,
-            F.shiftright(day.cast("bigint"), sh_a),
-            F.shiftright(F.col("l_partkey").cast("bigint"), sh_b),
-            num_files=8,
-        )
-        write_marker(marker, want)
-    return dst
-
-
-@query(
-    "zorder_layout",
-    oracle=f"""
-    SELECT count(*) AS n_lines,
-           {_dec_sum_sql("l_extendedprice", "total_price")}
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-      AND l_partkey BETWEEN 100 AND 600
-    """,
-)
-def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-ordered (Morton-curve) layout scan: lineitem rewritten (once,
-    untimed — ensure_zorder_lineitem) clustered on the interleaved
-    bits of (ship-day, partkey-bucket), so each parquet file owns a
-    compact 2-D region — footer min/max stays tight on BOTH columns
-    (pinned by tests/test_plans.py reading the footers), and a
-    predicate on either dimension skips most files. The multi-column
-    complement to range_clustered_layout."""
-    dst = ensure_zorder_lineitem(spark, sf_dir)
-    back = spark.read.parquet(dst)
-    return back.where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-        & F.col("l_partkey").between(100, 600)
-    ).agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        dec_sum(F.col("l_extendedprice"), "total_price"),
-    )
-
-
-def ensure_range_clustered_lineitem(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per fixture fingerprint) the range-clustered
-    lineitem copy — pay-once ingest layout, untimed in bench warm-up
-    so the query times the pruned scan."""
-    from etl_pyspark_spark.sources.io import (
-        fixture_fingerprint,
-        marker_current,
-        write_marker,
-        write_range_clustered,
-    )
-
-    dst = f"{_SCRATCH}/range_clustered_lineitem"
-    marker = f"{dst}/.built_for"
-    want = fixture_fingerprint(sf_dir, "lineitem")
-    if not marker_current(marker, want):
-        li = read_table(spark, sf_dir, "lineitem")
-        write_range_clustered(li, dst, "l_shipdate", num_files=8)
-        write_marker(marker, want)
-    return dst
-
-
-@query(
-    "range_clustered_layout",
-    oracle=f"""
-    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
-           CAST(month(l_shipdate) AS INT) AS ship_month,
-           count(*) AS n_lines,
-           {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1997-06-01 00:00:00'
-    GROUP BY 1, 2
-    """,
-)
-def q_range_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-clustered layout (sources/io.write_range_clustered):
-    lineitem rewritten with repartitionByRange(l_shipdate) +
-    sortWithinPartitions, so each parquet file owns a disjoint
-    l_shipdate interval (pinned in tests/test_plans.py by reading the
-    footers). The three-month scan below then skips all but the
-    matching files via min/max statistics — the pay-once layout that
-    makes every later time-windowed query read ~1/N of the data."""
-    dst = ensure_range_clustered_lineitem(spark, sf_dir)
-    back = spark.read.parquet(dst)
-    return (
-        back.where(
-            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
-        )
-        .groupBy(
-            F.year("l_shipdate").cast("int").alias("ship_year"),
-            F.month("l_shipdate").cast("int").alias("ship_month"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "revenue",
-            ),
-        )
-    )
-
-
-
-# ---------------------------------------------------------------------------
-# Round-3 widening: grouping sets, pivot/unpivot, exact percentiles,
-# histograms, deterministic stratified sampling, time-series gap-fill,
-# skyline, fuzzy matching, event sequences, LATERAL, content checksums,
-# embedding statistics, mixture quotas
-# ---------------------------------------------------------------------------
-
-_GROUPING_SETS_SQL = f"""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
-           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
-           count(*) AS n_orders,
-           {_dec_sum_sql("o_totalprice", "total_price")}
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                            (o_orderstatus), ())
-"""
-
-
-@query("agg_grouping_sets_hier", oracle=_GROUPING_SETS_SQL)
-def q_agg_grouping_sets_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (the general form of rollup/cube, both
-    already registered) with GROUPING() flags to disambiguate real
-    NULL keys from subtotal rows. One pass, partial aggregation per
-    set — the multi-report-in-one-scan shape. The SQL text is
-    dialect-shared: the identical string runs on Spark and DuckDB."""
-    _register_views(spark, sf_dir, "orders")
-    return spark.sql(_GROUPING_SETS_SQL)
-
-
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-@query(
-    "pivot_daily_event_values",
-    oracle="SELECT CAST(ts AS DATE) AS day, "
-    + ", ".join(
-        _dec_sum_sql(f"CASE WHEN event_type = '{t}' THEN value END", t)
-        for t in _EVENT_TYPES
-    )
-    + " FROM events GROUP BY 1",
-)
-def q_pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long -> wide): daily revenue per event type as columns.
-    The value list is EXPLICIT (``pivot(col, values)``) — omitting it
-    adds a blocking distinct-scan job to discover the domain, which at
-    100 TB is a full extra pass before the real aggregation starts.
-    Absent (day, type) cells are NULL on both engines."""
-    ev = read_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .pivot("event_type", _EVENT_TYPES)
-        .agg(dec_sum(F.col("value"), "v"))
-    )
-
-
-@query(
-    "unpivot_event_values_long",
-    oracle=f"""
-    SELECT CAST(ts AS DATE) AS day, event_type,
-           {_dec_sum_sql("value", "sum_value")}
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q_unpivot_event_values_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot/melt (wide -> long): the inverse of
-    pivot_daily_event_values via the native ``DataFrame.unpivot``
-    (Spark 3.4+ melt), dropping the NULL cells pivot manufactured —
-    recovering exactly the direct long-form aggregate (the oracle).
-    Narrow, shuffle-free: unpivot is a generate-projection, not an
-    exchange."""
-    wide = q_pivot_daily_event_values(spark, sf_dir)
-    return (
-        wide.unpivot(
-            ids=["day"],
-            values=_EVENT_TYPES,
-            variableColumnName="event_type",
-            valueColumnName="sum_value",
-        )
-        .where(F.col("sum_value").isNotNull())
-    )
-
-
-@query(
-    "grouped_percentiles",
-    oracle=f"""
-    SELECT event_type,
-           unnest(CAST([0.25, 0.5, 0.9] AS DOUBLE[])) AS q,
-           unnest([{sql_pround('quantile_cont(value, 0.25)')},
-                   {sql_pround('quantile_cont(value, 0.5)')},
-                   {sql_pround('quantile_cont(value, 0.9)')}]) AS value_at_q
-    FROM events GROUP BY event_type
-    """,
-)
-def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact grouped percentiles: ``percentile(value, array(...))``
-    computes all three quantiles in ONE aggregation pass (sorted
-    per-group state), then posexplode fans the array to rows. Exact
-    linear interpolation matches DuckDB's quantile_cont definition;
-    pround(6) guards the last-ulp of the interpolation arithmetic.
-    At 100 TB prefer approx_percentile (t-digest, already registered
-    as part of the analytics family) — this is the exact-answer tier."""
-    ev = read_table(spark, sf_dir, "events")
-    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))
-    pct = ev.groupBy("event_type").agg(
-        F.percentile(F.col("value"), qs).alias("ps")
-    )
-    return pct.select(
-        "event_type", F.posexplode("ps").alias("pos", "v")
-    ).select(
-        "event_type",
-        F.element_at(qs, F.col("pos") + 1).alias("q"),
-        pround(F.col("v"), 6).alias("value_at_q"),
-    )
-
-
-@query(
-    "histogram_fixed_bins",
-    oracle=f"""
-    SELECT CAST(least(floor(value / 25.0), 19) AS INT) AS bin,
-           count(*) AS n_events,
-           {_dec_sum_sql("value", "sum_value")}
-    FROM events GROUP BY 1
-    """,
-)
-def q_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram (20 bins of 25, last bin open-ended):
-    binning is a pure projection so the aggregate map-side combines to
-    ~20 rows per task before any exchange — the cheapest possible
-    distribution profile of a measure column at any scale."""
-    ev = read_table(spark, sf_dir, "events")
-    bin_ = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
-    return (
-        ev.groupBy(bin_.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dec_sum(F.col("value"), "sum_value"),
-        )
-    )
-
-
-_STRATUM_RATE_SQL = """CASE event_type WHEN 'purchase' THEN 500
-    WHEN 'signup' THEN 500 WHEN 'click' THEN 200
-    WHEN 'view' THEN 100 ELSE 50 END"""
-
-
-@query(
-    "stratified_hash_sample",
-    oracle=f"""
-    SELECT event_type, count(*) AS n_sampled,
-           {_dec_sum_sql("value", "sum_value")}
-    FROM events
-    WHERE ('0x' || substr(md5('samp:' || CAST(event_id AS VARCHAR)),
-                          1, 15))::BIGINT % 1000 < {_STRATUM_RATE_SQL}
-    GROUP BY event_type
-    """,
-)
-def q_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling: per-stratum rates (50%
-    purchases/signups, 20% clicks, 10% views, 5% errors) applied as
-    a pure hash predicate on the row key — reproducible across engines,
-    runs, and cluster sizes, unlike ``sampleBy`` (seeded RNG per task,
-    partitioning-dependent). The filter is a narrow projection: no
-    shuffle, no state, and the SAME rows are kept when the job re-runs
-    on different hardware — the property training-data splits need."""
-    from etl_pyspark_spark.functions import text as T
-
-    ev = read_table(spark, sf_dir, "events")
-    rate = (
-        F.when(F.col("event_type").isin("purchase", "signup"), 500)
-        .when(F.col("event_type") == "click", 200)
-        .when(F.col("event_type") == "view", 100)
-        .otherwise(50)
-    )
-    h = T.portable_hash60(
-        F.concat(F.lit("samp:"), F.col("event_id").cast("string"))
-    )
-    return (
-        ev.where((h % 1000) < rate)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            dec_sum(F.col("value"), "sum_value"),
-        )
-    )
-
-
-@query(
-    "timeseries_gapfill_locf",
-    oracle=f"""
-    WITH daily AS (
-      SELECT user_id, CAST(ts AS DATE) AS day,
-             {_dec_sum_sql("value", "day_value")}
-      FROM events WHERE user_id % 100 = 0 GROUP BY 1, 2),
-    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
-             FROM daily GROUP BY 1),
-    cal AS (SELECT user_id,
-                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
-                        AS DATE) AS day
-            FROM span),
-    j AS (SELECT c.user_id, c.day, d.day_value
-          FROM cal c LEFT JOIN daily d USING (user_id, day))
-    SELECT user_id, day,
-           last_value(day_value IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS value_filled,
-           day_value IS NOT NULL AS observed
-    FROM j
-    """,
-)
-def q_timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series resample + gap-fill: daily per-user totals, missing
-    days materialized from each user's [min, max] span (``sequence`` +
-    explode — generated distributed, keyed by user, never on the
-    driver), then LOCF (last observation carried forward) via
-    ``last(ignorenulls)`` over the per-user day order. The
-    hypertable/''time_bucket_gapfill'' shape; every stage partitions
-    by user_id so one shuffle serves the join and the window."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events").where(F.col("user_id") % 100 == 0)
-    daily = ev.groupBy(
-        "user_id", F.to_date("ts").alias("day")
-    ).agg(dec_sum(F.col("value"), "day_value"))
-    span = daily.groupBy("user_id").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    cal = span.select(
-        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
-    )
-    j = cal.join(daily, ["user_id", "day"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
-        "user_id",
-        "day",
-        F.last("day_value", ignorenulls=True).over(w).alias("value_filled"),
-        F.col("day_value").isNotNull().alias("observed"),
-    )
-
-
-@query(
-    "skyline_orders",
-    oracle="""
-    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-                          max(o_totalprice) AS best_price
-                   FROM orders GROUP BY 1),
-    frontier AS (
-      SELECT day, best_price FROM daily d
-      WHERE NOT EXISTS (SELECT 1 FROM daily d2
-                        WHERE d2.day > d.day
-                          AND d2.best_price >= d.best_price))
-    SELECT o_orderkey, f.day, o_totalprice
-    FROM orders o JOIN frontier f
-      ON CAST(o.o_orderdate AS DATE) = f.day
-     AND o.o_totalprice = f.best_price
-    """,
-)
-def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skyline / Pareto frontier on (recency, price): orders not
-    dominated by any strictly-later order of >= price. Scale shape:
-    reduce FIRST (per-day max — one keyed aggregation), run the
-    frontier window over the tiny per-day table (|days| rows, so the
-    single-partition window is safe at any corpus size), then
-    broadcast the frontier back onto orders. The naive NOT EXISTS
-    self-join the oracle uses is O(days^2) on the reduced table only."""
-    from pyspark.sql.window import Window
-
-    orders = read_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.max("o_totalprice").alias("best_price")
-    )
-    # max over STRICTLY later days (rows preceding in day-desc order;
-    # day is unique per row after the groupBy)
-    w = Window.orderBy(F.col("day").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    frontier = (
-        daily.select(
-            "day", "best_price", F.max("best_price").over(w).alias("later_max")
-        )
-        .where(
-            F.col("later_max").isNull()
-            | (F.col("best_price") > F.col("later_max"))
-        )
-        .select("day", "best_price")
-    )
-    return orders.join(
-        F.broadcast(frontier),
-        (F.to_date("o_orderdate") == F.col("day"))
-        & (F.col("o_totalprice") == F.col("best_price")),
-    ).select("o_orderkey", "day", "o_totalprice")
-
-
-@query(
-    "fuzzy_name_match_blocked",
-    oracle="""
-    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
-           levenshtein(a.c_name, b.c_name) AS edit_dist
-    FROM customer a JOIN customer b
-      ON a.c_nationkey = b.c_nationkey
-     AND substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
-     AND a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= 1
-    """,
-)
-def q_fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy self-join: edit-distance <= 1 name pairs within a
-    (nation, 16-char-prefix) block. Blocking is the scale story — the
-    equi-join keys carry the O(n^2) candidate space down to per-block
-    grids BEFORE any levenshtein runs (the classic entity-resolution
-    blocking pattern; swap the prefix for q-gram or phonetic keys as
-    recall demands), and block membership is hard-capped at MAX_BLOCK
-    via operators/blocking (WindowGroupLimit hash-rank truncation on
-    the same keys the join shuffles on — shared exchange, O(cap^2)
-    per-block pair work forever).  The cap never binds on honest
-    fixture blocks (max 14 members at sf0.1; er_block_cap_audit
-    reports it), so the oracle is cap-free.  Levenshtein evaluates
-    JVM-side, codegen'd, only on surviving in-block pairs."""
-    from etl_pyspark_spark.operators.blocking import capped_block_members
-
-    cust = read_table(spark, sf_dir, "customer")
-    blocked = capped_block_members(
-        cust.select(
-            "c_custkey",
-            "c_name",
-            F.col("c_nationkey").alias("nk"),
-            F.substring("c_name", 1, 16).alias("blk"),
-        ),
-        ["nk", "blk"],
-        "c_custkey",
-    )
-    a = blocked.select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-        "nk",
-        "blk",
-    )
-    b = blocked.select(
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
-        "nk",
-        "blk",
-    )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
-        a.join(b, ["nk", "blk"])
-        .where(F.col("custkey_a") < F.col("custkey_b"))
-        .where(dist <= 1)
-        .select("custkey_a", "custkey_b", dist.alias("edit_dist"))
-    )
-
-
-@query(
-    "er_block_cap_audit",
-    # f-string keeps the oracle's cap literal synchronized with the
-    # engine-side operators/blocking.MAX_BLOCK by construction.
-    oracle=f"""
-    WITH s AS (SELECT c_nationkey, substr(c_name, 1, 16) AS blk,
-                      count(*) AS block_size
-               FROM customer GROUP BY 1, 2)
-    SELECT count(*) AS n_blocks,
-           CAST(sum(CASE WHEN block_size > {MAX_BLOCK} THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_truncated,
-           CAST(sum(CASE WHEN block_size > {MAX_BLOCK}
-                         THEN block_size - {MAX_BLOCK} ELSE 0 END)
-                AS BIGINT) AS n_members_dropped,
-           CAST(max(block_size) AS BIGINT) AS max_block_size
-    FROM s
-    """,
-)
-def q_er_block_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mega-block truncation audit — the observability half of the
-    MAX_BLOCK cap (operators/blocking) that fuzzy_name_match_blocked
-    and entity_resolution_clusters apply before their in-block
-    self-joins: one row reporting how many (nation, name-prefix)
-    blocks exceed the cap and how many memberships the cap would
-    drop. Runs on the UNCAPPED block-size table (a single map-side
-    combinable keyed count — linear, no pair expansion), so the
-    release card can state the truncation instead of silently eating
-    it. On the fixture every count is 0 truncated (blocks peak at 14
-    members at sf0.1); the synthetic mega-block regression in
-    tests/test_blocking.py exercises the binding case."""
-    from etl_pyspark_spark.operators.blocking import (
-        block_truncation_audit,
-    )
-
-    cust = read_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nk"),
-        F.substring("c_name", 1, 16).alias("blk"),
-    )
-    return block_truncation_audit(cust, ["nk", "blk"])
-
-
-@query(
-    "user_event_sequence",
-    oracle="""
-    SELECT user_id,
-           array_to_string(list(event_type ORDER BY ts, event_id), '>')
-             AS seq,
-           count(*) AS n_events
-    FROM events WHERE user_id % 50 = 0
-    GROUP BY user_id
-    """,
-)
-def q_user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user ordered event-type sequence (the sessionless journey
-    string behind funnel/path mining). One groupBy; ordering comes
-    from ``array_sort`` over (ts, event_id, type) structs INSIDE each
-    group — no window, no secondary shuffle, and the (ts, event_id)
-    tiebreak makes the string deterministic on both engines."""
-    ev = read_table(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
-    seq = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ),
-            lambda s: s["event_type"],
-        ),
-        ">",
-    )
-    return ev.groupBy("user_id").agg(
-        seq.alias("seq"), F.count(F.lit(1)).alias("n_events")
-    )
-
-
-_LATERAL_SQL = """
-    SELECT n.n_name, t.c_custkey, t.c_acctbal
-    FROM nation n, LATERAL (
-      SELECT c_custkey, c_acctbal FROM customer
-      WHERE c_nationkey = n.n_nationkey
-      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) AS t
-"""
-
-
-@query("lateral_topn_join", oracle=_LATERAL_SQL)
-def q_lateral_topn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated LATERAL subquery (Spark 3.4+/4): top-3 customers by
-    balance per nation, written as the SQL-standard lateral form the
-    DataFrame window/filter idiom compiles to anyway — Spark rewrites
-    the correlated limit into a partitioned WindowGroupLimit, so the
-    declarative form costs the same as the hand-written window. The
-    SQL text is dialect-shared with the oracle."""
-    _register_views(spark, sf_dir, "nation", "customer")
-    return spark.sql(_LATERAL_SQL)
-
-
-@query(
-    "table_content_checksum",
-    oracle="""
-    SELECT CAST(doc_id % 16 AS BIGINT) AS segment,
-           bit_xor(('0x' || substr(md5('ck:' || CAST(doc_id AS VARCHAR)
-                                   || ':' || text), 1, 15))::BIGINT)
-             AS checksum,
-           count(*) AS n_rows
-    FROM documents GROUP BY 1
-    """,
-)
-def q_table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-independent content checksum per table segment: XOR of a
-    portable row hash (anti-entropy / replica-divergence detection —
-    compare segment checksums between two copies of a lake table
-    without sorting either side). XOR aggregation is commutative,
-    overflow-free, and map-side combines; 16 segments localize any
-    mismatch to 1/16 of the table for the repair pass."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    h = T.portable_hash60(
-        F.concat(
-            F.lit("ck:"),
-            F.col("doc_id").cast("string"),
-            F.lit(":"),
-            F.col("text"),
-        )
-    )
-    return (
-        docs.select((F.col("doc_id") % 16).alias("segment"), h.alias("h"))
-        .groupBy("segment")
-        .agg(
-            F.expr("bit_xor(h)").alias("checksum"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
-@query(
-    "embedding_dim_stats",
-    oracle="""
-    SELECT i - 1 AS dim,
-           CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0
-                               + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled,
-           CAST(min(embedding[i]) AS DOUBLE) AS min_val,
-           CAST(max(embedding[i]) AS DOUBLE) AS max_val,
-           count(*) AS n
-    FROM embeddings,
-         UNNEST(generate_series(1, len(embedding))) AS g(i)
-    GROUP BY 1
-    """,
-)
-def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension embedding statistics (the normalization /
-    whitening precursor): posexplode the vector column and aggregate
-    by dimension — 64 groups regardless of corpus size, so the
-    exchange moves only partial aggregates. Sums go through a
-    scale-to-int (floor(x*1e6+0.5)) so float accumulation order can
-    never drift between engines; min/max are exact float comparisons."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    ex = emb.select(F.posexplode("embedding").alias("dim", "val"))
-    scaled = F.floor(F.col("val").cast("double") * 1000000.0 + 0.5).cast(
-        "bigint"
-    )
-    return (
-        ex.groupBy(F.col("dim").cast("bigint").alias("dim"))
-        .agg(
-            F.sum(scaled).alias("sum_scaled"),
-            F.min("val").cast("double").alias("min_val"),
-            F.max("val").cast("double").alias("max_val"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-
-
-@query(
-    "mixture_sampling_quota",
-    oracle="""
-    WITH counts AS (SELECT lang, source, count(*) AS n_docs
-                    FROM documents GROUP BY 1, 2),
-    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts)
-    SELECT lang, source, n_docs,
-           CAST(floor(n_docs * 100000.0 / total) AS BIGINT) AS quota
-    FROM counts, tot
-    """,
-)
-def q_mixture_sampling_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset-mixture quotas: proportional allocation of a 100k-doc
-    training budget across (lang, source) strata — the sampling plan
-    a mixture-weighted corpus build executes. The total is a
-    one-row aggregate broadcast onto the per-stratum counts (never a
-    window over an unpartitioned frame)."""
-    docs = read_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    tot = counts.agg(F.sum("n_docs").alias("total"))
-    return counts.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "source",
-        "n_docs",
-        F.floor(F.col("n_docs") * 100000.0 / F.col("total"))
-        .cast("bigint")
-        .alias("quota"),
-    )
-
-
-
-_GROUP_BY_ALL_SQL = """
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(year(o_orderdate) AS INT) AS order_year,
-           count(*) AS n_orders
-    FROM orders
-    GROUP BY ALL
-"""
-
-
-@query("sql_group_by_all", oracle=_GROUP_BY_ALL_SQL)
-def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ALL (Spark 3.4+/DuckDB shared dialect): every
-    non-aggregate select item becomes a grouping key — the
-    report-query ergonomic that removes the classic stale-GROUP-BY
-    bug. Same physical plan as the explicit form (one partial+final
-    hash aggregate)."""
-    _register_views(spark, sf_dir, "orders")
-    return spark.sql(_GROUP_BY_ALL_SQL)
-
-
-_PAGINATION_SQL = """
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 20 OFFSET 40
-"""
-
-
-@query("sort_limit_offset", oracle=_PAGINATION_SQL)
-def q_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pagination (page 3 of a 20-row listing): ORDER BY ... LIMIT
-    k OFFSET n with a total tiebreak order. Spark executes as a
-    global top-(n+k) (TakeOrderedAndProject with offset) — it never
-    materializes or sorts the full table, but deep pagination still
-    scans top-(n+k) per partition, which is why production APIs
-    keyset-paginate (WHERE (price, key) < last_seen) instead of
-    offsetting past page ~1000."""
-    _register_views(spark, sf_dir, "orders")
-    return spark.sql(_PAGINATION_SQL)
-
-
-@query(
-    "join_asof_nearest",
-    oracle="""
-    WITH purchases AS (
-      SELECT event_id, user_id, ts FROM events
-      WHERE event_type = 'purchase'),
-    signups AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'signup'),
-    scored AS (
-      SELECT p.event_id, p.user_id,
-             CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch_s,
-             CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_epoch_s,
-             s.value AS signup_value,
-             abs(epoch_us(p.ts) - epoch_us(s.ts)) AS gap_us,
-             row_number() OVER (
-               PARTITION BY p.event_id
-               ORDER BY abs(epoch_us(p.ts) - epoch_us(s.ts)),
-                        s.ts, s.value) AS rn
-      FROM purchases p JOIN signups s ON s.user_id = p.user_id)
-    SELECT event_id, user_id, purchase_epoch_s,
-           signup_epoch_s AS nearest_signup_epoch_s,
-           signup_value AS nearest_signup_value
-    FROM scored WHERE rn = 1
-    """,
-)
-def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-in-time join (bidirectional as-of): each purchase pairs
-    with its temporally CLOSEST signup by the same user — either
-    direction, unlike the backward-only ``join_asof``. One keyed
-    shuffle on user_id; per-purchase candidates are that user's
-    signups only (bounded per key), ranked by absolute gap with a
-    (ts, value) tiebreak for determinism. The oracle replays the same
-    window; at unbounded per-key history, pre-bin both sides by
-    coarse time buckets first (same trick as join_range_binned)."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("p_ts")
-    )
-    s = ev.where(F.col("event_type") == "signup").select(
-        "user_id", F.col("ts").alias("s_ts"), F.col("value").alias("s_value")
-    )
-    gap = F.abs(
-        F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts"))
-    )
-    w = Window.partitionBy("event_id").orderBy(
-        gap, F.col("s_ts"), F.col("s_value")
-    )
-    return (
-        p.join(s, "user_id")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.unix_timestamp("p_ts").alias("purchase_epoch_s"),
-            F.unix_timestamp("s_ts").alias("nearest_signup_epoch_s"),
-            F.col("s_value").alias("nearest_signup_value"),
-        )
-    )
-
-
-@query(
-    "kfold_assignment",
-    oracle="""
-    WITH folded AS (
-      SELECT doc_id, n_chars,
-             ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
-                             1, 15))::BIGINT % 5 AS fold
-      FROM documents)
-    SELECT fold, count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           count(DISTINCT doc_id) AS n_distinct
-    FROM folded GROUP BY fold
-    """,
-)
-def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 5-fold cross-validation assignment + balance
-    report: fold membership is a pure hash of the row key, so every
-    engine, run, and cluster size produces the SAME folds (a seeded
-    randomSplit does not survive repartitioning), and fold i's
-    train set is reconstructible as ``fold != i`` with no stored
-    assignment table. The balance report is the pre-flight check
-    that folds are size-uniform."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    fold = (
-        T.portable_hash60(
-            F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))
-        )
-        % 5
-    )
-    return (
-        docs.select(fold.alias("fold"), "doc_id", "n_chars")
-        .groupBy("fold")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.count_distinct("doc_id").alias("n_distinct"),
-        )
-    )
-
-
-@query(
-    "curriculum_difficulty_buckets",
-    oracle=f"""
-    WITH scored AS (
-      SELECT doc_id,
-             {sql_pround("CAST(strlen(text) AS DOUBLE)"
-                         " / len(list_filter(string_split(text, ' '),"
-                         " t -> t <> ''))", 6)} AS difficulty
-      FROM documents
-      WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0)
-    SELECT ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase,
-           doc_id, difficulty
-    FROM scored
-    """,
-)
-def q_curriculum_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum-learning phases: rank docs by a difficulty proxy
-    (mean token length — longer tokens ~ harder text) and ntile into
-    4 training phases, easy to hard. The (difficulty, doc_id) total
-    order makes phase boundaries deterministic on both engines.
-    Round 4: per-row phases come from
-    operators/ranks.with_global_ntile (range exchange + per-partition
-    offsets, never a SinglePartition window), so labeling scales to
-    the full corpus; the ANSI tile formula matches the oracle's ntile
-    bit for bit."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.operators.ranks import with_global_ntile
-
-    docs = read_table(spark, sf_dir, "documents")
-    ntoks = F.size(T.ws_tokens(F.col("text")))
-    scored = docs.where(ntoks > 0).select(
-        "doc_id",
-        pround(
-            F.length("text").cast("double") / ntoks.cast("double"), 6
-        ).alias("difficulty"),
-    )
-    return with_global_ntile(
-        scored, ["difficulty", "doc_id"], 4, tile_col="phase"
-    ).select("phase", "doc_id", "difficulty")
-
-
-
-@query(
-    "regression_by_group",
-    oracle=f"""
-    WITH pts AS (
-      SELECT event_type,
-             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS ys
-      FROM events),
-    m AS (
-      SELECT event_type,
-             count(*) AS n,
-             CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(ys) AS BIGINT) AS sy,
-             CAST(sum(x * ys) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx
-      FROM pts GROUP BY event_type)
-    SELECT event_type, n,
-           {sql_pround("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-                       " / (CAST(n AS DOUBLE) * sxx"
-                       "    - CAST(sx AS DOUBLE) * sx) / 1000000.0", 6)}
-             AS slope_per_day
-    FROM m
-    """,
-)
-def q_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped least-squares trend (value vs day): the moments
-    (n, Σx, Σy, Σxy, Σx²) accumulate as INTEGERS — x is a small day
-    number, y is scaled to micro-units — so the distributed sums are
-    exact and partitioning-independent; only the final closed-form
-    slope is floating arithmetic, on identical inputs in both engines.
-    This is the portable alternative to ``regr_slope`` (whose double
-    accumulation drifts with partition order). One aggregation pass,
-    map-side combinable."""
-    ev = read_table(spark, sf_dir, "events")
-    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("bigint")
-    ys = F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
-    m = ev.select("event_type", x.alias("x"), ys.alias("ys")).groupBy(
-        "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("ys").alias("sy"),
-        F.sum(F.col("x") * F.col("ys")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    nd = F.col("n").cast("double")
-    slope = (
-        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-        / (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-        / 1000000.0
-    )
-    return m.select(
-        "event_type", "n", pround(slope, 6).alias("slope_per_day")
-    )
-
-
-@query(
-    "event_transition_matrix",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS next_type
-      FROM events)
-    SELECT event_type AS from_type, next_type AS to_type,
-           count(*) AS n_transitions
-    FROM seq WHERE next_type IS NOT NULL
-    GROUP BY 1, 2
-    """,
-)
-def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition counts over each user's event
-    stream (the behavioral fingerprint behind next-action models and
-    anomaly scores). One user-keyed window for ``lead`` + one 25-cell
-    aggregate; the (ts, event_id) tiebreak pins concurrent events."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
-    )
-    return (
-        seq.where(F.col("next_type").isNotNull())
-        .groupBy(
-            F.col("event_type").alias("from_type"),
-            F.col("next_type").alias("to_type"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
-    )
-
-
-@query(
-    "active_users_rolling",
-    oracle="""
-    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-                FROM events),
-    maxd AS (SELECT max(day) AS dmax FROM ud),
-    contrib AS (
-      SELECT user_id,
-             CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY))
-                  AS DATE) AS day_w
-      FROM ud)
-    SELECT day_w AS day, count(DISTINCT user_id) AS wau
-    FROM contrib, maxd WHERE day_w <= dmax
-    GROUP BY 1
-    """,
-)
-def q_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day active users (WAU) per day: each distinct
-    (user, day) presence is exploded into the 7 trailing report days
-    it keeps the user active in, then distinct-counted per day. The
-    bounded explode (x7 of the DISTINCT user-day table, not the raw
-    events) is the scale-correct form — a range-interval window with
-    COUNT(DISTINCT) doesn't exist, and self-joining days against a
-    30x larger event log shuffles far more. Report days past the data
-    edge are clipped against the max observed day (broadcast scalar)."""
-    ev = read_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct()
-    maxd = ud.agg(F.max("day").alias("dmax"))
-    contrib = ud.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
-        ).alias("day_w"),
-    )
-    return (
-        contrib.crossJoin(F.broadcast(maxd))
-        .where(F.col("day_w") <= F.col("dmax"))
-        .groupBy(F.col("day_w").alias("day"))
-        .agg(F.count_distinct("user_id").alias("wau"))
-    )
-
-
-@query(
-    "mode_per_group",
-    oracle="""
-    WITH c AS (
-      SELECT event_type, CAST(floor(value / 50.0) AS INT) AS vbin,
-             count(*) AS n
-      FROM events GROUP BY 1, 2),
-    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
-                                       ORDER BY n DESC, vbin) AS rn
-          FROM c)
-    SELECT event_type, vbin AS mode_bin, n AS n_occurrences
-    FROM r WHERE rn = 1
-    """,
-)
-def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic grouped mode (most frequent value bin, smallest
-    bin on ties): count-then-rank, because the native ``mode()``
-    aggregate leaves tie-breaks engine-defined and therefore
-    unverifiable. Two cheap aggregations over ~100 (type, bin) cells;
-    the rank-1 filter compiles to WindowGroupLimit."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events")
-    c = ev.groupBy(
-        "event_type",
-        F.floor(F.col("value") / 50.0).cast("int").alias("vbin"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("n").desc(), F.col("vbin")
-    )
-    return (
-        c.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("vbin").alias("mode_bin"),
-            F.col("n").alias("n_occurrences"),
-        )
-    )
-
-
-@query(
-    "orders_running_share",
-    oracle=f"""
-    WITH d AS (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
-      FROM orders GROUP BY 1),
-    t AS (SELECT sum(rev) AS total FROM d)
-    SELECT day,
-           CAST(rev AS DOUBLE) AS day_revenue,
-           {sql_pround("CAST(sum(rev) OVER (ORDER BY day"
-                       " ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
-                       " / CAST(total AS DOUBLE)", 6)} AS cum_share
-    FROM d, t
-    """,
-)
-def q_orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative revenue share by day (the pacing / S-curve report):
-    reduce to per-day decimal revenue FIRST, then run the running sum
-    over the tiny day table — the global window orders |days| rows,
-    never the fact table — with the grand total broadcast from a
-    one-row aggregate. Decimal accumulation end-to-end keeps the
-    running sums exact; only the final share division is floating."""
-    from pyspark.sql.window import Window
-
-    orders = read_table(spark, sf_dir, "orders")
-    d = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
-    )
-    t = d.agg(F.sum("rev").alias("total"))
-    w = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return d.crossJoin(F.broadcast(t)).select(
-        "day",
-        F.col("rev").cast("double").alias("day_revenue"),
-        pround(
-            F.sum("rev").over(w).cast("double")
-            / F.col("total").cast("double"),
-            6,
-        ).alias("cum_share"),
-    )
-
-
-def gc_scratch(max_age_s: int = 3600) -> int:
-    """Sweep stale session-scoped sink directories (``jsonl_sink_*``)
-    from ``.scratch``: each run rmtree's only its OWN applicationId
-    dir, so crashed/abandoned sessions leak one directory apiece —
-    harmless locally, a storage leak in production (round-3 review,
-    What's wrong #3). Age-based so a concurrently RUNNING session's
-    fresh directory is never raced; returns the number removed."""
-    import shutil
-    import time
-
-    removed = 0
-    root = _SCRATCH
-    if not os.path.isdir(root):
-        return 0
-    cutoff = time.time() - max_age_s
-    for name in os.listdir(root):
-        if not name.startswith("jsonl_sink_"):
-            continue
-        path = os.path.join(root, name)
-        try:
-            if os.path.getmtime(path) < cutoff:
-                shutil.rmtree(path, ignore_errors=True)
-                removed += 1
-        except OSError:
-            continue
-    return removed
-
-
-def ensure_layouts(spark: SparkSession, sf_dir: str) -> None:
-    """Build every pay-once lake layout (hive-partitioned, bucketed,
-    range-clustered, Z-ordered) for ``sf_dir`` if missing or stale.
-    Called from bench.py's untimed warm-up so the per-query numbers
-    measure the pruned/co-located SCANS — mirroring production, where
-    layout is paid at ingest, not per query. Queries still self-ensure
-    lazily, so correctness runs need no warm-up. Also GCs stale
-    session-scoped sink scratch (the ingest-time janitor job)."""
-    from etl_pyspark_spark.sources.bucketed import ensure_bucketed_fixtures
-
-    gc_scratch()
-    _ensure_orders_by_year(spark, sf_dir)
-    _ensure_orders_mixed_spec(spark, sf_dir)
-    ensure_zorder_lineitem(spark, sf_dir)
-    ensure_range_clustered_lineitem(spark, sf_dir)
-    _ensure_skipping_lineitem(spark, sf_dir)
-    _ensure_deflate_sizes(sf_dir)
-    ensure_bucketed_fixtures(spark, sf_dir)
-
-
-# ---------------------------------------------------------------------------
-# Round 3: training-data growth surface — exact substring-duplication
-# spans, BM25 search, per-source quota caps, incremental aggregate
-# state merge, integer-exact anomaly detection, rare-token scoring.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "substring_dup_spans",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
-               FROM documents),
-    g AS (SELECT doc_id, unnest({_ngram_sql('toks', 8)}) AS gram FROM t),
-    c AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY gram),
-    d AS (SELECT g.doc_id,
-                 count(*) AS n_grams,
-                 count(*) FILTER (c.n_occ >= 2) AS n_dup_grams
-          FROM g JOIN c USING (gram) GROUP BY g.doc_id)
-    SELECT documents.doc_id,
-           COALESCE(n_grams, 0) AS n_grams,
-           COALESCE(n_dup_grams, 0) AS n_dup_grams,
-           {sql_pround(
-               'CAST(COALESCE(n_dup_grams, 0) AS DOUBLE)'
-               ' / GREATEST(COALESCE(n_grams, 0), 1)'
-           )} AS dup_ratio
-    FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
-    """,
-)
-def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-duplication signal (Lee et al., "Deduplicating
-    Training Data Makes Language Models Better"): the fraction of each
-    document's token 8-grams that occur at least twice anywhere in the
-    corpus — the span-level dup measure that doc-level fingerprints
-    miss (boilerplate, quoted passages, templated spans).
-
-    Suffix arrays don't distribute; rolling k-gram occurrence counts
-    do, and are the standard scale-out approximation. Shape at 100 TB:
-    grams are 60-bit-hashed BEFORE the shuffle (an 8-word string would
-    ~40x the exchange payload), occurrence counts collapse map-side
-    (partial agg), the gram->count join is key-partitioned on the same
-    hash, and the per-doc rollup is one more keyed shuffle. No windows,
-    no driver state; the oracle groups the raw gram strings — parity
-    holds unless md5 collides within the corpus (2^-60 per pair)."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = read_table(spark, sf_dir, "documents")
-    toked = spread(docs).select(
-        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
-    )
-    g = toked.select(
-        "doc_id",
-        F.explode(T.ngrams_from_tokens(F.col("toks"), 8)).alias("gram"),
-    ).select("doc_id", T.portable_hash60(F.col("gram")).alias("gh"))
-    c = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
-    d = (
-        g.join(c, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(F.when(F.col("n_occ") >= 2, 1)).alias("n_dup_grams"),
-        )
-    )
-    zero = F.lit(0).cast("bigint")
-    n_grams = F.coalesce(F.col("n_grams"), zero)
-    n_dup = F.coalesce(F.col("n_dup_grams"), zero)
-    return (
-        docs.select("doc_id")
-        .join(d, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_grams.alias("n_grams"),
-            n_dup.alias("n_dup_grams"),
-            pround(
-                n_dup.cast("double") / F.greatest(n_grams, F.lit(1)), 6
-            ).alias("dup_ratio"),
-        )
-    )
-
-
-@query(
-    "bm25_rank_search",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
-               FROM documents),
-    n AS (SELECT count(*) AS n_docs,
-                 CAST(sum(CAST(len(toks) AS DOUBLE)) AS DOUBLE)
-                   / count(*) AS avgdl
-          FROM t),
-    tok AS (SELECT doc_id, len(toks) AS dl, u.term
-            FROM t, UNNEST(toks) AS u(term)
-            WHERE u.term IN ('spark', 'join', 'window')),
-    tf AS (SELECT doc_id, dl, term, count(*) AS tf
-           FROM tok GROUP BY 1, 2, 3),
-    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             {sql_pround(
-                 '((n.n_docs - df.df + 0.5) / (df.df + 0.5))'
-                 ' * (CAST(tf.tf AS DOUBLE) * 2.2)'
-                 ' / (CAST(tf.tf AS DOUBLE)'
-                 '    + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE))'
-                 '                    / n.avgdl))'
-             )} AS tscore
-      FROM tf JOIN df USING (term), n)
-    SELECT doc_id,
-           CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
-    FROM scored
-    GROUP BY doc_id
-    ORDER BY score DESC, doc_id
-    LIMIT 20
-    """,
-)
-def q_bm25_rank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword search: BM25 top-20 documents for the fixed query
-    {spark, join, window} (k1=1.2, b=0.75), with the rational-IDF core
-    ``(N - df + 0.5) / (df + 0.5)`` (the BM25 idf without the log —
-    pure IEEE division, bit-identical cross-engine; same trick as
-    tfidf_top_terms).
-
-    Shape at scale: the query-term filter lands INSIDE the token
-    explode's output before any shuffle, so the tf table carries only
-    matching (doc, term) rows — for a 3-term query that's a vanishing
-    fraction of the corpus. df and the corpus stats are tiny
-    broadcasts; per-term scores round then sum as DECIMAL so the
-    3-term addition is order-exact; the final top-20 is
-    TakeOrderedAndProject, never a full sort."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    terms = ["spark", "join", "window"]
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    toked = docs.select(
-        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
-    )
-    n = toked.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.size("toks").cast("double")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
-    )
-    tok = toked.select(
-        "doc_id",
-        F.size("toks").alias("dl"),
-        F.explode(
-            F.filter(
-                F.col("toks"),
-                lambda x: x.isin(*terms),
-            )
-        ).alias("term"),
-    )
-    tf = tok.groupBy("doc_id", "dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    tfd = F.col("tf").cast("double")
-    tscore = pround(
-        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * (tfd * 2.2)
-        / (
-            tfd
-            + 1.2
-            * (0.25 + (0.75 * F.col("dl").cast("double")) / F.col("avgdl"))
-        ),
-        6,
-    )
-    return (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(n))
-        .select("doc_id", tscore.alias("tscore"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("tscore").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("score")
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
-    )
-
-
-@query(
-    "source_quota_cap",
-    oracle="""
-    SELECT doc_id, source, rk
-    FROM (
-      SELECT doc_id, source,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
-                                        1, 15))::BIGINT,
-                        doc_id) AS rk
-      FROM documents)
-    WHERE rk <= 15
-    """,
-)
-def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source quota capping (corpus balancing): keep at most 15
-    documents per source, chosen by deterministic hash order — the
-    "no single domain dominates the training mix" rule (C4/Gopher
-    keep per-domain caps for exactly this reason). Hash-order
-    selection is an order-free uniform sample: no RNG state, stable
-    under re-runs and insertion order.
-
-    Shape at scale: rank-limit (rk <= 15) collapses to
-    WindowGroupLimit, so each partition keeps only its local top-15
-    per source before the exchange — the shuffle carries O(sources x
-    15), not the corpus. Skewed mega-domains cost one partition's
-    top-15 scan, not a global sort."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    h = T.portable_hash60(
-        F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))
-    )
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
-    return (
-        docs.select("doc_id", "source")
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 15)
-    )
-
-
-@query(
-    "agg_incremental_state_merge",
-    oracle="""
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-             AS total_price
-    FROM orders
-    GROUP BY 1
-    """,
-)
-def q_agg_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental aggregate refresh: last night's per-month partial
-    state (count + exact DECIMAL sum over ~80% of orders) merged with
-    today's delta partials (the other ~20%) by RE-AGGREGATING the
-    union — never rescanning history. The oracle aggregates the whole
-    table directly, proving state-merge == full recompute.
-
-    This is THE 100 TB pattern for daily rollups: partials are
-    algebraic (count/sum merge by addition), so yesterday's state
-    table (|months| rows) plus a delta scan replaces a full-history
-    scan. DECIMAL keeps the merged sums exact regardless of merge
-    order; the split predicate stands in for the ingest-date
-    partition pruning a production lake would use."""
-    orders = read_table(spark, sf_dir, "orders")
-    month = F.to_date(F.date_trunc("month", "o_orderdate")).alias(
-        "month_start"
-    )
-    partial = lambda df: df.groupBy(month).agg(  # noqa: E731
-        F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("psum"),
-    )
-    state = partial(orders.where(F.col("o_orderkey") % 10 < 8))
-    delta = partial(orders.where(F.col("o_orderkey") % 10 >= 8))
-    return (
-        state.unionByName(delta)
-        .groupBy("month_start")
-        .agg(
-            F.sum("pn").alias("n_orders"),
-            F.sum("psum").cast("double").alias("total_price"),
-        )
-    )
-
-
-@query(
-    "anomaly_daily_counts",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             count(*) AS n_events
-      FROM events GROUP BY 1),
-    w AS (
-      SELECT day, n_events,
-             count(*) OVER tw AS n_prior,
-             CAST(sum(n_events) OVER tw AS BIGINT) AS s_prior,
-             CAST(sum(n_events * n_events) OVER tw AS BIGINT) AS q_prior
-      FROM d
-      WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-    SELECT day, n_events,
-           (n_prior = 7 AND
-            (7 * n_events - s_prior) * (7 * n_events - s_prior)
-              > 4 * (7 * q_prior - s_prior * s_prior))
-             AS is_anomaly
-    FROM w
-    """,
-)
-def q_anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume-anomaly detection on the event firehose: flag days whose
-    count deviates from the trailing 7-day mean by more than 2
-    trailing standard deviations — entirely in BIGINT algebra.
-    ``|x - S/7| > 2*sqrt(Q/7 - (S/7)^2)`` cross-multiplies (by 49) to
-    ``(7x - S)^2 > 4 * (7Q - S^2)``; no division, no sqrt, no
-    floating point, so both engines compare identical integers (float
-    z-scores differ in last-ulp across engines).
-
-    Shape at scale: the raw stream reduces to one row per day FIRST
-    (partial count map-side), then the window runs over the |days|
-    table — the sliding frame never touches event rows. The squared
-    BIGINT terms hold exactly up to ~1e9 events/day (S^2 < 2^63);
-    beyond that, cast the sums to DECIMAL(38,0) on both engines —
-    same algebra, wider lanes."""
-    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
-    d = (
-        read_table(spark, sf_dir, "events")
-        .groupBy(day)
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    from pyspark.sql.window import Window
-
-    tw = Window.orderBy("day").rowsBetween(-7, -1)
-    x = F.col("n_events")
-    s = F.sum("n_events").over(tw).cast("bigint")
-    q = F.sum(x * x).over(tw).cast("bigint")
-    npr = F.count(F.lit(1)).over(tw)
-    dev = 7 * x - s
-    flag = (npr == 7) & (dev * dev > 4 * (7 * q - s * s))
-    return d.select("day", "n_events", flag.alias("is_anomaly"))
-
-
-@query(
-    "rare_token_ratio",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
-               FROM documents),
-    tok AS (SELECT doc_id, u.term FROM t, UNNEST(toks) AS u(term)),
-    freq AS (SELECT term, count(*) AS n_occ FROM tok GROUP BY term),
-    corpus AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total,
-                      count(*) AS n_vocab
-               FROM freq),
-    d AS (
-      SELECT tok.doc_id,
-             count(*) AS n_toks,
-             count(*) FILTER (4 * freq.n_occ * corpus.n_vocab < corpus.total)
-               AS n_rare
-      FROM tok JOIN freq USING (term), corpus
-      GROUP BY tok.doc_id)
-    SELECT documents.doc_id,
-           COALESCE(n_toks, 0) AS n_toks,
-           COALESCE(n_rare, 0) AS n_rare,
-           {sql_pround(
-               'CAST(COALESCE(n_rare, 0) AS DOUBLE)'
-               ' / GREATEST(COALESCE(n_toks, 0), 1)'
-           )} AS rare_ratio
-    FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
-    """,
-)
-def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rare-token density — the cheap unigram-LM surprisal proxy:
-    fraction of a document's tokens whose corpus frequency is below a
-    quarter of the uniform share (``4 * n_occ * |vocab| < total``,
-    pure integer cross-multiplication; a log-prob score would hit
-    cross-engine libm last-ulp differences). High ratios mark docs
-    full of out-of-distribution tokens (OCR noise, codes, off-corpus
-    jargon) — a standard pre-training quality gate.
-
-    Shape at scale: the token frequency table is vocabulary-sized
-    (tiny vs the corpus) and broadcast back onto the exploded tokens;
-    corpus totals are a one-row broadcast. One explode, one map-side-
-    collapsed count shuffle, one per-doc rollup."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = read_table(spark, sf_dir, "documents")
-    tok = spread(docs).select(
-        "doc_id",
-        F.explode(T.ws_tokens(F.col("text"))).alias("term"),
-    )
-    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
-    corpus = freq.agg(
-        F.sum("n_occ").cast("bigint").alias("total"),
-        F.count(F.lit(1)).alias("n_vocab"),
-    )
-    d = (
-        tok.join(F.broadcast(freq), "term")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.count(
-                F.when(
-                    4 * F.col("n_occ") * F.col("n_vocab") < F.col("total"), 1
-                )
-            ).alias("n_rare"),
-        )
-    )
-    zero = F.lit(0).cast("bigint")
-    n_toks = F.coalesce(F.col("n_toks"), zero)
-    n_rare = F.coalesce(F.col("n_rare"), zero)
-    return (
-        docs.select("doc_id")
-        .join(d, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_toks.alias("n_toks"),
-            n_rare.alias("n_rare"),
-            pround(
-                n_rare.cast("double") / F.greatest(n_toks, F.lit(1)), 6
-            ).alias("rare_ratio"),
-        )
-    )
-
-
-@query(
-    "stream_static_enrich",
-    oracle="""
-    SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start_s,
-           n.n_name,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events e
-    JOIN nation n ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
-    GROUP BY 1, 2
-    """,
-)
-def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming enrichment against a static dimension (stream-static
-    broadcast join; AvailableNow replay == the batch join the oracle
-    computes). See streaming/windows.static_enrich_counts for the
-    zero-shuffle join shape."""
-    from etl_pyspark_spark.streaming.windows import static_enrich_counts
-
-    return static_enrich_counts(spark, sf_dir)
-
-
-def _incremental_minhash_oracle() -> str:
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_minhash_cross_pairs,
-        sql_shingles_cte,
-    )
-
-    return (
-        f"WITH {sql_shingles_cte()}, "
-        + sql_minhash_cross_pairs("doc_id % 5 = 4", "doc_id % 5 < 4")
-    )
-
-
-@query("dedup_incremental_minhash", oracle=_incremental_minhash_oracle())
-def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental fuzzy dedup: today's ingest batch (docs with
-    ``doc_id % 5 == 4``, ~20%) LSH-banded against the HISTORICAL band
-    index (the other 80%), then exact-Jaccard verified — the
-    production shape where each new batch probes an accumulating
-    index instead of re-deduping the whole corpus
-    (dedup_incremental_ingest is the exact-fingerprint twin; this is
-    the near-dup one).
-
-    Scale: candidate generation joins |new| band rows against the
-    historical index — cost tracks the BATCH, not the corpus; the
-    historical band table is exactly what a production pipeline keeps
-    materialized between runs. Signature/shingle stages come from the
-    session-shared dedup cache (dedup/shared.py), mirroring that
-    persisted index. Verification intersects the two docs' sorted
-    hash sets JVM-side (array_intersect, hash-set probe, codegen) —
-    only candidate pairs are touched."""
-    from etl_pyspark_spark.dedup import shared
-    from etl_pyspark_spark.dedup.minhash import (
-        band_entries,
-        minhash_signatures_hashed,
-    )
-
-    sh = shared.shingle_hashes(spark, sf_dir)
-    sets = shared.doc_hash_sets(spark, sf_dir).select("doc_id", "hs", "n_sh")
-    sig = minhash_signatures_hashed(sh)
-    entries = band_entries(sig)
-    new_e = entries.where(F.col("doc_id") % 5 == 4)
-    old_e = entries.where(F.col("doc_id") % 5 < 4)
-    cand = (
-        new_e.select(F.col("doc_id").alias("id_a"), "band", "band_key")
-        .join(
-            old_e.select(F.col("doc_id").alias("id_b"), "band", "band_key"),
-            ["band", "band_key"],
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    a = sets.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hs").alias("hs_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    b = sets.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hs").alias("hs_b"),
-        F.col("n_sh").alias("n_b"),
-    )
-    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
-    jac = inter.cast("double") / (
-        F.col("n_a") + F.col("n_b") - inter
-    ).cast("double")
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .where(jac >= 0.5)
-        .select(
-            F.col("id_a").alias("new_doc_id"),
-            F.col("id_b").alias("dup_of"),
-            pround(jac, 6).alias("jaccard"),
-        )
-    )
-
-
-@query(
-    "graph_shared_build",
-    oracle="""
-    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-                WHERE l_orderkey % 10 = 0),
-    e0 AS MATERIALIZED (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lp a JOIN lp b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    n AS (SELECT count(*) AS n_nodes FROM (
-            SELECT u AS x FROM e0 UNION SELECT v FROM e0))
-    SELECT CAST(count(*) AS BIGINT) AS n_edges,
-           CAST(min(n.n_nodes) AS BIGINT) AS n_nodes
-    FROM e0, n
-    """,
-)
-def q_graph_shared_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit one-time build of the graph family's shared
-    co-purchase edge table (memoized per session+fixture in
-    _copurchase_edges) — registered AHEAD of the six consumers so a
-    full bench session attributes the build cost here and the family
-    queries measure their marginal logic, exactly the accounting
-    dedup_shared_build gives the dedup family. Returns the edge/node
-    census a graph-pipeline build step would log."""
-    edges = _copurchase_edges(spark, sf_dir)
-    nodes = (
-        edges.select(F.col("u").alias("x"))
-        .union(edges.select(F.col("v").alias("x")))
-        .distinct()
-    )
-    return edges.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_edges")
-    ).crossJoin(
-        F.broadcast(
-            nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-        )
-    )
-
-
-@query(
-    "graph_triangle_count",
-    oracle="""
-    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-                WHERE l_orderkey % 10 = 0),
-    edges AS (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lp a JOIN lp b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    deg AS (
-      SELECT x AS node, count(*) AS d
-      FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
-      GROUP BY x),
-    o AS (
-      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
-             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
-      FROM edges e
-      JOIN deg du ON du.node = e.u
-      JOIN deg dv ON dv.node = e.v)
-    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
-           CAST(count(*) AS BIGINT) AS n_triangles
-    FROM o e1
-    JOIN o e2 ON e2.s = e1.t
-    JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t
-    """,
-)
-def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting on the part co-purchase graph (parts sharing
-    an order are adjacent) — the clustering-coefficient/cohesion
-    primitive for graph analytics over relational data. Built over one
-    hash-shard of the order stream (``l_orderkey % 10 = 0``): the
-    co-purchase graph densifies quadratically with orders-per-part, so
-    the full fixture graph at sf0.1 is ~1.2M edges / avg degree 120 —
-    wedge volume ~70M, all spent re-deriving a number the shard
-    already demonstrates. Production would shard exactly like this
-    (per-day graphs) or threshold edges by co-occurrence count.
-
-    The scalable algorithm, not the naive one: every edge is oriented
-    from its lower-(degree, id) endpoint to the higher one, so each
-    triangle is counted exactly once AND the wedge join's fan-out per
-    node is bounded by O(sqrt(E)) instead of the max raw degree —
-    degree orientation is what keeps hub nodes (every graph has them)
-    from exploding the intermediate wedge table at scale. Shape:
-    edges once (distinct self-join within order), degree table (tiny)
-    joined back, wedges = oriented x oriented on the middle node,
-    closed by a semi-join-shaped equi-join with the oriented edge
-    set. All keyed shuffles, no windows, no iteration."""
-    # edges feeds the degree table, both orientation joins and the
-    # final count; o feeds three wedge-join sides. Both are eagerly
-    # checkpointed: a lazy .cache() leaves the first action's parallel
-    # subtrees racing to fill it (each recomputes the derivation —
-    # measured 3x the query cost, and nondeterministically so); the
-    # eager materialization is the checkpointed edge/orientation
-    # table every graph pipeline writes before iterating anyway.
-    # Shared with graph_k_core / graph_local_clustering, including the
-    # mega-basket cap (operators/baskets).
-    edges = _copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-        .localCheckpoint()
-    )
-    e1 = o.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
-    e2 = o.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
-    e3 = o.select(F.col("s").alias("s3"), F.col("t").alias("t3"))
-    tri = (
-        e1.join(e2, F.col("s2") == F.col("t1"))
-        .join(
-            e3,
-            (F.col("s3") == F.col("s1")) & (F.col("t3") == F.col("t2")),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    )
-    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return n_edges.crossJoin(tri)
-
-
-@query(
-    "importance_weighted_sample",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(length(text) AS DOUBLE) AS n_chars,
-             CAST(len({_WS_TOKENS_SQL.format(col='text')}) AS DOUBLE) AS n_words,
-             CAST({_STOP_HITS_SQL.format(col='text',
-                    stops=_sql_str_list(['the','and','of','to','a','in','is','that']))}
-                  AS DOUBLE) AS n_stop,
-             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
-                  AS DOUBLE) AS n_punct
-      FROM documents),
-    q AS (
-      SELECT doc_id,
-             floor((0.3 * least(n_chars / 400.0, 1.0)
-                  + 0.3 * least(n_words / 60.0, 1.0)
-                  + 0.3 * least((CASE WHEN n_words > 0 THEN n_stop / n_words
-                                      ELSE 0.0 END) * 8.0, 1.0)
-                  + 0.1 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars
-                                      ELSE 0.0 END)) * 1000000.0 + 0.5)
-               / 1000000.0 AS quality
-      FROM t)
-    SELECT doc_id, quality
-    FROM q
-    WHERE ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-          < CAST(floor(quality * 1152921504606846976.0) AS BIGINT)
-    """,
-)
-def q_importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-weighted corpus sampling: keep each document with
-    probability equal to its quality score, using hash thresholding
-    instead of an RNG — ``hash60(doc) < floor(quality * 2^60)`` keeps
-    a p-fraction of a uniform 60-bit hash space, so the sample is
-    exactly reproducible, order-independent, and re-runnable (the
-    training-mix upsampling/downsampling primitive; RNG-based
-    sampling can't give a stable doc set across retries or
-    repartitions). 2^60 is a power of two, so the threshold multiply
-    is the same IEEE operation on both engines.
-
-    Scale: embarrassingly parallel — one narrow scan, no shuffle, no
-    state; the filter rides the parquet scan like any predicate."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    staged = docs.select(
-        "doc_id",
-        "text",
-        T.ws_tokens(F.col("text")).alias("__toks"),
-        T.ws_tokens(F.lower(F.col("text"))).alias("__ltoks"),
-    )
-    q = staged.select(
-        "doc_id",
-        pround(
-            T.quality_score(
-                F.col("text"), toks=F.col("__toks"), ltoks=F.col("__ltoks")
-            ),
-            6,
-        ).alias("quality"),
-    )
-    h = T.portable_hash60(
-        F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))
-    )
-    thresh = F.floor(F.col("quality") * F.lit(float(1 << 60))).cast("bigint")
-    return q.where(h < thresh)
-
-
-@query("hll_intersection_estimate")
-def q_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch algebra: estimated distinct-user overlap between the
-    'click' and 'purchase' event populations by inclusion-exclusion
-    over HLL sketches — ``|A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)``
-    (HLLs union losslessly but can't intersect directly; I-E is the
-    standard estimator). rows-only by design: DuckDB has no
-    Datasketches-compatible HLL, and the whole point of a sketch is
-    an approximation no exact SQL reproduces.
-
-    Scale: one pass builds both sketches as conditional aggregates
-    (no second scan, no distinct shuffle — each sketch is a few KB
-    merged associatively map-side), and the union happens on the
-    merged sketches, not the data."""
-    ev = read_table(spark, sf_dir, "events")
-    sketches = ev.agg(
-        F.expr(
-            "hll_sketch_agg(CASE WHEN event_type = 'click'"
-            " THEN user_id END)"
-        ).alias("sk_click"),
-        F.expr(
-            "hll_sketch_agg(CASE WHEN event_type = 'purchase'"
-            " THEN user_id END)"
-        ).alias("sk_purchase"),
-    )
-    return sketches.select(
-        F.expr("hll_sketch_estimate(sk_click)")
-        .cast("bigint")
-        .alias("est_click_users"),
-        F.expr("hll_sketch_estimate(sk_purchase)")
-        .cast("bigint")
-        .alias("est_purchase_users"),
-        (
-            F.expr("hll_sketch_estimate(sk_click)")
-            + F.expr("hll_sketch_estimate(sk_purchase)")
-            - F.expr(
-                "hll_sketch_estimate(hll_union(sk_click, sk_purchase))"
-            )
-        )
-        .cast("bigint")
-        .alias("est_overlap_users"),
-    )
-
-
-@query(
-    "stream_quota_drop",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start_s
-    FROM (
-      SELECT event_id, user_id, ts,
-             row_number() OVER (
-               PARTITION BY user_id, floor(epoch(ts) / 3600)
-               ORDER BY ts, event_id) AS rn
-      FROM events)
-    WHERE rn <= 2
-    """,
-)
-def q_stream_quota_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming rate limiting: admit at most 2 events per user per
-    hour at ingest, drop the rest — a stateful quota no built-in
-    streaming aggregate expresses (aggregates summarize; this must
-    pass/drop individual rows on a running count).
-
-    Custom GroupState via applyInPandasWithState keyed by USER, with
-    the hour tracked inside the state as a (current_hour, n) machine
-    that resets when the hour advances. Keying by (user, hour) would
-    be semantically cleaner but costs one state-store entry + one
-    Python group invocation per (user, hour) — ~64x more groups than
-    users on this firehose (measured 42 s -> ~2 s at sf0.1); the
-    per-user state machine is the production shape (same reason rate
-    limiters keep one token bucket per principal, not per window).
-    Rows are processed in event-time order within the replay, so
-    admission is deterministic and matches the batch row_number
-    oracle; out-of-order arrival across micro-batches would need the
-    timeout/eviction variant (state timeout at watermark + 1h).
-
-    Scale: state is |active users| x 16 bytes; the quota check never
-    shuffles more than the keyed exchange any per-user operator
-    already pays."""
-    from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from etl_pyspark_spark.streaming.windows import (
-        run_to_memory_table,
-        stream_events,
-    )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("hour_start_s", T.LongType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("cur_hour", T.LongType()),
-            T.StructField("n", T.LongType()),
-        ]
-    )
-
-    def admit(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        cur_hour, n = state.get if state.exists else (-1, 0)
-        out_eid, out_hour = [], []
-        # One group's rows can arrive as SEVERAL Arrow chunks (when the
-        # group exceeds arrow.maxRecordsPerBatch) in arbitrary shuffle
-        # order — sorting each chunk independently would make admission
-        # depend on chunk boundaries. Concatenate, THEN sort once: the
-        # buffered frame is one user's one-micro-batch slice, bounded
-        # by per-key batch volume, not the corpus.
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
-        )
-        for eid, h in zip(pdf["event_id"], pdf["hour_start_s"]):
-            if h != cur_hour:
-                cur_hour, n = h, 0
-            if n < 2:
-                out_eid.append(int(eid))
-                out_hour.append(int(h))
-            n += 1
-        state.update((int(cur_hour), int(n)))
-        yield pd.DataFrame(
-            {
-                "event_id": out_eid,
-                "user_id": [int(key[0])] * len(out_eid),
-                "hour_start_s": out_hour,
-            }
-        )
-
-    sdf = stream_events(spark, sf_dir)
-    keyed = sdf.select(
-        "event_id",
-        "user_id",
-        "ts",
-        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
-        .cast("bigint")
-        .alias("hour_start_s"),
-    )
-    admitted = keyed.groupBy("user_id").applyInPandasWithState(
-        admit,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    return run_to_memory_table(admitted, spark, mode="append")
-
-
-@query(
-    "stream_stream_left_outer",
-    oracle="""
-    WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m FROM events),
-    c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
-          FROM events WHERE event_type = 'click'),
-    p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
-          FROM events WHERE event_type = 'purchase'),
-    matched AS (
-      SELECT c.click_id, c.user_id, p.purchase_id,
-             (epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 1000000 AS delay_s
-      FROM c JOIN p ON c.user_id = p.user_id
-        AND p.p_ts >= c.c_ts
-        AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE),
-    unmatched AS (
-      SELECT c.click_id, c.user_id,
-             CAST(NULL AS BIGINT) AS purchase_id,
-             CAST(NULL AS BIGINT) AS delay_s
-      FROM c, mx
-      WHERE NOT EXISTS (
-              SELECT 1 FROM p
-              WHERE p.user_id = c.user_id
-                AND p.p_ts >= c.c_ts
-                AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE)
-        AND c.c_ts + INTERVAL 30 MINUTE < mx.m - INTERVAL 1 HOUR)
-    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
-    """,
-)
-def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER stream-stream join (click -> purchase-or-null). The
-    oracle's unmatched branch applies the engine's own eviction rule —
-    a click's null row exists iff ``c_ts + window`` is strictly below
-    the final watermark (max event time, ms-floored, minus the 1h
-    delay); younger unmatched clicks are still buffered when bounded
-    input ends. See streaming/joins.click_purchase_left_outer."""
-    from etl_pyspark_spark.streaming.joins import click_purchase_left_outer
-
-    return click_purchase_left_outer(spark, sf_dir)
-
-
-@query(
-    "sql_pipe_syntax",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n_lines,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-    """,
-)
-def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 SQL pipe syntax (``|>``, SPARK-49555): the same
-    scan -> filter -> aggregate -> order pipeline written as sequenced
-    pipe stages — reads in execution order like the DataFrame API but
-    stays pure SQL. Compiles to the identical Catalyst plan as the
-    classic form (same pushdown, same partial aggregation), so this is
-    a front-end surface, not a different engine path; the oracle is
-    the classic spelling."""
-    from etl_pyspark_spark.sources.io import read_table
-
-    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "lineitem_pipe"
-    )
-    return spark.sql(
-        """
-        FROM lineitem_pipe
-        |> WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
-        |> AGGREGATE count(*) AS n_lines,
-                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-                       AS sum_qty
-           GROUP BY l_returnflag, l_linestatus
-        |> ORDER BY l_returnflag, l_linestatus
-        """
-    )
-
-
-@query(
-    "collated_group_count",
-    oracle="""
-    SELECT lower(CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
-                      ELSE o_orderpriority END) AS priority,
-           count(*) AS n_orders
-    FROM orders
-    GROUP BY 1
-    """,
-)
-def q_collated_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 collation support (SPARK-46830): grouping under the
-    ``UTF8_LCASE`` collation folds case variants into one group at the
-    COMPARISON level — no normalizing rewrite of the data, and every
-    downstream comparison/join on the column inherits the semantics.
-    The fixture is case-uniform, so a deterministic mixed-case variant
-    is derived first (upper-case the even order keys); the output
-    labels go through lower() because a collated group's
-    representative value is whichever variant a partition saw first.
-    The oracle is the classic lower()-rewrite, which is exactly what
-    collations exist to replace."""
-    from etl_pyspark_spark.sources.io import read_table
-
-    orders = read_table(spark, sf_dir, "orders")
-    mixed = F.when(
-        F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
-    ).otherwise(F.col("o_orderpriority"))
-    return (
-        orders.select(F.collate(mixed, "UTF8_LCASE").alias("p"))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .select(
-            # back to the default collation for the output contract —
-            # the collated type was a grouping-semantics tool, not a
-            # result type
-            F.collate(F.lower("p"), "UTF8_BINARY").alias("priority"),
-            "n_orders",
-        )
-    )
-
-
-@query(
-    "heavy_hitters_topk",
-    oracle="""
-    SELECT event_type, count(*) AS n_events
-    FROM events
-    GROUP BY event_type
-    ORDER BY n_events DESC, event_type
-    LIMIT 5
-    """,
-)
-def q_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters via Spark 4.1's ``approx_top_k`` (Datasketches
-    frequent-items): the streaming-friendly answer to "top values of a
-    high-cardinality column" — one sketch per partition, merged
-    associatively map-side, no per-value groupBy shuffle. The sketch
-    is EXACT while distinct values fit its tracking capacity (here 6
-    event types vs the 10k default — zero evictions), which is what
-    makes this oracle-checkable; past capacity it degrades gracefully
-    to guaranteed-error estimates, which is the 100 TB trade: a
-    skewed URL/token column with 1e9 distincts gets its top-k for a
-    few KB of state instead of a 1e9-row exchange. Output re-sorted
-    (count desc, value) so ordering never depends on sketch
-    internals."""
-    ev = read_table(spark, sf_dir, "events")
-    return (
-        ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
-        .select(F.explode("tk").alias("e"))
-        .select(
-            F.col("e.item").alias("event_type"),
-            F.col("e.count").cast("bigint").alias("n_events"),
-        )
-        .orderBy(F.col("n_events").desc(), "event_type")
-    )
-
-
-@query(
-    "python_datasource_jsonl_sink",
-    oracle="""
-    SELECT event_id, user_id, event_type
-    FROM events
-    WHERE event_id % 20 = 0
-    """,
-)
-def q_python_datasource_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom Python DataSource WRITE path (Spark 4 DataSource API):
-    a task-parallel JSON-lines sink with a two-phase commit (per-task
-    tmp+rename, driver-side manifest of exactly the committed files —
-    see sources/pyds.register_jsonl_sink). The query writes a
-    deterministic slice of events through the sink, then reads back
-    ONLY the manifest-listed files; matching the plain-SQL oracle
-    proves the distributed write committed losslessly. Columns are
-    int/string only — JSON round-trips them exactly (doubles would
-    re-parse, a different correctness question than the commit
-    protocol under test)."""
-    import json as _json
-    import shutil
-
-    from etl_pyspark_spark.sources.pyds import register_jsonl_sink
-
-    if not register_jsonl_sink(spark):  # pragma: no cover - pyspark < 4
-        raise NotImplementedError("Python DataSource writer needs pyspark>=4")
-    # session-scoped destination: two sessions running this query
-    # concurrently (driver bench + a local pytest) must not race one
-    # directory's rmtree/write/manifest cycle
-    dst = f"{_SCRATCH}/jsonl_sink_{spark.sparkContext.applicationId}"
-    shutil.rmtree(dst, ignore_errors=True)
-    (
-        read_table(spark, sf_dir, "events")
-        .where(F.col("event_id") % 20 == 0)
-        .select("event_id", "user_id", "event_type")
-        .write.format("jsonlsink")
-        .option("path", dst)
-        .mode("append")
-        .save()
-    )
-    with open(f"{dst}/_MANIFEST") as fh:
-        files = _json.load(fh)["files"]
-    return spark.read.schema(
-        "event_id bigint, user_id bigint, event_type string"
-    ).json(files)
-
-
-@query(
-    "udtf_partitioned_top_tokens",
-    oracle=f"""
-    WITH tok AS (
-      SELECT lang, u.term
-      FROM documents,
-           UNNEST({_WS_TOKENS_SQL.format(col='text')}) AS u(term)),
-    counts AS (SELECT lang, term, count(*) AS n_occ
-               FROM tok GROUP BY 1, 2),
-    ranked AS (
-      SELECT lang, term, n_occ,
-             row_number() OVER (PARTITION BY lang
-                                ORDER BY n_occ DESC, term) AS rk
-      FROM counts)
-    SELECT lang, term, CAST(n_occ AS BIGINT) AS n_occ, rk
-    FROM ranked WHERE rk <= 3
-    """,
-)
-def q_udtf_partitioned_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF with a TABLE argument + PARTITION BY (Spark 4
-    SPARK-44503): the engine hash-partitions the input table by lang
-    and feeds each partition's rows to one UDTF instance — the
-    eval/terminate lifecycle IS per group, so cross-row state (here a
-    token counter emitting a per-language top-3) needs no manual
-    re-keying. This is the polymorphic escape hatch for per-group
-    logic that aggregates can't express; Arrow-batched like every
-    Python surface in this engine. The equivalent built-in plan
-    (explode -> count -> rank) is what a hot path should use —
-    ngram_corpus_top and tfidf_top_terms pin it."""
-    from pyspark.sql.functions import udtf
-
-    @udtf(returnType="lang string, term string, n_occ bigint, rk int")
-    class TopTokens:
-        def __init__(self):
-            from collections import Counter
-
-            self.counts = Counter()
-            self.lang = None
-
-        def eval(self, row):
-            self.lang = row["lang"]
-            for tok in row["text"].split(" "):
-                if tok != "":
-                    self.counts[tok] += 1
-
-        def terminate(self):
-            top = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            for rk, (term, n) in enumerate(top[:3], start=1):
-                yield self.lang, term, n, rk
-
-    spark.udtf.register("top_tokens_by_lang", TopTokens)
-    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "udtf_docs_part"
-    )
-    return spark.sql(
-        """
-        SELECT * FROM top_tokens_by_lang(
-          TABLE(SELECT lang, text FROM udtf_docs_part)
-          PARTITION BY lang)
-        """
-    )
-
-
-@query(
-    "sql_parameterized",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS n_orders
-    FROM orders
-    WHERE o_totalprice >= 150000.0
-    GROUP BY o_orderpriority
-    """,
-)
-def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parameterized SQL (SPARK-41271): named bind parameters instead
-    of string interpolation — the injection-safe, plan-cache-friendly
-    way applications pass literals (the parameter arrives as a typed
-    literal in the plan, so Catalyst folds/pushes it exactly like an
-    inline constant)."""
-    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "orders_param"
-    )
-    return spark.sql(
-        """
-        SELECT o_orderpriority, count(*) AS n_orders
-        FROM orders_param
-        WHERE o_totalprice >= :min_price
-        GROUP BY o_orderpriority
-        """,
-        args={"min_price": 150000.0},
-    )
-
-
-@query(
-    "try_arithmetic_safe",
-    oracle="""
-    SELECT event_id,
-           CASE WHEN minute(ts) <> 0 THEN value / CAST(minute(ts) AS DOUBLE)
-           END AS per_minute,
-           TRY_CAST(event_type AS BIGINT) AS type_as_num,
-           CASE WHEN user_id <> 0 THEN CAST(event_id % user_id AS BIGINT)
-           END AS id_mod_user
-    FROM events
-    WHERE event_id < 2000
-    """,
-)
-def q_try_arithmetic_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``try_*`` function family (try_divide / try_cast /
-    try_mod): NULL-on-failure arithmetic that behaves identically
-    whether the session runs ANSI on or off — the portable way to
-    write guarded expressions now that Spark 4 defaults ANSI on
-    (this engine pins ANSI off for DuckDB parity, but callers with
-    default sessions hit errors from bare ``/`` and ``CAST``; try_*
-    is the contract that works in both worlds)."""
-    ev = read_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
-    return ev.select(
-        "event_id",
-        F.try_divide(F.col("value"), F.minute("ts").cast("double")).alias(
-            "per_minute"
-        ),
-        F.try_to_number(F.col("event_type"), F.lit("999999")).cast(
-            "bigint"
-        ).alias("type_as_num"),
-        F.try_mod(F.col("event_id"), F.col("user_id")).cast("bigint").alias(
-            "id_mod_user"
-        ),
-    )
-
-
-@query("similarity_pq_topk")
-def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed ANN: 8 query vectors against the corpus scanned
-    as 8-byte PQ codes (asymmetric-distance LUT scoring), exact
-    cosine rerank of the shortlist (similarity/pq.py). rows-only like
-    the other trained estimators; recall vs exact brute force bounded
-    in tests/test_sketches.py."""
-    from etl_pyspark_spark.similarity.pq import pq_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    return pq_topk(emb, emb.where(F.col("vec_id") < 8), topk=10)
-
-
-@query(
-    "multimodal_shard_pack",
-    oracle="""
-    WITH a AS (
-      SELECT doc_id,
-             CAST(strlen(text) AS BIGINT) AS n_bytes,
-             ('0x' || substr(md5('shardpack:' || CAST(doc_id AS VARCHAR)),
-                             1, 15))::BIGINT % 8 AS shard_id
-      FROM documents)
-    SELECT doc_id, shard_id, n_bytes,
-           CAST(COALESCE(sum(n_bytes) OVER (
-                  PARTITION BY shard_id ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                AS BIGINT) AS byte_offset
-    FROM a
-    """,
-)
-def q_multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WebDataset-style shard packing index: assign each media asset
-    to one of 8 shard files by hash, and compute its byte offset
-    within the shard as the running sum of preceding payload lengths
-    — the (shard, offset, length) manifest a tar/ArrayRecord-style
-    training loader seeks by, built BEFORE any bytes move so the
-    physical shard write is a pure sequential append per shard.
-
-    Scale shape: one narrow scan derives (shard, length); the only
-    shuffle is the per-shard window, and shards are the parallel unit
-    — a 100 TB media lake packs into ~bytes/shard_size shards, each
-    an independent ordered append. Offsets use the payload length
-    the binary column reports (here the deterministic text-derived
-    payload, multimodal/assets.with_payload)."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.multimodal.assets import with_payload
-
-    from pyspark.sql.window import Window
-
-    assets = with_payload(read_table(spark, sf_dir, "documents"))
-    shard = (
-        T.portable_hash60(
-            F.concat(F.lit("shardpack:"), F.col("doc_id").cast("string"))
-        )
-        % 8
-    ).alias("shard_id")
-    sized = assets.select(
-        "doc_id", F.col("n_bytes").cast("bigint").alias("n_bytes"), shard
-    )
-    w = (
-        Window.partitionBy("shard_id")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return sized.select(
-        "doc_id",
-        "shard_id",
-        "n_bytes",
-        F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
-        .cast("bigint")
-        .alias("byte_offset"),
-    )
-
-
-@query(
-    "sequence_packing_concat",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-                  AS BIGINT) AS n_toks,
-             ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
-                             1, 15))::BIGINT % 32 AS packer_id
-      FROM documents),
-    o AS (
-      SELECT doc_id, packer_id, n_toks,
-             CAST(COALESCE(sum(n_toks) OVER (
-                    PARTITION BY packer_id ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  AS BIGINT) AS tok_offset
-      FROM t)
-    SELECT doc_id, packer_id, n_toks, tok_offset,
-           CAST(tok_offset // 512 AS BIGINT) AS bin_id,
-           CAST(tok_offset % 512 AS BIGINT) AS offset_in_bin
-    FROM o
-    """,
-)
-def q_sequence_packing_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing (the GPT-pretraining packing
-    scheme): documents stream into 32 hash-assigned packers, each
-    packer concatenates its docs in deterministic order and cuts
-    512-token training sequences — every doc gets (bin, offset)
-    coordinates from a running token sum, with no per-bin search.
-    Complements doc_chunk_packing (split one long doc) and
-    length_bucket_batching (group similar lengths): this one packs
-    SHORT docs densely so no sequence pads.
-
-    Scale shape: the running sum is a per-packer window — packers are
-    the parallel unit, sized so each holds a trainer shard; assignment
-    is stateless hash placement, so re-runs and late-arriving shards
-    place identically. A doc spanning a bin boundary continues into
-    the next bin, exactly like the attention-masked concat corpus a
-    trainer consumes."""
-    from etl_pyspark_spark.functions import text as T
-
-    from pyspark.sql.window import Window
-
-    docs = read_table(spark, sf_dir, "documents")
-    packer = (
-        T.portable_hash60(
-            F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
-        )
-        % 32
-    ).alias("packer_id")
-    t = docs.select(
-        "doc_id",
-        T.ws_token_count(F.col("text")).cast("bigint").alias("n_toks"),
-        packer,
-    )
-    w = (
-        Window.partitionBy("packer_id")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("bigint")
-    return t.select(
-        "doc_id",
-        "packer_id",
-        "n_toks",
-        off.alias("tok_offset"),
-        F.floor(off / 512).cast("bigint").alias("bin_id"),
-        (off % 512).cast("bigint").alias("offset_in_bin"),
-    )
-
-
-@query(
-    "snapshot_diff",
-    oracle="""
-    WITH v1 AS (
-      SELECT o_orderkey,
-             ('0x' || substr(md5(concat_ws('|', CAST(o_orderstatus AS VARCHAR),
-                                           CAST(o_totalprice AS VARCHAR),
-                                           o_orderpriority)), 1, 15))::BIGINT
-               AS row_hash
-      FROM orders WHERE o_orderkey % 50 <> 0),
-    v2 AS (
-      SELECT o_orderkey,
-             ('0x' || substr(md5(concat_ws('|', CAST(o_orderstatus AS VARCHAR),
-                                           CAST(o_totalprice AS VARCHAR),
-             CASE WHEN o_orderkey % 5 = 0 THEN '0-REPRIORITIZED'
-                  ELSE o_orderpriority END)), 1, 15))::BIGINT AS row_hash
-      FROM orders WHERE o_orderkey % 50 <> 1)
-    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
-           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
-                WHEN v2.o_orderkey IS NULL THEN 'removed'
-                ELSE 'changed' END AS change_type
-    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
-    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
-       OR v1.row_hash <> v2.row_hash
-    """,
-)
-def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset-version diff — the pipeline-regression primitive:
-    given two snapshots of a keyed table, emit each key that was
-    added, removed, or changed (payload compared by a row hash, so
-    wide rows diff at 8 bytes/row through the join). The fixtures
-    stand in for two runs: v1 drops keys % 50 = 0, v2 drops % 50 = 1
-    and reprioritizes keys % 5 = 0.
-
-    Scale shape: both sides reduce to (key, hash64) AT THE SCAN
-    (column pruning keeps only diffed columns), the full-outer join
-    is key-partitioned, and unchanged rows — the overwhelming
-    majority between real runs — are filtered before anything wide is
-    fetched. Diffing a 100 TB table costs two narrow scans and one
-    keyed shuffle of 16-byte rows."""
-    orders = read_table(spark, sf_dir, "orders")
-
-    def snap(df, reprioritize: bool):
-        prio = (
-            F.when(
-                F.col("o_orderkey") % 5 == 0, F.lit("0-REPRIORITIZED")
-            ).otherwise(F.col("o_orderpriority"))
-            if reprioritize
-            else F.col("o_orderpriority")
-        )
-        from etl_pyspark_spark.functions.text import portable_hash60
-
-        return df.select(
-            "o_orderkey",
-            portable_hash60(
-                F.concat_ws(
-                    "|",
-                    F.col("o_orderstatus").cast("string"),
-                    F.col("o_totalprice").cast("string"),
-                    prio,
-                )
-            ).alias("row_hash"),
-        )
-
-    v1 = snap(orders.where(F.col("o_orderkey") % 50 != 0), False)
-    v2 = snap(orders.where(F.col("o_orderkey") % 50 != 1), True)
-    j = v1.alias("a").join(
-        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full"
-    )
-    change = (
-        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
-        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
-        .otherwise(F.lit("changed"))
-    )
-    return j.where(
-        F.col("a.o_orderkey").isNull()
-        | F.col("b.o_orderkey").isNull()
-        | (F.col("a.row_hash") != F.col("b.row_hash"))
-    ).select(
-        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
-            "o_orderkey"
-        ),
-        change.alias("change_type"),
-    )
-
-
-@query(
-    "k_anonymity_audit",
-    oracle="""
-    SELECT c_nationkey, c_mktsegment,
-           count(*) AS group_size,
-           (count(*) < 5) AS reident_risk
-    FROM customer
-    GROUP BY c_nationkey, c_mktsegment
-    """,
-)
-def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over quasi-identifiers — the privacy gate a
-    training-data release runs next to pii_scrub: any (nation,
-    segment) combination shared by fewer than k=5 individuals is a
-    re-identification risk (the quasi-identifier tuple alone narrows
-    to a handful of people), and downstream policy suppresses or
-    generalizes those groups. One partial-agg groupBy; the audit
-    costs the same as any histogram regardless of table width because
-    only the quasi-identifier columns are scanned."""
-    c = read_table(spark, sf_dir, "customer")
-    return c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("group_size"),
-        (F.count(F.lit(1)) < 5).alias("reident_risk"),
-    )
-
-
-@query(
-    "winsorize_values",
-    oracle="""
-    WITH d AS (
-      SELECT value, count(*) AS cnt FROM events GROUP BY value),
-    c AS (
-      SELECT value,
-             CAST(sum(cnt) OVER (ORDER BY value
-                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
-               AS cum,
-             CAST(sum(cnt) OVER () AS BIGINT) AS n
-      FROM d),
-    cuts AS (
-      SELECT min(CASE WHEN cum >= ceil(0.01 * n) THEN value END) AS lo,
-             min(CASE WHEN cum >= ceil(0.99 * n) THEN value END) AS hi
-      FROM c)
-    SELECT e.event_id,
-           CAST(e.value AS DOUBLE) AS value,
-           CAST(least(greatest(e.value, t.lo), t.hi) AS DOUBLE)
-             AS value_winsorized,
-           (e.value < t.lo OR e.value > t.hi) AS clipped
-    FROM events e, cuts t
-    """,
-)
-def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorization — the robust-statistics preprocessing step: clip
-    the value column at its P1/P99 so downstream means/regressions
-    aren't hostage to tail outliers (the alternative to dropping
-    rows). Cut points use the DISCRETE quantile (smallest value whose
-    cumulative count reaches ceil(q*n) — an exact order statistic)
-    rather than interpolated percentiles, so both engines select the
-    identical stored value; interpolation arithmetic differs in
-    last-ulp across engines.
-
-    Scale shape (round 4, closing the round-3 ``weak``): the cuts come
-    from operators/quantiles.exact_discrete_quantiles — an
-    approx_percentile bracket (rank error provably ≤ 3n/accuracy)
-    followed by an exact rank search that touches ONLY the bracket's
-    distinct values via a range-partitioned distributed cumsum. No
-    window ever sees the full distinct-value table, so a continuous
-    100 TB double column costs two scans + a sliver, not a
-    SinglePartition sort. The cuts land as LITERALS, so the clip is a
-    pure scan-speed projection."""
-    from etl_pyspark_spark.operators.quantiles import clip_to_quantiles
-
-    ev = read_table(spark, sf_dir, "events")
-    lo, hi, clipped = clip_to_quantiles(ev, "value", 0.01, 0.99)
-    return ev.select(
-        "event_id",
-        F.col("value").cast("double").alias("value"),
-        clipped.cast("double").alias("value_winsorized"),
-        ((F.col("value") < lo) | (F.col("value") > hi)).alias("clipped"),
-    )
-
-
-@query(
-    "quality_classifier_margin",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, u.term
-      FROM documents,
-           UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
-             AS u(term)),
-    feat AS (
-      SELECT doc_id,
-             ('0x' || substr(md5('feat:' || term), 1, 15))::BIGINT % 64
-               AS bucket,
-             count(*) AS tf
-      FROM tok GROUP BY 1, 2),
-    w AS (
-      SELECT bucket,
-             CAST((('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)),
-                                   1, 15))::BIGINT % 2001) - 1000 AS BIGINT)
-               AS w_milli
-      FROM (SELECT DISTINCT bucket FROM feat))
-    SELECT f.doc_id,
-           CAST(sum(f.tf * w.w_milli) AS BIGINT) AS margin_milli,
-           (sum(f.tf * w.w_milli) > 0) AS keep
-    FROM feat f JOIN w USING (bucket)
-    GROUP BY f.doc_id
-    """,
-)
-def q_quality_classifier_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear quality-classifier INFERENCE at scan speed — the
-    fastText-style keep/drop gate most corpus pipelines run: hashed
-    bag-of-words features (64 buckets, same hashing trick as
-    feature_hashing_vectorize) dotted with a broadcast weight vector;
-    the sign of the margin is the decision. Weights here are a
-    deterministic hash-derived stand-in (integer milli-units, so the
-    dot product is exact BIGINT arithmetic — a trained model would
-    broadcast real weights the same way); the pipeline shape is the
-    production one: no UDF, no model server, the model IS a 64-row
-    broadcast join."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("term")
-    )
-    feat = tok.select(
-        "doc_id",
-        (T.portable_hash60(F.concat(F.lit("feat:"), F.col("term"))) % 64)
-        .alias("bucket"),
-    ).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
-    w = feat.select("bucket").distinct().select(
-        "bucket",
-        (
-            T.portable_hash60(
-                F.concat(F.lit("w:"), F.col("bucket").cast("string"))
-            )
-            % 2001
-            - 1000
-        )
-        .cast("bigint")
-        .alias("w_milli"),
-    )
-    return (
-        feat.join(F.broadcast(w), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("tf") * F.col("w_milli"))
-            .cast("bigint")
-            .alias("margin_milli"),
-            (F.sum(F.col("tf") * F.col("w_milli")) > 0).alias("keep"),
-        )
-    )
-
-
-@query(
-    "stream_session_timeout_custom",
-    oracle="""
-    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-    lagd AS (
-      SELECT user_id, tus,
-             CASE WHEN lag(tus) OVER w IS NULL
-                    OR tus - lag(tus) OVER w >= 1800000000
-                  THEN 1 ELSE 0 END AS new_s
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
-    s AS (
-      SELECT user_id, tus,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
-                              ROWS UNBOUNDED PRECEDING) AS sid
-      FROM lagd),
-    sess AS (
-      SELECT user_id, min(tus) AS session_start_us,
-             max(tus) AS last_us, count(*) AS n_events,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY min(tus) DESC) AS rk_desc
-      FROM s GROUP BY user_id, sid),
-    mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m FROM events)
-    SELECT user_id, session_start_us, n_events
-    FROM sess, mx
-    WHERE rk_desc > 1
-       OR (last_us + 1800000000) // 1000 < epoch_ms(mx.m) - 3600000
-    """,
-)
-def q_stream_session_timeout_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful sessionization with event-time TIMEOUT
-    callbacks (GroupStateTimeout.EventTimeTimeout) — idle sessions
-    emit from the timeout path when the watermark passes
-    ``last + gap``, with no closing event. The oracle rebuilds
-    sessions batch-side and applies the engine's own eviction rule to
-    each user's final session (ms-floored timeout clock vs terminal
-    watermark). See streaming/windows.session_windows_custom_timeout."""
-    from etl_pyspark_spark.streaming.windows import (
-        session_windows_custom_timeout,
-    )
-
-    return session_windows_custom_timeout(spark, sf_dir)
-
-
-@query(
-    "multimodal_phash_dedup",
-    oracle="""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 100 = 7),
-    bytes AS (
-      SELECT doc_id, strlen(text) AS n, g.i AS i,
-             unicode(substr(text, i, 1)) AS b
-      FROM corpus, UNNEST(generate_series(1, strlen(text))) AS g(i)),
-    buckets AS (
-      SELECT doc_id, n, ((i - 1) * 64) // n AS bucket,
-             CAST(sum(b) AS BIGINT) AS s, count(*) AS c
-      FROM bytes GROUP BY 1, 2, 3),
-    totals AS (
-      SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
-             CAST(sum(c) AS BIGINT) AS cnt_all
-      FROM buckets GROUP BY doc_id),
-    bits AS (
-      SELECT bk.doc_id, bk.bucket,
-             CASE WHEN bk.s * t.cnt_all > t.total * bk.c
-                  THEN 1 ELSE 0 END AS bit
-      FROM buckets bk JOIN totals t USING (doc_id)),
-    keys AS (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN bucket // 16 = 0
-                           THEN bit << (bucket % 16) END) AS INT) AS k0,
-             CAST(sum(CASE WHEN bucket // 16 = 1
-                           THEN bit << (bucket % 16) END) AS INT) AS k1,
-             CAST(sum(CASE WHEN bucket // 16 = 2
-                           THEN bit << (bucket % 16) END) AS INT) AS k2,
-             CAST(sum(CASE WHEN bucket // 16 = 3
-                           THEN bit << (bucket % 16) END) AS INT) AS k3
-      FROM bits GROUP BY doc_id),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM keys a JOIN keys b
-        ON a.doc_id < b.doc_id
-       AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3))
-    SELECT c.id_a AS doc_id_a, c.id_b AS doc_id_b,
-           CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
-              + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
-                AS INT) AS hamming
-    FROM cand c
-    JOIN keys a ON a.doc_id = c.id_a
-    JOIN keys b ON b.doc_id = c.id_b
-    WHERE bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
-        + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 3
-    """,
-)
-def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-duplicate detection over binary payloads —
-    the image-dedup pipeline shape (aHash -> banded candidate
-    generation -> Hamming verify), with the stubbed-codec byte tile
-    standing in for the decoded 8x8 grayscale (multimodal/assets.
-    perceptual_hash_bands). Pairs sharing any 16-bit band are
-    candidates; at threshold 3 the pigeonhole guarantee is EXACT —
-    <= 3 differing bits across 4 bands must leave one band identical
-    (same argument as SimHash byte-banding), so banding loses no pair
-    within threshold. Only candidates pay the Hamming check, JVM-side
-    via bit_count(xor). The corpus carries a deterministic re-crawl
-    slice (docs % 100 = 7 re-appended under shifted ids) so the
-    duplicate-payload path is exercised at every fixture scale.
-
-    At 100 TB of images this is the standard two-stage: hashing touches
-    each payload once behind Arrow, the band self-join is bucket-sized,
-    and no pixel data crosses a shuffle — 8 bytes of hash per asset
-    do."""
-    from etl_pyspark_spark.multimodal.assets import (
-        perceptual_hash_bands,
-        with_payload,
-    )
-
-    docs = read_table(spark, sf_dir, "documents")
-    recrawl = docs.where(F.col("doc_id") % 100 == 7).withColumn(
-        "doc_id", F.col("doc_id") + 100000
-    )
-    corpus = docs.unionByName(recrawl)
-    keys = perceptual_hash_bands(with_payload(corpus)).localCheckpoint()
-    # candidate generation MUST be an equi-join on (band, key) bucket
-    # entries — an OR of 4 key equalities compiles to a
-    # BroadcastNestedLoopJoin (O(n^2) pair grid, the exact thing
-    # banding exists to avoid; caught by the plan check below in
-    # review). Same explode shape as dedup/minhash.band_entries.
-    entries = keys.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.col(f"k{j}").alias("key"),
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
-    cand = (
-        entries.select(F.col("doc_id").alias("id_a"), "band", "key")
-        .join(
-            entries.select(F.col("doc_id").alias("id_b"), "band", "key"),
-            ["band", "key"],
-        )
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    a = keys.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"k{j}").alias(f"a{j}") for j in range(4)],
-    )
-    b = keys.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"k{j}").alias(f"b{j}") for j in range(4)],
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
-        for j in range(4)
-    ).cast("int")
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .where(hamming <= 3)
-        .select(
-            F.col("id_a").alias("doc_id_a"),
-            F.col("id_b").alias("doc_id_b"),
-            hamming.alias("hamming"),
-        )
-    )
-
-
-@query(
-    "cdc_log_to_scd2",
-    oracle="""
-    WITH log AS (
-      SELECT o_custkey AS key, o_orderkey AS change_id,
-             CAST(o_orderdate AS DATE) AS ts,
-             CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
-             o_orderpriority AS attr
-      FROM orders),
-    seq AS (
-      SELECT key, change_id, ts, op, attr,
-             lead(ts) OVER w AS next_ts
-      FROM log WINDOW w AS (PARTITION BY key ORDER BY ts, change_id)
-    )
-    SELECT key AS o_custkey, change_id AS o_orderkey, attr AS priority,
-           ts AS valid_from, next_ts AS valid_to,
-           (next_ts IS NULL) AS is_current
-    FROM seq WHERE op = 'U'
-    """,
-)
-def q_cdc_log_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay a CDC change log (upserts + DELETES) into SCD2 validity
-    intervals — the piece scd2_intervals leaves out: a delete closes
-    the key's open version WITHOUT opening a successor, so the key
-    goes dark (no is_current row) until a later upsert revives it;
-    interval gaps in the output are exactly the deleted spans. The
-    log is derived deterministically from orders (every 17th change
-    is a delete).
-
-    Mechanics: one lead() over the full per-key change sequence (U
-    and D interleaved) assigns each upsert its closing timestamp —
-    whether the closer was a newer version or a delete — then delete
-    rows drop out. One window shuffle on the dimension key, same
-    cost envelope as scd2_intervals; a 100 TB change log partitions
-    by key exactly like any CDC consumer."""
-    from pyspark.sql.window import Window
-
-    o = read_table(spark, sf_dir, "orders")
-    log = o.select(
-        F.col("o_custkey").alias("key"),
-        F.col("o_orderkey").alias("change_id"),
-        F.to_date("o_orderdate").alias("ts"),
-        F.when(F.col("o_orderkey") % 17 == 0, F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        F.col("o_orderpriority").alias("attr"),
-    )
-    w = Window.partitionBy("key").orderBy("ts", "change_id")
-    seq = log.withColumn("next_ts", F.lead("ts").over(w))
-    return seq.where(F.col("op") == "U").select(
-        F.col("key").alias("o_custkey"),
-        F.col("change_id").alias("o_orderkey"),
-        F.col("attr").alias("priority"),
-        F.col("ts").alias("valid_from"),
-        F.col("next_ts").alias("valid_to"),
-        F.col("next_ts").isNull().alias("is_current"),
-    )
-
-
-@query(
-    "json_corrupt_records_dlq",
-    oracle="""
-    WITH raw AS (
-      SELECT event_id,
-             CASE WHEN event_id % 97 = 0
-                  THEN substr(props, 1, strlen(props) - 2)
-                  ELSE props END AS props
-      FROM events),
-    parsed AS (
-      SELECT event_id, props,
-             CASE WHEN json_valid(props)
-                  THEN CAST(json_extract(props, '$.k') AS BIGINT)
-             END AS k,
-             -- COALESCE: json_valid(NULL) is NULL, which the FILTER
-             -- clauses would silently exclude from BOTH paths; the
-             -- engine's _corrupt_record contract classifies a NULL
-             -- payload as ok (from_json of NULL is not a parse error)
-             COALESCE(NOT json_valid(props), FALSE) AS is_corrupt
-      FROM raw)
-    SELECT CAST(count(*) FILTER (NOT is_corrupt) AS BIGINT) AS n_ok,
-           CAST(count(*) FILTER (is_corrupt) AS BIGINT) AS n_dlq,
-           CAST(sum(k) FILTER (NOT is_corrupt) AS BIGINT) AS sum_k,
-           CAST(min(event_id) FILTER (is_corrupt) AS BIGINT)
-             AS first_dlq_event
-    FROM parsed
-    """,
-)
-def q_json_corrupt_records_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corrupt-record routing — what a production ingest does when
-    upstream JSON goes bad mid-stream: parse permissively, send
-    unparseable rows to a dead-letter path WITH their raw payload
-    (never dropped silently), and keep the clean path typed. Here a
-    deterministic slice of the props column is truncated to simulate
-    upstream corruption; ``from_json`` yields NULL on failure, the
-    raw string distinguishes corrupt from genuinely-null, and the
-    summary audits both paths (counts + first offending id for triage).
-
-    At scale this costs nothing beyond the parse itself: no second
-    pass, the corrupt/ok split is a projection-level CASE riding the
-    same scan, and the DLQ branch would be a partitioned write of the
-    raw column."""
-    ev = read_table(spark, sf_dir, "events")
-    mangled = ev.select(
-        "event_id",
-        F.when(
-            F.col("event_id") % 97 == 0,
-            F.expr("substring(props, 1, length(props) - 2)"),
-        )
-        .otherwise(F.col("props"))
-        .alias("props"),
-    )
-    parsed = mangled.select(
-        "event_id",
-        "props",
-        # PERMISSIVE from_json never yields a NULL struct — malformed
-        # input gives an all-null struct, indistinguishable from a
-        # legitimately-null field. The corrupt-record column is the
-        # contract: non-null there == parse failure, and it carries
-        # the raw payload the DLQ write needs.
-        F.from_json(
-            "props",
-            "k bigint, _corrupt_record string",
-            {"columnNameOfCorruptRecord": "_corrupt_record"},
-        ).alias("j"),
-    ).select(
-        "event_id",
-        F.col("j.k").alias("k"),
-        F.col("j._corrupt_record").isNotNull().alias("is_corrupt"),
-    )
-    return parsed.agg(
-        F.count(F.when(~F.col("is_corrupt"), 1)).cast("bigint").alias("n_ok"),
-        F.count(F.when(F.col("is_corrupt"), 1)).cast("bigint").alias("n_dlq"),
-        F.sum(F.when(~F.col("is_corrupt"), F.col("k")))
-        .cast("bigint")
-        .alias("sum_k"),
-        F.min(F.when(F.col("is_corrupt"), F.col("event_id")))
-        .cast("bigint")
-        .alias("first_dlq_event"),
-    )
-
-
-def _ensure_orders_mixed_spec(spark: SparkSession, sf_dir: str) -> tuple:
-    """Two-generation lake layout under scratch: orders before 1998
-    partitioned by year only (the original spec), 1998 onward by
-    year/month (the evolved spec; the fixture spans 1995-2001) —
-    written once per fixture fingerprint, same pay-once marker
-    discipline as the other layouts."""
-    from etl_pyspark_spark.sources.io import (
-        fixture_fingerprint,
-        marker_current,
-        write_marker,
-        write_parquet,
-    )
-
-    old_out = f"{_SCRATCH}/orders_spec_v1"
-    new_out = f"{_SCRATCH}/orders_spec_v2"
-    # one marker PER output directory, both written only after both
-    # layouts exist: a deleted/partial v2 with a surviving v1 marker
-    # must trigger a rebuild, not a read of the stale layout
-    markers = [f"{old_out}/.built_for", f"{new_out}/.built_for"]
-    want = fixture_fingerprint(sf_dir, "orders")
-    if not all(marker_current(m, want) for m in markers):
-        o = read_table(spark, sf_dir, "orders").withColumn(
-            "order_year", F.year("o_orderdate")
-        )
-        write_parquet(
-            o.where(F.col("order_year") < 1998),
-            old_out,
-            partition_by=["order_year"],
-        )
-        write_parquet(
-            o.where(F.col("order_year") >= 1998).withColumn(
-                "order_month", F.month("o_orderdate")
-            ),
-            new_out,
-            partition_by=["order_year", "order_month"],
-        )
-        for m in markers:
-            write_marker(m, want)
-    return old_out, new_out
-
-
-@query(
-    "partition_spec_migration",
-    oracle="""
-    SELECT year(o_orderdate) AS order_year,
-           count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-             AS total_price
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
-    GROUP BY 1
-    """,
-)
-def q_partition_spec_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-spec evolution WITHOUT rewriting history — the lake
-    migration every long-lived table eventually faces: old data stays
-    under the original year-only spec, new data lands under the
-    evolved year/month spec, and one logical view unions the two
-    generations (unionByName with the missing partition column
-    null-filled). Predicates prune BOTH layouts through their own
-    directory structure; history is rewritten never, or lazily during
-    scheduled compaction. (Table formats with partition-spec
-    evolution do exactly this under a manifest; plain parquet does it
-    with a two-path union view.)"""
-    from etl_pyspark_spark.sources.io import read_parquet
-
-    old_out, new_out = _ensure_orders_mixed_spec(spark, sf_dir)
-    v1 = read_parquet(spark, old_out)
-    v2 = read_parquet(spark, new_out)
-    unioned = v1.unionByName(v2, allowMissingColumns=True)
-    return (
-        unioned.where(
-            (F.col("order_year") >= 1996) & (F.col("order_year") <= 1999)
-        )
-        .groupBy("order_year")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_price"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 4: SemDeDup semantic dedup, substring span removal, corpus
-# tokenizer (vocabulary build + greedy segmentation), distributed
-# order statistics demo.
-# ---------------------------------------------------------------------------
-
-
-def _semantic_dedup_oracle(threshold: float) -> str:
-    cos = _sql_cos("v.embedding", "c.embedding")
-    cos_ab = _sql_cos("ea.embedding", "eb.embedding")
-    return f"""
-    WITH sims AS (
-      SELECT v.vec_id, c.vec_id AS centroid_id, {cos} AS cos_sim
-      FROM embeddings v
-      JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c ON true),
-    assigned AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cos_sim DESC,
-                                              centroid_id ASC) AS rk
-        FROM sims) WHERE rk = 1),
-    dup AS (
-      SELECT DISTINCT b.vec_id
-      FROM assigned a JOIN assigned b
-        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-      JOIN embeddings ea ON ea.vec_id = a.vec_id
-      JOIN embeddings eb ON eb.vec_id = b.vec_id
-      WHERE {cos_ab} >= {threshold})
-    SELECT a.vec_id, a.centroid_id,
-           (d.vec_id IS NOT NULL) AS is_dup
-    FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
-    """
-
-
-@query("dedup_semantic", oracle=_semantic_dedup_oracle(0.3))
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic deduplication (Abbas et al. 2023): cluster
-    every embedding to its nearest FIXED centroid (first 8 vectors —
-    the engine's oracle-checkable stand-in for fitted k-means, same
-    pinning as embedding_assign_nearest_centroid), then flag a vector
-    as a semantic duplicate iff a lower-id vector in ITS OWN cluster
-    is within cosine 0.3 — candidate generation provably
-    intra-cluster, the property that makes semantic dedup tractable
-    at 100 TB (Σ|cluster|² pairs, not n²; each (cluster, block-pair)
-    group is one bounded-memory BLAS GEMM). See
-    similarity/semantic.py; threshold 0.3 calibrated to the
-    near-random fixture embeddings (a production run on real
-    embeddings uses ~0.95+)."""
-    from etl_pyspark_spark.similarity.semantic import semantic_dedup
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(
-        emb, emb.where(F.col("vec_id") < 8), threshold=0.3
-    )
-
-
-def _substring_dup_remove_oracle() -> str:
-    ws = _WS_TOKENS_SQL.format(col="text")
-    return f"""
-    WITH t AS (SELECT doc_id, {ws} AS toks FROM documents),
-    g AS (SELECT doc_id, {_ngram_sql('toks', 8)} AS grams FROM t),
-    gp AS (SELECT doc_id, u.i AS p, grams[u.i] AS gram
-           FROM g, UNNEST(range(1, len(grams) + 1)) AS u(i)),
-    c AS (SELECT gram, count(*) AS n_occ FROM gp GROUP BY gram),
-    ds AS (SELECT gp.doc_id, gp.p
-           FROM gp JOIN c USING (gram) WHERE c.n_occ >= 2),
-    m AS (SELECT doc_id, p,
-                 CASE WHEN max(p + 7) OVER w IS NULL
-                        OR p > max(p + 7) OVER w
-                      THEN 1 ELSE 0 END AS new_grp
-          FROM ds
-          WINDOW w AS (PARTITION BY doc_id ORDER BY p
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING)),
-    s AS (SELECT doc_id, p,
-                 sum(new_grp) OVER (PARTITION BY doc_id ORDER BY p
-                                    ROWS UNBOUNDED PRECEDING) AS gid
-          FROM m),
-    iv AS (SELECT doc_id, gid, min(p) AS lo, max(p) + 7 AS hi
-           FROM s GROUP BY doc_id, gid),
-    tok AS (SELECT t.doc_id, u.i, toks[u.i] AS tok
-            FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
-    rem AS (SELECT DISTINCT tok.doc_id, tok.i
-            FROM tok JOIN iv ON tok.doc_id = iv.doc_id
-                            AND tok.i BETWEEN iv.lo AND iv.hi),
-    clean AS (
-      SELECT tok.doc_id,
-             count(*) AS n_tokens,
-             count(*) FILTER (rem.i IS NULL) AS n_kept,
-             COALESCE(string_agg(tok.tok, ' ' ORDER BY tok.i)
-                        FILTER (rem.i IS NULL), '') AS clean_text
-      FROM tok LEFT JOIN rem
-        ON tok.doc_id = rem.doc_id AND tok.i = rem.i
-      GROUP BY tok.doc_id)
-    SELECT d.doc_id,
-           CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
-           CAST(COALESCE(c.n_tokens - c.n_kept, 0) AS BIGINT)
-             AS n_removed,
-           COALESCE(c.clean_text, '') AS clean_text
-    FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
-    """
-
-
-@query("substring_dup_remove", oracle=_substring_dup_remove_oracle())
-def q_substring_dup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span REMOVAL — the second half of Lee et al.'s substring
-    dedup, completing substring_dup_spans (which only measures): every
-    token covered by a corpus-duplicated 8-gram is cut and the
-    document re-emitted as cleaned text. Overlapping dup grams are
-    first merged into maximal per-doc intervals (classic running-max
-    interval merge — the window partitions by doc, so state is
-    per-document, never corpus-wide), then one JVM higher-order
-    filter drops covered tokens; the text never crosses into Python.
-
-    Scale shape: grams are 60-bit-hashed BEFORE the occurrence-count
-    shuffle (as in substring_dup_spans), dup-start rows are two ints,
-    the interval list per doc is bounded by doc length, and the final
-    pass is scan + broadcast-free keyed join + projection. Oracle
-    computes the identical interval merge in SQL on the raw gram
-    strings."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = read_table(spark, sf_dir, "documents")
-    toked = spread(docs).select(
-        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
-    )
-    g = toked.select(
-        "doc_id",
-        F.posexplode(T.ngrams_from_tokens(F.col("toks"), 8)).alias(
-            "pos", "gram"
-        ),
-    ).select("doc_id", "pos", T.portable_hash60(F.col("gram")).alias("gh"))
-    c_dup = (
-        g.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .where(F.col("n_occ") >= 2)
-    )
-    starts = g.join(c_dup, "gh").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + 7).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = starts.withColumn(
-        "new_grp",
-        F.when(
-            prev_end.isNull() | (F.col("pos") > prev_end), 1
-        ).otherwise(0),
-    )
-    grouped = marked.withColumn(
-        "gid",
-        F.sum("new_grp").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    merged = grouped.groupBy("doc_id", "gid").agg(
-        F.min("pos").alias("lo"), (F.max("pos") + 7).alias("hi")
-    )
-    iv = merged.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("lo"), F.col("hi")))
-        ).alias("iv")
-    )
-    joined = toked.join(iv, "doc_id", "left")
-    ivc = F.coalesce(
-        F.col("iv"),
-        F.expr("CAST(array() AS array<struct<lo:int,hi:int>>)"),
-    )
-    kept = F.filter(
-        F.col("toks"),
-        lambda x, i: ~F.exists(
-            ivc, lambda v: (i >= v["lo"]) & (i <= v["hi"])
-        ),
-    )
-    return joined.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("n_tokens"),
-        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
-        F.array_join(kept, " ").alias("clean_text"),
-    )
-
-
-def _vocab_build_oracle(k: int, max_len: int) -> str:
-    ws = _WS_TOKENS_SQL.format(col="text")
-    return f"""
-    WITH occ AS (SELECT u.term FROM documents,
-                 UNNEST({ws}) AS u(term)),
-    sl AS (SELECT term, s.s AS s, l.l AS l
-           FROM occ,
-                UNNEST(range(1, length(term) + 1)) AS s(s),
-                UNNEST(range(1, least({max_len},
-                                      length(term) - s.s + 1) + 1))
-                  AS l(l)),
-    p AS (SELECT substr(term, s, l) AS piece, count(*) AS n_occ
-          FROM sl GROUP BY 1)
-    SELECT piece, CAST(n_occ AS BIGINT) AS n_occ
-    FROM p ORDER BY n_occ DESC, piece ASC LIMIT {k}
-    """
-
-
-@query("tokenizer_vocab_build", oracle=_vocab_build_oracle(512, 8))
-def q_tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-derived subword vocabulary: the top-512 most frequent
-    substrings (length ≤ 8) of the corpus's whitespace words — the
-    deterministic unigram-LM seed vocabulary of SentencePiece,
-    computed as a plain corpus statistic (no RNG, no EM), with
-    (count DESC, piece ASC) as the total order so both engines pick
-    an identical vocabulary. Substring enumeration explodes BEFORE
-    the exchange but map-side partial aggregation collapses it, and
-    the top-K plans as TakeOrderedAndProject — never a global sort.
-    See functions/tokenizer.py; the segmentation consumer is
-    tokenizer_segment."""
-    from etl_pyspark_spark.functions.tokenizer import top_pieces
-
-    docs = read_table(spark, sf_dir, "documents")
-    return top_pieces(docs, 512)
-
-
-def _segment_oracle(k: int, max_len: int) -> str:
-    """SQL twin of greedy WordPiece segmentation (r04 verdict #6 —
-    promoted from rows-only). The greedy loop IS expressible: the
-    step length at (term, pos) is path-independent, so it's
-    precomputed as a plain vocab join (max matching piece length,
-    single-char fallback), and a WITH RECURSIVE walk just follows
-    pos -> pos + step — terminating naturally when steps has no row.
-    DuckDB gotchas baked in: LIMIT-then-UNION needs parenthesized
-    branches; a LEFT JOIN cannot follow a correlated UNNEST (positions
-    materialize first); and an IN-subquery against a CTE inside the
-    recursive member silently mismatches (the precomputed-steps shape
-    avoids correlated subqueries in the recursion entirely)."""
-    ws = _WS_TOKENS_SQL.format(col="text")
-    return f"""
-    WITH RECURSIVE
-    occ AS (SELECT u.term FROM documents, UNNEST({ws}) AS u(term)),
-    sl AS (SELECT term, s.s AS s, l.l AS l
-           FROM occ,
-                UNNEST(range(1, length(term) + 1)) AS s(s),
-                UNNEST(range(1, least({max_len},
-                                      length(term) - s.s + 1) + 1))
-                  AS l(l)),
-    p AS (SELECT substr(term, s, l) AS piece, count(*) AS n_occ
-          FROM sl GROUP BY 1),
-    vocab AS MATERIALIZED (
-      SELECT DISTINCT piece FROM (
-        (SELECT piece FROM p ORDER BY n_occ DESC, piece ASC LIMIT {k})
-        UNION ALL
-        (SELECT piece FROM p WHERE length(piece) = 1))),
-    dw AS (SELECT doc_id, u.term, count(*) AS n
-           FROM documents, UNNEST({ws}) AS u(term) GROUP BY 1, 2),
-    terms AS MATERIALIZED (SELECT DISTINCT term FROM dw),
-    poss AS MATERIALIZED (
-      SELECT t.term, s.s AS pos
-      FROM terms t, UNNEST(range(1, length(t.term) + 1)) AS s(s)),
-    cand AS (SELECT t.term, s.s AS pos, l.l AS l
-             FROM terms t,
-                  UNNEST(range(1, length(t.term) + 1)) AS s(s),
-                  UNNEST(range(2, least({max_len},
-                                        length(t.term) - s.s + 1) + 1))
-                    AS l(l)),
-    m AS (SELECT c.term, c.pos, max(c.l) AS l
-          FROM cand c
-          JOIN vocab v ON substr(c.term, c.pos, c.l) = v.piece
-          GROUP BY 1, 2),
-    steps AS MATERIALIZED (
-      SELECT po.term, po.pos, COALESCE(m.l, 1) AS step
-      FROM poss po LEFT JOIN m ON m.term = po.term AND m.pos = po.pos),
-    seg AS (
-      SELECT term, 1 AS pos, 0 AS np FROM terms
-      UNION ALL
-      SELECT s.term, s.pos + st.step, s.np + 1
-      FROM seg s JOIN steps st ON st.term = s.term AND st.pos = s.pos),
-    pieces AS (SELECT term, max(np) AS n_pieces FROM seg GROUP BY term)
-    SELECT dw.doc_id,
-           CAST(sum(dw.n) AS BIGINT) AS n_words,
-           CAST(sum(dw.n * p.n_pieces) AS BIGINT) AS n_pieces
-    FROM dw JOIN pieces p USING (term)
-    GROUP BY 1
-    """
-
-
-@query("tokenizer_segment", oracle=_segment_oracle(64, 8))
-def q_tokenizer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy longest-match (WordPiece) segmentation of every
-    document with the corpus-derived vocabulary: per doc, word count
-    and subword-piece count. Hash-matched against a full SQL twin
-    (_segment_oracle): greedy step lengths are path-independent, so
-    the oracle precomputes them per (term, position) with a vocab
-    join and follows them with a recursive CTE — the iterative loop
-    that kept this rows-only through round 4 is now oracle-checked.
-    Invariants additionally pinned in tests/test_tokenizer.py:
-    round-trip (pieces rejoin to the word), total coverage
-    (single-char fallback — the vocabulary contains every corpus
-    character), the greedy longest-match property against the vocab,
-    and in-engine consistency of the distributed counts with a
-    driver-side recomputation.
-
-    Scale shape: vocabulary = one bounded collect (K + |alphabet|
-    strings) broadcast once per executor; documents cross into Python
-    exactly once via Arrow mapInPandas.
-
-    K=64 here, calibrated to the synthetic fixture's 31-word lexicon
-    so greedy matching actually composes (top-64 pieces leave most
-    words out-of-vocab; avg ≈ 3 pieces/word with multi-char pieces
-    like 'er'); a production corpus uses the vocab_build K (~32k)."""
-    from etl_pyspark_spark.functions.tokenizer import (
-        collect_vocab,
-        segment_documents,
-    )
-
-    docs = read_table(spark, sf_dir, "documents")
-    vocab = collect_vocab(docs, 64)
-    return segment_documents(docs, vocab)
-
-
-@query(
-    "corpus_shuffle_assign",
-    oracle="""
-    SELECT doc_id,
-           row_number() OVER (
-             ORDER BY ('0x' || substr(md5('shuffle:'
-                                          || CAST(doc_id AS VARCHAR)),
-                                      1, 15))::BIGINT,
-                      doc_id) AS shuffle_pos
-    FROM documents
-    """,
-)
-def q_corpus_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic corpus shuffle — the epoch-ordering step of every
-    training-data loader: each document gets a reproducible position
-    in a pseudo-random permutation (rank of its keyed 60-bit hash; the
-    'shuffle:' salt decouples this permutation from every other
-    hash-derived assignment in the engine). Computed with
-    operators/ranks.with_global_rank — range exchange + per-partition
-    offsets, NEVER a SinglePartition window — so assigning 100 TB of
-    shuffle positions costs exactly one sort-shaped shuffle. The
-    hash is RNG-free: re-running on the same corpus yields the same
-    permutation (resumable data loading)."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.operators.ranks import with_global_rank
-
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    keyed = docs.withColumn(
-        "hk",
-        T.portable_hash60(
-            F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
-        ),
-    )
-    return with_global_rank(keyed, ["hk", "doc_id"], "shuffle_pos").select(
-        "doc_id", "shuffle_pos"
-    )
-
-
-@query(
-    "mixture_temperature_weights",
-    oracle=f"""
-    WITH s AS (SELECT source, count(*) AS n_docs
-               FROM documents GROUP BY source),
-    t AS (SELECT source, n_docs,
-                 pow(CAST(n_docs AS DOUBLE), 0.7) AS w FROM s),
-    z AS (SELECT sum(w) AS z FROM t)
-    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-           {sql_pround('w / z', 6)} AS weight
-    FROM t, z
-    """,
-)
-def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled mixture weights (the multilingual-LM
-    sampling trick, T=1/0.7): per-source counts raised to α=0.7 and
-    normalized, flattening the source distribution so small sources
-    are not drowned at training time. One partial-agg groupBy over
-    the corpus, a 1-row broadcast for the normalizer, 20 output rows;
-    pow's last-ulp libm-vs-JVM variance is absorbed by pround(6) on
-    both engines."""
-    docs = read_table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    t = s.select(
-        "source",
-        "n_docs",
-        F.pow(F.col("n_docs").cast("double"), 0.7).alias("w"),
-    )
-    z = t.agg(F.sum("w").alias("z"))
-    return t.crossJoin(F.broadcast(z)).select(
-        "source",
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        pround(F.col("w") / F.col("z"), 6).alias("weight"),
-    )
-
-
-@query(
-    "late_supplier_blame",
-    oracle="""
-    WITH l1 AS (
-      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      WHERE o.o_orderstatus = 'F'),
-    mx AS (
-      SELECT l_orderkey, max(l_shipdate) AS max_ship,
-             count(DISTINCT l_suppkey) AS n_supps
-      FROM l1 GROUP BY l_orderkey),
-    late AS (
-      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
-      FROM l1 JOIN mx USING (l_orderkey)
-      WHERE l1.l_shipdate = mx.max_ship AND mx.n_supps >= 2),
-    solo AS (
-      SELECT l_orderkey FROM late GROUP BY l_orderkey
-      HAVING count(*) = 1)
-    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM late JOIN solo USING (l_orderkey)
-    JOIN supplier s ON late.l_suppkey = s.s_suppkey
-    GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name
-    LIMIT 20
-    """,
-)
-def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21's shape (suppliers-who-kept-orders-waiting) adapted
-    to the fixture columns: on completed multi-supplier orders, blame
-    the supplier whose line shipped last — but only when it was the
-    SOLE latest shipper (Q21's exists/not-exists double correlation,
-    decorrelated into two aggregates instead of two correlated
-    subqueries). Both 'exists' legs reuse ONE keyed aggregation over
-    the filtered fact (max shipdate + distinct-supplier count in the
-    same pass); the final rollup is a 20-row TakeOrderedAndProject.
-    Every shuffle keys on l_orderkey — AQE coalesces the tiny tail."""
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    su = read_table(spark, sf_dir, "supplier")
-    fo = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
-    l1 = li.join(fo, li.l_orderkey == fo.o_orderkey).select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    mx = l1.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.count_distinct("l_suppkey").alias("n_supps"),
-    )
-    late = (
-        l1.join(mx, "l_orderkey")
-        .where(
-            (F.col("l_shipdate") == F.col("max_ship"))
-            & (F.col("n_supps") >= 2)
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    solo = (
-        late.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_latest"))
-        .where(F.col("n_latest") == 1)
-    )
-    blamed = late.join(solo.select("l_orderkey"), "l_orderkey")
-    return (
-        blamed.join(su, blamed.l_suppkey == su.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), F.col("s_name"))
-        .limit(20)
-    )
-
-
-@query(
-    "excess_stock_suppliers",
-    oracle="""
-    WITH small AS (SELECT p_partkey FROM part WHERE p_size <= 10),
-    ps AS (
-      SELECT l_partkey, l_suppkey,
-             sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
-      FROM lineitem JOIN small ON l_partkey = p_partkey
-      GROUP BY 1, 2),
-    a AS (SELECT l_partkey, avg(CAST(qty AS DOUBLE)) AS avg_qty
-          FROM ps GROUP BY 1),
-    excess AS (
-      SELECT DISTINCT ps.l_suppkey
-      FROM ps JOIN a USING (l_partkey)
-      WHERE CAST(qty AS DOUBLE) > 1.5 * avg_qty)
-    SELECT s.s_suppkey, s.s_name
-    FROM supplier s
-    WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
-    ORDER BY s.s_suppkey
-    """,
-)
-def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20's shape (excess-stock suppliers) on the fixture:
-    suppliers who shipped > 1.5× the per-part average quantity of any
-    small part. The nested-aggregate chain (per-(part,supplier)
-    decimal-exact sums → per-part average → threshold semi-join)
-    reuses one partial aggregation; the part-size dim filter
-    broadcasts into the fact scan; the final IN compiles to
-    left-semi. Decimal sums keep the distributed totals exact; only
-    the final avg comparison is floating, on identical inputs in both
-    engines."""
-    li = read_table(spark, sf_dir, "lineitem")
-    pa = read_table(spark, sf_dir, "part")
-    su = read_table(spark, sf_dir, "supplier")
-    small = pa.where(F.col("p_size") <= 10).select("p_partkey")
-    ps = (
-        li.join(F.broadcast(small), li.l_partkey == small.p_partkey)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
-    )
-    avg_qty = ps.groupBy("l_partkey").agg(
-        F.avg(F.col("qty").cast("double")).alias("avg_qty")
-    )
-    excess = (
-        ps.join(avg_qty, "l_partkey")
-        .where(F.col("qty").cast("double") > 1.5 * F.col("avg_qty"))
-        .select("l_suppkey")
-        .distinct()
-    )
-    return (
-        su.join(excess, su.s_suppkey == excess.l_suppkey, "left_semi")
-        .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
-    )
-
-
-@query(
-    "group_quantiles_exact",
-    oracle="""
-    WITH d AS (SELECT lang, n_chars, count(*) AS cnt
-               FROM documents GROUP BY 1, 2),
-    c AS (SELECT lang, n_chars,
-                 CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum,
-                 CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
-          FROM d)
-    SELECT lang,
-           min(CASE WHEN cum >= ceil(0.5 * n) THEN n_chars END)
-             AS p50_chars,
-           min(CASE WHEN cum >= ceil(0.9 * n) THEN n_chars END)
-             AS p90_chars,
-           max(n) AS n_docs
-    FROM c GROUP BY lang
-    """,
-)
-def q_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group exact discrete quantiles (P50/P90 document length by
-    language) — the per-group complement of winsorize_values' global
-    cuts. Reduce-first per group: distinct (lang, value) counts from
-    one partial-agg groupBy, cumulative windows PARTITIONED BY LANG
-    (state per group, never corpus-wide), cut selection as a
-    conditional min. Same discrete-quantile definition as
-    operators/quantiles (smallest value reaching ceil(q·n)), so both
-    engines pick identical stored values."""
-    from pyspark.sql.window import Window
-
-    docs = read_table(spark, sf_dir, "documents")
-    d = docs.groupBy("lang", "n_chars").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tot = Window.partitionBy("lang")
-    c = d.select(
-        "lang",
-        "n_chars",
-        F.sum("cnt").over(w).cast("bigint").alias("cum"),
-        F.sum("cnt").over(tot).cast("bigint").alias("n"),
-    )
-    return c.groupBy("lang").agg(
-        F.min(
-            F.when(
-                F.col("cum") >= F.ceil(0.5 * F.col("n")), F.col("n_chars")
-            )
-        ).alias("p50_chars"),
-        F.min(
-            F.when(
-                F.col("cum") >= F.ceil(0.9 * F.col("n")), F.col("n_chars")
-            )
-        ).alias("p90_chars"),
-        F.max("n").alias("n_docs"),
-    )
-
-
-@query(
-    "value_quantiles_exact",
-    oracle="""
-    WITH d AS (SELECT value, count(*) AS cnt FROM events GROUP BY value),
-    c AS (SELECT value,
-                 CAST(sum(cnt) OVER (ORDER BY value
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum,
-                 CAST(sum(cnt) OVER () AS BIGINT) AS n
-          FROM d),
-    p AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE)
-            AS prob)
-    SELECT p.prob,
-           (SELECT min(value) FROM c
-            WHERE cum >= greatest(1, ceil(p.prob
-                                          * (SELECT max(n) FROM c))))
-             AS value
-    FROM p
-    """,
-)
-def q_value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact discrete quantile PROFILE of events.value (P1/P25/P50/
-    P75/P99) through operators/quantiles.exact_discrete_quantiles —
-    the approx-bracketed exact rank search runs all five probes with
-    TWO corpus scans total (one for n + all brackets, one for all
-    below-bracket counts) plus per-probe bracket slivers; the oracle
-    computes the same order statistics the exhaustive way. Output is
-    5 rows assembled driver-side from the (bounded) cut values —
-    this is the engine's quantile API surface as a query."""
-    from etl_pyspark_spark.operators.quantiles import (
-        exact_discrete_quantiles,
-    )
-
-    ev = read_table(spark, sf_dir, "events")
-    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
-    cuts = exact_discrete_quantiles(ev, "value", probs)
-    return spark.createDataFrame(
-        [(p, v) for p, v in zip(probs, cuts)], "prob double, value double"
-    )
-
-
-@query("embedding_pca_whiten")  # rows-only: eigendecomposition has no
-# SQL twin; invariants pinned in tests/test_pca.py
-def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA whitening of the embedding corpus (top-8 components):
-    per-partition moment accumulation (one summary row per partition,
-    |partitions|-bounded driver combine), driver-side 64×64 eigh with
-    sign-fixed eigenvectors (reproducible basis), broadcast projection
-    via one Arrow-batched GEMM — see similarity/pca.py. Rows-only by
-    necessity; test_pca.py pins whitened-covariance ≈ I, agreement
-    with a single-shot reference PCA, and determinism."""
-    from etl_pyspark_spark.similarity.pca import pca_whiten
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    return pca_whiten(emb, k=8)
-
-
-@query(
-    "knn_label_vote",
-    oracle=f"""
-    WITH sims AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
-             {_sql_cos('q.embedding', 'c.embedding')} AS cos_sim
-      FROM (SELECT * FROM embeddings WHERE vec_id < 16) q
-      JOIN (SELECT * FROM embeddings WHERE vec_id >= 16) c ON true),
-    top AS (
-      SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY cos_sim DESC,
-                                              neighbor_id ASC) AS rk
-        FROM sims) WHERE rk <= 5),
-    votes AS (
-      SELECT query_id, label, count(*) AS n_votes
-      FROM top GROUP BY 1, 2)
-    SELECT query_id AS vec_id, label AS predicted_label,
-           CAST(n_votes AS BIGINT) AS n_votes
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY n_votes DESC,
-                                                label ASC) AS rk
-          FROM votes)
-    WHERE rk = 1
-    """,
-)
-def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN majority-vote classification — the label-propagation /
-    weak-labeling step of many data-curation pipelines: each query
-    vector (vec_id < 16) takes the modal label of its 5 nearest
-    corpus neighbors by cosine, ties toward the smaller label. Built
-    on brute_force_topk (broadcast query set against the corpus scan
-    — corpus never shuffles for the join), one window shuffle for the
-    per-query rank, one keyed agg for the vote; rounded cosine makes
-    the neighbor set cross-engine identical."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.similarity.cosine import brute_force_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 16)
-    corpus = emb.where(F.col("vec_id") >= 16)
-    top = brute_force_topk(corpus, q, k=5)
-    lab = top.join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
-        "neighbor_id",
-    )
-    votes = lab.groupBy("query_id", "label").agg(
-        F.count(F.lit(1)).alias("n_votes")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("label").asc()
-    )
-    return (
-        votes.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            F.col("query_id").alias("vec_id"),
-            F.col("label").alias("predicted_label"),
-            F.col("n_votes").cast("bigint").alias("n_votes"),
-        )
-    )
-
-
-@query(
-    "kmeans_update_step",
-    oracle=f"""
-    WITH sims AS (
-      SELECT v.vec_id, c.vec_id AS centroid_id,
-             {_sql_cos('v.embedding', 'c.embedding')} AS cos_sim
-      FROM embeddings v
-      JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c ON true),
-    assigned AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cos_sim DESC,
-                                              centroid_id ASC) AS rk
-        FROM sims) WHERE rk = 1),
-    vals AS (
-      SELECT a.centroid_id, u.i - 1 AS dim,
-             CAST(e.embedding[u.i] AS DOUBLE) AS val
-      FROM assigned a JOIN embeddings e USING (vec_id),
-           UNNEST(range(1, len(e.embedding) + 1)) AS u(i))
-    SELECT centroid_id, CAST(dim AS INT) AS dim,
-           CAST(sum(CAST(floor(val * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
-             / (count(*) * 1e9) AS mean_val
-    FROM vals GROUP BY 1, 2
-    """,
-)
-def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One k-means UPDATE step on the fixed-centroid assignment: new
-    centroid = per-cluster elementwise mean, in long form
-    (centroid_id, dim, mean_val) so the 8×64 result is plainly
-    relational. Means use the engine's integer-exact idiom (cf.
-    regression_by_group): values nano-quantized to BIGINT before the
-    sum — distributed addition is then partitioning-independent and
-    the final double division runs on identical integers in both
-    engines. With assignment (embedding_assign_nearest_centroid) this
-    is a full Lloyd iteration expressed as two dataflow passes — the
-    iterative loop lives in the caller, state in checkpointed
-    centroid tables, exactly how distributed k-means runs at scale."""
-    from etl_pyspark_spark.similarity.semantic import (
-        assign_nearest_centroid,
-    )
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    assigned = assign_nearest_centroid(
-        emb, emb.where(F.col("vec_id") < 8)
-    ).select("vec_id", "centroid_id")
-    vals = emb.join(assigned, "vec_id").select(
-        "centroid_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim", "val"
-        ),
-    )
-    qv = F.floor(F.col("val") * 1e9 + F.lit(0.5)).cast("bigint")
-    return vals.groupBy("centroid_id", "dim").agg(
-        (
-            F.sum(qv).cast("double")
-            / (F.count(F.lit(1)).cast("double") * 1e9)
-        ).alias("mean_val")
-    )
-
-
-@query(
-    "time_gap_fill",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
-      FROM events GROUP BY 1, 2),
-    span AS (SELECT min(CAST(ts AS DATE)) AS d0,
-                    max(CAST(ts AS DATE)) AS d1 FROM events),
-    cal AS (SELECT unnest(generate_series(d0, d1,
-                                          INTERVAL 1 DAY))::DATE AS day
-            FROM span),
-    types AS (SELECT DISTINCT event_type FROM events)
-    SELECT cal.day, types.event_type,
-           CAST(COALESCE(daily.n_events, 0) AS BIGINT) AS n_events
-    FROM cal CROSS JOIN types
-    LEFT JOIN daily ON cal.day = daily.day
-                   AND types.event_type = daily.event_type
-    """,
-)
-def q_time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar gap fill — GLOBAL (day x event_type) zero-fill, the
-    grid-shaped complement of timeseries_gapfill_locf (per-user spans,
-    last-observation-carried-forward): densification every
-    dashboard/forecast consumer needs before windowed math. The calendar derives from a 1-row min/max
-    aggregate exploded through sequence() (never a driver loop), the
-    (day × type) grid is a broadcast cross of two tiny sides, and
-    observed counts left-join in with one keyed shuffle. Grid size is
-    days × types regardless of event volume — the scan dominates, as
-    it should."""
-    ev = read_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(F.to_date("ts").alias("day"), "event_type")
-        .groupBy("day", "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    span = ev.agg(
-        F.min(F.to_date("ts")).alias("d0"),
-        F.max(F.to_date("ts")).alias("d1"),
-    )
-    cal = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
-    types = ev.select("event_type").distinct()
-    grid = cal.crossJoin(types)
-    return grid.join(daily, ["day", "event_type"], "left").select(
-        "day",
-        "event_type",
-        F.coalesce(F.col("n_events"), F.lit(0))
-        .cast("bigint")
-        .alias("n_events"),
-    )
-
-
-@query(
-    "robust_zscore_outliers",
-    oracle=f"""
-    WITH d AS (SELECT value, count(*) AS cnt FROM events GROUP BY value),
-    c AS (SELECT value,
-                 CAST(sum(cnt) OVER (ORDER BY value
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum,
-                 CAST(sum(cnt) OVER () AS BIGINT) AS n
-          FROM d),
-    med AS (SELECT min(value) AS m FROM c
-            WHERE cum >= greatest(1, ceil(0.5 * (SELECT max(n) FROM c)))),
-    dd AS (SELECT abs(value - (SELECT m FROM med)) AS dv, count(*) AS cnt
-           FROM events GROUP BY 1),
-    dc AS (SELECT dv,
-                  CAST(sum(cnt) OVER (ORDER BY dv
-                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                    AS cum,
-                  CAST(sum(cnt) OVER () AS BIGINT) AS n
-           FROM dd),
-    mad AS (SELECT min(dv) AS m FROM dc
-            WHERE cum >= greatest(1, ceil(0.5 * (SELECT max(n) FROM dc))))
-    SELECT event_id,
-           CAST(value AS DOUBLE) AS value,
-           {sql_pround("(value - (SELECT m FROM med))"
-                       " / (1.4826 * (SELECT m FROM mad))", 6)}
-             AS robust_z,
-           abs({sql_pround("(value - (SELECT m FROM med))"
-                           " / (1.4826 * (SELECT m FROM mad))", 6)}) > 3.5
-             AS is_outlier
-    FROM events
-    """,
-)
-def q_robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier flags via the median/MAD z-score (the
-    estimator that, unlike mean/stddev, outliers can't poison —
-    standard data-quality gate before training-metric aggregation):
-    z = (x − median) / (1.4826·MAD), |z| > 3.5 flags (Iglewicz &
-    Hoaglin's threshold). BOTH order statistics (median, then median
-    of absolute deviations) run through the bracketed exact-rank
-    search (operators/quantiles) — two quantile passes, no
-    SinglePartition window, cuts land as literals so the scoring pass
-    is scan-speed projection. |x−median| is exact IEEE arithmetic on
-    identical inputs, so the derived second-pass quantile is
-    cross-engine identical too."""
-    from etl_pyspark_spark.operators.quantiles import (
-        exact_discrete_quantiles,
-    )
-
-    ev = read_table(spark, sf_dir, "events")
-    med = exact_discrete_quantiles(ev, "value", [0.5])[0]
-    dev = ev.select((F.abs(F.col("value") - F.lit(med))).alias("d"))
-    mad = exact_discrete_quantiles(dev, "d", [0.5])[0]
-    scale = 1.4826 * mad
-    z = pround((F.col("value") - F.lit(med)) / F.lit(scale), 6)
-    return ev.select(
-        "event_id",
-        F.col("value").cast("double").alias("value"),
-        z.alias("robust_z"),
-        (F.abs(z) > 3.5).alias("is_outlier"),
-    )
-
-
-def _bigram_lm_oracle() -> str:
-    ws = _WS_TOKENS_SQL.format(col="text")
-    return f"""
-    WITH t AS (SELECT doc_id, {ws} AS toks FROM documents),
-    bg AS (SELECT doc_id, unnest({_ngram_sql('toks', 2)}) AS g FROM t),
-    c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
-    c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1
-           FROM bg GROUP BY 1),
-    scored AS (
-      SELECT bg.doc_id,
-             count(*) AS n_bigrams,
-             CAST(sum(CAST({sql_pround(
-                 "CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)", 6
-             )} AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-               AS avg_bigram_prob
-      FROM bg
-      JOIN c2 USING (g)
-      JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
-      GROUP BY bg.doc_id)
-    SELECT d.doc_id,
-           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           COALESCE(s.avg_bigram_prob, 0.0) AS avg_bigram_prob
-    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
-    """
-
-
-@query("bigram_lm_score", oracle=_bigram_lm_oracle())
-def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram-LM fluency score — the cheap statistical
-    language-model filter (docs whose word transitions are rare in
-    the corpus read as noise/boilerplate): per doc, the average
-    corpus conditional probability c(w1,w2)/c(w1·) over its bigrams.
-    Log-free by design (cross-engine libm drift): each conditional
-    probability is a rational rounded via pround(6), summed as
-    DECIMAL (order-independent, partitioning-proof), divided once as
-    double. Bigram counts collapse map-side; the prefix table joins
-    on the bigram's first token; one keyed rollup per doc."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = read_table(spark, sf_dir, "documents")
-    toked = spread(docs).select(
-        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
-    )
-    bg = toked.select(
-        "doc_id",
-        F.explode(T.ngrams_from_tokens(F.col("toks"), 2)).alias("g"),
-    )
-    c2 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = (
-        bg.select(F.substring_index("g", " ", 1).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
-    ratio = pround(
-        F.col("c2").cast("double") / F.col("c1").cast("double"), 6
-    )
-    scored = (
-        bg.join(c2, "g")
-        .withColumn("w1", F.substring_index("g", " ", 1))
-        .join(c1, "w1")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (
-                F.sum(ratio.cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("avg_bigram_prob"),
-        )
-    )
-    return (
-        docs.select("doc_id")
-        .join(scored, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_bigrams"), F.lit(0))
-            .cast("bigint")
-            .alias("n_bigrams"),
-            F.coalesce(F.col("avg_bigram_prob"), F.lit(0.0)).alias(
-                "avg_bigram_prob"
-            ),
-        )
-    )
-
-
-@query(
-    "value_histogram",
-    oracle=f"""
-    WITH span AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
-    b AS (SELECT least(19, CAST(floor((value - lo) * 20.0 / (hi - lo))
-                                AS BIGINT)) AS bin, lo, hi
-          FROM events, span)
-    SELECT CAST(bin AS INT) AS bin, count(*) AS n_events,
-           {sql_pround('min(lo + bin * (hi - lo) / 20.0)', 6)} AS bin_lo
-    FROM b GROUP BY bin
-    """,
-)
-def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-width 20-bin histogram of events.value with DATA-DRIVEN
-    edges — the companion to histogram_fixed_bins (which pins constant
-    edges and needs no pre-pass): here the [min, max] span is first
-    computed as a 1-row aggregate and broadcast onto the unsorted scan (no sort, no
-    quantiles needed for equal-WIDTH bins), binning is a pure
-    projection, counts collapse map-side. Bins are data-driven;
-    identical IEEE arithmetic on both engines makes bin edges and
-    assignment cross-engine exact (absorbed to 1e-6 at the reported
-    edge). Empty bins are legitimately absent (17 of 20 occupied on
-    the fixture's skewed values)."""
-    ev = read_table(spark, sf_dir, "events")
-    span = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    binned = ev.crossJoin(F.broadcast(span)).select(
-        F.least(
-            F.lit(19),
-            F.floor(
-                (F.col("value") - F.col("lo"))
-                * 20.0
-                / (F.col("hi") - F.col("lo"))
-            ),
-        )
-        .cast("int")
-        .alias("bin"),
-        "lo",
-        "hi",
-    )
-    return binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        pround(
-            F.min(
-                F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 20.0
-            ),
-            6,
-        ).alias("bin_lo"),
-    )
-
-
-# (GROUP BY ALL is already covered by q_sql_group_by_all above —
-# registry.py:6940.)
-
-
-def _copurchase_pagerank_oracle() -> str:
-    from etl_pyspark_spark.operators.graph import sql_pagerank_int
-
-    edges_sql = """
-      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
-        ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey <> b.l_partkey
-    """
-    nodes_sql = f"SELECT DISTINCT src AS node FROM ({edges_sql})"
-    inner = sql_pagerank_int(nodes_sql, edges_sql, iterations=3)
-    return f"SELECT node AS part, rank_int FROM ({inner})"
-
-
-@query("pagerank_copurchase", oracle=_copurchase_pagerank_oracle())
-def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over a DATA-DERIVED graph: part co-purchase edges
-    (every ordered pair of distinct parts sharing an order —
-    symmetric, so every node has outdegree), 3 rounds through the
-    existing integer-quantized engine (operators/graph.pagerank_int —
-    same operator as pagerank_iterative, which runs on a synthetic
-    formula graph; this entry exercises the edge-building half a real
-    pipeline needs). The basket expansion is ONE groupBy-collect_set
-    (order-keyed shuffle, per-order dedup fused in) followed by an
-    in-row double explode — measured ~35% cheaper than the
-    equivalent distinct + self-join + distinct chain (one fewer
-    exchange over the pair set), identical edge set. The mega-basket
-    cap lives in the basket aggregate's row (operators/baskets
-    .cap_items_array: deterministic hash-rank slice, pure codegen
-    HOFs) so the quadratic explode is bounded at O(cap^2) per order;
-    the cap never binds on fixture baskets (<= 7 lines), keeping the
-    oracle cap-free.
-    Bit-exact across engines because every step is bigint arithmetic;
-    the oracle unrolls the same 3 rounds via sql_pagerank_int."""
-    from etl_pyspark_spark.operators.baskets import cap_items_array
-    from etl_pyspark_spark.operators.graph import pagerank_int
-
-    li = read_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        cap_items_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    edges = (
-        baskets.select(F.explode("ps").alias("src"), "ps")
-        .select("src", F.explode("ps").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    return pagerank_int(nodes, edges, iterations=3).select(
-        F.col("node").alias("part"), "rank_int"
-    )
-
-
-@query("tokenizer_bpe_learn")  # rows-only: BPE is inherently
-# iterative (argmax + merge per step); parity with a pure-Python BPE
-# reference is pinned in tests/test_tokenizer.py — rules AND final
-# symbolizations must match exactly
-def q_tokenizer_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge-rule learning (Sennrich et al. 2016), 10 merges —
-    the iterative half of subword-tokenizer training
-    (tokenizer_vocab_build is the one-shot seed statistic). Per
-    iteration: adjacent-pair counts over the DISTINCT-word table
-    (weights = corpus occurrence counts, so cost is bounded by
-    vocabulary, not corpus), a 1-row TakeOrdered argmax with a pinned
-    (count DESC, left ASC, right ASC) tie-break, and the merge
-    applied by a whole-stage-codegen fold over the symbol arrays —
-    no per-row Python anywhere; the loop and lineage truncation
-    follow the pagerank_int pattern. Output: the learned rule table
-    (step, left, right, pair_count)."""
-    from etl_pyspark_spark.functions.tokenizer import bpe_learn
-
-    docs = read_table(spark, sf_dir, "documents")
-    rules, _ = bpe_learn(docs, n_merges=10)
-    return spark.createDataFrame(
-        rules, "step int, left string, right string, pair_count bigint"
-    )
-
-
-_EQUIDEPTH_BINS = 10
-
-
-def _equidepth_oracle() -> str:
-    b = _EQUIDEPTH_BINS
-    return f"""
-    WITH d AS (SELECT value, count(*) AS cnt FROM events GROUP BY value),
-    c AS (SELECT value,
-                 CAST(sum(cnt) OVER (ORDER BY value
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum,
-                 CAST(sum(cnt) OVER () AS BIGINT) AS n
-          FROM d),
-    p AS (SELECT CAST(unnest(range(1, {b})) AS DOUBLE) / {b} AS prob),
-    cuts AS (
-      SELECT p.prob,
-             (SELECT min(value) FROM c
-              WHERE cum >= greatest(1, ceil(p.prob
-                                            * (SELECT max(n) FROM c))))
-               AS cut
-      FROM p),
-    bn AS (SELECT e.value,
-                  (SELECT count(*) FROM cuts WHERE cuts.cut < e.value)
-                    AS bin
-           FROM events e)
-    SELECT CAST(bin AS INT) AS bin, count(*) AS n_events,
-           CAST(min(value) AS DOUBLE) AS min_value,
-           CAST(max(value) AS DOUBLE) AS max_value
-    FROM bn GROUP BY bin
-    """
-
-
-@query("value_histogram_equidepth", oracle=_equidepth_oracle())
-def q_value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram (10 equal-population bins) — the optimizer
-    statistic / monitoring profile equal-WIDTH bins (value_histogram)
-    can't give on skewed data: bin edges are the exact discrete
-    deciles from operators/quantiles (bracketed exact-rank search,
-    never a SinglePartition window), landed as a literal cut array so
-    bin assignment is one scan-speed higher-order filter
-    (size(filter(cuts, c -> c < value))). The fixture's long-tailed
-    value column bins to ~N/10 rows each where the equal-width
-    histogram piles 85 % into two bins."""
-    from etl_pyspark_spark.operators.quantiles import (
-        exact_discrete_quantiles,
-    )
-
-    ev = read_table(spark, sf_dir, "events")
-    probs = [i / _EQUIDEPTH_BINS for i in range(1, _EQUIDEPTH_BINS)]
-    cuts = exact_discrete_quantiles(ev, "value", probs)
-    arr = "array(" + ",".join(
-        f"CAST({c!r} AS DOUBLE)" for c in cuts
-    ) + ")"
-    bin_col = F.expr(f"size(filter({arr}, c -> c < value))")
-    return (
-        ev.select(bin_col.cast("int").alias("bin"), "value")
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("value").cast("double").alias("min_value"),
-            F.max("value").cast("double").alias("max_value"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Evaluation / distribution statistics (SURVEY §2.9 growth: the
-# exact-order-statistics machinery applied to model-eval and
-# data-drift gates a training pipeline runs per snapshot)
-# ---------------------------------------------------------------------------
-
-_AUC_POS = "('purchase', 'signup')"
-
-
-@query(
-    "roc_auc_exact",
-    oracle=f"""
-    WITH d AS (SELECT value, count(*) AS cnt,
-                      sum(CASE WHEN event_type IN {_AUC_POS}
-                               THEN 1 ELSE 0 END) AS pos
-               FROM events WHERE value IS NOT NULL GROUP BY value),
-    c AS (SELECT value, cnt, pos,
-                 CAST(sum(cnt) OVER (ORDER BY value
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum
-          FROM d),
-    g AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
-                 CAST(sum(cnt) - sum(pos) AS BIGINT) AS n,
-                 sum(CAST(pos * (2 * cum - cnt + 1) AS DECIMAL(38,0))) AS s
-          FROM c)
-    SELECT p AS n_pos, n AS n_neg,
-           {sql_pround(
-               "(CAST(s AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE)"
-               " + 1.0)) / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE))", 9
-           )} AS auc
-    FROM g
-    """,
-)
-def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ROC-AUC of a score column against a binary label via the
-    tie-aware Mann-Whitney rank-sum identity — the eval gate a
-    quality-classifier pipeline runs on every corpus snapshot, as one
-    distributed aggregate instead of a sort-and-sweep. AUC =
-    (R_pos - P(P+1)/2) / (P*N) where R_pos is the sum of AVERAGE
-    ranks of positives; per distinct score v with count c and
-    inclusive cumulative count m, 2*avgrank = 2m - c + 1, so the
-    whole statistic reduces to one integer sum over DISTINCT scores
-    (reduce-first: the fixture's 10k events hold 6.6k distinct
-    values; ties are the reason avgrank matters). Cumulative counts
-    come from operators/ranks.with_global_cumsum (range exchange +
-    per-partition-id window — never SinglePartition); products
-    accumulate as DECIMAL(38,0) so the sum is exact and
-    overflow-safe at 100 TB row counts, then ONE double expression
-    at the end (IEEE ops identical in both engines, pround(9)).
-    No reference counterpart (SURVEY §2.9 eval-gate growth)."""
-    from etl_pyspark_spark.operators.ranks import with_global_cumsum
-
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    pos_types = ("purchase", "signup")
-    d = ev.groupBy("value").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(
-            F.col("event_type").isin(*pos_types).cast("int")
-        ).alias("pos"),
-    )
-    c = with_global_cumsum(d, ["value"], "cnt", "cum")
-    g = c.agg(
-        F.sum("pos").cast("bigint").alias("p"),
-        (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n"),
-        F.sum(
-            (
-                F.col("pos")
-                * (2 * F.col("cum") - F.col("cnt") + 1)
-            ).cast("decimal(38,0)")
-        ).alias("s"),
-    )
-    pd_ = F.col("p").cast("double")
-    nd = F.col("n").cast("double")
-    auc = (F.col("s").cast("double") - pd_ * (pd_ + 1.0)) / (
-        2.0 * pd_ * nd
-    )
-    return g.select(
-        F.col("p").alias("n_pos"),
-        F.col("n").alias("n_neg"),
-        pround(auc, 9).alias("auc"),
-    )
-
-
-@query(
-    "ks_two_sample",
-    oracle=f"""
-    WITH d AS (SELECT value,
-                      sum(CASE WHEN event_type = 'click'
-                               THEN 1 ELSE 0 END) AS ca,
-                      sum(CASE WHEN event_type = 'view'
-                               THEN 1 ELSE 0 END) AS cb
-               FROM events WHERE value IS NOT NULL
-               GROUP BY value HAVING ca + cb > 0),
-    c AS (SELECT value,
-                 CAST(sum(ca) OVER (ORDER BY value
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum_a,
-                 CAST(sum(cb) OVER (ORDER BY value
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum_b
-          FROM d),
-    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
-                 CAST(sum(cb) AS BIGINT) AS nb FROM d),
-    s AS (SELECT value,
-                 abs(CAST(cum_a AS DECIMAL(38,0)) * nb
-                     - CAST(cum_b AS DECIMAL(38,0)) * na) AS num,
-                 na, nb
-          FROM c, t)
-    SELECT {sql_pround(
-        "CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))", 9
-    )} AS ks_d,
-           CAST(value AS DOUBLE) AS at_value,
-           na AS n_a, nb AS n_b
-    FROM s ORDER BY num DESC, value ASC LIMIT 1
-    """,
-)
-def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample Kolmogorov-Smirnov statistic (max CDF gap)
-    between two event populations — the distribution-drift gate a
-    corpus refresh runs before retraining. Reduce-first: both
-    empirical CDFs live on the DISTINCT value axis; BOTH cumulative
-    counts come from one pass of with_global_cumsum_multi (one range
-    exchange, two per-partition running sums — never
-    SinglePartition). The gap is kept as the INTEGER cross-product
-    |cum_a*n_b - cum_b*n_a| (DECIMAL(38,0), overflow-safe, no
-    division inside the argmax) so the max and its arg are exact;
-    the single division to D happens once on the 1-row result.
-    Argmax is a TakeOrderedAndProject (num DESC, value ASC), never a
-    global sort. No reference counterpart (SURVEY §2.9)."""
-    from etl_pyspark_spark.operators.ranks import (
-        with_global_cumsum_multi,
-    )
-
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    d = (
-        ev.groupBy("value")
-        .agg(
-            F.sum(
-                (F.col("event_type") == "click").cast("int")
-            ).alias("ca"),
-            F.sum(
-                (F.col("event_type") == "view").cast("int")
-            ).alias("cb"),
-        )
-        .filter(F.col("ca") + F.col("cb") > 0)
-        # read by the cumulative pass and the totals aggregate
-        .persist()
-    )
-    c = with_global_cumsum_multi(d, ["value"], ["ca", "cb"])
-    tot = F.broadcast(
-        d.agg(
-            F.sum("ca").cast("bigint").alias("na"),
-            F.sum("cb").cast("bigint").alias("nb"),
-        )
-    )
-    s = c.crossJoin(tot).select(
-        "value",
-        F.abs(
-            F.col("cum_ca").cast("decimal(38,0)") * F.col("nb")
-            - F.col("cum_cb").cast("decimal(38,0)") * F.col("na")
-        ).alias("num"),
-        "na",
-        "nb",
-    )
-    return (
-        s.orderBy(F.col("num").desc(), F.col("value").asc())
-        .limit(1)
-        .select(
-            pround(
-                F.col("num").cast("double")
-                / (
-                    F.col("na").cast("double")
-                    * F.col("nb").cast("double")
-                ),
-                9,
-            ).alias("ks_d"),
-            F.col("value").cast("double").alias("at_value"),
-            F.col("na").alias("n_a"),
-            F.col("nb").alias("n_b"),
-        )
-    )
-
-
-@query(
-    "weighted_median_groups",
-    oracle="""
-    WITH d AS (SELECT l_returnflag AS flag, l_quantity AS qty,
-                      sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS w
-               FROM lineitem GROUP BY 1, 2),
-    c AS (SELECT flag, qty, w,
-                 sum(w) OVER (PARTITION BY flag ORDER BY qty
-                              ROWS UNBOUNDED PRECEDING) AS cum,
-                 sum(w) OVER (PARTITION BY flag) AS tot
-          FROM d)
-    SELECT flag, CAST(min(qty) AS DOUBLE) AS weighted_median_qty,
-           CAST(min(tot) AS DOUBLE) AS total_weight
-    FROM c WHERE 2 * cum >= tot GROUP BY flag
-    """,
-)
-def q_weighted_median_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group WEIGHTED median: the smallest quantity at which
-    cumulative revenue weight reaches half the group's total — the
-    'median unit size by value' statistic plain medians
-    (grouped_median_udaf) can't give. Reduce-first: cumulative
-    weights run over DISTINCT (group, qty) pairs (lineitem's 50
-    distinct quantities per flag, not 60k rows), windows partition BY
-    GROUP (parallel across groups, never SinglePartition). Weights
-    accumulate as DECIMAL(18,6) so the running sum is exact and
-    order-independent; the half-total test is the integer-safe
-    ``2*cum >= tot`` (doubling a decimal is exact — no division,
-    no .5 threshold drift)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    d = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").alias("qty"),
-    ).agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,6)")
-        ).alias("w")
-    )
-    from pyspark.sql.window import Window as W
-
-    wc = (
-        W.partitionBy("flag")
-        .orderBy("qty")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wt = W.partitionBy("flag")
-    c = d.select(
-        "flag",
-        "qty",
-        F.sum("w").over(wc).alias("cum"),
-        F.sum("w").over(wt).alias("tot"),
-    )
-    return (
-        c.filter(2 * F.col("cum") >= F.col("tot"))
-        .groupBy("flag")
-        .agg(
-            F.min("qty").cast("double").alias("weighted_median_qty"),
-            F.min("tot").cast("double").alias("total_weight"),
-        )
-    )
-
-
-def _token_class_oracle() -> str:
-    ws = _WS_TOKENS_SQL.format(col="text")
-    return f"""
-    WITH t AS (SELECT (lang = 'en') AS is_en, unnest({ws}) AS token
-               FROM documents WHERE text IS NOT NULL),
-    cnt AS (SELECT token,
-                   sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS a,
-                   sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS b
-            FROM t GROUP BY token),
-    tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
-                   CAST(sum(b) AS BIGINT) AS tb FROM cnt)
-    SELECT token, CAST(a AS BIGINT) AS cnt_en,
-           CAST(b AS BIGINT) AS cnt_other,
-           {sql_pround(
-               "((CAST(a AS DOUBLE) + 0.5) / (CAST(ta - a AS DOUBLE) + 0.5))"
-               " / ((CAST(b AS DOUBLE) + 0.5)"
-               " / (CAST(tb - b AS DOUBLE) + 0.5))", 6
-           )} AS assoc
-    FROM cnt, tot
-    WHERE a + b >= 20
-    ORDER BY assoc DESC, token ASC LIMIT 40
-    """
-
-
-@query("token_class_association", oracle=_token_class_oracle())
-def q_token_class_association(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-class keyness: which tokens mark the 'en' slice of the
-    corpus vs everything else — the feature-selection statistic
-    behind lightweight quality/domain classifiers (Monroe et al.'s
-    'Fightin' Words' odds-ratio form, Haldane-corrected with +0.5 so
-    zero counts stay finite). Log-free by the engine's standard
-    idiom (cross-engine libm drift): the odds ratio itself is
-    reported — the same ranking as log-odds since log is monotone —
-    computed from INTEGER token counts via three correctly-rounded
-    IEEE divisions both engines evaluate bit-identically, then
-    pround(6). One token-count shuffle; class totals ride a
-    broadcast 1-row aggregate; top-40 is TakeOrderedAndProject with
-    a total tiebreak. No reference counterpart (SURVEY §2.9)."""
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    toks = docs.select(
-        (F.col("lang") == "en").alias("is_en"),
-        F.explode(ws_tokens(F.col("text"))).alias("token"),
-    )
-    cnt = toks.groupBy("token").agg(
-        F.sum(F.col("is_en").cast("int")).alias("a"),
-        F.sum((~F.col("is_en")).cast("int")).alias("b"),
-    ).persist()  # read by the totals aggregate and the keyness probe
-    tot = F.broadcast(
-        cnt.agg(
-            F.sum("a").cast("bigint").alias("ta"),
-            F.sum("b").cast("bigint").alias("tb"),
-        )
-    )
-    ad = F.col("a").cast("double")
-    bd = F.col("b").cast("double")
-    assoc = ((ad + 0.5) / ((F.col("ta") - F.col("a")).cast("double") + 0.5)) / (
-        (bd + 0.5) / ((F.col("tb") - F.col("b")).cast("double") + 0.5)
-    )
-    return (
-        cnt.filter(F.col("a") + F.col("b") >= 20)
-        .crossJoin(tot)
-        .select(
-            "token",
-            F.col("a").cast("bigint").alias("cnt_en"),
-            F.col("b").cast("bigint").alias("cnt_other"),
-            pround(assoc, 6).alias("assoc"),
-        )
-        .orderBy(F.col("assoc").desc(), F.col("token").asc())
-        .limit(40)
-    )
-
-
-@query(
-    "gini_customer_spend",
-    oracle=f"""
-    WITH s AS (SELECT o_custkey,
-                      sum(CAST(o_totalprice AS DECIMAL(18,6))) AS x
-               FROM orders GROUP BY 1),
-    r AS (SELECT x, CAST(x * 1000000 AS BIGINT) AS xi,
-                 row_number() OVER (ORDER BY x, o_custkey) AS rnk
-          FROM s),
-    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(x) AS DOUBLE) AS sx,
-                 CAST(sum(xi) AS BIGINT) AS sxi,
-                 sum(CAST(rnk AS DECIMAL(19,0))
-                     * CAST(xi AS DECIMAL(19,0))) AS srx
-          FROM r)
-    SELECT n AS n_customers, sx AS total_spend,
-           {sql_pround(
-               "2.0 * CAST(srx AS DOUBLE)"
-               " / (CAST(n AS DOUBLE) * CAST(sxi AS DOUBLE))"
-               " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)", 9
-           )} AS gini
-    FROM g
-    """,
-)
-def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Gini coefficient of customer spend concentration — the
-    inequality/skew summary a sampling-quota planner reads before
-    assigning per-source budgets (a corpus whose weight is
-    Gini-0.9-concentrated in a few sources needs capping;
-    source_quota_cap is the enforcement half). G = 2*sum(r_i*x_i) /
-    (n*sum(x)) - (n+1)/n over spend sorted ascending: the per-row
-    global rank comes from operators/ranks.with_global_rank (range
-    exchange + broadcast offsets, never a SinglePartition window —
-    THE classic Gini scale-killer). Spend is micro-unit-quantized
-    (x*1e6 as BIGINT, exact since x is DECIMAL(18,6)) so rank*spend
-    products accumulate as DECIMAL(19,0)*DECIMAL(19,0) ->
-    DECIMAL(38,0): exact and overflow-safe at 100 TB customer
-    counts; ONE double expression at the end (correctly-rounded IEEE
-    in both engines), pround(9). No reference counterpart."""
-    from etl_pyspark_spark.operators.ranks import with_global_rank
-
-    orders = read_table(spark, sf_dir, "orders")
-    spend = orders.groupBy("o_custkey").agg(
-        F.sum(
-            F.col("o_totalprice").cast("decimal(18,6)")
-        ).alias("x")
-    )
-    spend = spend.withColumn(
-        "xi", (F.col("x") * 1000000).cast("bigint")
-    )
-    ranked = with_global_rank(spend, ["x", "o_custkey"], "rnk")
-    g = ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("xi").cast("bigint").alias("sxi"),
-        F.sum(
-            F.col("rnk").cast("decimal(19,0)")
-            * F.col("xi").cast("decimal(19,0)")
-        ).alias("srx"),
-    )
-    nd = F.col("n").cast("double")
-    gini = 2.0 * F.col("srx").cast("double") / (
-        nd * F.col("sxi").cast("double")
-    ) - (nd + 1.0) / nd
-    return g.select(
-        F.col("n").alias("n_customers"),
-        F.col("sx").alias("total_spend"),
-        pround(gini, 9).alias("gini"),
-    )
-
-
-_LANGID_CASE_CTE = f"""
-      SELECT doc_id, lang AS meta,
-        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['the','and','of','to','a','in','is','that']))} AS sc_en,
-        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['der','die','das','und','ist','nicht','ein','zu']))} AS sc_de,
-        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['el','la','de','que','y','en','un','es']))} AS sc_es,
-        {_STOP_HITS_SQL.format(col='text', stops=_sql_str_list(['le','la','et','les','des','un','une','est']))} AS sc_fr
-      FROM documents
-"""
-
-
-@query(
-    "langid_agreement_kappa",
-    oracle=f"""
-    WITH s AS ({_LANGID_CASE_CTE}),
-    p AS (SELECT meta,
-           CASE WHEN sc_en = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_en > 0 THEN 'en'
-                WHEN sc_de = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_de > 0 THEN 'de'
-                WHEN sc_es = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_es > 0 THEN 'es'
-                WHEN sc_fr = greatest(sc_en, sc_de, sc_es, sc_fr) AND sc_fr > 0 THEN 'fr'
-                ELSE 'und' END AS pred
-          FROM s),
-    conf AS (SELECT meta, pred, count(*) AS cnt FROM p GROUP BY 1, 2),
-    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
-                   CAST(sum(CASE WHEN meta = pred THEN cnt ELSE 0 END)
-                        AS BIGINT) AS diag
-            FROM conf),
-    r AS (SELECT meta AS cls, CAST(sum(cnt) AS BIGINT) AS rt
-          FROM conf GROUP BY 1),
-    c AS (SELECT pred AS cls, CAST(sum(cnt) AS BIGINT) AS ct
-          FROM conf GROUP BY 1),
-    rc AS (SELECT sum(CAST(rt AS DECIMAL(19,0)) * CAST(ct AS DECIMAL(19,0)))
-                    AS src
-           FROM r JOIN c USING (cls))
-    SELECT n AS n_docs, diag AS n_agree,
-           {sql_pround("CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS po,
-           {sql_pround(
-               "CAST(src AS DOUBLE)"
-               " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))", 9
-           )} AS pe,
-           {sql_pround(
-               "CAST(CAST(diag AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))"
-               " - src AS DOUBLE)"
-               " / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))"
-               " - src AS DOUBLE)", 9
-           )} AS kappa
-    FROM tot, rc
-    """,
-)
-def q_langid_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's kappa between the engine's heuristic language-ID
-    (functions/text.language_id — the text_language_id query's
-    classifier) and the corpus's metadata label — the
-    annotator-agreement gate that tells a pipeline whether its cheap
-    classifier is trustworthy enough to route documents. Chance
-    agreement uses the integer identity kappa = (diag*n - sum(r_k*c_k))
-    / (n^2 - sum(r_k*c_k)): confusion cells, row/column marginals and
-    their products all stay integers (DECIMAL(19,0)*DECIMAL(19,0)
-    products, overflow-safe), with ONE double division at the end.
-    Shape at scale: the corpus reduces to the |classes|^2 confusion
-    table first; marginal products ride a |classes|-row join."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    staged = docs.select(
-        F.col("lang").alias("meta"),
-        "text",
-        T.ws_tokens(F.lower(F.col("text"))).alias("__ltoks"),
-    )
-    p = staged.select(
-        "meta",
-        T.language_id(F.col("text"), ltoks=F.col("__ltoks")).alias("pred"),
-    )
-    conf = p.groupBy("meta", "pred").agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).persist()  # read by the totals and both marginal rollups
-    tot = conf.agg(
-        F.sum("cnt").cast("bigint").alias("n"),
-        F.sum(
-            F.when(F.col("meta") == F.col("pred"), F.col("cnt")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("diag"),
-    )
-    r = conf.groupBy(F.col("meta").alias("cls")).agg(
-        F.sum("cnt").cast("bigint").alias("rt")
-    )
-    c = conf.groupBy(F.col("pred").alias("cls")).agg(
-        F.sum("cnt").cast("bigint").alias("ct")
-    )
-    rc = r.join(c, "cls").agg(
-        F.sum(
-            F.col("rt").cast("decimal(19,0)")
-            * F.col("ct").cast("decimal(19,0)")
-        ).alias("src")
-    )
-    g = tot.crossJoin(F.broadcast(rc))
-    nd = F.col("n").cast("double")
-    dd = F.col("diag").cast("double")
-    num = (
-        F.col("diag").cast("decimal(19,0)")
-        * F.col("n").cast("decimal(19,0)")
-        - F.col("src")
-    ).cast("double")
-    den = (
-        F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
-        - F.col("src")
-    ).cast("double")
-    return g.select(
-        F.col("n").alias("n_docs"),
-        F.col("diag").alias("n_agree"),
-        pround(dd / nd, 9).alias("po"),
-        pround(F.col("src").cast("double") / (nd * nd), 9).alias("pe"),
-        pround(num / den, 9).alias("kappa"),
-    )
-
-
-@query(
-    "chisq_event_type_drift",
-    oracle=f"""
-    WITH cells AS (SELECT event_type, user_id % 2 AS seg,
-                          count(*) AS o
-                   FROM events WHERE user_id IS NOT NULL
-                   GROUP BY 1, 2),
-    ty AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
-           FROM cells GROUP BY 1),
-    sg AS (SELECT seg, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
-    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
-                   CAST(count(DISTINCT event_type) AS BIGINT) AS t,
-                   CAST(count(DISTINCT seg) AS BIGINT) AS s
-            FROM cells),
-    terms AS (
-      SELECT {sql_pround(
-          "((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
-          " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
-          " * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
-          " - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
-          " / ((CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
-          " * CAST(n AS DOUBLE))", 6
-      )} AS term, n, t, s
-      FROM cells JOIN ty USING (event_type) JOIN sg USING (seg), tot),
-    g AS (SELECT max(n) AS n, max(t) AS t, max(s) AS s,
-                 CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS chi2
-          FROM terms)
-    SELECT n AS n_events, t AS n_types, chi2,
-           {sql_pround(
-               "sqrt(chi2 / (CAST(n AS DOUBLE)"
-               " * CAST(least(t - 1, s - 1) AS DOUBLE)))", 9
-           )} AS cramers_v
-    FROM g
-    """,
-)
-def q_chisq_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square homogeneity test of the event-type mix across two
-    user segments, plus Cramer's V effect size — the categorical
-    companion to ks_two_sample in a drift-gate suite (KS covers
-    numeric columns, chi-square the categorical ones). Per-cell terms
-    use the cross-multiplied identity (o*n - r*c)^2 / (r*c*n) ==
-    n*(o - e)^2/e: marginals and counts enter as exact integers,
-    each term is correctly-rounded IEEE double arithmetic written
-    IDENTICALLY on both sides, pround(6)-quantized, then
-    decimal-summed (order-independent — term order differs across
-    engines' partitionings). sqrt IS deterministic cross-engine
-    (IEEE 754 requires correct rounding for sqrt, unlike log/exp —
-    why V can be reported but PSI/G-test can't without the
-    engine's log-free idiom). Shape at scale: the stream reduces to
-    |types|x|segments| cells first; marginals ride broadcast
-    joins."""
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-    )
-    cells = ev.groupBy(
-        "event_type", (F.col("user_id") % 2).alias("seg")
-    ).agg(F.count(F.lit(1)).alias("o")).persist()  # 4 consumers
-    ty = cells.groupBy("event_type").agg(
-        F.sum("o").cast("bigint").alias("r")
-    )
-    sg = cells.groupBy("seg").agg(F.sum("o").cast("bigint").alias("c"))
-    tot = cells.agg(
-        F.sum("o").cast("bigint").alias("n"),
-        F.countDistinct("event_type").cast("bigint").alias("t"),
-        F.countDistinct("seg").cast("bigint").alias("s"),
-    )
-    j = (
-        cells.join(F.broadcast(ty), "event_type")
-        .join(F.broadcast(sg), "seg")
-        .crossJoin(F.broadcast(tot))
-    )
-    od = F.col("o").cast("double")
-    nd = F.col("n").cast("double")
-    rd = F.col("r").cast("double")
-    cd = F.col("c").cast("double")
-    term = pround(
-        ((od * nd - rd * cd) * (od * nd - rd * cd)) / ((rd * cd) * nd), 6
-    )
-    g = j.agg(
-        F.max("n").alias("n"),
-        F.max("t").alias("t"),
-        F.max("s").alias("s"),
-        F.sum(term.cast("decimal(18,6)")).cast("double").alias("chi2"),
-    )
-    v = F.sqrt(
-        F.col("chi2")
-        / (
-            F.col("n").cast("double")
-            * F.least(F.col("t") - 1, F.col("s") - 1).cast("double")
-        )
-    )
-    return g.select(
-        F.col("n").alias("n_events"),
-        F.col("t").alias("n_types"),
-        F.col("chi2"),
-        pround(v, 9).alias("cramers_v"),
-    )
-
-
-_CM_DEPTH = 4
-_CM_WIDTH = 1024
-
-
-def _countmin_oracle() -> str:
-    ws = _WS_TOKENS_SQL.format(col="text")
-    seeds = "[" + ", ".join(str(i) for i in range(_CM_DEPTH)) + "]"
-    return f"""
-    WITH toks AS (SELECT unnest({ws}) AS tok
-                  FROM documents WHERE text IS NOT NULL),
-    tokc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-    sd AS (SELECT unnest({seeds}) AS seed),
-    hb AS (SELECT tok, cnt, seed,
-                  ('0x' || substr(md5('cm' || seed || ':' || tok), 1, 15))
-                    ::BIGINT % {_CM_WIDTH} AS bucket
-           FROM tokc, sd),
-    sk AS (SELECT seed, bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
-           FROM hb GROUP BY 1, 2),
-    top AS (SELECT tok, cnt FROM tokc
-            ORDER BY cnt DESC, tok ASC LIMIT 30)
-    SELECT top.tok AS token, CAST(top.cnt AS BIGINT) AS true_cnt,
-           CAST(min(sk.bcnt) AS BIGINT) AS est_cnt
-    FROM top JOIN hb ON top.tok = hb.tok
-    JOIN sk USING (seed, bucket)
-    GROUP BY 1, 2
-    """
-
-
-@query("countmin_frequency_estimate", oracle=_countmin_oracle())
-def q_countmin_frequency_estimate(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Count-min sketch (Cormode & Muthukrishnan) over the token
-    stream, probed for the 30 most frequent tokens and reported
-    against TRUE counts — the fixed-memory frequency estimator whose
-    one-sided error (est >= true, over-count only from collisions)
-    the side-by-side columns exhibit. The 4x1024 (_CM_DEPTH x
-    _CM_WIDTH) sketch hashes with the engine's portable 60-bit md5
-    (identical in
-    Spark/DuckDB/Python — why the whole sketch is EXACTLY
-    oracle-checkable, unlike engine-internal hash sketches such as
-    approx_count_distinct's HLL which get rows-only checks).
-    Shape at scale: counts collapse to DISTINCT tokens map-side
-    first, the depth-fold explodes distinct tokens (not occurrences),
-    and the sketch itself is a bounded d*w-row table — the broadcast
-    side of the probe join; top-30 is TakeOrderedAndProject."""
-    from etl_pyspark_spark.functions.text import portable_hash60, ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    tokc = (
-        docs.select(F.explode(ws_tokens(F.col("text"))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        # read by the sketch build, the probe join, AND the top-30
-        # argmax — persist the |vocabulary| table instead of
-        # re-exploding the corpus three times
-        .persist()
-    )
-    seeds = F.array([F.lit(i) for i in range(_CM_DEPTH)])
-    hb = tokc.select(
-        "tok",
-        "cnt",
-        F.explode(seeds).alias("seed"),
-    ).withColumn(
-        "bucket",
-        portable_hash60(
-            F.concat(
-                F.lit("cm"),
-                F.col("seed").cast("string"),
-                F.lit(":"),
-                F.col("tok"),
-            )
-        )
-        % _CM_WIDTH,
-    ).persist()
-    sk = hb.groupBy("seed", "bucket").agg(
-        F.sum("cnt").cast("bigint").alias("bcnt")
-    )
-    top = tokc.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(30)
-    return (
-        top.join(hb, "tok")
-        .join(F.broadcast(sk), ["seed", "bucket"])
-        .groupBy(F.col("tok").alias("token"))
-        .agg(
-            F.max(top["cnt"]).cast("bigint").alias("true_cnt"),
-            F.min("bcnt").cast("bigint").alias("est_cnt"),
-        )
-    )
-
-
-@query(
-    "daily_event_correlation",
-    oracle=f"""
-    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                      sum(CASE WHEN event_type = 'click'
-                               THEN 1 ELSE 0 END) AS x,
-                      sum(CASE WHEN event_type = 'view'
-                               THEN 1 ELSE 0 END) AS y
-               FROM events GROUP BY 1),
-    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(x) AS BIGINT) AS sx,
-                 CAST(sum(y) AS BIGINT) AS sy,
-                 sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
-                   AS sxy,
-                 sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
-                   AS sxx,
-                 sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
-                   AS syy
-          FROM d)
-    SELECT n AS n_days,
-           {sql_pround(
-               "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-               " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-               " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-               " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-               " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-               " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 9
-           )} AS r_pearson
-    FROM g
-    """,
-)
-def q_daily_event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Pearson correlation between two daily event-count series
-    (clicks vs views) — the cheap do-these-signals-move-together
-    check run before building composite engagement metrics. Spark's
-    built-in corr() is a float accumulator whose partial-merge order
-    differs run to run; instead the five sufficient statistics
-    (sum x, sum y, sum xy, sum x^2, sum y^2) accumulate as EXACT
-    integers (DECIMAL(19,0) products -> DECIMAL(38,0) sums,
-    overflow-safe), and the textbook formula runs once on the 1-row
-    result — correctly-rounded IEEE mul/sub/div plus sqrt (IEEE
-    sqrt is correctly rounded, so cross-engine safe), pround(9).
-    Shape at scale: events reduce to one row per day map-side; the
-    moment aggregate is a second map-side collapse."""
-    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
-    d = (
-        read_table(spark, sf_dir, "events")
-        .groupBy(day)
-        .agg(
-            F.sum(
-                (F.col("event_type") == "click").cast("int")
-            ).alias("x"),
-            F.sum(
-                (F.col("event_type") == "view").cast("int")
-            ).alias("y"),
-        )
-    )
-    xd = F.col("x").cast("decimal(19,0)")
-    yd = F.col("y").cast("decimal(19,0)")
-    g = d.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(xd * yd).alias("sxy"),
-        F.sum(xd * xd).alias("sxx"),
-        F.sum(yd * yd).alias("syy"),
-    )
-    nd = F.col("n").cast("double")
-    sxd = F.col("sx").cast("double")
-    syd = F.col("sy").cast("double")
-    r = (nd * F.col("sxy").cast("double") - sxd * syd) / (
-        F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
-        * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
-    )
-    return g.select(
-        F.col("n").alias("n_days"),
-        pround(r, 9).alias("r_pearson"),
-    )
-
-
-def _calibration_oracle() -> str:
-    b = _EQUIDEPTH_BINS
-    return f"""
-    WITH d AS (SELECT value, count(*) AS cnt FROM events
-               WHERE value IS NOT NULL GROUP BY value),
-    c AS (SELECT value,
-                 CAST(sum(cnt) OVER (ORDER BY value
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum,
-                 CAST(sum(cnt) OVER () AS BIGINT) AS n
-          FROM d),
-    p AS (SELECT CAST(unnest(range(1, {b})) AS DOUBLE) / {b} AS prob),
-    cuts AS (
-      SELECT p.prob,
-             (SELECT min(value) FROM c
-              WHERE cum >= greatest(1, ceil(p.prob
-                                            * (SELECT max(n) FROM c))))
-               AS cut
-      FROM p),
-    bn AS (SELECT e.value,
-                  CASE WHEN e.event_type IN {_AUC_POS}
-                       THEN 1 ELSE 0 END AS pos,
-                  (SELECT count(*) FROM cuts WHERE cuts.cut < e.value)
-                    AS bin
-           FROM events e WHERE e.value IS NOT NULL)
-    SELECT CAST(bin AS INT) AS bin,
-           count(*) AS n_events,
-           CAST(sum(pos) AS BIGINT) AS n_pos,
-           {sql_pround(
-               "CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 9
-           )} AS pos_rate,
-           {sql_pround(
-               "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
-               " / CAST(count(*) AS DOUBLE)", 9
-           )} AS mean_score
-    FROM bn GROUP BY bin
-    """
-
-
-@query("score_calibration_bins", oracle=_calibration_oracle())
-def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability (calibration) curve for a score against a binary
-    label: equal-population score deciles x observed positive rate
-    vs mean score per bin — the companion readout to roc_auc_exact
-    (AUC says the ranking works; calibration says the score VALUES
-    mean what they claim — the gate before using scores as sampling
-    weights). Decile edges are the exact discrete quantiles from
-    operators/quantiles (bracketed rank search, never
-    SinglePartition), landed as literals so binning is a scan-speed
-    higher-order filter; per-bin stats are one keyed aggregate.
-    Means use the exact-decimal-sum / single-double-division idiom;
-    rates are one integer ratio, pround(9)."""
-    from etl_pyspark_spark.operators.quantiles import (
-        exact_discrete_quantiles,
-    )
-
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    probs = [i / _EQUIDEPTH_BINS for i in range(1, _EQUIDEPTH_BINS)]
-    cuts = exact_discrete_quantiles(ev, "value", probs)
-    arr = "array(" + ",".join(
-        f"CAST({c!r} AS DOUBLE)" for c in cuts
-    ) + ")"
-    pos_types = ("purchase", "signup")
-    return (
-        ev.select(
-            F.expr(f"size(filter({arr}, c -> c < value))")
-            .cast("int")
-            .alias("bin"),
-            "value",
-            F.col("event_type").isin(*pos_types).cast("int").alias("pos"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("pos").cast("bigint").alias("n_pos"),
-            pround(
-                F.sum("pos").cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                9,
-            ).alias("pos_rate"),
-            pround(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                9,
-            ).alias("mean_score"),
-        )
-    )
-
-
-def _containment_oracle() -> str:
-    from etl_pyspark_spark.dedup.minhash import sql_shingles_cte
-
-    cont = "CAST(n_inter AS DOUBLE) / CAST(n_self AS DOUBLE)"
-    return f"""
-    WITH {sql_shingles_cte()},
-    hashed AS (SELECT DISTINCT doc_id,
-                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h60
-               FROM sh),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     count(*) AS n_inter
-              FROM hashed a JOIN hashed b
-                ON a.h60 = b.h60 AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-    directed AS (
-      SELECT id_a AS doc_id, id_b AS container_id, n_inter FROM inter
-      UNION ALL
-      SELECT id_b AS doc_id, id_a AS container_id, n_inter FROM inter),
-    sized AS (SELECT d.doc_id, d.container_id, d.n_inter,
-                     s.n_sh AS n_self
-              FROM directed d JOIN sizes s ON s.doc_id = d.doc_id)
-    SELECT doc_id, container_id,
-           {sql_pround(cont, 6)} AS containment
-    FROM sized WHERE {cont} >= 0.7
-    """
-
-
-@query("dedup_containment", oracle=_containment_oracle())
-def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ASYMMETRIC near-dup detection: shingle-set containment
-    C(A in B) = |A n B| / |A| — catches what Jaccard structurally
-    cannot: a short document wholly quoted inside a much longer one
-    scores high containment but low Jaccard (the union is dominated
-    by the big doc), the classic quoted-boilerplate / doc-in-doc
-    case in web corpora (Broder'97 distinguishes resemblance vs
-    containment for exactly this). Intersections come from the same
-    session-shared 60-bit-hash posting join as the Jaccard family
-    (dedup/shared.py — complete candidates: positive containment
-    requires a shared shingle), emitted in BOTH directions and
-    divided by each side's OWN set size; threshold 0.7."""
-    from etl_pyspark_spark.dedup.shared import doc_hash_sets
-
-    sets = doc_hash_sets(spark, sf_dir)
-    sh = sets.select("doc_id", F.explode("hs").alias("h60"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "h60")
-    b = sh.select(F.col("doc_id").alias("id_b"), "h60")
-    inter = (
-        a.join(b, "h60")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        # both directions of the union read this — persist so the
-        # posting self-join runs once, not once per direction
-        .persist()
-    )
-    directed = inter.select(
-        F.col("id_a").alias("doc_id"),
-        F.col("id_b").alias("container_id"),
-        "n_inter",
-    ).unionByName(
-        inter.select(
-            F.col("id_b").alias("doc_id"),
-            F.col("id_a").alias("container_id"),
-            "n_inter",
-        )
-    )
-    sizes = sets.select("doc_id", F.col("n_sh").alias("n_self"))
-    cont = F.col("n_inter").cast("double") / F.col("n_self").cast("double")
-    return (
-        directed.join(sizes, "doc_id")
-        .where(cont >= 0.7)
-        .select(
-            "doc_id",
-            "container_id",
-            pround(cont, 6).alias("containment"),
-        )
-    )
-
-
-_COLLOC_MIN_DF = 25
-_COLLOC_MIN_PAIR = 10
-
-
-def _collocation_oracle() -> str:
-    ws = _WS_TOKENS_SQL.format(col="text")
-    lift = (
-        "(CAST(cab AS DOUBLE) * CAST(nd AS DOUBLE))"
-        " / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))"
-    )
-    return f"""
-    WITH dt AS (SELECT DISTINCT doc_id, unnest({ws}) AS tok
-                FROM documents WHERE text IS NOT NULL),
-    dfreq AS (SELECT tok, count(*) AS c FROM dt GROUP BY tok
-              HAVING count(*) >= {_COLLOC_MIN_DF}),
-    nd AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
-    ft AS (SELECT dt.doc_id, dt.tok FROM dt JOIN dfreq USING (tok)),
-    pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS cab
-              FROM ft a JOIN ft b
-                ON a.doc_id = b.doc_id AND a.tok < b.tok
-              GROUP BY 1, 2 HAVING count(*) >= {_COLLOC_MIN_PAIR}),
-    sized AS (SELECT p.tok_a, p.tok_b, p.cab,
-                     fa.c AS ca, fb.c AS cb, nd.nd
-              FROM pairs p
-              JOIN dfreq fa ON fa.tok = p.tok_a
-              JOIN dfreq fb ON fb.tok = p.tok_b, nd)
-    SELECT tok_a, tok_b, CAST(cab AS BIGINT) AS n_docs_both,
-           {sql_pround(lift, 6)} AS lift
-    FROM sized
-    ORDER BY {sql_pround(lift, 6)} DESC, tok_a ASC, tok_b ASC
-    LIMIT 30
-    """
-
-
-@query("token_collocation_lift", oracle=_collocation_oracle())
-def q_token_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation discovery: token pairs that co-occur in documents
-    far more than independence predicts, ranked by LIFT
-    p(a,b)/(p(a)p(b)) = c_ab*N/(c_a*c_b) — the log-free monotone
-    twin of PMI (the engine's standard dodge of cross-engine libm
-    drift; same ranking). The pair space is support-PRUNED before
-    pairing (Apriori downward closure: a pair seen in >=
-    _COLLOC_MIN_PAIR docs needs both tokens in >= that many, so the
-    df >= _COLLOC_MIN_DF broadcast semi-filter loses nothing above
-    threshold while collapsing the quadratic per-doc blow-up to
-    frequent tokens only — THE knob that keeps per-doc pairing
-    bounded at 100 TB). Doc frequencies are distinct (doc, token)
-    counts; lift is three exact integers in one correctly-rounded
-    double expression, pround(6); top-30 is TakeOrderedAndProject
-    with full tiebreak."""
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    dt = docs.select(
-        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
-    ).distinct().persist()  # read by dfreq, the doc count, and ft
-    dfreq = (
-        dt.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= _COLLOC_MIN_DF)
-        .persist()  # read by the prune filter and both size joins
-    )
-    nd = F.broadcast(
-        dt.agg(F.countDistinct("doc_id").alias("nd"))
-    )
-    ft = dt.join(F.broadcast(dfreq.select("tok")), "tok")
-    a = ft.select("doc_id", F.col("tok").alias("tok_a"))
-    b = ft.select("doc_id", F.col("tok").alias("tok_b"))
-    pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("tok_a") < F.col("tok_b"))
-        .groupBy("tok_a", "tok_b")
-        .agg(F.count(F.lit(1)).alias("cab"))
-        .filter(F.col("cab") >= _COLLOC_MIN_PAIR)
-    )
-    sized = (
-        pairs.join(
-            F.broadcast(
-                dfreq.select(
-                    F.col("tok").alias("tok_a"), F.col("c").alias("ca")
-                )
-            ),
-            "tok_a",
-        )
-        .join(
-            F.broadcast(
-                dfreq.select(
-                    F.col("tok").alias("tok_b"), F.col("c").alias("cb")
-                )
-            ),
-            "tok_b",
-        )
-        .crossJoin(nd)
-    )
-    lift = pround(
-        (F.col("cab").cast("double") * F.col("nd").cast("double"))
-        / (F.col("ca").cast("double") * F.col("cb").cast("double")),
-        6,
-    )
-    return (
-        sized.select(
-            "tok_a",
-            "tok_b",
-            F.col("cab").cast("bigint").alias("n_docs_both"),
-            lift.alias("lift"),
-        )
-        .orderBy(
-            F.col("lift").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
-        )
-        .limit(30)
-    )
-
-
-def _inverted_index_oracle() -> str:
-    ws = _WS_TOKENS_SQL.format(col="text")
-    return f"""
-    WITH toks AS (SELECT doc_id, unnest({ws}) AS tok
-                  FROM documents WHERE text IS NOT NULL),
-    tf AS (SELECT tok, doc_id, count(*) AS tf
-           FROM toks GROUP BY 1, 2)
-    SELECT tok AS term,
-           count(*) AS doc_freq,
-           CAST(sum(tf) AS BIGINT) AS coll_freq,
-           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
-             AS postings
-    FROM tf GROUP BY tok HAVING count(*) >= 25
-    """
-
-
-@query("inverted_index_postings", oracle=_inverted_index_oracle())
-def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index construction: per term, document frequency,
-    collection frequency, and the doc_id-ordered posting list with
-    term frequencies — the materialized structure behind
-    bm25_rank_search (which computes scores on the fly; a serving
-    stack builds THIS once and probes it). One (doc, term) rollup,
-    one per-term rollup; the posting string is built
-    executor-side from collect_list + array_sort + transform (JVM
-    codegen, no Python, deterministic order by doc_id regardless of
-    partitioning — same idiom as feature_hashing_vectorize). The
-    df >= 25 floor bounds the emitted slice; at 100 TB the full
-    index would partition BY TERM RANGE into posting shards (the
-    natural bucketing for query-time term lookup)."""
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    tf = (
-        docs.select(
-            "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
-        )
-        .groupBy("tok", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    return (
-        tf.groupBy(F.col("tok").alias("term"))
-        .agg(
-            F.count(F.lit(1)).alias("doc_freq"),
-            F.sum("tf").cast("bigint").alias("coll_freq"),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("doc_id", "tf"))
-                    ),
-                    lambda s: F.concat_ws(
-                        ":",
-                        s["doc_id"].cast("string"),
-                        s["tf"].cast("string"),
-                    ),
-                ),
-            ).alias("postings"),
-        )
-        .filter(F.col("doc_freq") >= 25)
-    )
-
-
-@query(
-    "shard_source_diversity",
-    oracle=f"""
-    WITH s AS (
-      SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
-                             1, 15))::BIGINT % 8 AS shard_id,
-             source
-      FROM documents),
-    c AS (SELECT shard_id, source, count(*) AS c
-          FROM s GROUP BY 1, 2),
-    g AS (SELECT shard_id,
-                 CAST(sum(c) AS BIGINT) AS n,
-                 count(*) AS n_sources,
-                 sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
-                   AS s2
-          FROM c GROUP BY 1)
-    SELECT CAST(shard_id AS BIGINT) AS shard_id, n AS n_docs, n_sources,
-           {sql_pround(
-               "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s2 AS DOUBLE))"
-               " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))", 9
-           )} AS simpson_diversity,
-           {sql_pround(
-               "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
-               " / CAST(s2 AS DOUBLE)", 9
-           )} AS effective_sources
-    FROM g
-    """,
-)
-def q_shard_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixing-quality check on the training-shard assignment: per
-    shard, the Gini-Simpson diversity 1 - sum(p_i^2) of document
-    SOURCES plus the effective source count 1/sum(p_i^2) — a
-    data-loader shard dominated by one source trains on correlated
-    batches even when doc counts balance (shard_assignment checks
-    size balance; this checks COMPOSITION balance). Simpson is the
-    engine's log-free stand-in for Shannon entropy (same monotone
-    diversity ordering, pure rational arithmetic — no cross-engine
-    libm): (n^2 - sum(c_i^2)) / n^2 from exact integer counts
-    (DECIMAL(19,0) squares, overflow-safe), one double expression
-    per shard, pround(9). Shape at scale: one (shard, source)
-    rollup, then a |shards|-row reduce."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    shard = (
-        T.portable_hash60(
-            F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
-        )
-        % 8
-    )
-    c = docs.select(shard.alias("shard_id"), "source").groupBy(
-        "shard_id", "source"
-    ).agg(F.count(F.lit(1)).alias("c"))
-    cd = F.col("c").cast("decimal(19,0)")
-    g = c.groupBy("shard_id").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.count(F.lit(1)).alias("n_sources"),
-        F.sum(cd * cd).alias("s2"),
-    )
-    nd = F.col("n").cast("double")
-    s2d = F.col("s2").cast("double")
-    return g.select(
-        F.col("shard_id").cast("bigint").alias("shard_id"),
-        F.col("n").alias("n_docs"),
-        "n_sources",
-        pround((nd * nd - s2d) / (nd * nd), 9).alias("simpson_diversity"),
-        pround((nd * nd) / s2d, 9).alias("effective_sources"),
-    )
-
-
-_SKEW_DIAG_PARTS = 32
-
-
-@query(
-    "skew_join_diagnostics",
-    oracle=f"""
-    WITH k AS (SELECT l_partkey, count(*) AS c
-               FROM lineitem GROUP BY 1),
-    t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-                 CAST(count(*) AS BIGINT) AS n_keys
-          FROM k),
-    hot AS (SELECT l_partkey, c FROM k
-            ORDER BY c DESC, l_partkey ASC LIMIT 1)
-    SELECT hot.l_partkey AS hottest_key,
-           CAST(hot.c AS BIGINT) AS max_key_count,
-           t.n AS n_rows, t.n_keys,
-           {sql_pround(
-               "CAST(hot.c AS DOUBLE) / CAST(t.n AS DOUBLE)", 9
-           )} AS top_share,
-           {sql_pround(
-               "CAST(hot.c AS DOUBLE) * CAST(t.n_keys AS DOUBLE)"
-               " / CAST(t.n AS DOUBLE)", 6
-           )} AS skew_factor,
-           CAST((hot.c * {_SKEW_DIAG_PARTS} + t.n - 1) // t.n AS INT)
-             AS suggested_salt
-    FROM hot, t
-    """,
-)
-def q_skew_join_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle-skew profiler for a join/agg key — the diagnostic a
-    pipeline runs BEFORE choosing between plain hash join, AQE skew
-    split, and explicit salting (the engine's salted_join /
-    agg_salted_hot_keys are the cures; this measures the disease):
-    hottest key, its share of rows, skew factor (hottest / mean key
-    mass = c_max * n_keys / n), and the salting fan-out that would
-    level the hot key across 32 shuffle partitions —
-    ceil(c_max * P / n) as pure integer arithmetic ((c*P + n-1) div
-    n, bit-identical in both engines; doubles only in the reported
-    ratios, pround'd). Shape at scale: one per-key rollup (partial
-    map-side), a 1-row TakeOrdered argmax, a broadcast of two
-    scalars."""
-    li = read_table(spark, sf_dir, "lineitem")
-    k = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("c")
-    ).persist()  # read by the totals and the hottest-key argmax
-    t = F.broadcast(
-        k.agg(
-            F.sum("c").cast("bigint").alias("n"),
-            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-        )
-    )
-    hot = k.orderBy(F.col("c").desc(), F.col("l_partkey").asc()).limit(1)
-    j = hot.crossJoin(t)
-    cd = F.col("c").cast("double")
-    nd = F.col("n").cast("double")
-    return j.select(
-        F.col("l_partkey").alias("hottest_key"),
-        F.col("c").cast("bigint").alias("max_key_count"),
-        F.col("n").alias("n_rows"),
-        F.col("n_keys"),
-        pround(cd / nd, 9).alias("top_share"),
-        pround(cd * F.col("n_keys").cast("double") / nd, 6).alias(
-            "skew_factor"
-        ),
-        F.expr(
-            f"(c * {_SKEW_DIAG_PARTS} + n - 1) div n"
-        ).cast("int").alias("suggested_salt"),
-    )
-
-
-def _event_seq_oracle() -> str:
-    return f"""
-    WITH u AS (SELECT user_id,
-                      list(event_type ORDER BY ts, event_id) AS toks
-               FROM events WHERE user_id IS NOT NULL
-               GROUP BY user_id),
-    g AS (SELECT unnest({_ngram_sql('toks', 3)}) AS pattern FROM u)
-    SELECT pattern, count(*) AS n_occurrences
-    FROM g GROUP BY pattern
-    ORDER BY n_occurrences DESC, pattern ASC LIMIT 20
-    """
-
-
-@query("event_sequence_ngrams", oracle=_event_seq_oracle())
-def q_event_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequential-pattern mining, the counting core: the 20 most
-    frequent 3-step event-type journeys across all users (the
-    input to funnel design — user_event_sequence renders individual
-    journeys; this aggregates the corpus of them). Per user the
-    ordered type array comes from array_sort over (ts, event_id,
-    type) structs inside ONE groupBy (no window, total tiebreak so
-    both engines see identical sequences); trigrams come from the
-    shared JVM higher-order n-gram builder
-    (functions/text.ngrams_from_tokens — projected array first, the
-    documented CSE trap), then one count rollup. Top-20 is
-    TakeOrderedAndProject with pattern tiebreak. Per-user state is
-    the user's own event list — bounded fan-in, never a global
-    sort."""
-    from etl_pyspark_spark.functions.text import ngrams_from_tokens
-
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-    )
-    u = ev.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ),
-            lambda s: s["event_type"],
-        ).alias("toks")
-    )
-    g = u.select(
-        F.explode(ngrams_from_tokens(F.col("toks"), 3)).alias("pattern")
-    )
-    return (
-        g.groupBy("pattern")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .orderBy(F.col("n_occurrences").desc(), F.col("pattern").asc())
-        .limit(20)
-    )
-
-
-@query(
-    "stream_drift_monitor",
-    oracle=f"""
-    WITH w AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
-                 AS window_start_s,
-               event_type, count(*) AS o
-          FROM events GROUP BY 1, 2),
-    base AS (SELECT event_type, count(*) AS ct FROM events GROUP BY 1),
-    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM base),
-    wn AS (SELECT window_start_s, CAST(sum(o) AS BIGINT) AS nw
-           FROM w GROUP BY 1),
-    terms AS (
-      SELECT w.window_start_s,
-             {sql_pround(
-                 "((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)"
-                 " - CAST(nw AS DOUBLE) * CAST(ct AS DOUBLE))"
-                 " * (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)"
-                 " - CAST(nw AS DOUBLE) * CAST(ct AS DOUBLE)))"
-                 " / ((CAST(nw AS DOUBLE) * CAST(ct AS DOUBLE))"
-                 " * CAST(nn AS DOUBLE))", 6
-             )} AS term, nw
-      FROM w
-      JOIN base USING (event_type)
-      JOIN wn USING (window_start_s), tot)
-    SELECT window_start_s, max(nw) AS n_events,
-           CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS chi2
-    FROM terms GROUP BY window_start_s
-    """,
-)
-def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming drift monitor: per 1-hour event-time window, a
-    chi-square score of the window's event-type mix against the
-    whole-corpus baseline — the alert a serving pipeline fires when
-    the live traffic mix walks away from what the model trained on
-    (chisq_event_type_drift is the batch A/B form; this is the
-    per-window continuous form). The window counts come from the
-    REAL Structured Streaming tumbling aggregation (watermark +
-    AvailableNow replay, streaming/windows.tumbling_counts — batch
-    equivalence is the oracle); scoring joins the closed windows
-    against a BROADCAST static baseline — the production shape,
-    where the baseline is a published table and scoring runs on
-    window close. Same cross-multiplied integer identity and
-    pround-then-decimal-sum as the batch test; per-window terms are
-    |types| rows."""
-    from etl_pyspark_spark.streaming.windows import tumbling_counts
-
-    w = tumbling_counts(spark, sf_dir).select(
-        "window_start_s",
-        "event_type",
-        F.col("n_events").alias("o"),
-    )
-    ev = read_table(spark, sf_dir, "events")
-    base = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("ct"))
-    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
-    wn = w.groupBy("window_start_s").agg(
-        F.sum("o").cast("bigint").alias("nw")
-    )
-    j = (
-        w.join(F.broadcast(base), "event_type")
-        .join(wn, "window_start_s")
-        .crossJoin(F.broadcast(tot))
-    )
-    od = F.col("o").cast("double")
-    nnd = F.col("nn").cast("double")
-    nwd = F.col("nw").cast("double")
-    ctd = F.col("ct").cast("double")
-    term = pround(
-        ((od * nnd - nwd * ctd) * (od * nnd - nwd * ctd))
-        / ((nwd * ctd) * nnd),
-        6,
-    )
-    return j.groupBy("window_start_s").agg(
-        F.max("nw").alias("n_events"),
-        F.sum(term.cast("decimal(18,6)")).cast("double").alias("chi2"),
-    )
-
-
-def _cluster_histogram_oracle() -> str:
-    from etl_pyspark_spark.dedup.components import sql_components_over_pairs
-    from etl_pyspark_spark.dedup.minhash import sql_minhash_pairs, sql_shingles_cte
-
-    return (
-        "WITH RECURSIVE "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + ", "
-        + sql_components_over_pairs("pairs", final_name="comp")
-        + """,
-    csizes AS (SELECT component_id, count(*) AS cluster_size
-               FROM comp GROUP BY 1)
-    SELECT cluster_size, count(*) AS n_clusters,
-           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
-           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
-    FROM csizes GROUP BY cluster_size
-    """
-    )
-
-
-@query("dedup_cluster_size_histogram", oracle=_cluster_histogram_oracle())
-def q_dedup_cluster_size_histogram(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The dedup REPORT: duplicate-cluster size distribution plus, per
-    size, how many documents the keep-one-per-cluster policy would
-    delete — the summary a data owner reads before approving a
-    corpus-shrinking dedup run (clusters of 2 are usually true dups;
-    a 500-doc cluster is usually boilerplate that needs a different
-    policy). Rolls up the session-shared component labels
-    (dedup/shared.py — pairs and labels derived once per session);
-    two keyed aggregates over the |duplicate-docs| table, never the
-    corpus."""
-    from etl_pyspark_spark.dedup.shared import dup_components
-
-    comp = dup_components(spark, sf_dir)
-    sizes = comp.groupBy("component_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return sizes.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).alias("n_clusters"),
-        (F.col("cluster_size") * F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("n_docs"),
-        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("n_removable"),
-    )
-
-
-@query(
-    "score_percentile_harmonize",
-    oracle=f"""
-    WITH r AS (
-      SELECT doc_id, source, n_chars,
-             percent_rank() OVER (PARTITION BY source
-                                  ORDER BY n_chars, doc_id) AS pr
-      FROM documents)
-    SELECT doc_id, source, n_chars,
-           {sql_pround("pr", 9)} AS source_percentile
-    FROM r
-    """,
-)
-def q_score_percentile_harmonize(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Cross-source score harmonization: replace a raw per-document
-    score with its percentile WITHIN its source — the rank transform
-    that makes scores comparable across sources whose raw scales
-    differ (a 0.6 from classifier A and a 0.9 from classifier B may
-    be the same quality; mixing corpora on raw scores silently
-    over-samples the generous scorer — this is the fix applied
-    before mixture_sampling_quota-style selection).
-    percent_rank = (rank-1)/(n_part-1) over a TOTAL order
-    ((n_chars, doc_id) tiebreak, the engine's standard rule) is one
-    exact integer ratio -> correctly-rounded double, pround(9).
-    The window partitions BY SOURCE — parallel across sources,
-    never SinglePartition; within one giant source the
-    with_global_rank machinery is the documented escape hatch."""
-    from pyspark.sql.window import Window as W
-
-    docs = read_table(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
-    return docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        pround(F.percent_rank().over(w), 9).alias("source_percentile"),
-    )
-
-
-@query(
-    "funnel_step_latency",
-    oracle="""
-    WITH c AS (SELECT user_id, min(epoch_us(ts)) AS c_us FROM events
-               WHERE event_type = 'click' AND user_id IS NOT NULL
-               GROUP BY 1),
-    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
-          FROM events e JOIN c USING (user_id)
-          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
-          GROUP BY 1),
-    d AS (SELECT p.p_us - c.c_us AS lat_us FROM p JOIN c USING (user_id)),
-    dd AS (SELECT lat_us, count(*) AS cnt FROM d GROUP BY 1),
-    cc AS (SELECT lat_us,
-                  CAST(sum(cnt) OVER (ORDER BY lat_us
-                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                    AS cum,
-                  CAST(sum(cnt) OVER () AS BIGINT) AS n
-           FROM dd)
-    SELECT COALESCE((SELECT max(n) FROM cc), 0) AS n_converted,
-           (SELECT min(lat_us) FROM cc
-            WHERE cum >= greatest(1, ceil(0.5 * (SELECT max(n) FROM cc))))
-             AS p50_latency_us,
-           (SELECT min(lat_us) FROM cc
-            WHERE cum >= greatest(1, ceil(0.9 * (SELECT max(n) FROM cc))))
-             AS p90_latency_us
-    """,
-)
-def q_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-to-convert for the click -> purchase funnel step: exact
-    p50/p90 of (first purchase AFTER first click) - (first click)
-    per user, in microseconds — the latency half of
-    funnel_conversion's rate readout (rates say HOW MANY convert;
-    this says HOW FAST, which sets attribution-window and
-    stream-join watermark widths — e.g. stream_stream_join's 30-min
-    tolerance should cover ~p90). Latencies are exact integer
-    microsecond diffs; both order statistics run through the
-    bracketed exact-rank search (operators/quantiles — never a
-    SinglePartition window) and land as literals in a 1-row result.
-    Shape at scale: two per-user min-aggregates (map-side partial),
-    one keyed join, quantiles over the |converted-users| diff
-    table."""
-    from etl_pyspark_spark.operators.quantiles import (
-        exact_discrete_quantiles,
-    )
-
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.min(F.unix_micros("ts")).alias("c_us"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.unix_micros("ts") > F.col("c_us"))
-        .groupBy("user_id", "c_us")
-        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
-    )
-    # read three times (sketch pass, exact-rank pass, final count) —
-    # persist the |converted-users| diff table
-    d = p.select((F.col("p_us") - F.col("c_us")).alias("lat_us")).persist()
-    p50, p90 = exact_discrete_quantiles(d, "lat_us", [0.5, 0.9])
-    return d.agg(F.count(F.lit(1)).cast("bigint").alias("n_converted")).select(
-        "n_converted",
-        F.lit(p50).cast("bigint").alias("p50_latency_us"),
-        F.lit(p90).cast("bigint").alias("p90_latency_us"),
-    )
-
-
-_RRF_K = 60
-
-
-@query(
-    "rank_fusion_rrf",
-    oracle=f"""
-    WITH a AS (SELECT l_partkey,
-                      sum(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(18,6))) AS rev
-               FROM lineitem GROUP BY 1),
-    b AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders
-          FROM lineitem GROUP BY 1),
-    ra AS (SELECT l_partkey,
-                  row_number() OVER (ORDER BY rev DESC, l_partkey) AS r_rev
-           FROM a),
-    rb AS (SELECT l_partkey,
-                  row_number() OVER (ORDER BY n_orders DESC, l_partkey)
-                    AS r_ord
-           FROM b),
-    f AS (SELECT l_partkey, r_rev, r_ord,
-                 1.0 / ({_RRF_K} + r_rev) + 1.0 / ({_RRF_K} + r_ord)
-                   AS rrf
-          FROM ra JOIN rb USING (l_partkey))
-    SELECT l_partkey AS part, CAST(r_rev AS BIGINT) AS r_rev,
-           CAST(r_ord AS BIGINT) AS r_ord,
-           {sql_pround("rrf", 9)} AS rrf_score
-    FROM f ORDER BY rrf DESC, l_partkey ASC LIMIT 10
-    """,
-)
-def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion (Cormack et al. 2009) of two part
-    rankings — by revenue and by breadth of demand (distinct
-    orders): rrf = sum_i 1/(60 + rank_i), the standard
-    score-scale-free way to merge heterogeneous retrieval/ranking
-    signals (the same fusion merges BM25 and embedding-cosine lists
-    in a retrieval stack; here both legs are aggregates so the
-    oracle is exact). Each leg's rank comes from
-    operators/ranks.with_global_rank over a DESC sort key (negated
-    exact decimals — never a SinglePartition window); the fused
-    score is a two-term sum of correctly-rounded IEEE divisions,
-    pround(9); top-10 is TakeOrderedAndProject with part
-    tiebreak."""
-    from etl_pyspark_spark.operators.ranks import with_global_rank
-
-    li = read_table(spark, sf_dir, "lineitem")
-    a = li.groupBy("l_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(18,6)"
-            )
-        ).alias("rev")
-    )
-    b = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
-    )
-    ra = with_global_rank(
-        a.withColumn("negrev", -F.col("rev")),
-        ["negrev", "l_partkey"],
-        "r_rev",
-    ).select("l_partkey", "r_rev")
-    rb = with_global_rank(
-        b.withColumn("nego", -F.col("n_orders")),
-        ["nego", "l_partkey"],
-        "r_ord",
-    ).select("l_partkey", "r_ord")
-    f = ra.join(rb, "l_partkey")
-    rrf = 1.0 / (_RRF_K + F.col("r_rev")) + 1.0 / (
-        _RRF_K + F.col("r_ord")
-    )
-    return (
-        f.select(
-            F.col("l_partkey").alias("part"),
-            F.col("r_rev").cast("bigint").alias("r_rev"),
-            F.col("r_ord").cast("bigint").alias("r_ord"),
-            pround(rrf, 9).alias("rrf_score"),
-        )
-        .orderBy(F.col("rrf_score").desc(), F.col("part").asc())
-        .limit(10)
-    )
-
-
-@query(
-    "markov_prediction_accuracy",
-    oracle="""
-    WITH s AS (SELECT user_id, ts, event_id, event_type,
-                      lead(event_type) OVER (PARTITION BY user_id
-                                             ORDER BY ts, event_id) AS nxt
-               FROM events WHERE user_id IS NOT NULL),
-    t AS (SELECT event_type AS cur, nxt FROM s WHERE nxt IS NOT NULL),
-    c AS (SELECT cur, nxt, count(*) AS c FROM t GROUP BY 1, 2),
-    pred AS (SELECT cur, nxt AS p FROM (
-               SELECT cur, nxt,
-                      row_number() OVER (PARTITION BY cur
-                                         ORDER BY c DESC, nxt ASC) AS rn
-               FROM c) WHERE rn = 1)
-    SELECT count(*) AS n_transitions,
-           CAST(sum(CASE WHEN t.nxt = pred.p THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_correct,
-           floor(CAST(sum(CASE WHEN t.nxt = pred.p THEN 1 ELSE 0 END)
-                      AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) * 1000000000.0 + 0.5)
-             / 1000000000.0 AS accuracy
-    FROM t JOIN pred USING (cur)
-    """,
-)
-def q_markov_prediction_accuracy(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Eval of the first-order Markov next-event model the
-    event_transition_matrix query trains: predict each transition's
-    next type as the corpus argmax for the current type (count DESC,
-    type ASC tiebreak) and score top-1 accuracy over all transitions
-    — the is-this-sequence-model-better-than-marginal baseline every
-    sequence-model eval starts from. Transitions come from a lead()
-    window partitioned BY USER (parallel, bounded per-user state);
-    the model is a |types|-row broadcast; accuracy is one integer
-    ratio, pround(9)."""
-    from pyspark.sql.window import Window as W
-
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    t = (
-        ev.select(
-            F.col("event_type").alias("cur"),
-            F.lead("event_type").over(w).alias("nxt"),
-        )
-        .filter(F.col("nxt").isNotNull())
-        # read by the model counts and the scoring join
-        .persist()
-    )
-    c = t.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
-    pw = W.partitionBy("cur").orderBy(
-        F.col("c").desc(), F.col("nxt").asc()
-    )
-    pred = (
-        c.withColumn("rn", F.row_number().over(pw))
-        .filter(F.col("rn") == 1)
-        .select("cur", F.col("nxt").alias("p"))
-    )
-    j = t.join(F.broadcast(pred), "cur")
-    correct = F.sum(
-        (F.col("nxt") == F.col("p")).cast("int")
-    ).cast("bigint")
-    return j.agg(
-        F.count(F.lit(1)).alias("n_transitions"),
-        correct.alias("n_correct"),
-        pround(
-            correct.cast("double") / F.count(F.lit(1)).cast("double"), 9
-        ).alias("accuracy"),
-    )
-
-
-@query(
-    "customer_rfm_segments",
-    oracle="""
-    WITH g AS (SELECT max(o_orderdate) AS mx FROM orders),
-    rfm AS (SELECT o_custkey,
-                   CAST(datediff('day', max(o_orderdate),
-                                 (SELECT mx FROM g)) AS INT)
-                     AS recency_days,
-                   count(*) AS n_orders,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
-                        AS DOUBLE) AS monetary
-            FROM orders GROUP BY 1),
-    t AS (SELECT o_custkey, recency_days, n_orders, monetary,
-                 ntile(4) OVER (ORDER BY recency_days, o_custkey)
-                   AS r_tile,
-                 ntile(4) OVER (ORDER BY n_orders DESC, o_custkey)
-                   AS f_tile,
-                 ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
-                   AS m_tile
-          FROM rfm)
-    SELECT o_custkey, recency_days, CAST(n_orders AS BIGINT) AS n_orders,
-           monetary, r_tile, f_tile, m_tile,
-           CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
-             || CAST(m_tile AS VARCHAR) AS segment
-    FROM t
-    """,
-)
-def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation — the classic recency/frequency/monetary
-    quartile labeling ('111' = best segment on the
-    most-recent-first convention) that drives retention campaigns
-    and, in a data-engine context, stratified sampling by customer
-    value. All three quartile labelings run through
-    operators/ranks.with_global_ntile (range exchange + broadcast
-    offsets — NEVER the ntile-over-everything SinglePartition
-    window, the canonical RFM scale-killer), each under a total
-    order with the custkey tiebreak so both engines tile
-    identically. Monetary sums are exact decimals; recency is an
-    integer day diff from a broadcast 1-row max-date."""
-    from etl_pyspark_spark.operators.ranks import with_global_ntile
-
-    orders = read_table(spark, sf_dir, "orders")
-    g = F.broadcast(orders.agg(F.max("o_orderdate").alias("mx")))
-    rfm = (
-        orders.groupBy("o_custkey")
-        .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("monetary"),
-        )
-        .crossJoin(g)
-        .select(
-            "o_custkey",
-            F.datediff(F.col("mx"), F.col("last_order"))
-            .cast("int")
-            .alias("recency_days"),
-            "n_orders",
-            "monetary",
-        )
-        .withColumn("negf", -F.col("n_orders"))
-        .withColumn("negm", -F.col("monetary"))
-        # read by all three ntile legs plus the output projection —
-        # persist the |customers| aggregate instead of re-running the
-        # orders rollup four times (same economics as the dedup
-        # family's session-shared stages)
-        .persist()
-    )
-    r = with_global_ntile(
-        rfm, ["recency_days", "o_custkey"], 4, "r_tile"
-    ).select("o_custkey", "r_tile")
-    f_ = with_global_ntile(
-        rfm, ["negf", "o_custkey"], 4, "f_tile"
-    ).select("o_custkey", "f_tile")
-    m = with_global_ntile(
-        rfm, ["negm", "o_custkey"], 4, "m_tile"
-    ).select("o_custkey", "m_tile")
-    return (
-        rfm.select("o_custkey", "recency_days", "n_orders", "monetary")
-        .join(r, "o_custkey")
-        .join(f_, "o_custkey")
-        .join(m, "o_custkey")
-        .select(
-            "o_custkey",
-            "recency_days",
-            F.col("n_orders").cast("bigint").alias("n_orders"),
-            "monetary",
-            "r_tile",
-            "f_tile",
-            "m_tile",
-            F.concat(
-                F.col("r_tile").cast("string"),
-                F.col("f_tile").cast("string"),
-                F.col("m_tile").cast("string"),
-            ).alias("segment"),
-        )
-    )
-
-
-def _minhash_estimate_oracle() -> str:
-    from etl_pyspark_spark.dedup.minhash import (
-        NUM_PERM,
-        sql_minhash_pairs,
-        sql_shingles_cte,
-    )
-
-    matches = " + ".join(
-        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
-        for i in range(NUM_PERM)
-    )
-    return (
-        "WITH "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + f""",
-    est AS (SELECT p.doc_id_a, p.doc_id_b, p.jaccard,
-                   ({matches}) AS n_match
-            FROM pairs p
-            JOIN sig sa ON sa.doc_id = p.doc_id_a
-            JOIN sig sb ON sb.doc_id = p.doc_id_b)
-    SELECT doc_id_a, doc_id_b, jaccard,
-           CAST(n_match AS DOUBLE) / {NUM_PERM} AS jaccard_est,
-           {sql_pround(
-               f"abs(CAST(n_match AS DOUBLE) / {NUM_PERM} - jaccard)", 6
-           )} AS abs_err
-    FROM est
-    """
-    )
-
-
-@query("minhash_jaccard_estimate", oracle=_minhash_estimate_oracle())
-def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Estimator-quality readout for the MinHash sketch: for every
-    verified near-dup pair, the 16-permutation signature-agreement
-    estimate of Jaccard NEXT TO the exact value and the absolute
-    error — the calibration table that justifies (or indicts) the
-    band/row choice before running LSH at corpus scale (E[match
-    fraction] = J; with 16 perms the std error at J=0.5 is ~0.125,
-    visible in the column). Signatures rebuild from the
-    session-shared shingle hashes with the same universal-hash
-    constants (dedup/minhash.PERM_CONSTANTS — deterministic md5
-    arithmetic, so the whole estimator is EXACTLY oracle-checked,
-    the same property countmin_frequency_estimate exhibits);
-    n_match/16 is exact in binary (denominator a power of two).
-    Pairs and shingles derive once per session (dedup/shared.py)."""
-    from etl_pyspark_spark.dedup.minhash import NUM_PERM, P, PERM_CONSTANTS
-    from etl_pyspark_spark.dedup.shared import shingle_hashes, verified_pairs
-
-    sh = shingle_hashes(spark, sf_dir).select(
-        "doc_id", (F.col("h60") % P).alias("h")
-    )
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"mh{i}")
-            for i, (a, b) in enumerate(PERM_CONSTANTS)
-        ]
-    ).persist()  # joined once per pair side
-    pairs = verified_pairs(spark, sf_dir)
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_id_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_PERM)],
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_id_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_PERM)],
-    )
-    n_match = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
-        for i in range(NUM_PERM)
-    )
-    est = F.col("n_match").cast("double") / NUM_PERM
-    return (
-        pairs.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .withColumn("n_match", n_match)
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            "jaccard",
-            est.alias("jaccard_est"),
-            pround(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
-        )
-    )
-
-
-@query(
-    "histogram_merge_quantiles",
-    oracle="""
-    WITH e AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
-                 AS day_s,
-               CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT)
-                 AS week_s,
-               CAST(least(floor(value / 25.0), 19) AS INT) AS bin,
-               value
-          FROM events WHERE value IS NOT NULL),
-    daily AS (SELECT week_s, day_s, bin, count(*) AS c
-              FROM e GROUP BY 1, 2, 3),
-    weekly AS (SELECT week_s, bin, CAST(sum(c) AS BIGINT) AS c
-               FROM daily GROUP BY 1, 2),
-    wc AS (SELECT week_s, bin, c,
-                  CAST(sum(c) OVER (PARTITION BY week_s ORDER BY bin
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                    AS cum,
-                  CAST(sum(c) OVER (PARTITION BY week_s) AS BIGINT) AS n
-           FROM weekly),
-    approx AS (SELECT week_s, max(n) AS n_events,
-                      CAST(min(bin) * 25.0 AS DOUBLE) AS approx_p50
-               FROM wc
-               WHERE cum >= greatest(1, ceil(0.5 * n)) GROUP BY week_s),
-    ev AS (SELECT week_s, value, count(*) AS c FROM e GROUP BY 1, 2),
-    ec AS (SELECT week_s, value,
-                  CAST(sum(c) OVER (PARTITION BY week_s ORDER BY value
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                    AS cum,
-                  CAST(sum(c) OVER (PARTITION BY week_s) AS BIGINT) AS n
-           FROM ev),
-    exact AS (SELECT week_s, CAST(min(value) AS DOUBLE) AS exact_p50
-              FROM ec
-              WHERE cum >= greatest(1, ceil(0.5 * n)) GROUP BY week_s)
-    SELECT a.week_s AS week_start_s, a.n_events, a.approx_p50,
-           x.exact_p50,
-           floor(abs(a.approx_p50 - x.exact_p50) * 1000000.0 + 0.5)
-             / 1000000.0 AS abs_err
-    FROM approx a JOIN exact x ON a.week_s = x.week_s
-    """,
-)
-def q_histogram_merge_quantiles(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """MERGEABLE quantile summaries: daily fixed-bin histograms
-    (integer counts — the sketch every monitoring stack actually
-    ships, because counts merge by addition with zero error growth)
-    rolled up into weekly medians, reported NEXT TO the exact weekly
-    median and the bin-resolution error — the
-    estimate-vs-truth calibration pattern of
-    minhash_jaccard_estimate/countmin applied to the quantile
-    family (hll_sketch_rollup is the distinct-count analogue). The
-    day -> week merge is a two-level keyed rollup (partial map-side
-    both levels); the approx median reads the merged histogram's
-    cumulative bins, the exact one runs the per-week reduce-first
-    discrete-median sweep; both windows partition BY WEEK — parallel,
-    never SinglePartition. Error is bounded by the 25-unit bin width
-    by construction."""
-    from pyspark.sql.window import Window as W
-
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    epoch = F.unix_timestamp("ts")
-    e = ev.select(
-        (F.floor(epoch / 86400) * 86400).cast("bigint").alias("day_s"),
-        (F.floor(epoch / 604800) * 604800).cast("bigint").alias("week_s"),
-        F.least(F.floor(F.col("value") / 25.0), F.lit(19))
-        .cast("int")
-        .alias("bin"),
-        "value",
-    )
-    daily = e.groupBy("week_s", "day_s", "bin").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    weekly = daily.groupBy("week_s", "bin").agg(
-        F.sum("c").cast("bigint").alias("c")
-    )
-    wcum = (
-        W.partitionBy("week_s")
-        .orderBy("bin")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wtot = W.partitionBy("week_s")
-    wc = weekly.select(
-        "week_s",
-        "bin",
-        F.sum("c").over(wcum).cast("bigint").alias("cum"),
-        F.sum("c").over(wtot).cast("bigint").alias("n"),
-    )
-    approx = (
-        wc.filter(
-            F.col("cum")
-            >= F.greatest(F.lit(1), F.ceil(0.5 * F.col("n")))
-        )
-        .groupBy("week_s")
-        .agg(
-            F.max("n").alias("n_events"),
-            (F.min("bin") * 25.0).cast("double").alias("approx_p50"),
-        )
-    )
-    evv = e.groupBy("week_s", "value").agg(F.count(F.lit(1)).alias("c"))
-    vcum = (
-        W.partitionBy("week_s")
-        .orderBy("value")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    ec = evv.select(
-        "week_s",
-        "value",
-        F.sum("c").over(vcum).cast("bigint").alias("cum"),
-        F.sum("c").over(wtot).cast("bigint").alias("n"),
-    )
-    exact = (
-        ec.filter(
-            F.col("cum")
-            >= F.greatest(F.lit(1), F.ceil(0.5 * F.col("n")))
-        )
-        .groupBy("week_s")
-        .agg(F.min("value").cast("double").alias("exact_p50"))
-    )
-    return approx.join(exact, "week_s").select(
-        F.col("week_s").alias("week_start_s"),
-        "n_events",
-        "approx_p50",
-        "exact_p50",
-        pround(F.abs(F.col("approx_p50") - F.col("exact_p50")), 6).alias(
-            "abs_err"
-        ),
-    )
-
-
-def _ensure_skipping_lineitem(spark: SparkSession, sf_dir: str) -> str:
-    """Per-SF range-clustered lineitem copy for the skipping report.
-
-    Unlike the shared range_clustered_lineitem layout (one dir, marker
-    keyed to the LAST-built fixture), this keeps one directory PER
-    fixture basename so an sf0.1 bench run never invalidates the
-    sf0.01 layout the driver's oracle SQL points at — the file-level
-    report is the one query whose ORACLE reads the physical layout,
-    so its files must be stable across sf switches within a round."""
-    from etl_pyspark_spark.sources.io import (
-        fixture_fingerprint,
-        marker_current,
-        write_marker,
-        write_range_clustered,
-    )
-
-    dst = f"{_SCRATCH}/skipping_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
-    marker = f"{dst}/.built_for"
-    want = fixture_fingerprint(sf_dir, "lineitem")
-    if not marker_current(marker, want):
-        li = read_table(spark, sf_dir, "lineitem")
-        write_range_clustered(li, dst, "l_shipdate", num_files=8)
-        write_marker(marker, want)
-    return dst
-
-
-_SKIP_LO = "1997-03-01 00:00:00"
-_SKIP_HI = "1997-06-01 00:00:00"
-
-
-@query(
-    "layout_skipping_report",
-    oracle=f"""
-    WITH f AS (
-      SELECT filename,
-             min(l_shipdate) AS fmin, max(l_shipdate) AS fmax,
-             count(*) AS n_rows
-      FROM read_parquet(
-        '{_SCRATCH}/skipping_lineitem_{_ORACLE_SF}/*.parquet',
-        filename = true)
-      GROUP BY filename),
-    m AS (SELECT filename, n_rows,
-                 (fmax < TIMESTAMP '{_SKIP_LO}'
-                  OR fmin >= TIMESTAMP '{_SKIP_HI}') AS prunable
-          FROM f)
-    SELECT count(*) AS n_files,
-           CAST(sum(CASE WHEN prunable THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_prunable,
-           CAST(sum(CASE WHEN prunable THEN n_rows ELSE 0 END) AS BIGINT)
-             AS rows_skipped,
-           {sql_pround(
-               "CAST(sum(CASE WHEN prunable THEN n_rows ELSE 0 END)"
-               " AS DOUBLE) / CAST(sum(n_rows) AS DOUBLE)", 6
-           )} AS frac_rows_skipped
-    FROM m
-    """,
-)
-def q_layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-skipping effectiveness report: per-FILE min/max footprint
-    of the range-clustered lineitem layout against the canonical
-    three-month probe window, reporting how many files (and what row
-    fraction) footer statistics alone would prune — the number a
-    lake administrator quotes to justify the clustering rewrite
-    (range_clustered_layout runs the pruned scan; THIS measures the
-    layout itself, the same way skew_join_diagnostics measures
-    before salted_join cures). Per-file stats group on
-    input_file_name() — Spark and the oracle read the SAME physical
-    parquet files, so the report is exactly checkable; the layout
-    lives in a per-SF directory so a bench at another scale can't
-    invalidate the files the oracle path names."""
-    dst = _ensure_skipping_lineitem(spark, sf_dir)
-    back = spark.read.parquet(dst).select(
-        F.input_file_name().alias("fname"), "l_shipdate"
-    )
-    f = back.groupBy("fname").agg(
-        F.min("l_shipdate").alias("fmin"),
-        F.max("l_shipdate").alias("fmax"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    lo = F.lit(_SKIP_LO).cast("timestamp")
-    hi = F.lit(_SKIP_HI).cast("timestamp")
-    m = f.select(
-        "n_rows",
-        ((F.col("fmax") < lo) | (F.col("fmin") >= hi)).alias("prunable"),
-    )
-    skipped = F.sum(
-        F.when(F.col("prunable"), F.col("n_rows")).otherwise(0)
-    ).cast("bigint")
-    return m.agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum(F.col("prunable").cast("int")).cast("bigint").alias(
-            "n_prunable"
-        ),
-        skipped.alias("rows_skipped"),
-        pround(
-            skipped.cast("double")
-            / F.sum("n_rows").cast("double"),
-            6,
-        ).alias("frac_rows_skipped"),
-    )
-
-
-def _ensure_deflate_sizes(sf_dir: str) -> str:
-    """Per-SF precomputed deflate(6) sizes of every document, built
-    DRIVER-SIDE in plain single-process Python (no Spark) so the
-    oracle can value-check the distributed mapInPandas plumbing
-    against an independent computation of the same zlib build.
-    Per-SF directory so a bench at another scale can't invalidate the
-    files the oracle path names (same convention as
-    _ensure_skipping_lineitem)."""
-    from etl_pyspark_spark.sources.io import (
-        fixture_fingerprint,
-        marker_current,
-        write_marker,
-    )
-
-    dst = f"{_SCRATCH}/deflate_sizes_{os.path.basename(sf_dir.rstrip('/'))}"
-    marker = f"{dst}/.built_for"
-    want = fixture_fingerprint(sf_dir, "documents")
-    if not marker_current(marker, want):
-        import zlib
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        src = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        ids = src.column("doc_id").to_pylist()
-        sizes = [
-            len(zlib.compress((t or "").encode("utf-8"), 6))
-            for t in src.column("text").to_pylist()
-        ]
-        os.makedirs(dst, exist_ok=True)
-        pq.write_table(
-            pa.table(
-                {"doc_id": ids, "compressed_bytes": sizes},
-                schema=pa.schema(
-                    [("doc_id", pa.int64()), ("compressed_bytes", pa.int64())]
-                ),
-            ),
-            f"{dst}/sizes.parquet",
-        )
-        write_marker(marker, want)
-    return dst
-
-
-@query(
-    "text_compression_ratio",
-    # Promoted from rows-only (r05 verdict #6): deflate output is
-    # deterministic for a given zlib build, and both sides of this
-    # oracle run in the same container — the SQL twin reads a per-doc
-    # size table precomputed driver-side in plain Python (no Spark),
-    # so the hash match value-checks the distributed Arrow/mapInPandas
-    # plumbing against an independent single-process computation.
-    oracle=f"""
-    SELECT d.doc_id,
-           CAST(octet_length(encode(COALESCE(d.text, ''))) AS BIGINT) AS raw_bytes,
-           s.compressed_bytes,
-           CASE WHEN octet_length(encode(COALESCE(d.text, ''))) = 0 THEN NULL
-                ELSE CAST(s.compressed_bytes AS DOUBLE)
-                     / CAST(octet_length(encode(COALESCE(d.text, ''))) AS DOUBLE)
-           END AS compression_ratio
-    FROM documents d
-    JOIN read_parquet(
-      '{_SCRATCH}/deflate_sizes_{_ORACLE_SF}/sizes.parquet') s
-      USING (doc_id)
-    """,
-)
-def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression-ratio quality signal (deflate level 6):
-    compressed_bytes / raw_bytes per document — the cheap
-    whole-document repetitiveness detector the Gopher/RedPajama
-    filter stacks use alongside n-gram repetition
-    (text_repetition_ratio catches LOCAL loops; deflate's 32 KB
-    window catches long-range boilerplate and templating that
-    n-grams miss). zlib runs in an Arrow-batched ``mapInPandas``
-    (bytes cross into Python once, vectorized over each batch —
-    never a row UDF); output is the id, both byte counts, and the
-    ratio. Flag low ratios for removal: heavily templated text
-    compresses far below the corpus norm. The query self-ensures the
-    oracle's precomputed size table (untimed in bench via
-    ensure_layouts)."""
-    _ensure_deflate_sizes(sf_dir)
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    )
-
-    def ratios(batches):
-        import zlib
-
-        import pandas as pd
-
-        for pdf in batches:
-            raw = pdf["text"].fillna("").str.encode("utf-8")
-            raw_n = raw.str.len()
-            comp_n = raw.map(lambda b: len(zlib.compress(b, 6)))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "raw_bytes": raw_n.astype("int64"),
-                    "compressed_bytes": comp_n.astype("int64"),
-                    # nullable Float64 so a zero-byte doc yields an
-                    # Arrow NULL (matching the oracle's CASE WHEN),
-                    # not an IEEE NaN
-                    "compression_ratio": (
-                        comp_n / raw_n.where(raw_n > 0)
-                    ).astype("Float64"),
-                }
-            )
-
-    return docs.mapInPandas(
-        ratios,
-        "doc_id long, raw_bytes long, compressed_bytes long, "
-        "compression_ratio double",
-    )
-
-
-@query(
-    "join_asof_tolerance",
-    oracle="""
-    SELECT p.event_id,
-           p.user_id,
-           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch_s,
-           s.signup_epoch_s AS asof_signup_epoch_s,
-           s.signup_value AS asof_signup_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN LATERAL (
-        SELECT CAST(floor(epoch(e.ts)) AS BIGINT) AS signup_epoch_s,
-               e.value AS signup_value
-        FROM events e
-        WHERE e.event_type = 'signup' AND e.user_id = p.user_id
-          AND e.ts <= p.ts AND e.ts >= p.ts - INTERVAL 7 DAY
-        ORDER BY e.ts DESC LIMIT 1) s ON TRUE
-    """,
-)
-def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join with a STALENESS BOUND (pandas merge_asof's
-    ``tolerance``): each purchase picks up the latest prior signup
-    per user only if it happened within the last 7 days — the
-    attribution-window semantics real funnels need (an unbounded
-    as-of blames a purchase on a signup from years ago;
-    funnel_step_latency's p90 is how the 7-day width gets chosen).
-    Same one-shuffle union+window engine as join_asof
-    (operators/joins.asof_join): the matched right timestamp rides
-    the same carry-forward window, and matches older than the bound
-    null out in a post-projection — the bound costs one extra
-    last() expression, never a second shuffle or a range join. The
-    oracle states the semantics directly as a LATERAL
-    latest-within-window probe."""
-    from etl_pyspark_spark.operators.joins import asof_join
-
-    ev = read_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.unix_timestamp("ts").alias("purchase_epoch_s"),
-    )
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id",
-        "ts",
-        F.unix_timestamp("ts").alias("signup_epoch_s"),
-        F.col("value").alias("signup_value"),
-    )
-    out = asof_join(
-        purchases,
-        signups,
-        key="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=["signup_epoch_s", "signup_value"],
-        tolerance=F.expr("INTERVAL 7 DAYS"),
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        "purchase_epoch_s",
-        "asof_signup_epoch_s",
-        "asof_signup_value",
-    )
-
-
-_CHUNK_W = 64
-_CHUNK_S = 48
-
-
-@query(
-    "doc_chunk_overlap",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col='text')} AS toks
-               FROM documents WHERE text IS NOT NULL),
-    c AS (SELECT doc_id, toks,
-                 unnest(generate_series(0,
-                        CAST(greatest(0,
-                             ceil((len(toks) - {_CHUNK_W})
-                                  / {_CHUNK_S}.0)) AS INT))) AS chunk_id
-          FROM t)
-    SELECT doc_id, chunk_id,
-           CAST(chunk_id * {_CHUNK_S} AS BIGINT) AS start_token,
-           array_to_string(
-             toks[chunk_id*{_CHUNK_S}+1 :
-                  least(chunk_id*{_CHUNK_S} + {_CHUNK_W}, len(toks))],
-             ' ') AS chunk_text,
-           least(chunk_id*{_CHUNK_S} + {_CHUNK_W}, len(toks))
-             - chunk_id*{_CHUNK_S} AS n_tokens
-    FROM c
-    """,
-)
-def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STRIDE-OVERLAP chunking (64-token windows every 48 tokens, 16
-    tokens of overlap) — the retrieval-ingest idiom, distinct from
-    doc_chunk_packing's disjoint training windows: overlapping
-    chunks keep boundary-spanning passages findable when each chunk
-    is embedded separately (the reason every RAG ingestion pipeline
-    chunks with overlap). Chunk count is 1 + max(0,
-    ceil((n-W)/S)) so every doc emits at least one chunk and the
-    tail is always covered; slicing/joining is pure JVM array work
-    over the once-projected token array (the documented CSE trap),
-    exploded per chunk — no Python, no shuffle before the final
-    exchange-free projection."""
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    t = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
-    n = F.size("toks")
-    n_chunks = 1 + F.greatest(
-        F.lit(0),
-        F.ceil((n - _CHUNK_W) / float(_CHUNK_S)).cast("int"),
-    )
-    c = t.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
-    )
-    sl = F.slice(
-        F.col("toks"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W
-    )
-    return c.select(
-        "doc_id",
-        "chunk_id",
-        (F.col("chunk_id") * _CHUNK_S).cast("bigint").alias("start_token"),
-        F.array_join(sl, " ").alias("chunk_text"),
-        F.size(sl).alias("n_tokens"),
-    )
-
-
-@query(
-    "grouped_trimmed_mean",
-    oracle="""
-    WITH d AS (SELECT l_returnflag AS flag, l_quantity AS qty,
-                      count(*) AS cnt
-               FROM lineitem GROUP BY 1, 2),
-    c AS (SELECT flag, qty, cnt,
-                 CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY qty
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum,
-                 CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
-          FROM d),
-    lo AS (SELECT flag, min(qty) AS p05 FROM c
-           WHERE cum >= greatest(1, ceil(0.05 * n)) GROUP BY flag),
-    hi AS (SELECT flag, min(qty) AS p95 FROM c
-           WHERE cum >= greatest(1, ceil(0.95 * n)) GROUP BY flag)
-    SELECT l.l_returnflag AS flag,
-           count(*) AS n_kept,
-           CAST(lo.p05 AS DOUBLE) AS p05,
-           CAST(hi.p95 AS DOUBLE) AS p95,
-           floor(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
-             / 1000000.0 AS trimmed_mean_qty
-    FROM lineitem l
-    JOIN lo ON lo.flag = l.l_returnflag
-    JOIN hi ON hi.flag = l.l_returnflag
-    WHERE l.l_quantity >= lo.p05 AND l.l_quantity <= hi.p95
-    GROUP BY 1, 3, 4
-    """,
-)
-def q_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group TRIMMED mean (drop outside the group's exact discrete
-    [p05, p95], average the rest) — the robust-stats member
-    winsorize_values (global, CLAMPS) and grouped_percentiles
-    (reports the cuts) don't cover: trimming excludes tails
-    entirely, the standard treatment when tail values are suspected
-    garbage rather than merely extreme. Reduce-first: both cut
-    points come from per-group cumulative counts over DISTINCT
-    (group, value) pairs (windows partition BY GROUP — parallel,
-    never SinglePartition), land as a |groups|-row broadcast join,
-    and the kept-range mean is one exact-decimal-sum /
-    single-double-division pass, pround(6)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    d = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").alias("qty"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    from pyspark.sql.window import Window as W
-
-    wc = (
-        W.partitionBy("flag")
-        .orderBy("qty")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wt = W.partitionBy("flag")
-    c = d.select(
-        "flag",
-        "qty",
-        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
-        F.sum("cnt").over(wt).cast("bigint").alias("n"),
-    ).persist()  # read by both cut-point selections
-    lo = (
-        c.filter(
-            F.col("cum")
-            >= F.greatest(F.lit(1), F.ceil(0.05 * F.col("n")))
-        )
-        .groupBy(F.col("flag").alias("flag_lo"))
-        .agg(F.min("qty").alias("p05"))
-    )
-    hi = (
-        c.filter(
-            F.col("cum")
-            >= F.greatest(F.lit(1), F.ceil(0.95 * F.col("n")))
-        )
-        .groupBy(F.col("flag").alias("flag_hi"))
-        .agg(F.min("qty").alias("p95"))
-    )
-    return (
-        li.join(
-            F.broadcast(lo), li["l_returnflag"] == lo["flag_lo"]
-        )
-        .join(F.broadcast(hi), li["l_returnflag"] == hi["flag_hi"])
-        .where(
-            (F.col("l_quantity") >= F.col("p05"))
-            & (F.col("l_quantity") <= F.col("p95"))
-        )
-        .groupBy(
-            li["l_returnflag"].alias("flag"),
-            F.col("p05").cast("double").alias("p05"),
-            F.col("p95").cast("double").alias("p95"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            pround(
-                F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-                .cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("trimmed_mean_qty"),
-        )
-        .select("flag", "n_kept", "p05", "p95", "trimmed_mean_qty")
-    )
-
-
-@query(
-    "stream_topk_per_window",
-    oracle="""
-    WITH w AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
-                 AS window_start_s,
-               user_id, count(*) AS n_events
-          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
-    r AS (SELECT window_start_s, user_id, n_events,
-                 row_number() OVER (PARTITION BY window_start_s
-                                    ORDER BY n_events DESC, user_id ASC)
-                   AS rn
-          FROM w)
-    SELECT window_start_s, user_id, n_events, rn
-    FROM r WHERE rn <= 3
-    """,
-)
-def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming leaderboard: per 1-hour event-time window, the top-3
-    most active users — the live 'who is hammering the API' readout.
-    The per-(window, user) counts come from the REAL watermarked
-    Structured Streaming aggregation (AvailableNow replay == batch,
-    the engine's standard oracle bridge); ranking runs as a batch
-    post-pass on the CLOSED windows (the production shape — a
-    leaderboard is published per closed window, and streaming
-    row_number isn't expressible mid-stream anyway). The rank window
-    partitions BY WINDOW (parallel, bounded by the hour's user set,
-    never SinglePartition) and Spark plans the rn <= 3 filter as
-    WindowGroupLimit, so only each window's top rows ever sort."""
-    from etl_pyspark_spark.streaming.windows import (
-        run_to_memory_table,
-        stream_events,
-    )
-    from pyspark.sql.window import Window as W
-
-    sdf = stream_events(spark, sf_dir).filter(
-        F.col("user_id").isNotNull()
-    )
-    agg = (
-        sdf.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    out = run_to_memory_table(agg, spark).select(
-        F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
-        "user_id",
-        "n_events",
-    )
-    rw = W.partitionBy("window_start_s").orderBy(
-        F.col("n_events").desc(), F.col("user_id").asc()
-    )
-    return out.withColumn("rn", F.row_number().over(rw)).where(
-        F.col("rn") <= 3
-    )
-
-
-_TOKEN_BUDGET = 10_000
-
-
-@query(
-    "token_budget_selection",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, n_chars,
-                      len({_WS_TOKENS_SQL.format(col='text')}) AS n_tokens
-               FROM documents WHERE text IS NOT NULL),
-    c AS (SELECT doc_id, n_chars, n_tokens,
-                 CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
-                                          ROWS UNBOUNDED PRECEDING)
-                      AS BIGINT) AS cum_tokens
-          FROM t)
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
-           cum_tokens <= {_TOKEN_BUDGET} AS selected
-    FROM c
-    """,
-)
-def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budgeted corpus selection: rank documents by a quality proxy
-    (n_chars here; swap in any deterministic score) and admit them
-    greedily until a fixed TOKEN budget exhausts — the way a
-    training-mix planner fills 'take the best N-billion tokens of
-    this source' quotas (importance_weighted_sample reweights;
-    source_quota_cap caps per source; THIS caps by cumulative token
-    mass, which is what the training run actually consumes). The
-    running token total comes from
-    operators/ranks.with_global_cumsum over the (score DESC, doc_id)
-    total order — range exchange + per-partition offsets, never a
-    SinglePartition window (the canonical mistake in budget-cut
-    implementations); the cut itself is then a scan-speed
-    comparison, and every doc is emitted with its admission flag so
-    the rejected tail stays auditable."""
-    from etl_pyspark_spark.functions.text import ws_tokens
-    from etl_pyspark_spark.operators.ranks import with_global_cumsum
-
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    t = docs.select(
-        "doc_id",
-        "n_chars",
-        F.size(ws_tokens(F.col("text"))).alias("n_tokens"),
-    ).withColumn("neg_chars", -F.col("n_chars"))
-    c = with_global_cumsum(
-        t, ["neg_chars", "doc_id"], "n_tokens", "cum_tokens"
-    )
-    return c.select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        "cum_tokens",
-        (F.col("cum_tokens") <= _TOKEN_BUDGET).alias("selected"),
-    )
-
-
-def _source_overlap_oracle() -> str:
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_minhash_pairs,
-        sql_shingles_cte,
-    )
-
-    return (
-        "WITH "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + """
-    SELECT least(da.source, db.source) AS source_a,
-           greatest(da.source, db.source) AS source_b,
-           count(*) AS n_pairs
-    FROM pairs p
-    JOIN documents da ON da.doc_id = p.doc_id_a
-    JOIN documents db ON db.doc_id = p.doc_id_b
-    GROUP BY 1, 2
-    """
-    )
-
-
-@query("source_overlap_matrix", oracle=_source_overlap_oracle())
-def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-SOURCE duplication matrix: verified near-dup pairs rolled
-    up by (unordered) source pair — the policy readout that tells a
-    corpus owner WHICH feeds copy from which (crawl A mirroring
-    crawl B wants source-level exclusion; within-source pairs want
-    ordinary dedup — dedup_cluster_size_histogram sizes the
-    clusters, THIS attributes them). Rides the session-shared
-    verified-pair stage (dedup/shared.py); source attribution is two
-    slim joins against the documents projection and a
-    |sources|^2-bounded rollup. Pair keys are canonically ordered
-    with least/greatest so A-B and B-A collapse."""
-    from etl_pyspark_spark.dedup.shared import verified_pairs
-
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "source"
-    )
-    pairs = verified_pairs(spark, sf_dir)
-    da = docs.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa")
-    )
-    db = docs.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb")
-    )
-    return (
-        pairs.join(da, "doc_id_a")
-        .join(db, "doc_id_b")
-        .groupBy(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Graph cohesion (k-core, local clustering) + temporal analytics
-# (dyadic EWMA, point-in-time join) — SURVEY §2.9 growth surface
-# ---------------------------------------------------------------------------
-
-_KCORE_K = 4
-_KCORE_ROUNDS = 5
-
-
-def _copurchase_edges_sql() -> str:
-    """Shared SQL CTE text for the sharded part co-purchase graph
-    (identical derivation to graph_triangle_count's oracle)."""
-    return """
-    lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-           WHERE l_orderkey % 10 = 0),
-    e0 AS (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lp a JOIN lp b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
-
-
-_EDGE_CACHE: dict[tuple, DataFrame] = {}
-_EDGE_COUNTS: dict[tuple, int] = {}
-# A long session touches several fixtures (sf0.001/0.01/0.1 + scale
-# smokes); keep only the most recent ones so superseded checkpoint
-# blocks are unpersisted and their driver references dropped (the
-# ContextCleaner frees the JVM-side blocks once unreferenced) instead
-# of pinning block-manager memory for the app's lifetime.
-_EDGE_CACHE_MAX = 2
-
-
-def _edge_cache_put(key: tuple, edges: DataFrame) -> None:
-    # Eviction = dropping the dict reference, nothing more. The cached
-    # frames are localCheckpoint-backed, and unpersist() on a
-    # checkpointed plan is a CacheManager no-op (the RDD blocks are
-    # not registered there) — and if it ever did free them, a still-
-    # live consumer could not recompute (lineage truncated) and would
-    # die with checkpoint-block-not-found (advice r06). Once the last
-    # Python/JVM reference goes, the ContextCleaner reclaims the
-    # checkpoint blocks.
-    while len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
-        oldest = next(iter(_EDGE_CACHE))
-        _EDGE_CACHE.pop(oldest)
-        _EDGE_COUNTS.pop(oldest, None)
-    _EDGE_CACHE[key] = edges
-
-
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sharded part co-purchase edge list (u < v, distinct), the same
-    derivation graph_triangle_count documents; baskets are truncated
-    to MAX_BASKET items by the shared hash-rank cap
-    (operators/baskets) before the pair self-join, so a mega-basket
-    is O(cap^2) pairs; eagerly checkpointed because every caller fans
-    it into several join subtrees.
-
-    Memoized per (session, fixture) exactly like the dedup family's
-    shared stages (dedup/shared.py): six graph queries (triangles,
-    k-core, local clustering, BFS, link prediction) derive from this
-    one edge table, and before round 5 each rebuilt it from the
-    lineitem scan — the materialized edge list is the checkpointed
-    artifact a production graph pipeline writes once per ingest."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
-    from etl_pyspark_spark.sources.io import fixture_fingerprint
-
-    key = (
-        spark.sparkContext.applicationId,
-        fixture_fingerprint(sf_dir, "lineitem"),
-    )
-    cached = _EDGE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    lp = capped_basket_items(
-        read_table(spark, sf_dir, "lineitem").where(
-            F.col("l_orderkey") % 10 == 0
-        ),
-        "l_orderkey",
-        "l_partkey",
-    )
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
-    )
-    # one count against the just-checkpointed edges (cheap — no
-    # recompute) so consumers can pick physical join strategies from
-    # REAL cardinality instead of planner estimates, AQE-style
-    _EDGE_COUNTS[key] = edges.count()
-    _edge_cache_put(key, edges)
-    return edges
-
-
-def _copurchase_edge_count(spark: SparkSession, sf_dir: str) -> int:
-    from etl_pyspark_spark.sources.io import fixture_fingerprint
-
-    key = (
-        spark.sparkContext.applicationId,
-        fixture_fingerprint(sf_dir, "lineitem"),
-    )
-    if key not in _EDGE_COUNTS:
-        _copurchase_edges(spark, sf_dir)
-    return _EDGE_COUNTS[key]
-
-
-def _kcore_oracle(k: int, rounds: int) -> str:
-    # Every e{r} is referenced three times by round r+1 (twice through
-    # the degree count, once as the join probe): without AS
-    # MATERIALIZED DuckDB inlines the whole chain at each reference
-    # and the oracle's cost goes exponential in the round count
-    # (measured 0.4s/2.8s/70s at rounds 2/3/4 on sf0.01).
-    sql = "WITH " + _copurchase_edges_sql().replace(
-        "e0 AS (", "e0 AS MATERIALIZED ("
-    )
-    for r in range(1, rounds + 1):
-        sql += f""",
-    n{r} AS MATERIALIZED (
-             SELECT x AS node
-             FROM (SELECT u AS x FROM e{r - 1}
-                   UNION ALL SELECT v FROM e{r - 1})
-             GROUP BY x HAVING count(*) >= {k}),
-    e{r} AS MATERIALIZED (
-             SELECT e.u, e.v FROM e{r - 1} e
-             JOIN n{r} a ON a.node = e.u
-             JOIN n{r} b ON b.node = e.v)"""
-    sql += f"""
-    SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
-    FROM (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
-    GROUP BY x"""
-    return sql
-
-
-@query("graph_k_core", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
-def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core peeling on the part co-purchase graph: repeatedly drop
-    nodes of degree < k with the edges that touch them — the standard
-    cohesion filter that strips a graph's low-degree fringe before
-    community detection or dense-subgraph mining. Run for a FIXED
-    peel schedule (5 rounds, k=4) so the DuckDB twin is the same
-    unrolled dataflow; production runs rounds to a fixed point, and
-    each round here is exactly that production round: one degree
-    aggregation plus two semi-joins, all keyed shuffles on the node
-    id, never a collect or a window. The surviving edge set is
-    localCheckpoint-ed per round — the lineage otherwise doubles each
-    iteration (the classic iterative-Spark trap; pagerank_int uses
-    the same discipline). Emits the surviving nodes with their
-    in-subgraph degree after the final round."""
-    edges = _copurchase_edges(spark, sf_dir)
-    for _ in range(_KCORE_ROUNDS):
-        deg = (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        core = deg.where(F.col("d") >= _KCORE_K).select("node")
-        edges = (
-            edges.join(
-                core.withColumnRenamed("node", "u"), "u", "semi"
-            )
-            .join(core.withColumnRenamed("node", "v"), "v", "semi")
-            .select("u", "v")
-            .localCheckpoint()
-        )
-    return (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-    )
-
-
-@query(
-    "graph_local_clustering",
-    oracle="WITH "
-    + _copurchase_edges_sql()
-    + """,
-    deg AS (
-      SELECT x AS node, count(*) AS d
-      FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
-      GROUP BY x),
-    o AS (
-      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
-             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
-      FROM e0 e
-      JOIN deg du ON du.node = e.u
-      JOIN deg dv ON dv.node = e.v),
-    tri AS (
-      SELECT e1.s AS a, e1.t AS b, e2.t AS c
-      FROM o e1
-      JOIN o e2 ON e2.s = e1.t
-      JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
-    tn AS (
-      SELECT x AS node, count(*) AS n_tri
-      FROM (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
-            UNION ALL SELECT c FROM tri)
-      GROUP BY x)
-    SELECT d.node, CAST(d.d AS BIGINT) AS degree,
-           CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_triangles,
-           CASE WHEN d.d >= 2
-                THEN CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE)
-                     / CAST(d.d * (d.d - 1) AS DOUBLE)
-           END AS lcc
-    FROM deg d LEFT JOIN tn ON tn.node = d.node
-    """,
-)
-def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local clustering coefficient per node: lcc(v) = 2*T(v) /
-    (d(v)*(d(v)-1)) over the sharded co-purchase graph — the
-    per-node cohesion readout (graph_triangle_count reports the
-    global count; THIS attributes triangles to nodes, the feature
-    community detectors and fraud heuristics actually consume).
-    Same degree-oriented wedge join as the global count — each
-    triangle enumerated exactly once with O(sqrt(E))-bounded fan-out
-    — then the triangle's three corners are unpivoted and counted
-    per node (two keyed shuffles), left-joined back onto the degree
-    table so triangle-free nodes report 0. The single division is
-    bigint->double, correctly rounded identically in both engines;
-    degree-1 nodes get NULL (undefined), not a fake 0."""
-    edges = _copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-        .localCheckpoint()
-    )
-    e1 = o.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
-    e2 = o.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
-    e3 = o.select(F.col("s").alias("s3"), F.col("t").alias("t3"))
-    tri = e1.join(e2, F.col("s2") == F.col("t1")).join(
-        e3, (F.col("s3") == F.col("s1")) & (F.col("t3") == F.col("t2"))
-    )
-    tn = (
-        tri.select(F.col("s1").alias("node"))
-        .unionAll(tri.select(F.col("t1").alias("node")))
-        .unionAll(tri.select(F.col("t2").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
-    d = F.col("d")
-    t = F.coalesce(F.col("n_tri"), F.lit(0))
-    return (
-        deg.join(tn, "node", "left")
-        .select(
-            "node",
-            d.cast("bigint").alias("degree"),
-            t.cast("bigint").alias("n_triangles"),
-            F.when(
-                d >= 2,
-                (2 * t).cast("double") / (d * (d - 1)).cast("double"),
-            ).alias("lcc"),
-        )
-    )
-
-
-_EWMA_WINDOW = 16
-
-
-@query(
-    "ewma_order_price",
-    oracle=f"""
-    WITH o AS (
-      SELECT o_custkey, o_orderkey, o_orderdate,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders),
-    w AS (
-      SELECT o_custkey, o_orderkey,
-             list(cents) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
-             ) AS arr
-      FROM o)
-    SELECT o_custkey, o_orderkey,
-           CAST(len(arr) AS BIGINT) AS n_terms,
-           CAST(COALESCE(list_sum(list_transform(
-                  range(1, len(arr) + 1),
-                  i -> arr[i] * (CASE WHEN i = 1 THEN CAST(1 AS BIGINT)
-                                 ELSE CAST(1 AS BIGINT) << (i - 2) END)
-                )), 0) AS DOUBLE)
-           / (CAST(100 AS DOUBLE)
-              * CAST(CAST(1 AS BIGINT) << (len(arr) - 1) AS DOUBLE))
-             AS ewma_price
-    FROM w
-    """,
-)
-def q_ewma_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dyadic-exact EWMA of each customer's order totals: the
-    recursive smoother y_t = x_t/2 + y_{t-1}/2 unrolled over a
-    trailing 16-term window (the oldest retained term absorbs the
-    tail weight so weights always sum to 1 — after 16 halvings the
-    dropped tail is < 2^-16 of the signal, i.e. the window IS the
-    production approximation, stated rather than hidden). alpha=1/2
-    makes every weight a power of two, so the weighted sum is
-    computed EXACTLY in scaled int64 cents (max ~2^15 * 16 * max
-    cents ~ 2^49, no overflow) and only the final normalization
-    divides — one bigint->double division, correctly rounded the
-    same in Spark and DuckDB, which is what makes a floating
-    smoother hash-matchable across engines at all (a naive running
-    double recursion diverges in the last ulp between engines).
-    Plan: one window shuffle on the customer key; the trailing
-    ROWS frame feeds an ordered collect_list whose per-row weighted
-    fold is a codegen'd array expression — no UDF, no second
-    shuffle. At 100 TB this is the standard per-entity feature
-    smoother (spend velocity, rolling engagement) and shuffles
-    once on the entity key."""
-    from pyspark.sql import Window
-
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.round(F.col("o_totalprice") * 100)
-        .cast("bigint")
-        .alias("cents"),
-    )
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(-(_EWMA_WINDOW - 1), Window.currentRow)
-    )
-    arr = F.collect_list("cents").over(w)
-    witharr = o.select(
-        "o_custkey", "o_orderkey", arr.alias("arr")
-    )
-    # SQL-expr form: the Python F.shiftleft API takes only a literal
-    # bit count, but the codegen'd SQL function accepts an expression
-    num = F.expr(
-        """aggregate(
-             transform(arr, (x, i) -> x * (CASE WHEN i = 0
-                 THEN CAST(1 AS BIGINT)
-                 ELSE shiftleft(CAST(1 AS BIGINT), i - 1) END)),
-             CAST(0 AS BIGINT), (a, x) -> a + x)"""
-    )
-    denom = F.lit(100).cast("double") * F.expr(
-        "shiftleft(CAST(1 AS BIGINT), size(arr) - 1)"
-    ).cast("double")
-    return witharr.select(
-        "o_custkey",
-        "o_orderkey",
-        F.size(F.col("arr")).cast("bigint").alias("n_terms"),
-        (num.cast("double") / denom).alias("ewma_price"),
-    )
-
-
-@query(
-    "scd2_point_in_time_join",
-    oracle="""
-    WITH dim AS (
-      SELECT o_custkey, o_orderdate,
-             max(o_orderkey) AS state_orderkey,
-             arg_max(o_orderstatus, o_orderkey) AS state_status
-      FROM orders GROUP BY 1, 2),
-    f AS (
-      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE l.l_orderkey % 7 = 0)
-    SELECT f.l_orderkey, f.l_linenumber, f.o_custkey,
-           f.l_shipdate AS ship_ts,
-           d.state_orderkey AS asof_state_orderkey,
-           d.state_status AS asof_state_status
-    FROM f ASOF LEFT JOIN dim d
-      ON f.o_custkey = d.o_custkey AND d.o_orderdate <= f.l_shipdate
-    """,
-)
-def q_scd2_point_in_time_join(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Point-in-time-correct dimension join (the feature-store
-    discipline): each shipment fact picks up the customer's order
-    state AS OF the ship date — never a later version, which is the
-    leakage a naive latest-version join commits when backfilling
-    training features. Composes three pieces the engine already
-    verifies separately: version compaction (latest version per
-    (key, effective-ts) via max_by — two same-day orders collapse
-    deterministically, removing the tie ASOF semantics leave
-    undefined), a fact-enrichment equi-join (lineitem -> orders for
-    the customer key; at 100 TB this is the fact table's keyed
-    shuffle, broadcast-able when the bridge is small), and the
-    union+window as-of kernel (operators/joins.py asof_join — ONE
-    shuffle on the entity key for both sides together, no range
-    explosion, AQE handles key skew). The fact side is sharded
-    (l_orderkey % 7) exactly like the graph queries: the full join
-    is the same plan at 7x the rows."""
-    from etl_pyspark_spark.operators.joins import asof_join
-
-    orders = read_table(spark, sf_dir, "orders")
-    dim = orders.groupBy("o_custkey", "o_orderdate").agg(
-        F.max("o_orderkey").alias("state_orderkey"),
-        F.max_by("o_orderstatus", "o_orderkey").alias("state_status"),
-    )
-    facts = (
-        read_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 7 == 0)
-        .select("l_orderkey", "l_linenumber", "l_shipdate")
-        .join(
-            orders.select(
-                F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
-            ),
-            "l_orderkey",
-        )
-    )
-    out = asof_join(
-        facts,
-        dim,
-        key="o_custkey",
-        left_ts="l_shipdate",
-        right_ts="o_orderdate",
-        right_cols=["state_orderkey", "state_status"],
-    )
-    return out.select(
-        "l_orderkey",
-        "l_linenumber",
-        "o_custkey",
-        F.col("l_shipdate").alias("ship_ts"),
-        F.col("asof_state_orderkey"),
-        F.col("asof_state_status"),
-    )
-
-
-@query(
-    "large_order_customers",
-    oracle="""
-    WITH big AS (
-      SELECT l_orderkey,
-             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
-                  AS DOUBLE) AS DOUBLE) AS sum_qty
-      FROM lineitem GROUP BY 1
-      HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 180)
-    SELECT c.c_name, c.c_custkey, o.o_orderkey,
-           o.o_orderdate,
-           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
-           b.sum_qty
-    FROM big b
-    JOIN orders o ON o.o_orderkey = b.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    """,
-)
-def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 (large-volume customer): orders whose total line
-    quantity clears a threshold, joined back to order and customer
-    detail — the canonical aggregate-then-rejoin shape (aggregate
-    FIRST on the fact key, semi-ish join back AFTER, never the
-    reverse: filtering post-join would drag every lineitem row
-    through both dimension joins). The HAVING cut runs map-side
-    partial aggregation on l_orderkey, the surviving key set is
-    orders-of-magnitude smaller than the fact table, and both
-    detail joins probe with it; at 100 TB the big->orders join is a
-    keyed shuffle on the order key and customer is broadcast-able.
-    Quantity sums are decimal-cast so the threshold comparison is
-    exact in both engines (doubles would disagree in the last ulp
-    exactly at the cut)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias(
-                "qty_dec"
-            )
-        )
-        .where(F.col("qty_dec") > 180)
-        .select(
-            "l_orderkey",
-            F.col("qty_dec").cast("double").alias("sum_qty"),
-        )
-    )
-    o = read_table(spark, sf_dir, "orders")
-    c = read_table(spark, sf_dir, "customer")
-    return (
-        big.join(o, o["o_orderkey"] == big["l_orderkey"])
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            "sum_qty",
-        )
-    )
-
-
-@query(
-    "interval_overlap_join",
-    oracle="""
-    WITH iv AS (
-      SELECT o_custkey, o_orderkey,
-             CAST(o_orderdate AS DATE) AS s,
-             CAST(o_orderdate AS DATE)
-               + CAST((o_orderkey % 60) + 1 AS INTEGER) AS e
-      FROM orders)
-    SELECT a.o_custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b
-    FROM iv a JOIN iv b
-      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
-     AND a.s <= b.e AND b.s <= a.e
-    """,
-)
-def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval x interval overlap join: each order carries a
-    fulfillment window [order date, order date + 1..60 days] and the
-    query emits every same-customer pair of overlapping windows —
-    the interval-algebra join (booking conflicts, concurrent
-    validity, overlapping shifts) that neither an equi-join nor the
-    point-in-range join_range_binned expresses. Scalable shape: each
-    interval is exploded to the month bins it touches (<= 3 here,
-    bounded by max duration / bin width), pairs meet with an
-    EQUI-join on (key, bin) — never a per-key cross product — the
-    exact overlap predicate then filters bin-mates, and each
-    surviving pair is counted exactly once at the bin of the later
-    start (the standard dedup trick that makes binned interval joins
-    emit no duplicates without a distinct). Bin width tracks max
-    interval length; at 100 TB both sides shuffle once on (key, bin)
-    and skewed keys split by bin for free. concurrent_sessions_peak
-    sweeps for MAX concurrency; THIS enumerates the conflicting
-    pairs themselves."""
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.to_date("o_orderdate").alias("s"),
-        F.date_add(
-            F.to_date("o_orderdate"),
-            ((F.col("o_orderkey") % 60) + 1).cast("int"),
-        ).alias("e"),
-    )
-    binned = o.select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.trunc("s", "month"),
-                F.trunc("e", "month"),
-                F.expr("INTERVAL 1 MONTH"),
-            )
-        ).alias("bin"),
-    )
-    a = binned.select(
-        F.col("o_custkey").alias("k"),
-        F.col("bin").alias("bin"),
-        F.col("o_orderkey").alias("order_a"),
-        F.col("s").alias("sa"),
-        F.col("e").alias("ea"),
-    )
-    b = binned.select(
-        F.col("o_custkey").alias("k"),
-        F.col("bin").alias("bin"),
-        F.col("o_orderkey").alias("order_b"),
-        F.col("s").alias("sb"),
-        F.col("e").alias("eb"),
-    )
-    return (
-        a.join(b, ["k", "bin"])
-        .where(
-            (F.col("order_a") < F.col("order_b"))
-            & (F.col("sa") <= F.col("eb"))
-            & (F.col("sb") <= F.col("ea"))
-            # count each overlapping pair exactly once: at the bin
-            # that contains the later of the two starts
-            & (
-                F.col("bin")
-                == F.trunc(F.greatest("sa", "sb"), "month")
-            )
-        )
-        .select(F.col("k").alias("o_custkey"), "order_a", "order_b")
-    )
-
-
-_SNAPSHOT_TS = "1998-06-01"
-
-
-@query(
-    "cdc_snapshot_asof",
-    oracle=f"""
-    WITH log AS (
-      SELECT o_custkey AS key, o_orderkey AS change_id,
-             CAST(o_orderdate AS DATE) AS ts,
-             CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
-             o_orderpriority AS attr
-      FROM orders),
-    seq AS (
-      SELECT key, change_id, ts, op, attr,
-             row_number() OVER (PARTITION BY key
-                                ORDER BY ts DESC, change_id DESC) AS rn
-      FROM log WHERE ts <= DATE '{_SNAPSHOT_TS}')
-    SELECT key AS o_custkey, change_id AS o_orderkey,
-           attr AS priority, ts AS valid_from
-    FROM seq WHERE rn = 1 AND op = 'U'
-    """,
-)
-def q_cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time travel over a CDC change log: reconstruct the dimension's
-    live rows AS OF a cutoff — each key's latest change at or before
-    the snapshot instant wins, and a delete as the winner erases the
-    key from the snapshot entirely (the case a naive
-    latest-upsert-only replay silently resurrects). Same
-    deterministic log derivation as cdc_log_to_scd2 (every 17th
-    change is a delete); the snapshot is one filter (pushed to the
-    scan: the log store prunes change files past the cutoff) + one
-    per-key window top-1, which Spark executes as WindowGroupLimit —
-    rank state only, no per-key buffering of full history. This is
-    the batch replay of stream_cdc_upsert's continuously-maintained
-    state, and the pair (scd2 intervals for ALL time, snapshot for
-    ONE instant) is how a lakehouse reads versioned dimensions at
-    100 TB: partition by key, never materialize closed versions you
-    don't ask for."""
-    from pyspark.sql.window import Window
-
-    o = read_table(spark, sf_dir, "orders")
-    log = o.select(
-        F.col("o_custkey").alias("key"),
-        F.col("o_orderkey").alias("change_id"),
-        F.to_date("o_orderdate").alias("ts"),
-        F.when(F.col("o_orderkey") % 17 == 0, F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        F.col("o_orderpriority").alias("attr"),
-    )
-    w = Window.partitionBy("key").orderBy(
-        F.col("ts").desc(), F.col("change_id").desc()
-    )
-    snap = (
-        log.where(F.col("ts") <= F.lit(_SNAPSHOT_TS).cast("date"))
-        .withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("op") == "U"))
-    )
-    return snap.select(
-        F.col("key").alias("o_custkey"),
-        F.col("change_id").alias("o_orderkey"),
-        F.col("attr").alias("priority"),
-        F.col("ts").alias("valid_from"),
-    )
-
-
-_APPORTION_BUDGET = 100_000
-
-
-@query(
-    "quota_apportionment",
-    oracle=f"""
-    WITH counts AS (SELECT lang, source, count(*) AS n_docs
-                    FROM documents GROUP BY 1, 2),
-    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts),
-    base AS (
-      SELECT lang, source, n_docs,
-             (n_docs * {_APPORTION_BUDGET}) // total AS floor_quota,
-             (n_docs * {_APPORTION_BUDGET}) % total AS remainder
-      FROM counts, tot),
-    lo AS (SELECT CAST({_APPORTION_BUDGET} - sum(floor_quota) AS BIGINT)
-                  AS leftover FROM base),
-    ranked AS (
-      SELECT lang, source, n_docs, floor_quota, leftover,
-             row_number() OVER (ORDER BY remainder DESC, lang, source)
-               AS rk
-      FROM base, lo)
-    SELECT lang, source, n_docs,
-           CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
-                AS BIGINT) AS quota
-    FROM ranked
-    """,
-)
-def q_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Largest-remainder apportionment of a fixed training budget
-    across (lang, source) strata: floor-proportional quotas leave
-    budget - sum(floors) slots unassigned (mixture_sampling_quota
-    stops there and under-fills), so the leftover goes one slot each
-    to the strata with the largest fractional remainders — quotas
-    now sum to the budget EXACTLY, which is the invariant a shard
-    planner downstream actually needs. All integer arithmetic
-    ((n*B) div total and (n*B) mod total — no doubles, so no
-    engine-divergent rounding anywhere), leftover is a one-row
-    broadcast, and the remainder ranking is the engine's
-    range-exchange global rank (operators/ranks.py) with a total
-    tiebreak on the stratum key — never a SinglePartition window, so
-    the same plan apportions a million strata."""
-    from etl_pyspark_spark.operators.ranks import with_global_rank
-
-    docs = read_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("total"))
-    base = counts.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "source",
-        "n_docs",
-        (F.col("n_docs") * _APPORTION_BUDGET)
-        .cast("bigint")
-        .alias("scaled"),
-        "total",
-    )
-    base = base.select(
-        "lang",
-        "source",
-        "n_docs",
-        F.expr("scaled DIV total").cast("bigint").alias("floor_quota"),
-        (F.col("scaled") % F.col("total")).alias("remainder"),
-    )
-    lo = base.agg(
-        (F.lit(_APPORTION_BUDGET) - F.sum("floor_quota"))
-        .cast("bigint")
-        .alias("leftover")
-    )
-    ranked = with_global_rank(
-        base.withColumn("neg_rem", -F.col("remainder")),
-        ["neg_rem", "lang", "source"],
-        rank_col="rk",
-    )
-    return ranked.crossJoin(F.broadcast(lo)).select(
-        "lang",
-        "source",
-        "n_docs",
-        (
-            F.col("floor_quota")
-            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("quota"),
-    )
-
-
-@query(
-    "time_weighted_avg_price",
-    oracle="""
-    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS horizon
-                FROM orders),
-    held AS (
-      SELECT o_custkey,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             GREATEST(CAST(COALESCE(
-                 lead(CAST(o_orderdate AS DATE)) OVER (
-                   PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey),
-                 horizon) - CAST(o_orderdate AS DATE) AS BIGINT),
-               1) AS days_held
-      FROM orders, mx)
-    SELECT o_custkey,
-           CAST(sum(days_held) AS BIGINT) AS total_days,
-           CAST(CAST(sum(cents * days_held) AS DOUBLE)
-                / (100.0 * CAST(sum(days_held) AS DOUBLE))
-                AS DOUBLE) AS twap
-    FROM held GROUP BY 1
-    """,
-)
-def q_time_weighted_avg_price(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Time-weighted average (TWAP) of each customer's order value:
-    every order's price is 'held' from its date until the customer's
-    next order (the last one until the fixture horizon, a one-row
-    broadcast max), and the average weighs each price by its holding
-    days — the step-function integral that plain AVG gets wrong
-    whenever observations are unevenly spaced (prices, balances,
-    sensor states). Same-day successor orders clamp to 1 day so no
-    observation vanishes from the integral. Arithmetic is exact end
-    to end: integer day spans from lead() over the per-customer
-    window, int64 cents x days products summed as bigint, and ONE
-    final bigint->double division per customer — the idiom that
-    lets a weighted mean hash-match across engines. One window
-    shuffle on the customer key feeding the same-keyed groupBy
-    (Spark reuses the partitioning: no second exchange)."""
-    from pyspark.sql.window import Window
-
-    o = read_table(spark, sf_dir, "orders")
-    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("horizon"))
-    w = Window.partitionBy("o_custkey").orderBy(
-        "o_orderdate", "o_orderkey"
-    )
-    held = (
-        o.crossJoin(F.broadcast(mx))
-        .select(
-            "o_custkey",
-            F.round(F.col("o_totalprice") * 100)
-            .cast("bigint")
-            .alias("cents"),
-            F.greatest(
-                F.datediff(
-                    F.coalesce(
-                        F.lead(F.to_date("o_orderdate")).over(w),
-                        F.col("horizon"),
-                    ),
-                    F.to_date("o_orderdate"),
-                ).cast("bigint"),
-                F.lit(1).cast("bigint"),
-            ).alias("days_held"),
-        )
-    )
-    return held.groupBy("o_custkey").agg(
-        F.sum("days_held").cast("bigint").alias("total_days"),
-        (
-            F.sum(F.col("cents") * F.col("days_held")).cast("double")
-            / (F.lit(100.0) * F.sum("days_held").cast("double"))
-        ).alias("twap"),
-    )
-
-
-@query(
-    "cusum_change_detection",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
-    tot AS (
-      SELECT event_type,
-             CAST(sum(n) AS BIGINT) AS total,
-             CAST(count(*) AS BIGINT) AS n_days
-      FROM daily GROUP BY 1),
-    dev AS (
-      SELECT d.event_type, d.day,
-             sum(d.n * t.n_days - t.total) OVER (
-               PARTITION BY d.event_type ORDER BY d.day
-               ROWS UNBOUNDED PRECEDING) AS s
-      FROM daily d JOIN tot t ON t.event_type = d.event_type),
-    peak AS (
-      SELECT event_type, CAST(max(abs(s)) AS BIGINT) AS cusum_max
-      FROM dev GROUP BY 1)
-    SELECT d.event_type, p.cusum_max, min(d.day) AS change_day
-    FROM dev d JOIN peak p
-      ON p.event_type = d.event_type AND abs(d.s) = p.cusum_max
-    GROUP BY 1, 2
-    """,
-)
-def q_cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM change-point scan per event type: the cumulative
-    deviation of daily counts from the type's mean rate peaks at the
-    day the rate shifted — the classic drift locator
-    (chisq_event_type_drift asks WHETHER two halves differ; THIS
-    finds WHERE the level changed, per type). Exactness trick: the
-    deviation (n_i - total/n_days) is scaled by n_days so the
-    running statistic is Σ(n_i*D - N) — pure bigint, no division
-    ever, so the argmax day can't flip on an engine's last-ulp
-    disagreement. One keyed window cumsum + one groupBy on the same
-    key (partitioning reused, no extra exchange); ties on the peak
-    resolve to the earliest day. At 100 TB the daily pre-aggregate
-    is the only pass over raw events."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("event_type").isNotNull()
-    )
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    tot = daily.groupBy("event_type").agg(
-        F.sum("n").cast("bigint").alias("total"),
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    dev = daily.join(tot, "event_type").select(
-        "event_type",
-        "day",
-        F.sum(
-            F.col("n") * F.col("n_days") - F.col("total")
-        )
-        .over(w)
-        .alias("s"),
-    )
-    peak = dev.groupBy("event_type").agg(
-        F.max(F.abs(F.col("s"))).cast("bigint").alias("cusum_max")
-    )
-    return (
-        dev.join(peak, "event_type")
-        .where(F.abs(F.col("s")) == F.col("cusum_max"))
-        .groupBy("event_type", "cusum_max")
-        .agg(F.min("day").alias("change_day"))
-        .select("event_type", "cusum_max", "change_day")
-    )
-
-
-@query(
-    "clamped_running_balance",
-    oracle="""
-    WITH flows AS (
-      SELECT l_partkey, l_orderkey, l_linenumber,
-             CAST(l_quantity AS BIGINT)
-               * (CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE -1 END)
-               AS flow,
-             l_shipdate
-      FROM lineitem WHERE l_orderkey % 7 = 0),
-    s1 AS (
-      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
-             sum(flow) OVER (
-               PARTITION BY l_partkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS UNBOUNDED PRECEDING) AS cum
-      FROM flows),
-    s AS (
-      SELECT l_partkey, l_orderkey, l_linenumber, cum,
-             min(cum) OVER (
-               PARTITION BY l_partkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS UNBOUNDED PRECEDING) AS cum_min
-      FROM s1)
-    SELECT l_partkey, l_orderkey, l_linenumber,
-           CAST(cum - LEAST(CAST(0 AS BIGINT), cum_min) AS BIGINT)
-             AS balance
-    FROM s
-    """,
-)
-def q_clamped_running_balance(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Floor-clamped running stock balance per part: receipts add,
-    issues subtract, and the level can never go below zero —
-    b_t = max(0, b_{t-1} + x_t), the recurrence every inventory,
-    credit-limit, and token-bucket ledger runs. The recurrence is
-    non-associative, so the naive implementation is a sequential
-    per-key scan (or a per-key UDAF loop); the engine instead uses
-    the prefix closed form b_t = S_t - min(0, min_{k<=t} S_k) — two
-    stacked window passes over the SAME (key, order) partitioning
-    (cumulative sum, then running min of it), which Spark executes
-    in one shuffle with both Window operators pipelined. Bigint
-    quantities end to end, so the clamp point is exact in both
-    engines. The same two-window trick linearizes any
-    max/min-clamped prefix recurrence at 100 TB — no
-    applyInPandas, no iteration."""
-    from pyspark.sql.window import Window
-
-    flows = (
-        read_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 7 == 0)
-        .select(
-            "l_partkey",
-            "l_orderkey",
-            "l_linenumber",
-            (
-                F.col("l_quantity").cast("bigint")
-                * F.when(F.col("l_orderkey") % 2 == 0, 1).otherwise(-1)
-            ).alias("flow"),
-            "l_shipdate",
-        )
-    )
-    w = (
-        Window.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    s = flows.select(
-        "l_partkey",
-        "l_orderkey",
-        "l_linenumber",
-        "l_shipdate",
-        F.sum("flow").over(w).alias("cum"),
-    )
-    s = s.select(
-        "l_partkey",
-        "l_orderkey",
-        "l_linenumber",
-        "cum",
-        F.min("cum")
-        .over(
-            Window.partitionBy("l_partkey")
-            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        .alias("cum_min"),
-    )
-    return s.select(
-        "l_partkey",
-        "l_orderkey",
-        "l_linenumber",
-        (
-            F.col("cum")
-            - F.least(F.lit(0).cast("bigint"), F.col("cum_min"))
-        )
-        .cast("bigint")
-        .alias("balance"),
-    )
-
-
-def _entity_resolution_oracle() -> str:
-    from etl_pyspark_spark.dedup.components import (
-        sql_components_over_pairs,
-    )
-
-    return (
-        """WITH RECURSIVE
-    fpairs AS (
-      SELECT a.c_custkey AS doc_id_a, b.c_custkey AS doc_id_b
-      FROM customer a JOIN customer b
-        ON a.c_nationkey = b.c_nationkey
-       AND substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
-       AND a.c_custkey < b.c_custkey
-      WHERE levenshtein(a.c_name, b.c_name) <= 1),
-    """
-        + sql_components_over_pairs("fpairs", final_name="labels")
-        + """,
-    assigned AS (
-      SELECT c.c_custkey,
-             COALESCE(l.component_id, c.c_custkey) AS entity_id
-      FROM customer c LEFT JOIN labels l ON l.doc_id = c.c_custkey),
-    clusters AS (
-      SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
-             list(c_custkey ORDER BY c_custkey) AS member_keys
-      FROM assigned GROUP BY 1)
-    SELECT k.entity_id, cc.c_name AS canonical_name,
-           k.n_records, k.member_keys
-    FROM clusters k JOIN customer cc ON cc.c_custkey = k.entity_id
-    WHERE k.n_records > 1
-    """
-    )
-
-
-@query("entity_resolution_clusters", oracle=_entity_resolution_oracle())
-def q_entity_resolution_clusters(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """End-to-end entity resolution: blocked fuzzy matching ->
-    transitive closure -> canonical record — the full master-data
-    chain, composed from pieces the engine verifies separately
-    (fuzzy_name_match_blocked generates in-block edit-distance<=1
-    edges, dedup/components.py hash-min propagation labels the
-    match graph, and the minimum member key IS the canonical id by
-    construction of the labeling, so canonical selection costs one
-    join instead of a min_by pass). Transitivity is the part a plain
-    pairwise match gets wrong: A~B and B~C must land A, B, C in ONE
-    entity even when A and C don't match directly — exactly what
-    the recursive-CTE oracle replays. Blocking keeps candidate
-    generation off the O(n^2) cliff, and block membership is
-    hard-capped at MAX_BLOCK (operators/blocking hash-rank
-    WindowGroupLimit — cap-free on honest fixture blocks, bounded
-    O(cap^2) on pathological ones); the propagation loop's shuffles
-    are keyed on node id with per-round lineage truncation. Emits
-    only multi-record entities (the interesting ones) with their
-    sorted member list."""
-    from etl_pyspark_spark.dedup.components import connected_components
-    from etl_pyspark_spark.operators.blocking import capped_block_members
-
-    cust = read_table(spark, sf_dir, "customer")
-    blocked = capped_block_members(
-        cust.select(
-            "c_custkey",
-            "c_name",
-            F.col("c_nationkey").alias("nk"),
-            F.substring("c_name", 1, 16).alias("blk"),
-        ),
-        ["nk", "blk"],
-        "c_custkey",
-    )
-    a = blocked.select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-        "nk",
-        "blk",
-    )
-    b = blocked.select(
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
-        "nk",
-        "blk",
-    )
-    pairs = (
-        a.join(b, ["nk", "blk"])
-        .where(F.col("custkey_a") < F.col("custkey_b"))
-        .where(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1)
-        .select("custkey_a", "custkey_b")
-    )
-    labels = connected_components(
-        pairs, src="custkey_a", dst="custkey_b"
-    )
-    assigned = (
-        cust.select("c_custkey")
-        .join(
-            labels.select(
-                F.col("doc_id").alias("c_custkey"),
-                F.col("component_id"),
-            ),
-            "c_custkey",
-            "left",
-        )
-        .select(
-            "c_custkey",
-            F.coalesce("component_id", "c_custkey").alias("entity_id"),
-        )
-    )
-    clusters = (
-        assigned.groupBy("entity_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_records"),
-            F.array_sort(F.collect_list("c_custkey")).alias(
-                "member_keys"
-            ),
-        )
-        .where(F.col("n_records") > 1)
-    )
-    canon = cust.select(
-        F.col("c_custkey").alias("entity_id"),
-        F.col("c_name").alias("canonical_name"),
-    )
-    return clusters.join(canon, "entity_id").select(
-        "entity_id", "canonical_name", "n_records", "member_keys"
-    )
-
-
-@query(
-    "score_decile_lift",
-    oracle=f"""
-    WITH s AS (
-      SELECT event_id, value,
-             CASE WHEN event_type IN ('purchase', 'signup')
-                  THEN 1 ELSE 0 END AS label
-      FROM events WHERE value IS NOT NULL),
-    t AS (SELECT label,
-                 ntile(10) OVER (ORDER BY value DESC, event_id)
-                   AS decile
-          FROM s),
-    d AS (SELECT decile,
-                 CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(label) AS BIGINT) AS n_pos
-          FROM t GROUP BY 1),
-    g AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
-                 CAST(sum(n_pos) AS BIGINT) AS tot_pos
-          FROM d)
-    SELECT decile, n, n_pos,
-           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
-           CAST(n_pos * tot_n AS DOUBLE)
-             / CAST(n * tot_pos AS DOUBLE) AS lift,
-           CAST(sum(n_pos) OVER (ORDER BY decile
-                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-             / CAST(tot_pos AS DOUBLE) AS cum_gain
-    FROM d, g
-    """,
-)
-def q_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile lift/gains table for the classifier-eval family
-    (roc_auc_exact ranks globally, score_calibration_bins checks
-    probability honesty; THIS is the campaign-targeting readout:
-    how concentrated are the positives in the top score deciles).
-    Deciles come from operators/ranks.with_global_ntile over
-    (score DESC, event_id) — range exchange, never a
-    SinglePartition ntile over the full table; the per-decile
-    rollup is 10 rows, so the cumulative-gain window over it is
-    bounded by construction (k=10 rows regardless of corpus size —
-    an unpartitioned frame over a CONSTANT-size aggregate is the
-    one place it's legitimate). lift = pos_d*N / (n_d*P) and both
-    rates divide integers once into doubles — identically rounded
-    in both engines."""
-    from etl_pyspark_spark.operators.ranks import with_global_ntile
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
-    )
-    s = ev.select(
-        "event_id",
-        (-F.col("value")).alias("neg_value"),
-        F.col("event_type")
-        .isin("purchase", "signup")
-        .cast("int")
-        .alias("label"),
-    )
-    t = with_global_ntile(
-        s, ["neg_value", "event_id"], 10, tile_col="decile"
-    )
-    d = t.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("label").cast("bigint").alias("n_pos"),
-    )
-    g = d.agg(
-        F.sum("n").cast("bigint").alias("tot_n"),
-        F.sum("n_pos").cast("bigint").alias("tot_pos"),
-    )
-    w = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        d.crossJoin(F.broadcast(g))
-        .select(
-            "decile",
-            "n",
-            "n_pos",
-            (F.col("n_pos").cast("double") / F.col("n").cast("double"))
-            .alias("pos_rate"),
-            (
-                (F.col("n_pos") * F.col("tot_n")).cast("double")
-                / (F.col("n") * F.col("tot_pos")).cast("double")
-            ).alias("lift"),
-            (
-                F.sum("n_pos").over(w).cast("double")
-                / F.col("tot_pos").cast("double")
-            ).alias("cum_gain"),
-        )
-    )
-
-
-def _dedup_impact_oracle() -> str:
-    from etl_pyspark_spark.dedup.components import (
-        sql_components_over_pairs,
-    )
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_minhash_pairs,
-        sql_shingles_cte,
-    )
-
-    toks = _WS_TOKENS_SQL.format(col="d.text")
-    return (
-        "WITH RECURSIVE "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + ", "
-        + sql_components_over_pairs("pairs", final_name="comp")
-        + f""",
-    flagged AS (
-      SELECT d.source,
-             CASE WHEN d.text IS NULL THEN 0
-                  ELSE len({toks}) END AS n_tokens,
-             (c.doc_id IS NULL OR c.component_id = d.doc_id) AS kept
-      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_docs_kept,
-           CAST(COALESCE(sum(n_tokens) FILTER (WHERE kept), 0)
-                AS BIGINT) AS n_tokens_kept
-    FROM flagged GROUP BY source
-    """
-    )
-
-
-@query("dedup_impact_by_source", oracle=_dedup_impact_oracle())
-def q_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source dedup impact accounting: document and TOKEN counts
-    before vs after near-dup collapse (keep the min-id member of
-    each MinHash-LSH cluster, i.e. the component label itself) — the
-    mixture-planner readout that says how much of each source's
-    token mass dedup actually removes, which is what re-weights the
-    training mixture after cleaning (source_overlap_matrix says who
-    copies whom; THIS says what's left). Rides the session-shared
-    pair/component stages (dedup/shared.py), so the marginal cost is
-    one slim left join of the tiny cluster table against the corpus
-    projection and a per-source rollup; token counts are exact
-    whitespace-token cardinalities (functions/text.ws_tokens), kept
-    as bigints end to end."""
-    from etl_pyspark_spark.dedup.shared import dup_components
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.when(F.col("text").isNull(), F.lit(0))
-        .otherwise(F.size(ws_tokens(F.col("text"))))
-        .cast("bigint")
-        .alias("n_tokens"),
-    )
-    comp = dup_components(spark, sf_dir)
-    flagged = docs.join(comp, "doc_id", "left").select(
-        "source",
-        "n_tokens",
-        (
-            F.col("component_id").isNull()
-            | (F.col("component_id") == F.col("doc_id"))
-        ).alias("kept"),
-    )
-    return flagged.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        F.sum(F.col("kept").cast("bigint"))
-        .cast("bigint")
-        .alias("n_docs_kept"),
-        F.coalesce(
-            F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_tokens_kept"),
-    )
-
-
-@query(
-    "bitemporal_snapshot",
-    oracle=f"""
-    WITH log AS (
-      SELECT o_custkey AS key, o_orderkey AS change_id,
-             CAST(o_orderdate AS DATE) AS valid_from,
-             CAST(o_orderdate AS DATE)
-               + CAST(o_orderkey % 30 AS INTEGER) AS tx_from,
-             CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
-             o_orderpriority AS attr
-      FROM orders),
-    vis AS (
-      SELECT key, change_id, valid_from, op, attr,
-             row_number() OVER (PARTITION BY key
-                                ORDER BY valid_from DESC,
-                                         change_id DESC) AS rn
-      FROM log
-      WHERE tx_from <= DATE '{_SNAPSHOT_TS}'
-        AND valid_from <= DATE '{_SNAPSHOT_TS}')
-    SELECT key AS o_custkey, change_id AS o_orderkey,
-           attr AS priority, valid_from
-    FROM vis WHERE rn = 1 AND op = 'U'
-    """,
-)
-def q_bitemporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitemporal snapshot: the dimension AS THE SYSTEM KNEW IT at a
-    transaction-time cutoff, valid AS OF a business-time instant —
-    the reproducibility discipline behind 'rebuild last month's
-    features exactly as the pipeline saw them', where
-    cdc_snapshot_asof answers only the business-time half. Each
-    change here lands late by a deterministic 0-29 day ingestion
-    delay (tx_from = valid_from + orderkey%30), so changes already
-    VALID at the cutoff but not yet ARRIVED are invisible — the
-    rows a valid-time-only replay silently (and wrongly) includes;
-    diffing this result against cdc_snapshot_asof measures exactly
-    that late-data exposure. Mechanics stay scan-friendly: both
-    temporal predicates are pushed-down filters, then the same
-    per-key WindowGroupLimit top-1 on (valid_from, change_id) with
-    delete-wins semantics; a lakehouse at 100 TB runs this as one
-    partition-pruned pass over the change files dated <= the tx
-    cutoff."""
-    from pyspark.sql.window import Window
-
-    o = read_table(spark, sf_dir, "orders")
-    cutoff = F.lit(_SNAPSHOT_TS).cast("date")
-    log = o.select(
-        F.col("o_custkey").alias("key"),
-        F.col("o_orderkey").alias("change_id"),
-        F.to_date("o_orderdate").alias("valid_from"),
-        F.date_add(
-            F.to_date("o_orderdate"),
-            (F.col("o_orderkey") % 30).cast("int"),
-        ).alias("tx_from"),
-        F.when(F.col("o_orderkey") % 17 == 0, F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        F.col("o_orderpriority").alias("attr"),
-    )
-    w = Window.partitionBy("key").orderBy(
-        F.col("valid_from").desc(), F.col("change_id").desc()
-    )
-    vis = (
-        log.where(
-            (F.col("tx_from") <= cutoff)
-            & (F.col("valid_from") <= cutoff)
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("op") == "U"))
-    )
-    return vis.select(
-        F.col("key").alias("o_custkey"),
-        F.col("change_id").alias("o_orderkey"),
-        F.col("attr").alias("priority"),
-        "valid_from",
-    )
-
-
-_WM_DELAY_US = 3 * 3600 * 1_000_000
-
-
-@query(
-    "watermark_lateness_audit",
-    oracle=f"""
-    WITH a AS (
-      SELECT event_id, event_type, epoch_us(ts) AS tus,
-             epoch_us(ts) + (event_id % 7) * 3600000000 AS arr_us
-      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
-    w AS (
-      SELECT event_type, tus,
-             max(tus) OVER (ORDER BY arr_us, event_id
-                            ROWS UNBOUNDED PRECEDING) AS mx
-      FROM a)
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(*) FILTER (WHERE tus < mx - {_WM_DELAY_US})
-                AS BIGINT) AS n_late,
-           CAST(COALESCE(max(mx - {_WM_DELAY_US} - tus) FILTER (
-                  WHERE tus < mx - {_WM_DELAY_US}), 0) AS BIGINT)
-             AS max_lateness_us
-    FROM w GROUP BY 1
-    """,
-)
-def q_watermark_lateness_audit(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Watermark policy simulation on historical data: replay events
-    in a deterministic ARRIVAL order (event time + a 0-6h per-event
-    ingestion jitter), maintain the running event-time max exactly
-    as Structured Streaming's watermark does, and count per type how
-    many rows a 3-hour watermark would have dropped and how stale
-    the worst straggler was — the number you need BEFORE picking a
-    production watermark delay (too tight drops data, too loose
-    bloats state; the streaming queries here size their own
-    watermarks from exactly this distribution). The running max over
-    the GLOBAL arrival order is the scale problem: an unpartitioned
-    window serializes, so it runs through
-    operators/ranks.with_global_cummax — range exchange on arrival
-    key, per-partition running max, exclusive prefix-max folded in
-    from a broadcast |partitions|-row dim. A row is late iff its
-    event time trails the inclusive running max by more than the
-    delay (inclusive == exclusive here: a row can never make ITSELF
-    late). Microsecond bigint arithmetic end to end."""
-    from etl_pyspark_spark.operators.ranks import with_global_cummax
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
-    )
-    a = ev.select(
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("tus"),
-        (
-            F.unix_micros("ts")
-            + (F.col("event_id") % 7) * 3_600_000_000
-        ).alias("arr_us"),
-    )
-    w = with_global_cummax(
-        a, ["arr_us", "event_id"], "tus", cummax_col="mx"
-    )
-    late = F.col("tus") < F.col("mx") - _WM_DELAY_US
-    lateness = F.col("mx") - _WM_DELAY_US - F.col("tus")
-    return w.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(late.cast("bigint")).cast("bigint").alias("n_late"),
-        F.coalesce(
-            F.max(F.when(late, lateness)), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("max_lateness_us"),
-    )
-
-
-_KANON_K = 5
-
-
-@query(
-    "k_anonymity_generalize",
-    oracle=f"""
-    WITH base AS (
-      SELECT c_mktsegment,
-             CAST(floor(c_acctbal / 100) AS BIGINT) AS b100,
-             CAST(floor(c_acctbal / 1000) AS BIGINT) AS b1000
-      FROM customer),
-    c0 AS (
-      SELECT *, count(*) OVER (PARTITION BY c_mktsegment, b100) AS n0
-      FROM base),
-    c1 AS (
-      SELECT *, count(*) OVER (PARTITION BY c_mktsegment, b1000) AS n1
-      FROM c0 WHERE n0 < {_KANON_K}),
-    lvl0 AS (
-      SELECT c_mktsegment, 0 AS level, b100 AS band_key,
-             CAST(count(*) AS BIGINT) AS n_records
-      FROM c0 WHERE n0 >= {_KANON_K} GROUP BY 1, 3),
-    lvl1 AS (
-      SELECT c_mktsegment, 1 AS level, b1000 AS band_key,
-             CAST(count(*) AS BIGINT) AS n_records
-      FROM c1 WHERE n1 >= {_KANON_K} GROUP BY 1, 3),
-    lvl2 AS (
-      SELECT c_mktsegment, 2 AS level, CAST(-1 AS BIGINT) AS band_key,
-             CAST(count(*) AS BIGINT) AS n_records
-      FROM c1 WHERE n1 < {_KANON_K} GROUP BY 1)
-    SELECT * FROM lvl0
-    UNION ALL SELECT * FROM lvl1
-    UNION ALL SELECT * FROM lvl2
-    """,
-)
-def q_k_anonymity_generalize(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """k-anonymity ENFORCEMENT by local recoding (k_anonymity_audit
-    only measures; this fixes): records whose (segment, $100
-    balance band) equivalence class has fewer than k=5 members
-    escalate up a generalization ladder — $1000 bands, then the
-    fully suppressed band — and each record settles at the FIRST
-    level where its class clears k (level-2 classes keep whatever
-    is left: segment-only classes are large by construction, the
-    ladder's terminal catch-all). Local recoding beats full-domain
-    generalization on information loss: records in already-large
-    classes keep their fine bands. Mechanics: one keyed window
-    count per ladder level over only the records still escalating
-    (the candidate set shrinks each level, like k-core's peel), a
-    final per-class rollup per level, unioned. Bands are
-    floor(balance/step) — exact on both engines because balances
-    are 2-decimal values away from band boundaries by >> 1 ulp.
-    Emits the anonymized equivalence classes with their sizes."""
-    from pyspark.sql.window import Window
-
-    base = read_table(spark, sf_dir, "customer").select(
-        "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("b100"),
-        F.floor(F.col("c_acctbal") / 1000)
-        .cast("bigint")
-        .alias("b1000"),
-    )
-    c0 = base.withColumn(
-        "n0",
-        F.count(F.lit(1)).over(
-            Window.partitionBy("c_mktsegment", "b100")
-        ),
-    )
-    kept0 = (
-        c0.where(F.col("n0") >= _KANON_K)
-        .groupBy("c_mktsegment", F.col("b100").alias("band_key"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
-        .select(
-            "c_mktsegment",
-            F.lit(0).alias("level"),
-            "band_key",
-            "n_records",
-        )
-    )
-    c1 = c0.where(F.col("n0") < _KANON_K).withColumn(
-        "n1",
-        F.count(F.lit(1)).over(
-            Window.partitionBy("c_mktsegment", "b1000")
-        ),
-    )
-    kept1 = (
-        c1.where(F.col("n1") >= _KANON_K)
-        .groupBy("c_mktsegment", F.col("b1000").alias("band_key"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
-        .select(
-            "c_mktsegment",
-            F.lit(1).alias("level"),
-            "band_key",
-            "n_records",
-        )
-    )
-    lvl2 = (
-        c1.where(F.col("n1") < _KANON_K)
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
-        .select(
-            "c_mktsegment",
-            F.lit(2).alias("level"),
-            F.lit(-1).cast("bigint").alias("band_key"),
-            "n_records",
-        )
-    )
-    return kept0.unionByName(kept1).unionByName(lvl2)
-
-
-@query(
-    "percent_of_parent_rollup",
-    oracle="""
-    WITH rev AS (
-      SELECT r.r_name AS region, n.n_name AS nation,
-             sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                 * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-               AS rev_dec
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      GROUP BY 1, 2),
-    reg AS (SELECT region, sum(rev_dec) AS reg_dec FROM rev GROUP BY 1),
-    tot AS (SELECT sum(rev_dec) AS tot_dec FROM rev)
-    SELECT v.region, v.nation,
-           CAST(v.rev_dec AS DOUBLE) AS nation_revenue,
-           CAST(CAST(v.rev_dec AS DOUBLE) / CAST(g.reg_dec AS DOUBLE)
-                AS DOUBLE) AS share_of_region,
-           CAST(CAST(g.reg_dec AS DOUBLE) / CAST(t.tot_dec AS DOUBLE)
-                AS DOUBLE) AS region_share_of_total
-    FROM rev v JOIN reg g ON g.region = v.region, tot t
-    """,
-)
-def q_percent_of_parent_rollup(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Percent-of-parent hierarchical report: each nation's revenue
-    share WITHIN its region, and each region's share of the world —
-    the drill-down ratio pair every BI rollup renders
-    (market_share_ratio slices by year; THIS walks the geo
-    hierarchy). Revenue aggregates once at the leaf level
-    (decimal-exact sums); the region and grand totals re-aggregate
-    the TINY leaf table (|nations| rows), so the parent totals are
-    broadcast joins, never a window over the fact table and never a
-    second fact scan. Ratios are decimal->double casts divided
-    once — identical IEEE rounding on both engines. At 100 TB the
-    only fact-table pass is the leaf aggregation; everything above
-    it is metadata-sized."""
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    c = read_table(spark, sf_dir, "customer")
-    n = read_table(spark, sf_dir, "nation")
-    r = read_table(spark, sf_dir, "region")
-    rev = (
-        li.join(o, o["o_orderkey"] == li["l_orderkey"])
-        .join(c, c["c_custkey"] == o["o_custkey"])
-        .join(n, n["n_nationkey"] == c["c_nationkey"])
-        .join(r, r["r_regionkey"] == n["n_regionkey"])
-        .groupBy(
-            F.col("r_name").alias("region"),
-            F.col("n_name").alias("nation"),
-        )
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,6)")
-                * (1 - F.col("l_discount").cast("decimal(18,6)"))
-            ).alias("rev_dec")
-        )
-    )
-    reg = rev.groupBy("region").agg(
-        F.sum("rev_dec").alias("reg_dec")
-    )
-    tot = rev.agg(F.sum("rev_dec").alias("tot_dec"))
-    return (
-        rev.join(F.broadcast(reg), "region")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "region",
-            "nation",
-            F.col("rev_dec").cast("double").alias("nation_revenue"),
-            (
-                F.col("rev_dec").cast("double")
-                / F.col("reg_dec").cast("double")
-            ).alias("share_of_region"),
-            (
-                F.col("reg_dec").cast("double")
-                / F.col("tot_dec").cast("double")
-            ).alias("region_share_of_total"),
-        )
-    )
-
-
-@query(
-    "cumulative_distinct_users",
-    oracle="""
-    WITH first_seen AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS day
-      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-      GROUP BY 1),
-    daily AS (
-      SELECT day, CAST(count(*) AS BIGINT) AS n_new
-      FROM first_seen GROUP BY 1)
-    SELECT day, n_new,
-           CAST(sum(n_new) OVER (ORDER BY day
-                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS cum_users
-    FROM daily
-    """,
-)
-def q_cumulative_distinct_users(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Cumulative-distinct growth curve: users ever seen by each day
-    — the audience-growth readout that naive COUNT(DISTINCT) per
-    cumulative window recomputes quadratically. The linear-cost
-    identity: a user contributes exactly once, at their FIRST
-    event day, so cumulative distinct = running sum of first-seen
-    counts — one groupBy(user) min, one daily rollup, and a running
-    total over the (tiny, bounded-by-calendar) day table via
-    operators/ranks.with_global_cumsum — never a distinct inside a
-    window, never SinglePartition. cohort_retention slices the same
-    first-seen table by cohort; THIS is its running-total face."""
-    from etl_pyspark_spark.operators.ranks import with_global_cumsum
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    )
-    first_seen = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("day")
-    )
-    daily = first_seen.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_new")
-    )
-    return with_global_cumsum(
-        daily, ["day"], "n_new", "cum_users"
-    ).select("day", "n_new", F.col("cum_users").cast("bigint"))
-
-
-_DECAY_WEEKS = 8
-
-
-@query(
-    "decayed_leaderboard",
-    oracle=f"""
-    WITH mx AS (SELECT max(CAST(l_shipdate AS DATE)) AS horizon
-                FROM lineitem),
-    wk AS (
-      SELECT l_partkey,
-             CAST((horizon - CAST(l_shipdate AS DATE)) // 7
-                  AS BIGINT) AS age_w,
-             CAST(l_quantity AS BIGINT) AS qty
-      FROM lineitem, mx
-      WHERE CAST(l_shipdate AS DATE) > horizon - {7 * _DECAY_WEEKS}),
-    scored AS (
-      SELECT l_partkey,
-             sum(qty * (CAST(1 AS BIGINT)
-                        << ({_DECAY_WEEKS - 1} - age_w))) AS score_scaled
-      FROM wk GROUP BY 1)
-    SELECT l_partkey, CAST(score_scaled AS BIGINT) AS score_scaled,
-           CAST(CAST(score_scaled AS DOUBLE)
-                / {1 << (_DECAY_WEEKS - 1)} AS DOUBLE) AS decayed_qty
-    FROM scored
-    ORDER BY score_scaled DESC, l_partkey
-    LIMIT 20
-    """,
-)
-def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recency-decayed top-20 parts by shipped quantity: each week of
-    age halves a shipment's weight (half-life = 1 week over an
-    8-week horizon) — the trending-items ranking that a plain
-    total-count leaderboard gets wrong the moment demand shifts.
-    Dyadic decay is what makes it hash-matchable: weights are
-    2^-age, so scores accumulate EXACTLY as bigint
-    (qty << (7 - age_w)) and the single display division by 2^7
-    happens once, after aggregation (the same exactness trick as
-    ewma_order_price, applied to ranking). The horizon here is
-    computed from the data (1-row broadcast max), so the 8-week cut
-    is a post-scan filter against that broadcast row; a production
-    run passes the cutoff as a LITERAL and the same predicate then
-    partition-prunes the scan to 8 weeks of files. The score is one
-    map-side-combined groupBy, and the top-20 runs as
-    TakeOrderedAndProject with the partkey tiebreak — never a
-    global sort."""
-    li = read_table(spark, sf_dir, "lineitem")
-    mx = li.agg(
-        F.max(F.to_date("l_shipdate")).alias("horizon")
-    )
-    wk = (
-        li.crossJoin(F.broadcast(mx))
-        .where(
-            F.to_date("l_shipdate")
-            > F.date_sub(F.col("horizon"), 7 * _DECAY_WEEKS)
-        )
-        .select(
-            "l_partkey",
-            F.floor(
-                F.datediff(F.col("horizon"), F.to_date("l_shipdate"))
-                / 7
-            )
-            .cast("bigint")
-            .alias("age_w"),
-            F.col("l_quantity").cast("bigint").alias("qty"),
-        )
-    )
-    scored = wk.groupBy("l_partkey").agg(
-        F.sum(
-            F.col("qty")
-            * F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"{_DECAY_WEEKS - 1} - age_w)"
-            )
-        ).alias("score_scaled")
-    )
-    return (
-        scored.select(
-            "l_partkey",
-            F.col("score_scaled").cast("bigint").alias("score_scaled"),
-            (
-                F.col("score_scaled").cast("double")
-                / F.lit(float(1 << (_DECAY_WEEKS - 1)))
-            ).alias("decayed_qty"),
-        )
-        .orderBy(F.col("score_scaled").desc(), "l_partkey")
-        .limit(20)
-    )
-
-
-@query(
-    "multimodal_exact_dedup",
-    oracle="""
-    WITH a AS (
-      SELECT doc_id, md5(text) AS checksum,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-      FROM documents WHERE text IS NOT NULL)
-    SELECT checksum,
-           CAST(count(*) AS BIGINT) AS n_copies,
-           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
-           CAST((count(*) - 1) * min(n_bytes) AS BIGINT)
-             AS wasted_bytes
-    FROM a GROUP BY checksum
-    """,
-)
-def q_multimodal_exact_dedup(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Exact byte-level dedup of the multimodal asset lake — the
-    cheap first pass that runs BEFORE perceptual hashing
-    (multimodal_phash_dedup finds near-dups among whatever survives
-    THIS): group assets by payload checksum, keep the min-id copy,
-    report the bytes any duplicates waste (every group is emitted,
-    like dedup_exact — this fixture's duplicates are near-dups, so
-    groups are singletons here and wasted_bytes is 0). The checksum is the md5
-    the asset table already carries (multimodal/assets.py:55 — the
-    bytes never cross into Python; identical copies of an image or
-    audio blob collapse regardless of filename or metadata), so at
-    100 TB this is one map-side-combined groupBy on a 16-byte key
-    over checksums computed at INGEST time — the dedup itself never
-    rereads payloads. wasted_bytes uses min(n_bytes): within a
-    checksum group all payloads are byte-identical by definition."""
-    from etl_pyspark_spark.multimodal.assets import with_payload
-
-    docs = read_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-    )
-    assets = with_payload(docs)
-    return (
-        assets.groupBy("checksum")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
-            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
-            (
-                (F.count(F.lit(1)) - 1) * F.min("n_bytes")
-            )
-            .cast("bigint")
-            .alias("wasted_bytes"),
-        )
-    )
-
-
-@query(
-    "longest_daily_streak",
-    oracle="""
-    WITH days AS (
-      SELECT DISTINCT o_custkey,
-             CAST(o_orderdate AS DATE) AS day
-      FROM orders),
-    grp AS (
-      SELECT o_custkey, day,
-             CAST(day - DATE '1970-01-01' AS BIGINT)
-               - row_number() OVER (PARTITION BY o_custkey
-                                    ORDER BY day) AS g
-      FROM days),
-    streaks AS (
-      SELECT o_custkey, CAST(count(*) AS BIGINT) AS len,
-             min(day) AS streak_start
-      FROM grp GROUP BY o_custkey, g)
-    SELECT o_custkey,
-           max(len) AS longest_streak,
-           min(streak_start) FILTER (
-             WHERE len = (SELECT max(s2.len) FROM streaks s2
-                          WHERE s2.o_custkey = streaks.o_custkey))
-             AS streak_start
-    FROM streaks GROUP BY o_custkey
-    """,
-)
-def q_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Longest run of CONSECUTIVE order days per customer — the
-    gaps-and-islands idiom in its row_number-difference form:
-    day_number - row_number() is constant exactly within a
-    consecutive run (sessionize_events builds islands from
-    lag+cumsum gap flags; THIS is the arithmetic twin that needs no
-    gap threshold), so streaks fall out of one groupBy on the
-    derived constant. Two window-free-able shuffles total, both
-    keyed on the customer: the per-key row_number window and the
-    (key, group) rollup reuse one partitioning. Day arithmetic is
-    integer days-since-epoch — no timestamp subtraction ulp risk.
-    Earliest streak wins the start-date tiebreak when several runs
-    share the max length."""
-    from pyspark.sql.window import Window
-
-    days = (
-        read_table(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            F.to_date("o_orderdate").alias("day"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("o_custkey").orderBy("day")
-    grp = days.select(
-        "o_custkey",
-        "day",
-        (
-            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
-            .cast("bigint")
-            - F.row_number().over(w)
-        ).alias("g"),
-    )
-    streaks = grp.groupBy("o_custkey", "g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("len"),
-        F.min("day").alias("streak_start"),
-    )
-    best = streaks.groupBy("o_custkey").agg(
-        F.max("len").alias("longest_streak")
-    )
-    return (
-        streaks.join(best, "o_custkey")
-        .where(F.col("len") == F.col("longest_streak"))
-        .groupBy("o_custkey", "longest_streak")
-        .agg(F.min("streak_start").alias("streak_start"))
-        .select("o_custkey", "longest_streak", "streak_start")
-    )
-
-
-def _release_card_oracle() -> str:
-    from etl_pyspark_spark.dedup.components import (
-        sql_components_over_pairs,
-    )
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_minhash_pairs,
-        sql_shingles_cte,
-    )
-
-    toks = _WS_TOKENS_SQL.format(col="d.text")
-    return (
-        "WITH RECURSIVE "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + ", "
-        + sql_components_over_pairs("pairs", final_name="comp")
-        + f""",
-    d AS (SELECT doc_id, source, lang, text FROM documents),
-    base AS (
-      SELECT d.source,
-             CASE WHEN d.text IS NULL THEN 0
-                  ELSE len({toks}) END AS nt,
-             (d.text IS NULL) AS is_null,
-             (c.doc_id IS NOT NULL) AS is_dup,
-             d.lang
-      FROM d LEFT JOIN comp c ON c.doc_id = d.doc_id),
-    agg AS (
-      SELECT source,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(nt) AS BIGINT) AS n_tokens,
-             CAST(count(*) FILTER (WHERE is_null) AS BIGINT)
-               AS n_null_text,
-             CAST(count(*) FILTER (WHERE is_dup) AS BIGINT)
-               AS n_dup_members,
-             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-      FROM base GROUP BY 1),
-    lc AS (SELECT source, lang, count(*) AS c FROM d
-           WHERE lang IS NOT NULL GROUP BY 1, 2),
-    top AS (
-      SELECT source, lang AS top_lang
-      FROM (SELECT source, lang,
-                   row_number() OVER (PARTITION BY source
-                                      ORDER BY c DESC, lang DESC)
-                     AS rn
-            FROM lc) WHERE rn = 1)
-    SELECT a.source, a.n_docs, a.n_tokens, a.n_null_text,
-           a.n_dup_members,
-           CAST(CAST(a.n_dup_members AS DOUBLE)
-                / CAST(a.n_docs AS DOUBLE) AS DOUBLE) AS pct_dup,
-           a.n_langs, t.top_lang
-    FROM agg a JOIN top t ON t.source = a.source
-    """
-    )
-
-
-@query("corpus_release_card", oracle=_release_card_oracle())
-def q_corpus_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus release card — the one-page summary a data
-    release ships next to the shards: document and token mass,
-    null-payload count, how many docs sit in near-dup clusters
-    (rides the session-shared MinHash pair/component stages),
-    language breadth, and the dominant language. Every number is a
-    count or a single integer->double division, so the card
-    hash-matches across engines; the dominant language is a per-key
-    window top-1 (WindowGroupLimit) with a full (count DESC, lang
-    DESC) tiebreak. One pass over the corpus projection + the tiny
-    cluster and language rollups — the marginal cost at 100 TB is
-    the token count, which reuses the same tokenize-once staging
-    every text query shares."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.dedup.shared import dup_components
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "text"
-    )
-    comp = dup_components(spark, sf_dir).select("doc_id")
-    base = d.join(
-        comp.withColumn("is_dup", F.lit(True)), "doc_id", "left"
-    ).select(
-        "source",
-        F.when(F.col("text").isNull(), F.lit(0))
-        .otherwise(F.size(ws_tokens(F.col("text"))))
-        .cast("bigint")
-        .alias("nt"),
-        F.col("text").isNull().alias("is_null"),
-        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
-        "lang",
-    )
-    agg = base.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("nt").cast("bigint").alias("n_tokens"),
-        F.sum(F.col("is_null").cast("bigint"))
-        .cast("bigint")
-        .alias("n_null_text"),
-        F.sum(F.col("is_dup").cast("bigint"))
-        .cast("bigint")
-        .alias("n_dup_members"),
-        F.countDistinct("lang").cast("bigint").alias("n_langs"),
-    )
-    lc = (
-        d.where(F.col("lang").isNotNull())
-        .groupBy("source", "lang")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w = Window.partitionBy("source").orderBy(
-        F.col("c").desc(), F.col("lang").desc()
-    )
-    top = (
-        lc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("source", F.col("lang").alias("top_lang"))
-    )
-    return agg.join(top, "source").select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        "n_null_text",
-        "n_dup_members",
-        (
-            F.col("n_dup_members").cast("double")
-            / F.col("n_docs").cast("double")
-        ).alias("pct_dup"),
-        "n_langs",
-        "top_lang",
-    )
-
-
-@query(
-    "join_asof_forward",
-    oracle="""
-    SELECT e.event_id,
-           e.user_id,
-           CAST(floor(epoch(e.ts)) AS BIGINT) AS error_epoch_s,
-           p.purchase_epoch_s AS asof_next_purchase_epoch_s,
-           p.purchase_value AS asof_next_purchase_value
-    FROM (SELECT * FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (
-        SELECT user_id, ts,
-               CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch_s,
-               value AS purchase_value
-        FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND p.ts >= e.ts
-    """,
-)
-def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of join: each error event picks up the user's NEXT
-    purchase at-or-after it — the time-to-recovery / next-conversion
-    lookup that completes the as-of family (backward x3 variants
-    answer 'latest state BEFORE'; forward answers 'first outcome
-    AFTER', the shape funnel latency and incident-recovery metrics
-    are built from). Same union+single-window kernel
-    (operators/joins.py): the frame flips to (current, following)
-    with first(ignorenulls) and the equal-ts side tiebreak flips so
-    a same-instant outcome still matches — one shuffle for both
-    sides together, no range explosion."""
-    from etl_pyspark_spark.operators.joins import asof_join
-
-    ev = read_table(spark, sf_dir, "events")
-    errors = ev.where(F.col("event_type") == "error").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.unix_timestamp("ts").alias("error_epoch_s"),
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.unix_timestamp("ts").alias("purchase_epoch_s"),
-        F.col("value").alias("purchase_value"),
-    )
-    out = asof_join(
-        errors,
-        purchases,
-        key="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=["purchase_epoch_s", "purchase_value"],
-        direction="forward",
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        "error_epoch_s",
-        F.col("asof_purchase_epoch_s").alias(
-            "asof_next_purchase_epoch_s"
-        ),
-        F.col("asof_purchase_value").alias("asof_next_purchase_value"),
-    )
-
-
-@query(
-    "blocking_recall_eval",
-    oracle="""
-    WITH s AS (
-      SELECT * FROM (
-        SELECT c_nationkey, c_custkey, c_name,
-               row_number() OVER (
-                 PARTITION BY c_nationkey
-                 ORDER BY ('0x' || substr(md5('strat:'
-                            || CAST(c_custkey AS VARCHAR)), 1, 15))
-                            ::BIGINT,
-                          c_custkey) AS rk
-        FROM customer WHERE c_custkey % 3 = 0)
-      WHERE rk <= 500),
-    truth AS (
-      SELECT a.c_nationkey AS nk, a.c_custkey AS ka, b.c_custkey AS kb,
-             (substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16))
-               AS blocked
-      FROM s a JOIN s b
-        ON a.c_nationkey = b.c_nationkey
-       AND a.c_custkey < b.c_custkey
-      WHERE levenshtein(a.c_name, b.c_name) <= 1)
-    SELECT nk AS nationkey,
-           CAST(count(*) AS BIGINT) AS n_truth_pairs,
-           CAST(count(*) FILTER (WHERE blocked) AS BIGINT)
-             AS n_blocked_pairs,
-           CAST(CAST(count(*) FILTER (WHERE blocked) AS DOUBLE)
-                / CAST(count(*) AS DOUBLE) AS DOUBLE) AS recall
-    FROM truth GROUP BY nk
-    """,
-)
-def q_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocking-recall evaluation: what fraction of the TRUE match
-    pairs does the cheap (nation, 16-char-prefix) blocking key
-    actually retain, per nation — the measurement every
-    entity-resolution pipeline owes before trusting its candidate
-    generator (fuzzy_name_match_blocked and
-    entity_resolution_clusters both ride that key; a pair whose
-    single edit falls INSIDE the prefix lands in different blocks
-    and silently disappears). Ground truth here is the
-    nation-blocked exact edit-distance join — affordable because
-    nation blocks bound the pair space, and the evaluation runs on
-    a deterministic 1-in-3 customer stratum (the standard
-    measure-recall-on-a-sample trick: at 100 TB you never score
-    all pairs — the stratum's recall estimates the population's
-    because the blocking key is hash-independent of the sample),
-    CAPPED at 500 customers per nation by salted-hash rank
-    (round-5 fix: a purely proportional stratum still densifies
-    quadratically when customers grow against the fixed nation
-    count — measured 216 s at the 10x smoke; the absolute cap makes
-    the ground-truth pair space O(nations * cap^2) FOREVER, and the
-    hash-rank sample stays unbiased for the same independence
-    reason; WindowGroupLimit shape, pruned during the shuffle
-    read). One equi-join on the coarse key, codegen'd levenshtein
-    on in-block pairs only, a per-nation rollup, one
-    integer->double division for the recall."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.functions import text as T
-
-    strat = read_table(spark, sf_dir, "customer").where(
-        F.col("c_custkey") % 3 == 0
-    )
-    w = Window.partitionBy("c_nationkey").orderBy(
-        T.portable_hash60(
-            F.concat(F.lit("strat:"), F.col("c_custkey").cast("string"))
-        ),
-        F.col("c_custkey"),
-    )
-    cust = (
-        strat.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= 500)
-        .drop("_rk")
-    )
-    a = cust.select(
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_custkey").alias("ka"),
-        F.col("c_name").alias("na"),
-        F.substring("c_name", 1, 16).alias("pa"),
-    )
-    b = cust.select(
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_custkey").alias("kb"),
-        F.col("c_name").alias("nb"),
-        F.substring("c_name", 1, 16).alias("pb"),
-    )
-    truth = (
-        a.join(b, "nk")
-        .where(F.col("ka") < F.col("kb"))
-        .where(F.levenshtein(F.col("na"), F.col("nb")) <= 1)
-        .select(
-            "nk", (F.col("pa") == F.col("pb")).alias("blocked")
-        )
-    )
-    return truth.groupBy(F.col("nk").alias("nationkey")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"),
-        F.sum(F.col("blocked").cast("bigint"))
-        .cast("bigint")
-        .alias("n_blocked_pairs"),
-        (
-            F.sum(F.col("blocked").cast("bigint")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("recall"),
-    )
-
-
-@query(
-    "timeseries_linear_interpolate",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6)))
-                             AS DOUBLE) * 100) AS BIGINT) AS cents
-      FROM events
-      WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        AND value IS NOT NULL
-      GROUP BY 1, 2),
-    marked AS (
-      SELECT event_type, day, cents,
-             (dayofmonth(day) % 5 = 2) AS masked
-      FROM daily),
-    back AS (
-      SELECT *,
-             last_value(CASE WHEN NOT masked THEN cents END IGNORE NULLS)
-               OVER w AS prev_cents,
-             last_value(CASE WHEN NOT masked THEN day END IGNORE NULLS)
-               OVER w AS prev_day
-      FROM marked
-      WINDOW w AS (PARTITION BY event_type ORDER BY day
-                   ROWS UNBOUNDED PRECEDING)),
-    fwd AS (
-      SELECT *,
-             first_value(CASE WHEN NOT masked THEN cents END IGNORE NULLS)
-               OVER w2 AS next_cents,
-             first_value(CASE WHEN NOT masked THEN day END IGNORE NULLS)
-               OVER w2 AS next_day
-      FROM back
-      WINDOW w2 AS (PARTITION BY event_type ORDER BY day
-                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-    SELECT event_type, day, masked,
-           CASE
-             WHEN NOT masked THEN CAST(cents AS DOUBLE) / 100.0
-             WHEN prev_cents IS NULL OR next_cents IS NULL THEN NULL
-             ELSE CAST(prev_cents
-                       * CAST(next_day - prev_day AS BIGINT)
-                       + (next_cents - prev_cents)
-                       * CAST(day - prev_day AS BIGINT) AS DOUBLE)
-                  / (CAST(next_day - prev_day AS BIGINT) * 100.0)
-           END AS value_filled
-    FROM fwd
-    """,
-)
-def q_timeseries_linear_interpolate(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Linear interpolation of gaps in a keyed time series —
-    timeseries_gapfill_locf carries the LAST value forward (a step
-    function); THIS blends linearly between the bracketing known
-    points, the repair sensor/finance pipelines actually want. Gaps
-    are deterministic here (every day-of-month ending the 5-day
-    cycle on 2 is masked) so both engines interpolate the same
-    holes. The scalable shape: per key, ONE backward window carries
-    (previous known value, its day) and ONE forward window carries
-    (next known value, its day) — both on the same (key, day)
-    partitioning, so Spark pipelines them through a single shuffle
-    — and the blend is computed as an exact bigint cross-product
-    (prev*len + delta*pos) with ONE double division at the end:
-    interpolated values hash-match across engines, which a naive
-    float lerp cannot. Boundary gaps (no bracket on one side) stay
-    NULL rather than inventing data."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("event_type").isNotNull()
-        & F.col("ts").isNotNull()
-        & F.col("value").isNotNull()
-    )
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            * 100
-        )
-        .cast("bigint")
-        .alias("cents")
-    )
-    marked = daily.withColumn(
-        "masked", F.dayofmonth("day") % 5 == 2
-    )
-    known_c = F.when(~F.col("masked"), F.col("cents"))
-    known_d = F.when(~F.col("masked"), F.col("day"))
-    wb = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    j = marked.select(
-        "event_type",
-        "day",
-        "cents",
-        "masked",
-        F.last(known_c, ignorenulls=True).over(wb).alias("prev_cents"),
-        F.last(known_d, ignorenulls=True).over(wb).alias("prev_day"),
-        F.first(known_c, ignorenulls=True).over(wf).alias("next_cents"),
-        F.first(known_d, ignorenulls=True).over(wf).alias("next_day"),
-    )
-    seg_len = F.datediff(F.col("next_day"), F.col("prev_day")).cast(
-        "bigint"
-    )
-    pos = F.datediff(F.col("day"), F.col("prev_day")).cast("bigint")
-    blend = (
-        F.col("prev_cents") * seg_len
-        + (F.col("next_cents") - F.col("prev_cents")) * pos
-    ).cast("double") / (seg_len.cast("double") * 100.0)
-    return j.select(
-        "event_type",
-        "day",
-        "masked",
-        F.when(~F.col("masked"), F.col("cents").cast("double") / 100.0)
-        .when(
-            F.col("prev_cents").isNull()
-            | F.col("next_cents").isNull(),
-            F.lit(None).cast("double"),
-        )
-        .otherwise(blend)
-        .alias("value_filled"),
-    )
-
-
-_HRW_SHARDS = 8
-
-
-@query(
-    "rendezvous_shard_assignment",
-    oracle=f"""
-    WITH h AS (
-      SELECT doc_id, s.s AS shard,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
-                                 || CAST(s.s AS VARCHAR)), 1, 15))::BIGINT
-               AS hv
-      FROM documents, UNNEST(range({_HRW_SHARDS})) s(s)),
-    a8 AS (SELECT doc_id, arg_max(shard, hv) AS shard8 FROM h
-           GROUP BY doc_id),
-    a7 AS (SELECT doc_id, arg_max(shard, hv) AS shard7 FROM h
-           WHERE shard < {_HRW_SHARDS - 1} GROUP BY doc_id)
-    SELECT CAST(a8.shard8 AS BIGINT) AS shard_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(*) FILTER (WHERE a8.shard8 <> a7.shard7)
-                AS BIGINT) AS n_reassigned_on_drain
-    FROM a8 JOIN a7 ON a7.doc_id = a8.doc_id
-    GROUP BY 1
-    """,
-)
-def q_rendezvous_shard_assignment(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Rendezvous (highest-random-weight) shard assignment: each doc
-    goes to the shard maximizing md5(doc:shard) — the consistent-
-    placement scheme whose selling point is MINIMAL MOVEMENT: when
-    shard 7 drains, ONLY its own residents reassign (their new
-    argmax over the surviving 7 is independent of the drained
-    hash), every other doc keeps its shard. The query computes both
-    the 8-shard and 7-shard assignments and reports per-shard
-    residency plus how many residents reassign on drain — on every
-    shard except the drained one that count is provably zero, and
-    the driver-checked output carries the proof (shard_assignment
-    uses plain mod hashing, which reshuffles ~7/8 of ALL docs on
-    the same change; THIS is the fix). Mechanics: explode the
-    candidate shard list (a constant-width fan-out, not a join),
-    per-doc argmax via max_by, one keyed shuffle on doc_id shared
-    by both assignments; md5 arithmetic is the engine's established
-    bit-exact cross-engine hash."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    h = docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(_HRW_SHARDS - 1))
-        ).alias("shard"),
-    ).withColumn(
-        "hv",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("doc_id").cast("string"),
-                        F.col("shard").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-    )
-    a8 = h.groupBy("doc_id").agg(
-        F.max_by("shard", "hv").alias("shard8")
-    )
-    a7 = (
-        h.where(F.col("shard") < _HRW_SHARDS - 1)
-        .groupBy("doc_id")
-        .agg(F.max_by("shard", "hv").alias("shard7"))
-    )
-    return (
-        a8.join(a7, "doc_id")
-        .groupBy(F.col("shard8").cast("bigint").alias("shard_id"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(
-                (F.col("shard8") != F.col("shard7")).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("n_reassigned_on_drain"),
-        )
-    )
-
-
-@query(
-    "survival_hazard_table",
-    oracle="""
-    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS horizon
-                FROM orders),
-    obs AS (
-      SELECT o_custkey,
-             lead(CAST(o_orderdate AS DATE)) OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey) AS nxt,
-             CAST(o_orderdate AS DATE) AS cur,
-             horizon
-      FROM orders, mx),
-    g AS (
-      SELECT CAST(CAST(COALESCE(nxt, horizon) - cur AS BIGINT) // 30
-                  AS BIGINT) AS bucket,
-             (nxt IS NOT NULL) AS is_event
-      FROM obs),
-    cnt AS (
-      SELECT bucket,
-             CAST(count(*) FILTER (WHERE is_event) AS BIGINT)
-               AS n_events,
-             CAST(count(*) FILTER (WHERE NOT is_event) AS BIGINT)
-               AS n_censored,
-             CAST(count(*) AS BIGINT) AS n_total
-      FROM g GROUP BY 1),
-    risk AS (
-      SELECT bucket, n_events, n_censored,
-             CAST(sum(n_total) OVER (ORDER BY bucket DESC
-                                     ROWS UNBOUNDED PRECEDING)
-                  AS BIGINT) AS n_at_risk
-      FROM cnt)
-    SELECT bucket, n_at_risk, n_events, n_censored,
-           CAST(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
-                AS DOUBLE) AS hazard
-    FROM risk
-    """,
-)
-def q_survival_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete survival/hazard table for time-to-next-order WITH
-    censoring — the piece naive churn math gets wrong: a customer's
-    last order hasn't 'survived forever', it's censored at the
-    fixture horizon, and dropping censored spells biases hazards
-    up. Spells come from one lead() per customer (event = next
-    order exists, censored = horizon cut); 30-day buckets roll up
-    to a table bounded by the date span, so the at-risk reverse
-    cumulative (everyone whose spell reached the bucket) is a
-    window over a ~80-row aggregate — bounded by construction, the
-    legitimate unpartitioned-frame case (same argument as
-    score_decile_lift). hazard = events/at_risk is one
-    integer->double division; the Kaplan-Meier survival CURVE is a
-    cumulative product of (1 - hazard) downstream — deliberately
-    left to the consumer because cross-engine float products don't
-    hash-match; the table IS the exact, mergeable artifact."""
-    from pyspark.sql.window import Window
-
-    o = read_table(spark, sf_dir, "orders")
-    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("horizon"))
-    w = Window.partitionBy("o_custkey").orderBy(
-        "o_orderdate", "o_orderkey"
-    )
-    obs = o.crossJoin(F.broadcast(mx)).select(
-        F.lead(F.to_date("o_orderdate")).over(w).alias("nxt"),
-        F.to_date("o_orderdate").alias("cur"),
-        "horizon",
-    )
-    g = obs.select(
-        F.expr(
-            "CAST(datediff(COALESCE(nxt, horizon), cur) DIV 30"
-            " AS BIGINT)"
-        ).alias("bucket"),
-        F.col("nxt").isNotNull().alias("is_event"),
-    )
-    cnt = g.groupBy("bucket").agg(
-        F.sum(F.col("is_event").cast("bigint"))
-        .cast("bigint")
-        .alias("n_events"),
-        F.sum((~F.col("is_event")).cast("bigint"))
-        .cast("bigint")
-        .alias("n_censored"),
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
-    )
-    wr = Window.orderBy(F.col("bucket").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    risk = cnt.select(
-        "bucket",
-        "n_events",
-        "n_censored",
-        F.sum("n_total").over(wr).cast("bigint").alias("n_at_risk"),
-    )
-    return risk.select(
-        "bucket",
-        "n_at_risk",
-        "n_events",
-        "n_censored",
-        (
-            F.col("n_events").cast("double")
-            / F.col("n_at_risk").cast("double")
-        ).alias("hazard"),
-    )
-
-
-def _negative_sampling_oracle() -> str:
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_minhash_pairs,
-        sql_shingles_cte,
-    )
-
-    return (
-        "WITH "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + """,
-    idx AS (SELECT doc_id,
-                   row_number() OVER (ORDER BY doc_id) AS rk
-            FROM documents),
-    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-    negcand AS (
-      SELECT p.doc_id_a, p.doc_id_b, i.i,
-             ('0x' || substr(md5(CAST(p.doc_id_a AS VARCHAR) || ':'
-                                 || CAST(p.doc_id_b AS VARCHAR) || ':'
-                                 || CAST(i.i AS VARCHAR)),
-                             1, 15))::BIGINT % n + 1 AS rk
-      FROM pairs p, nt, UNNEST(range(1, 3)) i(i))
-    SELECT c.doc_id_a AS anchor_doc_id,
-           c.doc_id_b AS positive_doc_id,
-           CAST(c.i AS BIGINT) AS sample_i,
-           x.doc_id AS negative_doc_id
-    FROM negcand c JOIN idx x ON x.rk = c.rk
-    WHERE x.doc_id <> c.doc_id_a AND x.doc_id <> c.doc_id_b
-    """
-    )
-
-
-@query("negative_sampling_pairs", oracle=_negative_sampling_oracle())
-def q_negative_sampling_pairs(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Deterministic negative sampling for contrastive training:
-    every verified near-dup pair (anchor, positive) — the shared
-    dedup stage doubling as a positive-pair miner — gets k=2
-    corpus negatives chosen by hashing (anchor, positive, i) into a
-    dense row-number index over the corpus (RNG-free, so the
-    training set is bit-reproducible run over run and across
-    engines; hash-mod sampling is uniform over the index).
-    Accidental hits on the anchor or positive are filtered — the
-    standard in-batch-negative correction — which is why sampling
-    hashes into an INDEX rather than assuming contiguous ids: the
-    same plan survives sparse or reassigned doc ids. Cost: a
-    constant k-way fan-out of the (tiny) pair table, one broadcast
-    1-row count, one keyed join against the index — the corpus
-    itself is scanned only to build the index."""
-    from etl_pyspark_spark.dedup.shared import verified_pairs
-    from etl_pyspark_spark.operators.ranks import with_global_rank
-
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    idx = with_global_rank(docs, ["doc_id"], rank_col="rk")
-    nt = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    pairs = verified_pairs(spark, sf_dir).select(
-        "doc_id_a", "doc_id_b"
-    )
-    cand = (
-        pairs.select(
-            "doc_id_a",
-            "doc_id_b",
-            F.explode(F.sequence(F.lit(1), F.lit(2))).alias("i"),
-        )
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            "i",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                F.col("doc_id_a").cast("string"),
-                                F.col("doc_id_b").cast("string"),
-                                F.col("i").cast("string"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % F.col("n")
-                + 1
-            ).alias("rk"),
-        )
-    )
-    neg = idx.select(
-        F.col("rk"), F.col("doc_id").alias("negative_doc_id")
-    )
-    return (
-        cand.join(neg, "rk")
-        .where(
-            (F.col("negative_doc_id") != F.col("doc_id_a"))
-            & (F.col("negative_doc_id") != F.col("doc_id_b"))
-        )
-        .select(
-            F.col("doc_id_a").alias("anchor_doc_id"),
-            F.col("doc_id_b").alias("positive_doc_id"),
-            F.col("i").cast("bigint").alias("sample_i"),
-            "negative_doc_id",
-        )
-    )
-
-
-@query(
-    "item_item_cosine",
-    oracle="""
-    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-                WHERE l_orderkey % 10 = 0),
-    co AS (
-      SELECT a.l_partkey AS i, b.l_partkey AS j,
-             CAST(count(*) AS BIGINT) AS c_ij
-      FROM lp a JOIN lp b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2),
-    deg AS (SELECT l_partkey AS node, CAST(count(*) AS BIGINT) AS c
-            FROM lp GROUP BY 1)
-    SELECT co.i, co.j, co.c_ij,
-           CAST(CAST(co.c_ij AS DOUBLE)
-                / sqrt(CAST(di.c * dj.c AS DOUBLE)) AS DOUBLE)
-             AS cosine
-    FROM co
-    JOIN deg di ON di.node = co.i
-    JOIN deg dj ON dj.node = co.j
-    WHERE co.c_ij >= 2
-    """,
-)
-def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Item-item collaborative-filtering similarity over the basket
-    graph: cosine of binary co-purchase vectors reduces to
-    c_ij / sqrt(c_i * c_j) — co-occurrence over the geometric mean
-    of popularities, the normalization that stops bestsellers from
-    dominating every neighbor list (token_collocation_lift
-    normalizes by expectation for TEXT pairs; this is the recsys
-    twin on baskets, and the c_ij >= 2 support floor is the
-    standard noise cut). Counts are one distinct self-join within
-    the order (the same sharded basket expansion the graph queries
-    use) plus a tiny degree table joined back twice; the only
-    floating math is one sqrt and one division over exact bigints —
-    both correctly rounded identically in either engine, which is
-    what makes a similarity score hash-matchable at all. At 100 TB
-    the co-occurrence table is the heavy keyed shuffle and the
-    degree joins broadcast; baskets carry the shared MAX_BASKET
-    hash-rank cap (operators/baskets — degrees too, so numerator and
-    denominator describe the same truncated baskets; cap-free on the
-    fixture)."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
-
-    lp = capped_basket_items(
-        read_table(spark, sf_dir, "lineitem").where(
-            F.col("l_orderkey") % 10 == 0
-        ),
-        "l_orderkey",
-        "l_partkey",
-    ).localCheckpoint()
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("i"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("j"))
-    co = (
-        a.join(b, "l_orderkey")
-        .where(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ij"))
-        .where(F.col("c_ij") >= 2)
-    )
-    deg = lp.groupBy(F.col("l_partkey").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    di = deg.select(F.col("node").alias("i"), F.col("c").alias("ci"))
-    dj = deg.select(F.col("node").alias("j"), F.col("c").alias("cj"))
-    return (
-        co.join(di, "i")
-        .join(dj, "j")
-        .select(
-            "i",
-            "j",
-            "c_ij",
-            (
-                F.col("c_ij").cast("double")
-                / F.sqrt((F.col("ci") * F.col("cj")).cast("double"))
-            ).alias("cosine"),
-        )
-    )
-
-
-def _autocorr_oracle() -> str:
-    from etl_pyspark_spark.functions.compat import sql_pround
-
-    r_expr = sql_pround(
-        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-        " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-        " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
-        9,
-    )
-    return f"""
-    WITH d AS (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
-                             AS DOUBLE) * 100) AS BIGINT) AS cents
-      FROM orders GROUP BY 1),
-    lagged AS (
-      SELECT lg.lag AS lag, a.cents AS x, b.cents AS y
-      FROM UNNEST(range(1, 8)) lg(lag)
-      JOIN d a ON true
-      JOIN d b ON b.day = a.day + CAST(lg.lag AS INTEGER)),
-    g AS (
-      SELECT lag,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(y) AS BIGINT) AS sy,
-             sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
-               AS sxy,
-             sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
-               AS sxx,
-             sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
-               AS syy
-      FROM lagged GROUP BY 1)
-    SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
-           {r_expr} AS acf
-    FROM g
-    """
-
-
-@query("revenue_autocorrelation", oracle=_autocorr_oracle())
-def q_revenue_autocorrelation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Autocorrelation of the daily revenue series at lags 1-7 — the
-    seasonality fingerprint (a weekly cycle shows as a lag-7 peak)
-    every forecasting pipeline inspects before choosing model
-    features (daily_event_correlation correlates two DIFFERENT
-    series; this correlates the series with its own shifted self).
-    Same exactness discipline: daily revenue quantizes to bigint
-    cents, each lag's five sufficient statistics accumulate as
-    exact DECIMAL(38,0) integers over the lag-joined day pairs, and
-    the textbook Pearson expression runs once per lag row
-    (correctly-rounded IEEE ops + sqrt, pround(9)). The lag
-    fan-out is a constant 7-way explode of the TINY day table —
-    bounded by the calendar, not the fact table, which is scanned
-    exactly once for the daily rollup."""
-    o = read_table(spark, sf_dir, "orders")
-    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("double")
-            * 100
-        )
-        .cast("bigint")
-        .alias("cents")
-    )
-    a = d.select(
-        "day",
-        F.col("cents").alias("x"),
-        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
-    ).withColumn("day_b", F.date_add(F.col("day"), F.col("lag")))
-    b = d.select(
-        F.col("day").alias("day_b"), F.col("cents").alias("y")
-    )
-    lagged = a.join(b, "day_b")
-    g = lagged.groupBy("lag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(
-            F.col("x").cast("decimal(19,0)")
-            * F.col("y").cast("decimal(19,0)")
-        ).alias("sxy"),
-        F.sum(
-            F.col("x").cast("decimal(19,0)")
-            * F.col("x").cast("decimal(19,0)")
-        ).alias("sxx"),
-        F.sum(
-            F.col("y").cast("decimal(19,0)")
-            * F.col("y").cast("decimal(19,0)")
-        ).alias("syy"),
-    )
-    n = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    syy = F.col("syy").cast("double")
-    acf = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    )
-    return g.select(
-        F.col("lag").cast("bigint").alias("lag"),
-        F.col("n").alias("n_pairs"),
-        pround(acf, 9).alias("acf"),
-    )
-
-
-def _jackknife_oracle() -> str:
-    from etl_pyspark_spark.functions.compat import sql_pround
-
-    loo = sql_pround(
-        "CAST(tot_cents - cents AS DOUBLE)"
-        " / CAST(tot_n - n AS DOUBLE) / 100.0",
-        12,
-    )
-    return f"""
-    WITH f AS (
-      SELECT o_orderkey % 10 AS fold,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders),
-    per AS (
-      SELECT fold, CAST(sum(cents) AS BIGINT) AS cents,
-             CAST(count(*) AS BIGINT) AS n
-      FROM f GROUP BY 1),
-    tot AS (
-      SELECT CAST(sum(cents) AS BIGINT) AS tot_cents,
-             CAST(sum(n) AS BIGINT) AS tot_n,
-             CAST(count(*) AS BIGINT) AS k
-      FROM per),
-    loo AS (
-      SELECT k, tot_cents, tot_n,
-             CAST({loo} AS DECIMAL(38,12)) AS r_i
-      FROM per, tot),
-    g AS (
-      SELECT k, tot_cents, tot_n,
-             sum(r_i) AS sr,
-             sum(r_i * r_i) AS srr
-      FROM loo GROUP BY 1, 2, 3)
-    SELECT k,
-           CAST(CAST(tot_cents AS DOUBLE)
-                / CAST(tot_n AS DOUBLE) / 100.0 AS DOUBLE)
-             AS ratio_full,
-           {sql_pround(
-               "sqrt((CAST(k AS DOUBLE) - 1.0) / CAST(k AS DOUBLE)"
-               " * (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)"
-               "    * CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)))", 9
-           )} AS jackknife_se
-    FROM g
-    """
-
-
-@query("jackknife_ratio_variance", oracle=_jackknife_oracle())
-def q_jackknife_ratio_variance(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Jackknife standard error for a RATIO metric (average order
-    value = total revenue / order count) — the error bar every KPI
-    dashboard needs but naive per-row variance gets wrong, because
-    a ratio of sums is not a mean of rows. Delete-one-fold
-    estimates over k=10 deterministic hash folds: each
-    leave-one-out ratio is a single correctly-rounded double
-    division of exact integer sums, pround(12)-quantized and summed
-    as decimals (EXACT — a raw double sum over folds would be
-    merge-order-dependent), then the jackknife formula
-    sqrt((k-1)/k * Σ(r_i - r̄)²) runs once on the 1-row result.
-    Scale shape: one fact-table pass for the per-fold sufficient
-    statistics; everything after is a 10-row table."""
-    o = read_table(spark, sf_dir, "orders")
-    per = o.select(
-        (F.col("o_orderkey") % 10).alias("fold"),
-        F.round(F.col("o_totalprice") * 100)
-        .cast("bigint")
-        .alias("cents"),
-    ).groupBy("fold").agg(
-        F.sum("cents").cast("bigint").alias("cents"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    tot = per.agg(
-        F.sum("cents").cast("bigint").alias("tot_cents"),
-        F.sum("n").cast("bigint").alias("tot_n"),
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-    )
-    loo = per.crossJoin(F.broadcast(tot)).select(
-        "k",
-        "tot_cents",
-        "tot_n",
-        pround(
-            (F.col("tot_cents") - F.col("cents")).cast("double")
-            / (F.col("tot_n") - F.col("n")).cast("double")
-            / 100.0,
-            12,
-        )
-        .cast("decimal(38,12)")
-        .alias("r_i"),
-    )
-    g = loo.groupBy("k", "tot_cents", "tot_n").agg(
-        F.sum("r_i").alias("sr"),
-        F.sum(F.col("r_i") * F.col("r_i")).alias("srr"),
-    )
-    kd = F.col("k").cast("double")
-    sr = F.col("sr").cast("double")
-    srr = F.col("srr").cast("double")
-    return g.select(
-        "k",
-        (
-            F.col("tot_cents").cast("double")
-            / F.col("tot_n").cast("double")
-            / 100.0
-        ).alias("ratio_full"),
-        pround(
-            F.sqrt((kd - 1.0) / kd * (srr - sr * sr / kd)), 9
-        ).alias("jackknife_se"),
-    )
-
-
-_ISO_BINS = 20
-
-
-@query(
-    "isotonic_calibration",
-    oracle=f"""
-    WITH s AS (
-      SELECT CAST(least(floor((value - mn) * {_ISO_BINS}
-                              / (mx - mn + 1e-9)),
-                        {_ISO_BINS - 1}) AS BIGINT) AS bin,
-             CASE WHEN event_type IN ('purchase', 'signup')
-                  THEN 1 ELSE 0 END AS label
-      FROM events,
-           (SELECT min(value) AS mn, max(value) AS mx
-            FROM events WHERE value IS NOT NULL)
-      WHERE value IS NOT NULL),
-    b AS (
-      SELECT bin, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(label) AS BIGINT) AS pos
-      FROM s GROUP BY 1),
-    c AS (
-      SELECT bin, n, pos,
-             CAST(sum(n) OVER w AS BIGINT) AS cn,
-             CAST(sum(pos) OVER w AS BIGINT) AS cp
-      FROM b WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
-    m AS (
-      SELECT j.bin AS j, k.bin AS k,
-             CAST(k.cp - j.cp + j.pos AS DOUBLE)
-               / CAST(k.cn - j.cn + j.n AS DOUBLE) AS mean_jk
-      FROM c j JOIN c k ON j.bin <= k.bin),
-    inner_min AS (
-      SELECT i.bin AS bin, m.j,
-             min(m.mean_jk) AS min_k
-      FROM c i JOIN m ON m.j <= i.bin AND m.k >= i.bin
-      GROUP BY 1, 2),
-    iso AS (
-      SELECT bin, max(min_k) AS isotonic_rate
-      FROM inner_min GROUP BY 1)
-    SELECT c.bin, c.n, c.pos,
-           CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE) AS raw_rate,
-           iso.isotonic_rate
-    FROM c JOIN iso ON iso.bin = c.bin
-    """,
-)
-def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Isotonic (PAVA) calibration of the score->label mapping —
-    score_calibration_bins reports the raw per-bin rates; THIS fits
-    the monotone rate curve a probability consumer actually wants,
-    via the minimax closed form fitted_i = max_{{j<=i}} min_{{k>=i}}
-    mean(pos_j..pos_k), which equals pool-adjacent-violators
-    without any sequential pooling loop. The heavy lifting stays
-    one fact pass (binning + per-bin counts); the minimax runs on
-    the CONSTANT 20-row bin table (<= 20^3 combinations — bounded
-    by construction, never by data), as three joins over the
-    cumulative-count table. Each candidate mean is one
-    correctly-rounded division of exact integer sums, and min/max
-    over identically-computed doubles is engine-stable, so the
-    fitted curve hash-matches. Monotonicity and PAVA-equality are
-    property-tested against a sequential Python reference."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
-    )
-    rng = ev.agg(
-        F.min("value").alias("mn"), F.max("value").alias("mx")
-    )
-    s = ev.crossJoin(F.broadcast(rng)).select(
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("mn"))
-                * _ISO_BINS
-                / (F.col("mx") - F.col("mn") + 1e-9)
-            ),
-            F.lit(_ISO_BINS - 1),
-        )
-        .cast("bigint")
-        .alias("bin"),
-        F.col("event_type")
-        .isin("purchase", "signup")
-        .cast("int")
-        .alias("label"),
-    )
-    b = s.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("label").cast("bigint").alias("pos"),
-    )
-    w = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = b.select(
-        "bin",
-        "n",
-        "pos",
-        F.sum("n").over(w).cast("bigint").alias("cn"),
-        F.sum("pos").over(w).cast("bigint").alias("cp"),
-    ).localCheckpoint()
-    j = c.select(
-        F.col("bin").alias("j"),
-        F.col("cn").alias("jcn"),
-        F.col("cp").alias("jcp"),
-        F.col("n").alias("jn"),
-        F.col("pos").alias("jpos"),
-    )
-    k = c.select(
-        F.col("bin").alias("k"),
-        F.col("cn").alias("kcn"),
-        F.col("cp").alias("kcp"),
-    )
-    m = (
-        j.join(k, F.col("j") <= F.col("k"))
-        .select(
-            "j",
-            "k",
-            (
-                (F.col("kcp") - F.col("jcp") + F.col("jpos")).cast(
-                    "double"
-                )
-                / (F.col("kcn") - F.col("jcn") + F.col("jn")).cast(
-                    "double"
-                )
-            ).alias("mean_jk"),
-        )
-    )
-    i = c.select(F.col("bin").alias("i"))
-    inner_min = (
-        i.join(m, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
-        .groupBy("i", "j")
-        .agg(F.min("mean_jk").alias("min_k"))
-    )
-    iso = inner_min.groupBy("i").agg(
-        F.max("min_k").alias("isotonic_rate")
-    )
-    return (
-        c.join(iso, c["bin"] == iso["i"])
-        .select(
-            "bin",
-            "n",
-            "pos",
-            (F.col("pos").cast("double") / F.col("n").cast("double"))
-            .alias("raw_rate"),
-            "isotonic_rate",
-        )
-    )
-
-
-@query(
-    "theil_sen_slope",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
-               AS x,
-             CAST(count(*) AS BIGINT) AS y
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-    sl AS (
-      SELECT a.x AS xa, b.x AS xb,
-             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
-               AS slope
-      FROM d a JOIN d b ON a.x < b.x),
-    r AS (
-      SELECT slope,
-             row_number() OVER (ORDER BY slope, xa, xb) AS rn,
-             count(*) OVER () AS cnt
-      FROM sl)
-    SELECT CAST(cnt AS BIGINT) AS n_pairs,
-           min(slope) FILTER (WHERE rn = (cnt + 1) // 2)
-             AS theil_sen_slope
-    FROM r GROUP BY cnt
-    """,
-)
-def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen robust trend of the daily event-count series: the
-    MEDIAN of all pairwise slopes — immune to the outlier days that
-    wreck a least-squares fit (regression_by_group is the OLS twin;
-    this is what you reach for when the series has spikes). Every
-    pairwise slope is one correctly-rounded division of exact
-    integer (day, count) deltas, the median is the engine's
-    DISCRETE median discipline (lower middle by (slope, pair)
-    total order — interpolated medians average two doubles and
-    drift cross-engine), and the pair fan-out is over the
-    calendar-bounded day table (n days -> n(n-1)/2 slopes; at 100
-    TB you aggregate to days FIRST — one fact pass — precisely
-    because the pair space of raw rows would be quadratic in the
-    wrong variable). Day index is integer days since a fixed
-    epoch, so x-deltas are exact."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    d = ev.groupBy(
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
-        .cast("bigint")
-        .alias("x")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
-    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
-    sl = (
-        a.join(b, F.col("xa") < F.col("xb"))
-        .select(
-            "xa",
-            "xb",
-            (
-                (F.col("yb") - F.col("ya")).cast("double")
-                / (F.col("xb") - F.col("xa")).cast("double")
-            ).alias("slope"),
-        )
-    )
-    w = Window.orderBy("slope", "xa", "xb")
-    r = sl.select(
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("cnt"),
-    )
-    return (
-        r.where(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
-        .groupBy(F.col("cnt").cast("bigint").alias("n_pairs"))
-        .agg(F.min("slope").alias("theil_sen_slope"))
-    )
-
-
-@query(
-    "weekday_seasonality",
-    oracle="""
-    WITH d AS (
-      -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
-      SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow,
-             count(*) AS n
-      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
-      GROUP BY 1, 2),
-    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
-                 CAST(count(*) AS BIGINT) AS n_dows
-          FROM d GROUP BY 1)
-    SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow,
-           CAST(d.n AS BIGINT) AS n_events,
-           CAST(CAST(d.n * t.n_dows AS DOUBLE) / CAST(t.tot AS DOUBLE)
-                AS DOUBLE) AS seasonality_index
-    FROM d JOIN t ON t.event_type = d.event_type
-    """,
-)
-def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-of-week seasonality index per event type: observed count
-    over the uniform expectation (n * n_dows / total — 1.0 = flat,
-    2.0 = twice the flat-week rate), the profile that picks
-    staffing windows and seeds seasonal-naive forecasts
-    (revenue_autocorrelation DETECTS the weekly cycle; this SHAPES
-    it). Exactness: the index is one integer product divided once
-    into double — no per-day rate divisions to accumulate — and
-    the DuckDB twin uses the same dayofweek numbering. Two
-    aggregations, the second over the tiny (type, dow) rollup."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
-    )
-    d = ev.groupBy(
-        "event_type",
-        F.dayofweek(F.to_date("ts")).alias("dow"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    t = d.groupBy("event_type").agg(
-        F.sum("n").cast("bigint").alias("tot"),
-        F.count(F.lit(1)).cast("bigint").alias("n_dows"),
-    )
-    return d.join(t, "event_type").select(
-        "event_type",
-        F.col("dow").cast("bigint").alias("dow"),
-        F.col("n").cast("bigint").alias("n_events"),
-        (
-            (F.col("n") * F.col("n_dows")).cast("double")
-            / F.col("tot").cast("double")
-        ).alias("seasonality_index"),
-    )
-
-
-@query(
-    "spearman_rank_correlation",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-               AS x,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-               AS y
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-    rx AS (
-      SELECT day, x, y,
-             CAST(2 * rank() OVER (ORDER BY x)
-                  + count(*) OVER (PARTITION BY x) - 1 AS BIGINT)
-               AS rx2,
-             CAST(2 * rank() OVER (ORDER BY y)
-                  + count(*) OVER (PARTITION BY y) - 1 AS BIGINT)
-               AS ry2
-      FROM d),
-    g AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(rx2) AS BIGINT) AS sx,
-             CAST(sum(ry2) AS BIGINT) AS sy,
-             sum(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
-               AS sxy,
-             sum(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0)))
-               AS sxx,
-             sum(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
-               AS syy
-      FROM rx)
-    SELECT n AS n_days,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-             AS spearman_rho
-    FROM g
-    """,
-)
-def q_spearman_rank_correlation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Spearman rank correlation between the daily click and view
-    series — the robust twin of daily_event_correlation's Pearson
-    (monotone-but-nonlinear co-movement still scores 1, a single
-    outlier day can't dominate). Exactness trick: tie-averaged
-    midranks are half-integers, so DOUBLED midranks (2*rank(min) +
-    tie_count - 1) are pure bigints; Pearson is shift/scale
-    invariant, so rho on doubled ranks equals rho on midranks, and
-    the five sufficient statistics accumulate as exact decimals
-    just like the Pearson query. Rank windows run over the
-    calendar-bounded day table. The final expression is
-    correctly-rounded IEEE ops + sqrt, identical both engines."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(
-            (F.col("event_type") == "click").cast("long")
-        ).alias("x"),
-        F.sum(
-            (F.col("event_type") == "view").cast("long")
-        ).alias("y"),
-    )
-    rx2 = (
-        2 * F.rank().over(Window.orderBy("x"))
-        + F.count(F.lit(1)).over(Window.partitionBy("x"))
-        - 1
-    ).cast("bigint")
-    ry2 = (
-        2 * F.rank().over(Window.orderBy("y"))
-        + F.count(F.lit(1)).over(Window.partitionBy("y"))
-        - 1
-    ).cast("bigint")
-    rx = d.select(rx2.alias("rx2"), ry2.alias("ry2"))
-    g = rx.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("rx2").cast("bigint").alias("sx"),
-        F.sum("ry2").cast("bigint").alias("sy"),
-        F.sum(
-            F.col("rx2").cast("decimal(19,0)")
-            * F.col("ry2").cast("decimal(19,0)")
-        ).alias("sxy"),
-        F.sum(
-            F.col("rx2").cast("decimal(19,0)")
-            * F.col("rx2").cast("decimal(19,0)")
-        ).alias("sxx"),
-        F.sum(
-            F.col("ry2").cast("decimal(19,0)")
-            * F.col("ry2").cast("decimal(19,0)")
-        ).alias("syy"),
-    )
-    n = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    syy = F.col("syy").cast("double")
-    return g.select(
-        F.col("n").alias("n_days"),
-        (
-            (n * sxy - sx * sy)
-            / (
-                F.sqrt(n * sxx - sx * sx)
-                * F.sqrt(n * syy - sy * sy)
-            )
-        ).alias("spearman_rho"),
-    )
-
-
-@query(
-    "kendall_tau",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-               AS x,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-               AS y
-      FROM events WHERE ts IS NOT NULL GROUP BY 1),
-    pairs AS (
-      SELECT CAST(count(*) FILTER (
-               WHERE (a.x - b.x) * (a.y - b.y) > 0) AS BIGINT) AS c,
-             CAST(count(*) FILTER (
-               WHERE (a.x - b.x) * (a.y - b.y) < 0) AS BIGINT) AS dd
-      FROM d a JOIN d b ON a.day < b.day),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
-    tx AS (SELECT CAST(COALESCE(sum(t * (t - 1) / 2), 0) AS BIGINT)
-                  AS n1
-           FROM (SELECT count(*) AS t FROM d GROUP BY x)),
-    ty AS (SELECT CAST(COALESCE(sum(t * (t - 1) / 2), 0) AS BIGINT)
-                  AS n2
-           FROM (SELECT count(*) AS t FROM d GROUP BY y))
-    SELECT nn.n AS n_days, p.c AS n_concordant, p.dd AS n_discordant,
-           CAST(CAST(p.c - p.dd AS DOUBLE)
-                / sqrt(CAST((nn.n * (nn.n - 1) / 2 - tx.n1)
-                            * (nn.n * (nn.n - 1) / 2 - ty.n2)
-                            AS DOUBLE)) AS DOUBLE) AS kendall_tau_b
-    FROM pairs p, nn, tx, ty
-    """,
-)
-def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kendall tau-b between the daily click and view series — the
-    third face of the correlation family (Pearson: linear;
-    Spearman: monotone via ranks; Kendall: pairwise concordance,
-    the most outlier-proof and the one with a direct probabilistic
-    reading — P(concordant) - P(discordant)). Everything is integer
-    counting: concordant/discordant over the calendar-bounded day
-    pair table, tie corrections from per-value group sizes, and
-    tau-b's single sqrt+division at the end over exact bigints —
-    correctly rounded identically in both engines. At 100 TB the
-    day rollup is the one fact pass; the pair space is quadratic in
-    DAYS, not rows (the same bound theil_sen_slope leans on)."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
-        F.sum((F.col("event_type") == "view").cast("long")).alias("y"),
-    ).localCheckpoint()
-    a = d.select(
-        F.col("day").alias("da"), F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
-    )
-    b = d.select(
-        F.col("day").alias("db"), F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-    )
-    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
-    pairs = (
-        a.join(b, F.col("da") < F.col("db"))
-        .agg(
-            F.sum((prod > 0).cast("bigint")).cast("bigint").alias("c"),
-            F.sum((prod < 0).cast("bigint")).cast("bigint").alias("dd"),
-        )
-    )
-    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    tx = (
-        d.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.coalesce(
-                F.sum(F.expr("t * (t - 1) DIV 2")), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("n1")
-        )
-    )
-    ty = (
-        d.groupBy("y")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.coalesce(
-                F.sum(F.expr("t * (t - 1) DIV 2")), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("n2")
-        )
-    )
-    g = (
-        pairs.crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(tx))
-        .crossJoin(F.broadcast(ty))
-    )
-    n0 = F.expr("n * (n - 1) DIV 2")
-    return g.select(
-        F.col("n").alias("n_days"),
-        F.col("c").alias("n_concordant"),
-        F.col("dd").alias("n_discordant"),
-        (
-            (F.col("c") - F.col("dd")).cast("double")
-            / F.sqrt(
-                ((n0 - F.col("n1")) * (n0 - F.col("n2"))).cast(
-                    "double"
-                )
-            )
-        ).alias("kendall_tau_b"),
-    )
-
-
-@query(
-    "mann_whitney_u",
-    oracle=f"""
-    WITH d AS (SELECT value,
-                      sum(CASE WHEN event_type = 'click'
-                               THEN 1 ELSE 0 END) AS ca,
-                      sum(CASE WHEN event_type = 'view'
-                               THEN 1 ELSE 0 END) AS cb,
-                      sum(CASE WHEN event_type IN ('click', 'view')
-                               THEN 1 ELSE 0 END) AS cnt
-               FROM events WHERE value IS NOT NULL
-               GROUP BY value HAVING cnt > 0),
-    c AS (SELECT value, ca, cnt,
-                 CAST(sum(cnt) OVER (ORDER BY value
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum
-          FROM d),
-    r AS (SELECT CAST(sum(ca * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
-                   AS r2
-          FROM c),
-    t AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
-                 CAST(sum(cb) AS BIGINT) AS n2,
-                 CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
-          FROM d),
-    u AS (SELECT n1, n2, ties, r2, n1 + n2 AS n,
-                 r2 - n1 * (n1 + 1) AS u2
-          FROM r, t)
-    SELECT n1 AS n_click, n2 AS n_view, u2 AS u2_click,
-           {sql_pround(
-        "CAST(u2 - n1 * n2 AS DOUBLE) / (2 * sqrt("
-        "CAST(CAST(n1 AS DECIMAL(38,0)) * n2 "
-        "* ((n + 1) * CAST(n AS DECIMAL(38,0)) * (n - 1) - ties) "
-        "AS DOUBLE) / CAST(12 * CAST(n AS DECIMAL(38,0)) * (n - 1) "
-        "AS DOUBLE)))", 9
-    )} AS z_score
-    FROM u
-    """,
-)
-def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Mann-Whitney U rank-sum test (click vs view values) —
-    the nonparametric location test beside the family's KS
-    (max CDF gap) and chi-square (categorical drift). Everything is
-    integer: average ranks with ties are kept doubled
-    (2*avg_rank = 2*cnt_less + cnt_eq + 1, never a .5), so the
-    doubled rank sum 2*R1 and doubled statistic 2*U1 are exact
-    bigints; the tie-corrected normal z does one decimal->double
-    cast per operand and a single sqrt+division at the end
-    (correctly rounded identically in both engines). Scale shape:
-    identical to ks_two_sample — reduce to the DISTINCT value axis
-    first, then ONE range-exchange cumulative pass
-    (with_global_cumsum_multi, never SinglePartition); the test
-    statistic is a 1-row fold. No reference counterpart
-    (SURVEY §2.9 statistics family)."""
-    from etl_pyspark_spark.operators.ranks import (
-        with_global_cumsum_multi,
-    )
-
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    d = (
-        ev.groupBy("value")
-        .agg(
-            F.sum(
-                (F.col("event_type") == "click").cast("int")
-            ).alias("ca"),
-            F.sum(
-                (F.col("event_type") == "view").cast("int")
-            ).alias("cb"),
-            F.sum(
-                F.col("event_type").isin("click", "view").cast("int")
-            ).alias("cnt"),
-        )
-        .filter(F.col("cnt") > 0)
-        .persist()
-    )
-    c = with_global_cumsum_multi(d, ["value"], ["cnt"])
-    r2 = F.broadcast(
-        c.agg(
-            F.sum(
-                F.col("ca")
-                * (
-                    2 * (F.col("cum_cnt") - F.col("cnt"))
-                    + F.col("cnt")
-                    + 1
-                )
-            )
-            .cast("bigint")
-            .alias("r2")
-        )
-    )
-    t = F.broadcast(
-        d.agg(
-            F.sum("ca").cast("bigint").alias("n1"),
-            F.sum("cb").cast("bigint").alias("n2"),
-            F.sum(
-                F.col("cnt") * F.col("cnt") * F.col("cnt")
-                - F.col("cnt")
-            )
-            .cast("bigint")
-            .alias("ties"),
-        )
-    )
-    u = r2.crossJoin(t).select(
-        "n1",
-        "n2",
-        "ties",
-        (F.col("n1") + F.col("n2")).alias("n"),
-        (F.col("r2") - F.col("n1") * (F.col("n1") + 1)).alias("u2"),
-    )
-    var_num = (
-        F.col("n1").cast("decimal(38,0)")
-        * F.col("n2")
-        * (
-            (F.col("n") + 1)
-            * F.col("n").cast("decimal(38,0)")
-            * (F.col("n") - 1)
-            - F.col("ties")
-        )
-    ).cast("double")
-    var_den = (
-        F.lit(12) * F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)
-    ).cast("double")
-    return u.select(
-        F.col("n1").alias("n_click"),
-        F.col("n2").alias("n_view"),
-        F.col("u2").alias("u2_click"),
-        pround(
-            (F.col("u2") - F.col("n1") * F.col("n2")).cast("double")
-            / (F.lit(2) * F.sqrt(var_num / var_den)),
-            9,
-        ).alias("z_score"),
-    )
-
-
-# Benford expected first-digit shares log10(1 + 1/d), pre-rounded to
-# 6 decimals so both engines parse the SAME literal (libm log10 is not
-# correctly rounded, so neither side may compute it at runtime).
-_BENFORD_P = [
-    (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
-    (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
-    (9, 0.045757),
-]
-
-
-@query(
-    "benford_first_digit",
-    oracle=f"""
-    WITH obs AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-                                         AS VARCHAR), 1, 1) AS INT)
-                          AS first_digit,
-                        count(*) AS n_obs
-                 FROM orders GROUP BY 1),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders),
-    b(first_digit, p) AS (VALUES {", ".join(
-        f"({d}, {p})" for d, p in _BENFORD_P
-    )})
-    SELECT b.first_digit,
-           CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
-           {sql_pround("CAST(n.n_total AS DOUBLE) * b.p", 6)}
-             AS expected_n,
-           {sql_pround(
-        "(CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)"
-        " - CAST(n.n_total AS DOUBLE) * b.p)"
-        " * (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)"
-        " - CAST(n.n_total AS DOUBLE) * b.p)"
-        " / (CAST(n.n_total AS DOUBLE) * b.p)", 6
-    )} AS chi_term
-    FROM b LEFT JOIN obs USING (first_digit), n
-    """,
-)
-def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit over order totals — the
-    fraud/data-quality screen for any monetary fact column. The
-    expected shares are 6-decimal literals baked into BOTH engines
-    (libm log10 differs across engines; a shared literal cannot);
-    per-digit chi-square terms are pure-double expression trees with
-    identical op order, returned per digit so no cross-row double
-    sum exists. Scale shape: one map-side-combinable 9-group count
-    over the fact scan plus a broadcast of the 9-row expectation dim
-    — nothing else. No reference counterpart (SURVEY §2.9)."""
-    o = read_table(spark, sf_dir, "orders")
-    obs = o.groupBy(
-        F.substring(
-            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
-        )
-        .cast("int")
-        .alias("first_digit")
-    ).agg(F.count(F.lit(1)).alias("n_obs"))
-    n = F.broadcast(
-        o.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    )
-    b = F.broadcast(
-        spark.createDataFrame(_BENFORD_P, "first_digit int, p double")
-    )
-    exp = F.col("n_total").cast("double") * F.col("p")
-    dev = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") - exp
-    return (
-        b.join(obs, "first_digit", "left")
-        .crossJoin(n)
-        .select(
-            "first_digit",
-            F.coalesce(F.col("n_obs"), F.lit(0))
-            .cast("bigint")
-            .alias("n_obs"),
-            pround(exp, 6).alias("expected_n"),
-            pround(dev * dev / exp, 6).alias("chi_term"),
-        )
-    )
-
-
-@query(
-    "ab_test_proportions",
-    oracle=f"""
-    WITH per_user AS (SELECT user_id % 2 AS variant,
-                             max(CASE WHEN event_type = 'purchase'
-                                      THEN 1 ELSE 0 END) AS converted
-                      FROM events GROUP BY user_id),
-    v AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_a,
-                 CAST(sum(CASE WHEN variant = 0 THEN converted
-                               ELSE 0 END) AS BIGINT) AS conv_a,
-                 CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_b,
-                 CAST(sum(CASE WHEN variant = 1 THEN converted
-                               ELSE 0 END) AS BIGINT) AS conv_b
-          FROM per_user)
-    SELECT n_a, conv_a, n_b, conv_b,
-           {sql_pround(
-        "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
-        " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
-        " / sqrt(CAST(conv_a + conv_b AS DOUBLE)"
-        "        / CAST(n_a + n_b AS DOUBLE)"
-        "   * (1 - CAST(conv_a + conv_b AS DOUBLE)"
-        "          / CAST(n_a + n_b AS DOUBLE))"
-        "   * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))", 9
-    )} AS z_score
-    FROM v
-    """,
-)
-def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion z-test on a deterministic user split (parity of
-    user_id as the A/B assignment, purchase as conversion) — the
-    experiment-analysis primitive next to the eval family's AUC and
-    lift. Counts are the only aggregation (exact bigints per user
-    then per variant); the pooled z is one fixed-order double tree
-    over four bigints, with pround pinning the printed value. Scale
-    shape: per-user reduce (map-side combinable) then a 2-group
-    fold; nothing keyed finer than user ever shuffles. No reference
-    counterpart (SURVEY §2.9)."""
-    ev = read_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.max(
-            (F.col("event_type") == "purchase").cast("int")
-        ).alias("converted")
-    )
-    v = per_user.select(
-        (F.col("user_id") % 2).alias("variant"), "converted"
-    ).agg(
-        F.sum((F.col("variant") == 0).cast("int"))
-        .cast("bigint")
-        .alias("n_a"),
-        F.sum(
-            F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("conv_a"),
-        F.sum((F.col("variant") == 1).cast("int"))
-        .cast("bigint")
-        .alias("n_b"),
-        F.sum(
-            F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("conv_b"),
-    )
-    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
-    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
-    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
-    ).cast("double")
-    se = F.sqrt(
-        pp
-        * (F.lit(1) - pp)
-        * (
-            F.lit(1) / F.col("n_a").cast("double")
-            + F.lit(1) / F.col("n_b").cast("double")
-        )
-    )
-    return v.select(
-        "n_a",
-        "conv_a",
-        "n_b",
-        "conv_b",
-        pround((pa - pb) / se, 9).alias("z_score"),
-    )
-
-
-@query(
-    "hhi_concentration",
-    oracle="""
-    WITH rev AS (SELECT s.s_nationkey, l.l_suppkey,
-                        sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                 AS DECIMAL(18,6))) AS sup_rev
-                 FROM lineitem l JOIN supplier s
-                   ON l.l_suppkey = s.s_suppkey
-                 GROUP BY 1, 2),
-    tot AS (SELECT s_nationkey,
-                   CAST(sum(sup_rev) AS DECIMAL(38,6)) AS nat_rev,
-                   count(*) AS n_suppliers
-            FROM rev GROUP BY 1),
-    terms AS (SELECT r.s_nationkey,
-                     CAST(floor(
-                       (CAST(r.sup_rev AS DOUBLE)
-                        / CAST(t.nat_rev AS DOUBLE))
-                       * (CAST(r.sup_rev AS DOUBLE)
-                          / CAST(t.nat_rev AS DOUBLE))
-                       * 10000000000.0 + 0.5) AS BIGINT) AS sq
-              FROM rev r JOIN tot t USING (s_nationkey))
-    SELECT n.n_name,
-           CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
-           CAST(sum(terms.sq) AS DOUBLE) / 1000000.0 AS hhi_bp
-    FROM terms
-    JOIN tot t USING (s_nationkey)
-    JOIN nation n ON n.n_nationkey = terms.s_nationkey
-    GROUP BY 1, 2
-    """,
-)
-def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Herfindahl-Hirschman supplier-concentration index per nation
-    (sum of squared revenue shares, in basis points) — the market-
-    concentration screen regulators and marketplace teams run over
-    any seller dimension. Exactness: revenues fold as decimals
-    (order-free), each share is ONE double division, the squared
-    share is quantized to a bigint at 1e10 so the cross-supplier sum
-    is integer (double sums are order-dependent; integer sums are
-    not), and the final /1e6 is a single division. Scale shape: one
-    (nation, supplier) reduce feeding a nation-level reduce, with
-    the 25-row nation dim broadcast; no row ever shuffles twice on
-    the same key. No reference counterpart (SURVEY §2.9)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    s = read_table(spark, sf_dir, "supplier")
-    nat = read_table(spark, sf_dir, "nation")
-    rev = (
-        li.join(
-            F.broadcast(s.select("s_suppkey", "s_nationkey")),
-            li.l_suppkey == s.s_suppkey,
-        )
-        .groupBy("s_nationkey", "l_suppkey")
-        .agg(
-            F.sum(
-                (
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                ).cast("decimal(18,6)")
-            ).alias("sup_rev")
-        )
-    )
-    tot = rev.groupBy("s_nationkey").agg(
-        F.sum("sup_rev").cast("decimal(38,6)").alias("nat_rev"),
-        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-    )
-    share = F.col("sup_rev").cast("double") / F.col("nat_rev").cast(
-        "double"
-    )
-    terms = rev.join(F.broadcast(tot), "s_nationkey").select(
-        "s_nationkey",
-        "n_suppliers",
-        F.floor(share * share * F.lit(10000000000.0) + F.lit(0.5))
-        .cast("bigint")
-        .alias("sq"),
-    )
-    return (
-        terms.groupBy("s_nationkey", "n_suppliers")
-        .agg(F.sum("sq").alias("sq_sum"))
-        .join(
-            F.broadcast(nat.select("n_nationkey", "n_name")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select(
-            "n_name",
-            "n_suppliers",
-            (F.col("sq_sum").cast("double") / F.lit(1000000.0)).alias(
-                "hhi_bp"
-            ),
-        )
-    )
-
-
-@query(
-    "attribution_last_touch",
-    oracle="""
-    WITH conv AS (SELECT event_id AS conv_id, user_id, ts
-                  FROM events WHERE event_type = 'purchase'),
-    cand AS (SELECT c.conv_id, e.ts AS tts, e.event_id AS tid
-             FROM conv c JOIN events e
-               ON e.user_id = c.user_id
-              AND e.event_type <> 'purchase'
-              AND e.ts < c.ts
-              AND e.ts >= c.ts - INTERVAL 7 DAY),
-    best_ts AS (SELECT conv_id, max(tts) AS tts FROM cand
-                GROUP BY conv_id),
-    best AS (SELECT b.conv_id, b.tts, max(c.tid) AS tid
-             FROM best_ts b JOIN cand c
-               ON c.conv_id = b.conv_id AND c.tts = b.tts
-             GROUP BY 1, 2),
-    attributed AS (SELECT cv.conv_id,
-                          COALESCE(e.event_type, 'direct') AS channel
-                   FROM conv cv
-                   LEFT JOIN best b ON b.conv_id = cv.conv_id
-                   LEFT JOIN events e ON e.event_id = b.tid)
-    SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions
-    FROM attributed GROUP BY channel
-    """,
-)
-def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-touch marketing attribution: every purchase is credited
-    to the user's most recent non-purchase event within a 7-day
-    lookback (ties broken by event_id; no touch -> 'direct'), then
-    conversions roll up per channel. The match is the
-    min-per-group-join-back shape — argmax as (max ts per
-    conversion, then max event_id at that ts), never a
-    collect-and-loop. Scale shape: the candidate join is keyed on
-    user_id with a bounded 7-day window, so state per user is the
-    lookback's events; the two argmax reduces and the final channel
-    rollup are all map-side combinable. At 100 TB the same plan runs
-    with the events table bucketed by user_id (join_bucketed's
-    layout), making the self-join exchange-free. No reference
-    counterpart (SURVEY §2.9)."""
-    ev = read_table(spark, sf_dir, "events")
-    conv = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("conv_id"),
-        F.col("user_id").alias("cu"),
-        F.col("ts").alias("cts"),
-    )
-    touches = ev.where(F.col("event_type") != "purchase").select(
-        F.col("user_id").alias("tu"),
-        F.col("ts").alias("tts"),
-        F.col("event_id").alias("tid"),
-        F.col("event_type").alias("channel"),
-    )
-    cand = conv.join(
-        touches,
-        (F.col("tu") == F.col("cu"))
-        & (F.col("tts") < F.col("cts"))
-        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAYS")),
-    ).select("conv_id", "tts", "tid")
-    best_ts = cand.groupBy("conv_id").agg(F.max("tts").alias("tts"))
-    best = (
-        best_ts.join(cand, ["conv_id", "tts"])
-        .groupBy("conv_id", "tts")
-        .agg(F.max("tid").alias("tid"))
-    )
-    attributed = (
-        conv.join(best, "conv_id", "left")
-        .join(
-            ev.select(
-                F.col("event_id").alias("tid"),
-                F.col("event_type").alias("channel"),
-            ),
-            "tid",
-            "left",
-        )
-        .select(
-            "conv_id",
-            F.coalesce(F.col("channel"), F.lit("direct")).alias(
-                "channel"
-            ),
-        )
-    )
-    return attributed.groupBy("channel").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_conversions")
-    )
-
-
-@query(
-    "sql_scalar_udf",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS charged,
-           CAST(count(*) AS BIGINT) AS n_lines
-    FROM lineitem
-    WHERE l_extendedprice * (1 - l_discount) * (1 + l_tax)
-          > l_extendedprice
-    GROUP BY l_returnflag
-    """,
-)
-def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN expr):
-    the engine's sanctioned way to package reusable business logic —
-    unlike a Python UDF the body INLINES into the plan at analysis
-    time, so Catalyst still pushes predicates through it, codegen
-    fuses it, and no Python worker is involved (the oracle is just
-    the inlined expression; the plan-level no-Python assertion in
-    tests/test_oracle.py holds). Used both as a projection and
-    inside a filter to prove pushdown survives the indirection."""
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION charged_price("
-        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
-        "RETURN p * (1 - d) * (1 + t)"
-    )
-    li = read_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("li_udf_src")
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               CAST(sum(CAST(charged_price(l_extendedprice, l_discount,
-                                           l_tax) AS DECIMAL(18,6)))
-                    AS DOUBLE) AS charged,
-               CAST(count(*) AS BIGINT) AS n_lines
-        FROM li_udf_src
-        WHERE charged_price(l_extendedprice, l_discount, l_tax)
-              > l_extendedprice
-        GROUP BY l_returnflag
-        """
-    )
-
-
-_BFS_HOPS = 3
-
-
-def _bfs_oracle(rounds: int) -> str:
-    """Unrolled BFS twin over the shared co-purchase edge CTE. Every
-    frontier/visited set is MATERIALIZED — round r references round
-    r-1 twice (expansion probe + anti filter), so plain CTE inlining
-    would go exponential in the round count exactly as documented on
-    _kcore_oracle. The anti filter is a LEFT JOIN ... IS NULL, not
-    NOT IN (the form that mismatched inside recursive members)."""
-    sql = "WITH " + _copurchase_edges_sql().replace(
-        "e0 AS (", "e0 AS MATERIALIZED ("
-    )
-    sql += """,
-    und AS MATERIALIZED (
-      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-    mk AS (SELECT min(l_orderkey) AS k FROM lp),
-    h0 AS MATERIALIZED (
-      SELECT DISTINCT lp.l_partkey AS node FROM lp, mk
-      WHERE lp.l_orderkey = mk.k),
-    v0 AS MATERIALIZED (SELECT node, 0 AS hop FROM h0)"""
-    for r in range(1, rounds + 1):
-        sql += f""",
-    h{r} AS MATERIALIZED (
-      SELECT n.node FROM (
-        SELECT DISTINCT und.v AS node
-        FROM h{r - 1} f JOIN und ON und.u = f.node) n
-      LEFT JOIN v{r - 1} vis ON vis.node = n.node
-      WHERE vis.node IS NULL),
-    v{r} AS MATERIALIZED (
-      SELECT node, hop FROM v{r - 1}
-      UNION ALL SELECT node, {r} AS hop FROM h{r})"""
-    sql += f"""
-    SELECT node, CAST(hop AS INT) AS hop FROM v{rounds}
-    """
-    return sql
-
-
-@query("graph_bfs_hops", oracle=_bfs_oracle(_BFS_HOPS))
-def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-source breadth-first search: exact min-hop distance (0-3)
-    from a seed basket's parts over the co-purchase graph — the
-    "related products within k hops" / blast-radius primitive.
-    Classic frontier BFS: each round expands the CURRENT frontier
-    only (never the whole visited set) through the undirected edge
-    list, anti-joins the visited set to keep first-discovery hops,
-    and localCheckpoints both (lineage doubles per round otherwise —
-    same discipline as graph_k_core). All keyed shuffles; frontier
-    size is bounded by the graph's neighborhood growth, and the edge
-    list carries the shared mega-basket cap (operators/baskets), so
-    a hub basket cannot quadratically explode an expansion round.
-    Seeds: the parts of the sharded graph's minimum order key
-    (deterministic, data-derived). No reference counterpart
-    (SURVEY §2.9 graph family)."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
-
-    lp = capped_basket_items(
-        read_table(spark, sf_dir, "lineitem").where(
-            F.col("l_orderkey") % 10 == 0
-        ),
-        "l_orderkey",
-        "l_partkey",
-    ).localCheckpoint()
-    edges = _copurchase_edges(spark, sf_dir)
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    mk = F.broadcast(lp.agg(F.min("l_orderkey").alias("k")))
-    seeds = (
-        lp.join(mk, F.col("l_orderkey") == F.col("k"))
-        .select(F.col("l_partkey").alias("node"))
-        .distinct()
-        .localCheckpoint()
-    )
-    visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint()
-    frontier = seeds
-    for h in range(1, _BFS_HOPS + 1):
-        frontier = (
-            frontier.join(und, frontier["node"] == und["u"])
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "anti")
-            .localCheckpoint()
-        )
-        visited = visited.unionAll(
-            frontier.withColumn("hop", F.lit(h))
-        ).localCheckpoint()
-    return visited.select("node", F.col("hop").cast("int").alias("hop"))
-
-
-@query(
-    "boilerplate_coverage_ratio",
-    oracle=f"""
-    WITH t AS (SELECT doc_id,
-                      {_WS_TOKENS_SQL.format(col="text")} AS toks
-               FROM documents),
-    g AS (SELECT t.doc_id, s.s AS s,
-                 array_to_string(t.toks[s.s:s.s + 4], ' ') AS gram
-          FROM t, UNNEST(range(1, len(t.toks) - 4 + 1)) AS s(s)),
-    df AS (SELECT gram, count(DISTINCT doc_id) AS ndocs
-           FROM g GROUP BY 1),
-    top AS MATERIALIZED (
-      SELECT gram FROM df ORDER BY ndocs DESC, gram ASC LIMIT 20),
-    gm AS MATERIALIZED (
-      SELECT g.doc_id, g.s FROM g JOIN top USING (gram)),
-    cov AS (SELECT gm.doc_id, p.p AS p
-            FROM gm, UNNEST(range(gm.s, gm.s + 5)) AS p(p)
-            GROUP BY 1, 2),
-    c AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY 1)
-    SELECT t.doc_id,
-           CAST(len(t.toks) AS BIGINT) AS n_tokens,
-           CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
-           floor(CAST(COALESCE(c.n_covered, 0) AS DOUBLE)
-                 / CAST(len(t.toks) AS DOUBLE) * 1000000.0 + 0.5)
-             / 1000000.0 AS coverage_ratio
-    FROM t LEFT JOIN c USING (doc_id)
-    """,
-)
-def q_boilerplate_coverage_ratio(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Boilerplate coverage: what fraction of each document's token
-    positions is covered by any of the corpus's 20 most
-    document-frequent 5-grams — the C4/RefinedWeb-style boilerplate
-    screen for corpora without line structure (headers, footers, and
-    template phrases surface as high-document-frequency n-grams).
-    Tokenize once, enumerate 5-gram start positions with built-in
-    higher-order functions (no Python), reduce to corpus document
-    frequency, broadcast the tiny top-k boilerplate dim back, and
-    count DISTINCT covered positions per doc (overlapping matches
-    must not double-count — the distinct on (doc, position) is the
-    interval-union made set-wise). Scale shape: the df reduce is the
-    one big shuffle (map-side combinable); top-k is
-    TakeOrderedAndProject; coverage re-expands only the MATCHED
-    grams' 5 positions each. No reference counterpart (SURVEY §2.9
-    LLM text-quality family)."""
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
-    ).localCheckpoint()
-    g = t.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                # sequence(1, n) DESCENDS when n < 1 — short docs must
-                # yield an empty position list, not [1, 0]
-                F.when(
-                    F.size("toks") >= 5,
-                    F.sequence(F.lit(1), F.size("toks") - 4),
-                ).otherwise(F.expr("array()").cast("array<int>")),
-                lambda s: F.concat_ws(" ", F.slice("toks", s, 5)),
-            )
-        ).alias("s0", "gram"),
-    ).select(
-        "doc_id", (F.col("s0") + 1).alias("s"), "gram"
-    )
-    df_ = g.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("ndocs")
-    )
-    top = F.broadcast(
-        df_.orderBy(F.col("ndocs").desc(), F.col("gram").asc())
-        .limit(20)
-        .select("gram")
-    )
-    cov = (
-        g.join(top, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("s"), F.col("s") + 4)
-            ).alias("p"),
-        )
-        .distinct()
-    )
-    c = cov.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_covered")
-    )
-    return (
-        t.join(c, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("toks").cast("bigint").alias("n_tokens"),
-            F.coalesce(F.col("n_covered"), F.lit(0))
-            .cast("bigint")
-            .alias("n_covered"),
-            pround(
-                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
-                / F.size("toks").cast("double"),
-                6,
-            ).alias("coverage_ratio"),
-        )
-    )
-
-
-@query(
-    "l_diversity_audit",
-    oracle="""
-    SELECT c_nationkey, c_mktsegment,
-           CAST(count(*) AS BIGINT) AS group_size,
-           CAST(count(DISTINCT CAST(floor(c_acctbal / 100.0) AS INT))
-                AS BIGINT) AS n_distinct_sensitive,
-           (count(DISTINCT CAST(floor(c_acctbal / 100.0) AS INT)) < 3)
-             AS l_risk
-    FROM customer
-    GROUP BY c_nationkey, c_mktsegment
-    """,
-)
-def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit — the privacy gate one step past
-    k_anonymity_audit: a quasi-identifier group can be large (k-safe)
-    yet still leak if everyone in it shares the same SENSITIVE value
-    (homogeneity attack). Per (nation, segment) group, count DISTINCT
-    sensitive buckets (account balance in 100-unit bands) and flag
-    groups below l=3. Same one-pass partial-agg shape as the k audit;
-    the distinct count is per group, never global. No reference
-    counterpart (SURVEY §2.9 release-gate family)."""
-    c = read_table(spark, sf_dir, "customer")
-    nd = F.count_distinct(
-        F.floor(F.col("c_acctbal") / F.lit(100.0)).cast("int")
-    )
-    return c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).cast("bigint").alias("group_size"),
-        nd.cast("bigint").alias("n_distinct_sensitive"),
-        (nd < 3).alias("l_risk"),
-    )
-
-
-@query(
-    "event_pattern_match",
-    oracle="""
-    WITH s AS (SELECT user_id,
-                      string_agg(substr(event_type, 1, 1), ''
-                                 ORDER BY ts, event_id) AS seq,
-                      count(*) AS n_events
-               FROM events WHERE ts IS NOT NULL GROUP BY user_id)
-    SELECT user_id,
-           CAST(n_events AS BIGINT) AS n_events,
-           regexp_matches(seq, 'v.*c.*p') AS matched
-    FROM s
-    """,
-)
-def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-pattern matching (MATCH_RECOGNIZE-lite): does each user's
-    time-ordered journey contain view -> click -> purchase in that
-    order (gaps allowed)? The journey collapses to a compact initial
-    string per user — one groupBy with an in-group array_sort on the
-    (ts, event_id) tiebreak, the user_event_sequence idiom — and the
-    pattern is a single regex over it, evaluated in codegen. Scale
-    shape: per-user event counts are application-bounded (the same
-    bound every sessionization op leans on), so the collected array
-    is small; nothing global, no window. NULL timestamps are dropped
-    up front like every other temporal events query — Spark's
-    array_sort puts a NULL ts field first while DuckDB's string_agg
-    ORDER BY defaults NULLS LAST, so an unfiltered journey string
-    would silently diverge across engines on NULL-bearing data. No
-    reference counterpart (SURVEY §2.9 sequence-analytics family)."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    seq = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ),
-            lambda s: F.substring(s["event_type"], 1, 1),
-        ),
-        "",
-    )
-    return ev.groupBy("user_id").agg(
-        seq.alias("_seq"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    ).select(
-        "user_id",
-        "n_events",
-        F.col("_seq").rlike("v.*c.*p").alias("matched"),
-    )
-
-
-@query(
-    "effect_size_cohens_d",
-    oracle=f"""
-    WITH g AS (SELECT
-        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-             AS BIGINT) AS na,
-        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-             AS BIGINT) AS nb,
-        sum(CASE WHEN event_type = 'click'
-                 THEN CAST(value AS DECIMAL(18,6)) END) AS sa,
-        sum(CASE WHEN event_type = 'view'
-                 THEN CAST(value AS DECIMAL(18,6)) END) AS sb,
-        sum(CASE WHEN event_type = 'click'
-                 THEN CAST(value * value AS DECIMAL(38,12)) END) AS qa,
-        sum(CASE WHEN event_type = 'view'
-                 THEN CAST(value * value AS DECIMAL(38,12)) END) AS qb
-      FROM events WHERE value IS NOT NULL)
-    SELECT na AS n_click, nb AS n_view,
-           {sql_pround(
-        "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
-        " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
-        " / sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)"
-        "          * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
-        "        + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)"
-        "          * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))"
-        "       / CAST(na + nb - 2 AS DOUBLE))", 9
-    )} AS cohens_d
-    FROM g
-    """,
-)
-def q_effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's d standardized mean difference (click vs view values)
-    — the effect-size companion to the family's significance tests
-    (mann_whitney_u says WHETHER the populations differ; d says by
-    HOW MUCH in pooled-SD units). Sufficient statistics only: counts
-    and decimal-exact Σx / Σx² per group fold in one pass (the x*x
-    product is a single double multiplication, identical in both
-    engines, cast to decimal before the order-free sum); the d
-    formula is one fixed-order double tree with a single sqrt.
-    Scale shape: one map-side-combinable aggregate over the scan —
-    the cheapest possible two-sample statistic. No reference
-    counterpart (SURVEY §2.9 statistics family)."""
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    is_a = F.col("event_type") == "click"
-    is_b = F.col("event_type") == "view"
-    g = ev.agg(
-        F.sum(is_a.cast("int")).cast("bigint").alias("na"),
-        F.sum(is_b.cast("int")).cast("bigint").alias("nb"),
-        F.sum(
-            F.when(is_a, F.col("value").cast("decimal(18,6)"))
-        ).alias("sa"),
-        F.sum(
-            F.when(is_b, F.col("value").cast("decimal(18,6)"))
-        ).alias("sb"),
-        F.sum(
-            F.when(
-                is_a,
-                (F.col("value") * F.col("value")).cast("decimal(38,12)"),
-            )
-        ).alias("qa"),
-        F.sum(
-            F.when(
-                is_b,
-                (F.col("value") * F.col("value")).cast("decimal(38,12)"),
-            )
-        ).alias("qb"),
-    )
-    na_d = F.col("na").cast("double")
-    nb_d = F.col("nb").cast("double")
-    sa_d = F.col("sa").cast("double")
-    sb_d = F.col("sb").cast("double")
-    ssa = F.col("qa").cast("double") - sa_d * sa_d / na_d
-    ssb = F.col("qb").cast("double") - sb_d * sb_d / nb_d
-    pooled = (ssa + ssb) / (F.col("na") + F.col("nb") - 2).cast("double")
-    return g.select(
-        F.col("na").alias("n_click"),
-        F.col("nb").alias("n_view"),
-        pround(
-            (sa_d / na_d - sb_d / nb_d) / F.sqrt(pooled), 9
-        ).alias("cohens_d"),
-    )
-
-
-def _pr_curve_oracle() -> str:
-    cuts = "\n      UNION ALL\n".join(
-        f"""      SELECT {q} AS decile,
-             min(CASE WHEN cum_cnt >= ceil({q / 10} * n) THEN value END)
-               AS threshold
-      FROM cc"""
-        for q in range(1, 10)
-    )
-    return f"""
-    WITH d AS (SELECT value, count(*) AS cnt,
-                      sum(CASE WHEN event_type IN ('purchase', 'signup')
-                               THEN 1 ELSE 0 END) AS pos
-               FROM events WHERE value IS NOT NULL GROUP BY value),
-    c AS (SELECT value, cnt, pos,
-                 CAST(sum(cnt) OVER (ORDER BY value
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum_cnt,
-                 CAST(sum(pos) OVER (ORDER BY value
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum_pos
-          FROM d),
-    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
-                 CAST(sum(pos) AS BIGINT) AS p FROM d),
-    cc AS (SELECT c.*, t.n, t.p FROM c, t),
-    cuts AS (
-{cuts}),
-    pr AS (SELECT cu.decile,
-                  CAST(cc.value AS DOUBLE) AS threshold,
-                  cc.n - cc.cum_cnt + cc.cnt AS pred_pos,
-                  cc.p - cc.cum_pos + cc.pos AS tp,
-                  cc.p AS p
-           FROM cuts cu JOIN cc ON cc.value = cu.threshold)
-    SELECT CAST(decile AS INT) AS decile, threshold,
-           CAST(pred_pos AS BIGINT) AS n_pred_pos,
-           CAST(tp AS BIGINT) AS tp,
-           {sql_pround(
-        "CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE)", 9
-    )} AS precision_at,
-           {sql_pround("CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)", 9)}
-             AS recall_at,
-           {sql_pround(
-        "2 * CAST(tp AS DOUBLE) / CAST(pred_pos + p AS DOUBLE)", 9
-    )} AS f1_at
-    FROM pr
-    """
-
-
-@query("precision_recall_curve", oracle=_pr_curve_oracle())
-def q_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision / recall / F1 at the score's nine decile thresholds
-    ("predict positive when value >= cut") — the operating-point
-    curve beside roc_auc_exact's single scalar, using the family's
-    shared machinery end to end: reduce to DISTINCT scores, ONE
-    with_global_cumsum_multi pass for both cumulative counts (never
-    SinglePartition), discrete-quantile cuts (smallest value whose
-    cumulative count reaches ceil(q*n) — the winsorize rule, so both
-    engines select the identical stored score), and counts-at-cut by
-    an equi-join back to the distinct-score axis. F1 is computed as
-    2*tp/(pred_pos + actual_pos) — ONE integer-derived division, not
-    the P*R composition (fewer double ops, same value). No reference
-    counterpart (SURVEY §2.9 eval family)."""
-    from etl_pyspark_spark.operators.ranks import (
-        with_global_cumsum_multi,
-    )
-
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    d = ev.groupBy("value").agg(
-        F.count(F.lit(1)).cast("int").alias("cnt"),
-        F.sum(
-            F.col("event_type").isin("purchase", "signup").cast("int")
-        ).alias("pos"),
-    )
-    c = with_global_cumsum_multi(d, ["value"], ["cnt", "pos"])
-    t = F.broadcast(
-        d.agg(
-            F.sum("cnt").cast("bigint").alias("n"),
-            F.sum("pos").cast("bigint").alias("p"),
-        )
-    )
-    cc = c.crossJoin(t).persist()
-    cuts_row = cc.agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("cum_cnt")
-                    >= F.ceil(F.lit(q / 10) * F.col("n")),
-                    F.col("value"),
-                )
-            ).alias(f"t{q}")
-            for q in range(1, 10)
-        ]
-    )
-    cuts = F.broadcast(
-        cuts_row.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(q).cast("int").alias("decile"),
-                            F.col(f"t{q}").alias("threshold"),
-                        )
-                        for q in range(1, 10)
-                    ]
-                )
-            ).alias("s")
-        ).select("s.decile", "s.threshold")
-    )
-    pr = cuts.join(cc, cc["value"] == cuts["threshold"])
-    pred_pos = F.col("n") - F.col("cum_cnt") + F.col("cnt")
-    tp = F.col("p") - F.col("cum_pos") + F.col("pos")
-    return pr.select(
-        "decile",
-        F.col("threshold").cast("double").alias("threshold"),
-        pred_pos.cast("bigint").alias("n_pred_pos"),
-        tp.cast("bigint").alias("tp"),
-        pround(
-            tp.cast("double") / pred_pos.cast("double"), 9
-        ).alias("precision_at"),
-        pround(tp.cast("double") / F.col("p").cast("double"), 9).alias(
-            "recall_at"
-        ),
-        pround(
-            F.lit(2) * tp.cast("double")
-            / (pred_pos + F.col("p")).cast("double"),
-            9,
-        ).alias("f1_at"),
-    )
-
-
-def _golden_record_oracle() -> str:
-    from etl_pyspark_spark.dedup.components import (
-        sql_components_over_pairs,
-    )
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_minhash_pairs,
-        sql_shingles_cte,
-    )
-
-    return (
-        "WITH RECURSIVE "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + ", "
-        + sql_components_over_pairs("pairs", final_name="comp")
-        + """,
-    members AS (SELECT c.component_id, d.doc_id, d.lang, d.source,
-                       d.n_chars
-                FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
-    lang_mode AS (
-      SELECT component_id, lang FROM (
-        SELECT component_id, lang,
-               row_number() OVER (PARTITION BY component_id
-                                  ORDER BY count(*) DESC, lang ASC) AS rk
-        FROM members GROUP BY component_id, lang)
-      WHERE rk = 1),
-    src_mode AS (
-      SELECT component_id, source FROM (
-        SELECT component_id, source,
-               row_number() OVER (PARTITION BY component_id
-                                  ORDER BY count(*) DESC, source ASC) AS rk
-        FROM members GROUP BY component_id, source)
-      WHERE rk = 1)
-    SELECT m.component_id,
-           CAST(count(*) AS BIGINT) AS n_members,
-           min(lm.lang) AS golden_lang,
-           min(sm.source) AS golden_source,
-           CAST(max(m.n_chars) AS BIGINT) AS max_chars,
-           CAST(min(m.doc_id) AS BIGINT) AS record_id
-    FROM members m
-    JOIN lang_mode lm USING (component_id)
-    JOIN src_mode sm USING (component_id)
-    GROUP BY m.component_id
-    """
-    )
-
-
-@query("golden_record_merge", oracle=_golden_record_oracle())
-def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Survivorship / golden-record construction: where
-    dedup_canonical_selection keeps one WHOLE row per duplicate
-    cluster, the MDM-style golden record merges per FIELD — the
-    cluster's modal language and source (count-desc, value-asc
-    tiebreak so the mode is deterministic), its max n_chars, and the
-    min doc_id as the stable record key. Field modes are per-cluster
-    count reduces plus a row_number over the component partitioning
-    (WindowGroupLimit shape, partitioned, tiny next to the corpus);
-    clusters come from the session-shared dedup build, so the
-    marginal cost is the merge logic only. No reference counterpart
-    (SURVEY §2.9 dedup/MDM family)."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.dedup.shared import dup_components
-
-    docs = read_table(spark, sf_dir, "documents")
-    comp = dup_components(spark, sf_dir)
-    members = comp.join(
-        docs.select("doc_id", "lang", "source", "n_chars"), "doc_id"
-    ).persist()
-
-    def field_mode(col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("component_id").orderBy(
-            F.col("cnt").desc(), F.col(col).asc()
-        )
-        return (
-            members.groupBy("component_id", col)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("component_id", F.col(col).alias(out))
-        )
-
-    base = members.groupBy("component_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.max("n_chars").cast("bigint").alias("max_chars"),
-        F.min("doc_id").cast("bigint").alias("record_id"),
-    )
-    return (
-        base.join(field_mode("lang", "golden_lang"), "component_id")
-        .join(field_mode("source", "golden_source"), "component_id")
-        .select(
-            "component_id",
-            "n_members",
-            "golden_lang",
-            "golden_source",
-            "max_chars",
-            "record_id",
-        )
-    )
-
-
-@query(
-    "cuped_variance_reduction",
-    oracle=f"""
-    WITH per_user AS (
-      SELECT user_id, user_id % 2 AS variant,
-             sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
-                      THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS x,
-             sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
-                      THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS y
-      FROM events WHERE value IS NOT NULL GROUP BY user_id),
-    g AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS DOUBLE) AS sx,
-             CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                           AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
-                           AS DECIMAL(38,10))) AS DOUBLE) AS sxy
-      FROM per_user),
-    v AS (
-      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n0,
-             CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END)
-                  AS DOUBLE) AS sx0,
-             CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END)
-                  AS DOUBLE) AS sy0,
-             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n1,
-             CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END)
-                  AS DOUBLE) AS sx1,
-             CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END)
-                  AS DOUBLE) AS sy1
-      FROM per_user),
-    th AS (
-      SELECT n, sx / CAST(n AS DOUBLE) AS mean_x,
-             (sxy - sx * sy / CAST(n AS DOUBLE))
-               / (sxx - sx * sx / CAST(n AS DOUBLE)) AS theta
-      FROM g)
-    SELECT th.n AS n_users,
-           {sql_pround("th.theta", 9)} AS theta,
-           {sql_pround(
-        "v.sy0 / CAST(v.n0 AS DOUBLE) - v.sy1 / CAST(v.n1 AS DOUBLE)", 9
-    )} AS diff_raw,
-           {sql_pround(
-        "(v.sy0 / CAST(v.n0 AS DOUBLE)"
-        " - th.theta * (v.sx0 / CAST(v.n0 AS DOUBLE) - th.mean_x))"
-        " - (v.sy1 / CAST(v.n1 AS DOUBLE)"
-        " - th.theta * (v.sx1 / CAST(v.n1 AS DOUBLE) - th.mean_x))", 9
-    )} AS diff_cuped
-    FROM th, v
-    """,
-)
-def q_cuped_variance_reduction(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """CUPED (controlled-experiment using pre-experiment data): the
-    standard variance-reduction adjustment every experimentation
-    platform applies — per user, pre-period activity X predicts
-    post-period metric Y; theta = cov(X,Y)/var(X) over all users,
-    and the reported treatment effect is the difference of
-    theta-adjusted means instead of raw means. Everything reduces to
-    six sufficient statistics: per-user X/Y fold as exact decimals
-    (order-free), the cross-products X², XY are single double
-    multiplications quantized to DECIMAL(38,10) before the order-free
-    sum, and theta/means/diffs are one fixed-order double tree over
-    the 1-row fold. Scale shape: one per-user reduce (map-side
-    combinable) feeding two 1-row aggregates — the cheapest possible
-    shape; nothing finer than user_id ever shuffles. No reference
-    counterpart (SURVEY §2.9 experimentation family, beside
-    ab_test_proportions)."""
-    cut = F.lit("2024-01-15").cast("timestamp")
-    zero = F.lit(0).cast("decimal(18,6)")
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    per_user = ev.groupBy("user_id").agg(
-        F.sum(
-            F.when(
-                F.col("ts") < cut, F.col("value").cast("decimal(18,6)")
-            ).otherwise(zero)
-        ).alias("x"),
-        F.sum(
-            F.when(
-                F.col("ts") >= cut, F.col("value").cast("decimal(18,6)")
-            ).otherwise(zero)
-        ).alias("y"),
-    ).withColumn("variant", F.col("user_id") % 2).persist()
-    xd = F.col("x").cast("double")
-    yd = F.col("y").cast("double")
-    g = F.broadcast(
-        per_user.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("x").cast("double").alias("sx"),
-            F.sum("y").cast("double").alias("sy"),
-            F.sum((xd * xd).cast("decimal(38,10)"))
-            .cast("double")
-            .alias("sxx"),
-            F.sum((xd * yd).cast("decimal(38,10)"))
-            .cast("double")
-            .alias("sxy"),
-        )
-    )
-    dzero = F.lit(0).cast("decimal(28,6)")
-    v = F.broadcast(
-        per_user.agg(
-            F.sum((F.col("variant") == 0).cast("int"))
-            .cast("bigint")
-            .alias("n0"),
-            F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(dzero))
-            .cast("double")
-            .alias("sx0"),
-            F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(dzero))
-            .cast("double")
-            .alias("sy0"),
-            F.sum((F.col("variant") == 1).cast("int"))
-            .cast("bigint")
-            .alias("n1"),
-            F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(dzero))
-            .cast("double")
-            .alias("sx1"),
-            F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(dzero))
-            .cast("double")
-            .alias("sy1"),
-        )
-    )
-    nd = F.col("n").cast("double")
-    mean_x = F.col("sx") / nd
-    theta = (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / nd
-    )
-    m0y = F.col("sy0") / F.col("n0").cast("double")
-    m1y = F.col("sy1") / F.col("n1").cast("double")
-    m0x = F.col("sx0") / F.col("n0").cast("double")
-    m1x = F.col("sx1") / F.col("n1").cast("double")
-    return g.crossJoin(v).select(
-        F.col("n").alias("n_users"),
-        pround(theta, 9).alias("theta"),
-        pround(m0y - m1y, 9).alias("diff_raw"),
-        pround(
-            (m0y - theta * (m0x - mean_x))
-            - (m1y - theta * (m1x - mean_x)),
-            9,
-        ).alias("diff_cuped"),
-    )
-
-
-@query(
-    "heaps_law_vocab_growth",
-    oracle=f"""
-    WITH dt AS (SELECT doc_id, u.term
-                FROM documents,
-                     UNNEST({_WS_TOKENS_SQL.format(col="text")})
-                       AS u(term)),
-    first_occ AS (SELECT term, min(doc_id) AS doc_id FROM dt
-                  GROUP BY term),
-    newt AS (SELECT doc_id, count(*) AS n_new FROM first_occ
-             GROUP BY doc_id),
-    j AS (SELECT d.doc_id, COALESCE(n.n_new, 0) AS n_new_types
-          FROM documents d LEFT JOIN newt n USING (doc_id))
-    SELECT doc_id,
-           CAST(n_new_types AS BIGINT) AS n_new_types,
-           CAST(sum(n_new_types) OVER (ORDER BY doc_id
-                                       ROWS UNBOUNDED PRECEDING)
-                AS BIGINT) AS vocab_size
-    FROM j
-    """,
-)
-def q_heaps_law_vocab_growth(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Heaps'-law vocabulary growth curve: per document (in doc_id
-    ingest order), how many token TYPES appear for the first time,
-    and the running vocabulary size — the curve a corpus team plots
-    to decide when more data stops buying new vocabulary (and the
-    empirical input to tokenizer capacity planning). First
-    occurrences are a single min-reduce on the token axis (never a
-    scan ordered by time); the running total runs on
-    with_global_cumsum's range-exchange machinery, never a
-    SinglePartition window. Scale shape: the (token -> min doc)
-    reduce is the one corpus-wide shuffle, map-side combinable; the
-    cumulative pass moves |documents| rows, not tokens. No reference
-    counterpart (SURVEY §2.9 corpus-analytics family)."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.operators.ranks import with_global_cumsum
-
-    docs = read_table(spark, sf_dir, "documents")
-    dt = docs.select(
-        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("term")
-    )
-    first_occ = dt.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
-    newt = first_occ.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_new")
-    )
-    j = docs.select("doc_id").join(newt, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_new"), F.lit(0))
-        .cast("int")
-        .alias("n_new_types"),
-    )
-    c = with_global_cumsum(j, ["doc_id"], "n_new_types", "vocab_size")
-    return c.select(
-        "doc_id",
-        F.col("n_new_types").cast("bigint").alias("n_new_types"),
-        F.col("vocab_size").cast("bigint").alias("vocab_size"),
-    )
-
-
-_LINKPRED_MID_CAP = 1024
-
-
-@query(
-    "link_prediction_jaccard",
-    oracle="WITH "
-    + _copurchase_edges_sql().replace("e0 AS (", "e0 AS MATERIALIZED (")
-    + f""",
-    und AS MATERIALIZED (
-      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-    deg AS MATERIALIZED (
-      SELECT u AS node, count(*) AS d FROM und GROUP BY u),
-    mid AS (SELECT node FROM deg WHERE d <= {_LINKPRED_MID_CAP}),
-    wedge AS (SELECT a.v AS u, b.v AS w
-              FROM und a
-              JOIN mid m ON m.node = a.u
-              JOIN und b ON a.u = b.u AND a.v < b.v),
-    common AS (SELECT u, w, count(*) AS cn FROM wedge GROUP BY u, w),
-    nonadj AS (SELECT c.u, c.w, c.cn FROM common c
-               LEFT JOIN e0 e ON e.u = c.u AND e.v = c.w
-               WHERE e.u IS NULL),
-    sc AS (SELECT n.u, n.w, n.cn,
-                  CAST(n.cn AS DOUBLE)
-                    / CAST(du.d + dw.d - n.cn AS DOUBLE) AS jac
-           FROM nonadj n
-           JOIN deg du ON du.node = n.u
-           JOIN deg dw ON dw.node = n.w)
-    SELECT u, w, CAST(cn AS BIGINT) AS n_common,
-           floor(jac * 1000000000.0 + 0.5) / 1000000000.0 AS jaccard
-    FROM sc ORDER BY jac DESC, u ASC, w ASC LIMIT 50
-    """,
-)
-def q_link_prediction_jaccard(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Link prediction by neighborhood Jaccard: for non-adjacent node
-    pairs at distance 2 in the co-purchase graph, score
-    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| and keep the top 50 — the classic
-    common-neighbors recommender ("customers who buy these also
-    buy..."). Common-neighbor counting is the wedge join through the
-    middle node, which expands d(m)² per middle and CANNOT be
-    degree-oriented away like triangles (both endpoints are needed
-    per wedge) — so middles above degree 1024 are excluded by a
-    documented cap, the same guard philosophy as the shared
-    mega-basket cap (fixture max degree is 53, so the cap is
-    invisible at any tested scale but bounds the celebrity-node
-    quadratic at 100 TB). Union size comes from degrees, no second
-    pass; the final ranking is TakeOrderedAndProject on the raw
-    double (both engines order the identical IEEE value, ties broken
-    by the pair key). No reference counterpart (SURVEY §2.9 graph /
-    recsys family)."""
-    edges = _copurchase_edges(spark, sf_dir)
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    # Every join against deg/mid/edges carries a FACT-scale probe side
-    # (und / the wedge-pair table), so the build side must never force
-    # a sort of the probe: broadcast while the graph is small,
-    # shuffle-hash once it isn't (bounded build partitions hash
-    # per-task; the huge probe side never sorts).  The cutover uses
-    # the REAL memoized edge count, AQE-style, because the planner's
-    # estimate flips these joins to SortMergeJoin right past the
-    # broadcast threshold (~30x bench scale) and re-sorts the ~30x
-    # wedge table three times — measured 45x wall for 30x data; the
-    # count-driven strategy restored sublinear scaling (21.8x) while
-    # keeping the 1x broadcast plan.
-    n_edges = _copurchase_edge_count(spark, sf_dir)
-    if n_edges <= 1_000_000:
-        dim = F.broadcast
-    else:
-        dim = lambda df: df.hint("shuffle_hash")  # noqa: E731
-    mid = deg.where(F.col("d") <= _LINKPRED_MID_CAP).select("node")
-    a = und.select(F.col("u").alias("m"), F.col("v").alias("pu"))
-    b = und.select(F.col("u").alias("m"), F.col("v").alias("pw"))
-    wedge = (
-        a.join(dim(mid.withColumnRenamed("node", "m")), "m")
-        .join(b, "m")
-        .where(F.col("pu") < F.col("pw"))
-        .select(F.col("pu").alias("u"), F.col("pw").alias("w"))
-    )
-    common = wedge.groupBy("u", "w").agg(F.count(F.lit(1)).alias("cn"))
-    nonadj = common.join(
-        edges.hint("shuffle_hash"),
-        (edges["u"] == common["u"]) & (edges["v"] == common["w"]),
-        "left_anti",
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
-    sc = nonadj.join(dim(du), "u").join(dim(dw), "w").select(
-        "u",
-        "w",
-        "cn",
-        (
-            F.col("cn").cast("double")
-            / (F.col("du") + F.col("dw") - F.col("cn")).cast("double")
-        ).alias("jac"),
-    )
-    return (
-        sc.orderBy(F.col("jac").desc(), F.col("u").asc(), F.col("w").asc())
-        .limit(50)
-        .select(
-            "u",
-            "w",
-            F.col("cn").cast("bigint").alias("n_common"),
-            pround(F.col("jac"), 9).alias("jaccard"),
-        )
-    )
-
-
-def _qini_oracle() -> str:
-    cuts = "\n      UNION ALL\n".join(
-        f"      SELECT {k} AS decile, ceil({k / 10} * n) AS cut FROM t"
-        for k in range(1, 11)
-    )
-    return f"""
-    WITH per_user AS (
-      SELECT user_id,
-             CAST(user_id % 2 AS INT) AS t,
-             CAST(sum(CAST(COALESCE(value, 0) AS DECIMAL(18,6)))
-                  AS DOUBLE) AS score,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS y
-      FROM events GROUP BY user_id),
-    c AS (
-      SELECT user_id,
-             CAST(sum(1) OVER w AS BIGINT) AS cum_one,
-             CAST(sum(t) OVER w AS BIGINT) AS cum_nt,
-             CAST(sum(1 - t) OVER w AS BIGINT) AS cum_nc,
-             CAST(sum(t * y) OVER w AS BIGINT) AS cum_yt,
-             CAST(sum((1 - t) * y) OVER w AS BIGINT) AS cum_yc
-      FROM per_user
-      WINDOW w AS (ORDER BY score DESC, user_id
-                   ROWS UNBOUNDED PRECEDING)),
-    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_user),
-    cuts AS (
-{cuts}),
-    pr AS (SELECT cu.decile, c.cum_one, c.cum_nt, c.cum_nc,
-                  c.cum_yt, c.cum_yc
-           FROM cuts cu JOIN c ON c.cum_one = cu.cut)
-    SELECT CAST(decile AS INT) AS decile,
-           cum_one AS n_at,
-           cum_nt AS n_treat, cum_nc AS n_ctrl,
-           cum_yt AS conv_treat, cum_yc AS conv_ctrl,
-           CASE WHEN cum_nc = 0 THEN NULL ELSE
-             {sql_pround(
-        "CAST(cum_yt AS DOUBLE) - CAST(cum_yc AS DOUBLE)"
-        " * CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE)", 9
-    )} END AS qini
-    FROM pr
-    """
-
-
-@query("uplift_qini_curve", oracle=_qini_oracle())
-def q_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Qini curve for uplift evaluation: rank users by a targeting
-    score (their total event value), and at each population decile
-    report incremental conversions — treated converters minus
-    control converters scaled to the treated population
-    (Qini(k) = Yt(k) - Yc(k)·Nt(k)/Nc(k)), the standard audit for
-    "does targeting the top-scored users actually cause lift".
-    Treatment is the deterministic user_id-parity split shared with
-    ab_test_proportions. All five cumulative series (population,
-    treated, control, converters of each) come from ONE
-    with_global_cumsum_multi pass over the score-ranked user axis
-    (never SinglePartition); decile boundaries are exact row-count
-    hits (cum_one == ceil(k·n/10) — population rank increments by 1
-    per user, so every boundary exists), and Qini is a fixed-order
-    double tree per boundary row. Scale shape: per-user reduce, one
-    range exchange, a 10-row broadcast of cuts. No reference
-    counterpart (SURVEY §2.9 experimentation family)."""
-    from etl_pyspark_spark.operators.ranks import (
-        with_global_cumsum_multi,
-    )
-
-    ev = read_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.sum(
-            F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,6)")
-        )
-        .cast("double")
-        .alias("score"),
-        F.max(
-            (F.col("event_type") == "purchase").cast("int")
-        ).alias("y"),
-    ).select(
-        "user_id",
-        "score",
-        "y",
-        (F.col("user_id") % 2).cast("int").alias("t"),
-        (-F.col("score")).alias("negscore"),
-        F.lit(1).alias("one"),
-        (F.col("user_id") % 2).cast("int").alias("nt"),
-        (1 - F.col("user_id") % 2).cast("int").alias("nc"),
-    ).withColumn(
-        "yt", (F.col("t") * F.col("y")).cast("int")
-    ).withColumn(
-        "yc", ((1 - F.col("t")) * F.col("y")).cast("int")
-    ).persist()  # read by the cumulative pass AND the totals fold
-    c = with_global_cumsum_multi(
-        per_user,
-        ["negscore", "user_id"],
-        ["one", "nt", "nc", "yt", "yc"],
-    )
-    tot = F.broadcast(
-        per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    cuts = F.broadcast(
-        tot.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(k).cast("int").alias("decile"),
-                            F.ceil(F.lit(k / 10) * F.col("n")).alias(
-                                "cut"
-                            ),
-                        )
-                        for k in range(1, 11)
-                    ]
-                )
-            ).alias("s")
-        ).select("s.decile", "s.cut")
-    )
-    pr = cuts.join(c, c["cum_one"] == cuts["cut"])
-    qini = F.when(
-        F.col("cum_nc") == 0, F.lit(None).cast("double")
-    ).otherwise(
-        pround(
-            F.col("cum_yt").cast("double")
-            - F.col("cum_yc").cast("double")
-            * F.col("cum_nt").cast("double")
-            / F.col("cum_nc").cast("double"),
-            9,
-        )
-    )
-    return pr.select(
-        "decile",
-        F.col("cum_one").cast("bigint").alias("n_at"),
-        F.col("cum_nt").cast("bigint").alias("n_treat"),
-        F.col("cum_nc").cast("bigint").alias("n_ctrl"),
-        F.col("cum_yt").cast("bigint").alias("conv_treat"),
-        F.col("cum_yc").cast("bigint").alias("conv_ctrl"),
-        qini.alias("qini"),
-    )
-
-
-@query(
-    "ab_required_sample_size",
-    oracle=f"""
-    WITH per_user AS (SELECT user_id,
-                             max(CASE WHEN event_type = 'purchase'
-                                      THEN 1 ELSE 0 END) AS y
-                      FROM events GROUP BY user_id),
-    g AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
-                 CAST(sum(y) AS BIGINT) AS conv_users
-          FROM per_user),
-    p AS (SELECT n_users, conv_users,
-                 CAST(conv_users AS DOUBLE) / CAST(n_users AS DOUBLE)
-                   AS pb
-          FROM g)
-    SELECT n_users, conv_users,
-           {sql_pround("pb", 9)} AS p_baseline,
-           {sql_pround("0.1 * pb", 9)} AS mde_abs,
-           CAST(ceil(2.801585 * 2.801585 * 2.0 * pb * (1 - pb)
-                     / ((0.1 * pb) * (0.1 * pb))) AS BIGINT)
-             AS n_per_variant
-    FROM p
-    """,
-)
-def q_ab_required_sample_size(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Experiment power analysis: users-per-variant needed to detect
-    a 10% relative lift on the observed baseline conversion at
-    alpha=0.05 (two-sided) and 80% power —
-    n = 2(z_a+z_b)^2 p(1-p) / delta^2, the planning number every
-    A/B platform prints next to a test readout. z_{{0.975}}+z_{{0.8}}
-    is the shared 6-decimal literal 2.801585 (inverse-normal is not
-    cross-engine computable); baseline p comes from exact per-user
-    counts and the rest is one fixed-order double tree ending in a
-    ceil. One per-user reduce plus a 1-row fold. No reference
-    counterpart (SURVEY §2.9 experimentation family)."""
-    ev = read_table(spark, sf_dir, "events")
-    g = ev.groupBy("user_id").agg(
-        F.max(
-            (F.col("event_type") == "purchase").cast("int")
-        ).alias("y")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum("y").cast("bigint").alias("conv_users"),
-    )
-    pb = F.col("conv_users").cast("double") / F.col("n_users").cast(
-        "double"
-    )
-    mde = F.lit(0.1) * pb
-    zsum = F.lit(2.801585)
-    return g.select(
-        "n_users",
-        "conv_users",
-        pround(pb, 9).alias("p_baseline"),
-        pround(mde, 9).alias("mde_abs"),
-        F.ceil(
-            zsum * zsum * F.lit(2.0) * pb * (F.lit(1) - pb)
-            / (mde * mde)
-        )
-        .cast("bigint")
-        .alias("n_per_variant"),
-    )
-
-
-@query(
-    "ngram_novelty_decay",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_WS_TOKENS_SQL.format(col="text")} AS toks
-               FROM documents),
-    g AS (SELECT doc_id, unnest({_ngram_sql("toks", 8)}) AS gram FROM t),
-    fo AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
-    d AS (SELECT g.doc_id,
-                 count(*) AS n_grams,
-                 count(*) FILTER (fo.first_doc < g.doc_id) AS n_repeat
-          FROM g JOIN fo USING (gram) GROUP BY g.doc_id)
-    SELECT documents.doc_id,
-           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
-           CAST(COALESCE(n_repeat, 0) AS BIGINT) AS n_repeat,
-           {sql_pround(
-        "CAST(COALESCE(n_repeat, 0) AS DOUBLE)"
-        " / GREATEST(COALESCE(n_grams, 0), 1)", 6
-    )} AS repeat_ratio
-    FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
-    """,
-)
-def q_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-order n-gram novelty: per document, what fraction of
-    its token 8-grams was ALREADY SEEN in an earlier document
-    (doc_id order) — the corpus-level duplication-pressure curve
-    (substring_dup_spans asks "is this span duplicated anywhere";
-    this asks "was it new when it arrived", the signal that tells a
-    crawl when marginal data stops adding content, the span-level
-    sibling of heaps_law_vocab_growth's type counts). Shape is the
-    substring-dup pipeline with min(first doc) in place of the
-    occurrence count: grams 60-bit-hashed BEFORE the shuffle, the
-    first-occurrence reduce map-side combinable, one keyed join
-    back, one per-doc rollup; parity holds unless md5 collides
-    within the corpus (2^-60 per pair). No reference counterpart
-    (SURVEY §2.9 corpus-analytics family)."""
-    from etl_pyspark_spark.functions import text as T
-    from etl_pyspark_spark.sources.io import spread
-
-    docs = read_table(spark, sf_dir, "documents")
-    toked = spread(docs).select(
-        "doc_id", T.ws_tokens(F.col("text")).alias("toks")
-    )
-    g = toked.select(
-        "doc_id",
-        F.explode(T.ngrams_from_tokens(F.col("toks"), 8)).alias("gram"),
-    ).select("doc_id", T.portable_hash60(F.col("gram")).alias("gh"))
-    fo = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
-    d = (
-        g.join(fo, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(
-                F.when(F.col("first_doc") < F.col("doc_id"), 1)
-            ).alias("n_repeat"),
-        )
-    )
-    zero = F.lit(0).cast("bigint")
-    n_grams = F.coalesce(F.col("n_grams"), zero)
-    n_rep = F.coalesce(F.col("n_repeat"), zero)
-    return (
-        docs.select("doc_id")
-        .join(d, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_grams.alias("n_grams"),
-            n_rep.alias("n_repeat"),
-            pround(
-                n_rep.cast("double") / F.greatest(n_grams, F.lit(1)),
-                6,
-            ).alias("repeat_ratio"),
-        )
-    )
-
-
-@query(
-    "time_range_window_sum",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-           CAST(count(value) OVER w AS BIGINT) AS n_24h,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-             AS sum_24h
-    FROM events WHERE ts IS NOT NULL
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
-                           AND CURRENT ROW)
-    """,
-)
-def q_time_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-INTERVAL RANGE frame: each event's trailing-24-hour count
-    and value sum for its user — the sliding-by-time window (fraud
-    velocity checks, rate features) that row offsets cannot express
-    because event spacing is irregular. The numeric-RANGE sibling is
-    window_range_frame; this is the temporal form, written through
-    the SQL expression API (the python Window API only takes integer
-    offsets). The windowed sum folds DECIMALs — window engines
-    accumulate in different orders (running vs segment tree), so a
-    double sum would drift in the last ulp across engines. Scale
-    shape: partitioned by user, one keyed exchange; per-user frames
-    are application-bounded like every sessionization op."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    w = (
-        "OVER (PARTITION BY user_id ORDER BY ts "
-        "RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)"
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("epoch_s"),
-        F.expr(f"count(value) {w}").cast("bigint").alias("n_24h"),
-        F.expr(f"sum(CAST(value AS DECIMAL(18,6))) {w}")
-        .cast("double")
-        .alias("sum_24h"),
-    )
-
-
-@query(
-    "impute_missing_values",
-    oracle="""
-    WITH nn AS (SELECT event_type, value, count(*) AS cnt
-                FROM events WHERE value IS NOT NULL
-                GROUP BY event_type, value),
-    c AS (SELECT event_type, value,
-                 sum(cnt) OVER (PARTITION BY event_type ORDER BY value
-                                ROWS UNBOUNDED PRECEDING) AS cum,
-                 sum(cnt) OVER (PARTITION BY event_type) AS tot
-          FROM nn),
-    med AS (SELECT event_type, min(value) AS median_v
-            FROM c WHERE 2 * cum >= tot GROUP BY event_type)
-    SELECT e.event_id, e.event_type,
-           CAST(COALESCE(e.value, m.median_v) AS DOUBLE)
-             AS value_imputed,
-           (e.value IS NULL) AS was_imputed
-    FROM events e JOIN med m USING (event_type)
-    """,
-)
-def q_impute_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median imputation — the standard ML-prep repair for a numeric
-    column with NULLs: each missing value takes its group's DISCRETE
-    median (smallest value whose doubled cumulative count reaches the
-    group total — the exact order statistic, so both engines select
-    the identical stored value; interpolated medians differ in the
-    last ulp). The median search reduces to the per-(type, value)
-    count axis first (reduce-first, like every quantile in the
-    engine) with a PARTITIONED cumulative window, then one broadcast
-    join patches the fact rows. Scale shape: the imputation dim is
-    |types| rows; the fact table is touched exactly once."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events")
-    nn = (
-        ev.where(F.col("value").isNotNull())
-        .groupBy("event_type", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    wc = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy("event_type")
-    med = F.broadcast(
-        nn.select(
-            "event_type",
-            "value",
-            F.sum("cnt").over(wc).alias("cum"),
-            F.sum("cnt").over(wt).alias("tot"),
-        )
-        .where(2 * F.col("cum") >= F.col("tot"))
-        .groupBy("event_type")
-        .agg(F.min("value").alias("median_v"))
-    )
-    return ev.join(med, "event_type").select(
-        "event_id",
-        "event_type",
-        F.coalesce(F.col("value"), F.col("median_v"))
-        .cast("double")
-        .alias("value_imputed"),
-        F.col("value").isNull().alias("was_imputed"),
-    )
-
-
-@query(
-    "target_encoding_smoothed",
-    oracle=f"""
-    WITH g AS (SELECT CAST(count(value) AS BIGINT) AS n_all,
-                      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                        AS s_all
-               FROM events WHERE value IS NOT NULL),
-    c AS (SELECT event_type,
-                 CAST(count(*) AS BIGINT) AS n_cat,
-                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                   AS s_cat
-          FROM events WHERE value IS NOT NULL GROUP BY event_type)
-    SELECT c.event_type, c.n_cat,
-           {sql_pround(
-        "(c.s_cat + 10.0 * (g.s_all / CAST(g.n_all AS DOUBLE)))"
-        " / CAST(c.n_cat + 10 AS DOUBLE)", 9
-    )} AS encoded
-    FROM c, g
-    """,
-)
-def q_target_encoding_smoothed(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Smoothed target (mean) encoding with a Bayesian prior of
-    weight m=10 — the leakage-safe categorical feature encoder:
-    enc(cat) = (Σ_cat + m·global_mean) / (n_cat + m), shrinking rare
-    categories toward the prior. Sums fold as exact decimals; the
-    encoding is a fixed-order double tree per category over the
-    1-row global fold (broadcast). One pass over the facts. No
-    reference counterpart (SURVEY §2.9 feature-engineering family,
-    beside feature_hashing_vectorize)."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
-    )
-    g = F.broadcast(
-        ev.agg(
-            F.count("value").cast("bigint").alias("n_all"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("s_all"),
-        )
-    )
-    c = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cat"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("s_cat"),
-    )
-    gmean = F.col("s_all") / F.col("n_all").cast("double")
-    return c.crossJoin(g).select(
-        "event_type",
-        "n_cat",
-        pround(
-            (F.col("s_cat") + F.lit(10.0) * gmean)
-            / (F.col("n_cat") + 10).cast("double"),
-            9,
-        ).alias("encoded"),
-    )
-
-
-@query(
-    "insert_overwrite_dynamic_partitions",
-    oracle="""
-    WITH full_load AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             count(*) AS n,
-             CAST(sum(CAST(COALESCE(value, 0) AS DECIMAL(18,6)))
-                  AS DOUBLE) AS val
-      FROM events GROUP BY 1, 2),
-    reload AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             count(*) AS n,
-             CAST(sum(CAST(COALESCE(value, 0) AS DECIMAL(18,6)))
-                  AS DOUBLE) AS val
-      FROM events
-      WHERE event_type IN ('click', 'view') AND value >= 1.0
-      GROUP BY 1, 2),
-    final_state AS (
-      SELECT * FROM full_load
-      WHERE event_type NOT IN ('click', 'view')
-      UNION ALL SELECT * FROM reload)
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_days,
-           CAST(sum(n) AS BIGINT) AS n_events,
-           CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
-             AS total_value
-    FROM final_state GROUP BY event_type
-    """,
-)
-def q_insert_overwrite_dynamic_partitions(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Dynamic partition overwrite — the idempotent backfill
-    primitive of a partitioned lake: a full load writes per-type
-    daily rollups partitioned by event_type, then a corrected reload
-    of JUST two types (with a revised filter) overwrites ONLY the
-    partitions it carries — untouched partitions survive, no
-    read-modify-write, no manual partition enumeration (static
-    overwrite mode would wipe the whole table; per-partition deletes
-    don't scale past a handful). Re-reading the final directory
-    proves the semantics: replaced types show the filtered numbers,
-    all others the original load. The layout dir is per-SF so runs
-    at different scale factors can't poison each other's oracle
-    comparisons. Per-day decimal sums survive the parquet round trip
-    losslessly (6-decimal doubles), so the final rollup can re-fold
-    them as decimals. Reference parity: the reference's only write
-    path is full-file replacement (parquet_slicer.py:53-58); partition
-    -granular idempotent reload is SURVEY §2.9 lake-management
-    growth."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"{_SCRATCH}/dyn_overwrite_{tag}"
-    ev = read_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,6)")
-        )
-        .cast("double")
-        .alias("val"),
-    )
-    daily.write.partitionBy("event_type").mode("overwrite").parquet(out)
-    upd = (
-        ev.where(
-            F.col("event_type").isin("click", "view")
-            & (F.col("value") >= 1.0)
-        )
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.coalesce(F.col("value"), F.lit(0)).cast(
-                    "decimal(18,6)"
-                )
-            )
-            .cast("double")
-            .alias("val"),
-        )
-    )
-    upd.write.partitionBy("event_type").option(
-        "partitionOverwriteMode", "dynamic"
-    ).mode("overwrite").parquet(out)
-    return (
-        spark.read.parquet(out)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            F.sum("n").cast("bigint").alias("n_events"),
-            F.sum(F.col("val").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
-        )
-    )
-
-
-@query(
-    "min_cost_supplier_q2",
-    oracle="""
-    WITH cost AS (
-      SELECT l_partkey, l_suppkey,
-             min(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)))
-               AS unit_cost
-      FROM lineitem WHERE l_quantity > 0
-      GROUP BY 1, 2),
-    eu AS (
-      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
-      FROM supplier s
-      JOIN nation n ON n.n_nationkey = s.s_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE r.r_name = 'EUROPE'),
-    offers AS (
-      SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
-             e.s_name, e.s_acctbal, e.n_name
-      FROM cost c JOIN eu e ON e.s_suppkey = c.l_suppkey),
-    best AS (
-      SELECT l_partkey, min(unit_cost) AS best_cost
-      FROM offers GROUP BY l_partkey)
-    SELECT o.l_partkey AS p_partkey, p.p_type, p.p_size,
-           o.s_name, o.n_name,
-           CAST(o.s_acctbal AS DOUBLE) AS s_acctbal,
-           CAST(o.unit_cost AS DOUBLE) AS unit_cost
-    FROM offers o
-    JOIN best b ON b.l_partkey = o.l_partkey
-                AND o.unit_cost = b.best_cost
-    JOIN part p ON p.p_partkey = o.l_partkey
-    WHERE p.p_size = 15
-    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC,
-             o.l_suppkey ASC
-    LIMIT 100
-    """,
-)
-def q_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (minimum-cost supplier): for each size-15 part,
-    the EUROPE supplier(s) offering the lowest unit cost, ranked by
-    account balance — the correlated-min + join-back composition over
-    a four-table dim chain (the fixtures have no partsupp, so
-    lineitem stands in as the part-supplier bridge with
-    min(extendedprice/quantity) as supply cost, per the adaptation
-    note on the other TPC-H shapes). Unit costs quantize to
-    DECIMAL(18,6) so the min and the equality join-back select
-    identical values in both engines (a raw double min would carry
-    last-ulp division noise into the equi-join). The supplier dim
-    chain broadcasts; the correlated min is min_per_group_join_back
-    at part granularity; the final ranking is TakeOrderedAndProject
-    with a total tie-break."""
-    li = read_table(spark, sf_dir, "lineitem")
-    s = read_table(spark, sf_dir, "supplier")
-    n = read_table(spark, sf_dir, "nation")
-    r = read_table(spark, sf_dir, "region")
-    p = read_table(spark, sf_dir, "part")
-    cost = (
-        li.where(F.col("l_quantity") > 0)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.min(
-                (
-                    F.col("l_extendedprice") / F.col("l_quantity")
-                ).cast("decimal(18,6)")
-            ).alias("unit_cost")
-        )
-    )
-    eu = F.broadcast(
-        s.join(n, s.s_nationkey == n.n_nationkey)
-        .join(
-            r.where(F.col("r_name") == "EUROPE"),
-            n.n_regionkey == r.r_regionkey,
-        )
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    offers = cost.join(eu, cost.l_suppkey == eu.s_suppkey)
-    best = offers.groupBy("l_partkey").agg(
-        F.min("unit_cost").alias("best_cost")
-    )
-    out = (
-        offers.join(best, "l_partkey")
-        .where(F.col("unit_cost") == F.col("best_cost"))
-        .join(
-            F.broadcast(
-                p.where(F.col("p_size") == 15).select(
-                    "p_partkey", "p_type", "p_size"
-                )
-            ),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-    )
-    return (
-        out.orderBy(
-            F.col("s_acctbal").desc(),
-            F.col("n_name").asc(),
-            F.col("s_name").asc(),
-            F.col("p_partkey").asc(),
-            F.col("l_suppkey").asc(),
-        )
-        .limit(100)
-        .select(
-            "p_partkey",
-            "p_type",
-            "p_size",
-            "s_name",
-            "n_name",
-            F.col("s_acctbal").cast("double").alias("s_acctbal"),
-            F.col("unit_cost").cast("double").alias("unit_cost"),
-        )
-    )
-
-
-@query(
-    "systematic_sample",
-    oracle="""
-    WITH r AS (SELECT doc_id, n_chars,
-                      row_number() OVER (ORDER BY n_chars, doc_id)
-                        AS rk
-               FROM documents)
-    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-           CAST(rk AS BIGINT) AS sample_rank
-    FROM r WHERE (rk - 1) % 20 = 0
-    """,
-)
-def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Systematic (every k-th) sampling along a sort axis — the
-    stratified-by-construction sample QA teams pull when they want
-    coverage across the whole size distribution rather than a
-    uniform-random draw (which over-represents the mode): rank every
-    document by (n_chars, doc_id) and keep each 20th. The rank is
-    with_global_rank's range-exchange + broadcast-offset machinery —
-    never a SinglePartition window — making this the sampling-family
-    face of the same primitive curriculum/packing queries use. Scale
-    shape: one range exchange, then a modulo filter projection."""
-    from etl_pyspark_spark.operators.ranks import with_global_rank
-
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars"
-    )
-    ranked = with_global_rank(
-        docs, ["n_chars", "doc_id"], rank_col="sample_rank"
-    )
-    return ranked.where((F.col("sample_rank") - 1) % 20 == 0).select(
-        "doc_id",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.col("sample_rank").cast("bigint").alias("sample_rank"),
-    )
-
-
-@query(
-    "wow_growth_rate",
-    oracle=f"""
-    WITH w AS (SELECT event_type,
-                      CAST(date_trunc('week', ts) AS DATE) AS week,
-                      count(*) AS n
-               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
-    l AS (SELECT event_type, week, n,
-                 lag(n) OVER (PARTITION BY event_type ORDER BY week)
-                   AS prev_n
-          FROM w)
-    SELECT event_type, week,
-           CAST(n AS BIGINT) AS n_events,
-           CAST(prev_n AS BIGINT) AS prev_events,
-           CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL ELSE
-             {sql_pround(
-        "(CAST(n AS DOUBLE) - CAST(prev_n AS DOUBLE))"
-        " / CAST(prev_n AS DOUBLE)", 6
-    )} END AS wow_growth
-    FROM l
-    """,
-)
-def q_wow_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Week-over-week growth per event type — the KPI-dashboard
-    staple: weekly counts, a lag window PARTITIONED by type (the
-    weekly rollup is |types|x|weeks| rows, so the window input is
-    bounded by construction AND partitioned — never the raw fact
-    table, never SinglePartition), and a guarded percentage change
-    (NULL for the first week and zero-baselines, identically on both
-    engines)."""
-    from pyspark.sql.window import Window
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    w = ev.groupBy(
-        "event_type",
-        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    lw = Window.partitionBy("event_type").orderBy("week")
-    l_ = w.select(
-        "event_type",
-        "week",
-        F.col("n").cast("bigint").alias("n_events"),
-        F.lag("n").over(lw).cast("bigint").alias("prev_events"),
-    )
-    return l_.select(
-        "event_type",
-        "week",
-        "n_events",
-        "prev_events",
-        F.when(
-            F.col("prev_events").isNull() | (F.col("prev_events") == 0),
-            F.lit(None).cast("double"),
-        )
-        .otherwise(
-            pround(
-                (
-                    F.col("n_events").cast("double")
-                    - F.col("prev_events").cast("double")
-                )
-                / F.col("prev_events").cast("double"),
-                6,
-            )
-        )
-        .alias("wow_growth"),
-    )
-
-
-@query(
-    "basket_lift_rules",
-    oracle="""
-    WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
-             AS n_baskets FROM parts),
-    sup AS (SELECT l_partkey, count(*) AS n_i FROM parts GROUP BY 1),
-    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-                     count(*) AS n_ab
-              FROM parts a JOIN parts b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey
-              GROUP BY 1, 2 HAVING count(*) >= 3)
-    SELECT p.part_a, p.part_b,
-           CAST(p.n_ab AS BIGINT) AS n_both,
-           CAST(sa.n_i AS BIGINT) AS n_a,
-           CAST(sb.n_i AS BIGINT) AS n_b,
-           floor(CAST(p.n_ab AS DOUBLE) / CAST(sa.n_i AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS confidence_ab,
-           floor(CAST(p.n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
-                 / (CAST(sa.n_i AS DOUBLE) * CAST(sb.n_i AS DOUBLE))
-                 * 1000000.0 + 0.5) / 1000000.0 AS lift
-    FROM pairs p
-    JOIN sup sa ON sa.l_partkey = p.part_a
-    JOIN sup sb ON sb.l_partkey = p.part_b
-    CROSS JOIN nb
-    ORDER BY CAST(p.n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
-             / (CAST(sa.n_i AS DOUBLE) * CAST(sb.n_i AS DOUBLE)) DESC,
-             p.part_a ASC, p.part_b ASC
-    LIMIT 50
-    """,
-)
-def q_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Association rules (Apriori level 2): for part pairs with
-    support >= 3 baskets, confidence P(b|a) and lift
-    P(a,b)/(P(a)P(b)) — basket_part_pairs' raw co-occurrence turned
-    into the rule metrics a recommender or store-layout analysis
-    actually consumes. Counts are exact integers (pair support from
-    the capped self-join, item supports one reduce, basket total a
-    1-row broadcast); confidence and lift are single-division /
-    fixed-order double trees, and the top-50 ranks on the RAW lift
-    expression (identical IEEE value both engines) with a total
-    tie-break — TakeOrderedAndProject, never a global sort. The
-    support floor prunes the rule space BEFORE the dimension joins,
-    the standard Apriori anti-monotonicity cut."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
-
-    li = read_table(spark, sf_dir, "lineitem")
-    parts = capped_basket_items(li, "l_orderkey", "l_partkey").persist()
-    nb = F.broadcast(
-        parts.agg(
-            F.count_distinct("l_orderkey").cast("bigint").alias(
-                "n_baskets"
-            )
-        )
-    )
-    sup = parts.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_i")
-    )
-    a = parts.alias("a")
-    b = parts.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= 3)
-    )
-    sa = sup.select(
-        F.col("l_partkey").alias("part_a"), F.col("n_i").alias("na")
-    )
-    sb = sup.select(
-        F.col("l_partkey").alias("part_b"), F.col("n_i").alias("nb_")
-    )
-    j = pairs.join(sa, "part_a").join(sb, "part_b").crossJoin(nb)
-    lift = (
-        F.col("n_ab").cast("double") * F.col("n_baskets").cast("double")
-    ) / (F.col("na").cast("double") * F.col("nb_").cast("double"))
-    return (
-        j.orderBy(
-            lift.desc(), F.col("part_a").asc(), F.col("part_b").asc()
-        )
-        .limit(50)
-        .select(
-            "part_a",
-            "part_b",
-            F.col("n_ab").cast("bigint").alias("n_both"),
-            F.col("na").cast("bigint").alias("n_a"),
-            F.col("nb_").cast("bigint").alias("n_b"),
-            pround(
-                F.col("n_ab").cast("double") / F.col("na").cast("double"),
-                6,
-            ).alias("confidence_ab"),
-            pround(lift, 6).alias("lift"),
-        )
-    )
-
-
-@query(
-    "pareto_abc_classification",
-    oracle="""
-    WITH rev AS (
-      SELECT l_partkey,
-             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
-                                 * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-               AS rev_c
-      FROM lineitem GROUP BY 1),
-    t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM rev),
-    c AS (SELECT l_partkey, rev_c,
-                 CAST(sum(rev_c) OVER (ORDER BY rev_c DESC,
-                                       l_partkey ASC
-                                       ROWS UNBOUNDED PRECEDING)
-                      AS BIGINT) AS cum_c
-          FROM rev)
-    SELECT c.l_partkey,
-           c.rev_c AS revenue_cents,
-           floor(CAST(c.cum_c AS DOUBLE) / CAST(t.total_c AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS cum_share,
-           CASE WHEN CAST(c.cum_c AS DOUBLE) / CAST(t.total_c AS DOUBLE)
-                     <= 0.8 THEN 'A'
-                WHEN CAST(c.cum_c AS DOUBLE) / CAST(t.total_c AS DOUBLE)
-                     <= 0.95 THEN 'B'
-                ELSE 'C' END AS abc_class
-    FROM c, t
-    """,
-)
-def q_pareto_abc_classification(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Pareto / ABC classification: rank parts by revenue and label
-    the heads that carry the first 80% of cumulative revenue 'A',
-    the next 15% 'B', the tail 'C' — the inventory-management /
-    catalog-curation standard. Per-line revenue quantizes to integer
-    cents BEFORE any summation (double sums are order-dependent;
-    cent sums are exact), the descending cumulative total runs on
-    with_global_cumsum's range-exchange machinery (cent totals
-    negated for the descending order, never a SinglePartition
-    window), and each class label is one division against the 1-row
-    broadcast total. Scale shape: one part-keyed reduce, one range
-    exchange — the same cost as any global sort of the part dim."""
-    from etl_pyspark_spark.operators.ranks import with_global_cumsum
-
-    li = read_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.floor(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * F.lit(100.0)
-                + F.lit(0.5)
-            ).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("rev_c")
-    ).withColumn("neg_rev", -F.col("rev_c")).persist()
-    t = F.broadcast(
-        rev.agg(F.sum("rev_c").cast("bigint").alias("total_c"))
-    )
-    c = with_global_cumsum(
-        rev, ["neg_rev", "l_partkey"], "rev_c", "cum_c"
-    )
-    share = F.col("cum_c").cast("double") / F.col("total_c").cast(
-        "double"
-    )
-    return c.crossJoin(t).select(
-        "l_partkey",
-        F.col("rev_c").alias("revenue_cents"),
-        pround(share, 6).alias("cum_share"),
-        F.when(share <= 0.8, F.lit("A"))
-        .when(share <= 0.95, F.lit("B"))
-        .otherwise(F.lit("C"))
-        .alias("abc_class"),
-    )
-
-
-def _split_leakage_oracle() -> str:
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_minhash_pairs,
-        sql_shingles_cte,
-    )
-
-    return (
-        "WITH "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(final_name="pairs")
-        + """,
-    sides AS (SELECT doc_id,
-                     CASE WHEN ('0x' || substr(md5('split:'
-                                  || CAST(doc_id AS VARCHAR)), 1, 15))
-                               ::BIGINT % 100 < 95
-                          THEN 'train' ELSE 'test' END AS side
-              FROM documents),
-    labeled AS (SELECT least(a.side, b.side) AS side_a,
-                       greatest(a.side, b.side) AS side_b
-                FROM pairs p
-                JOIN sides a ON a.doc_id = p.doc_id_a
-                JOIN sides b ON b.doc_id = p.doc_id_b)
-    SELECT side_a, side_b, CAST(count(*) AS BIGINT) AS n_pairs
-    FROM labeled GROUP BY 1, 2
-    """
-    )
-
-
-@query("split_leakage_audit", oracle=_split_leakage_oracle())
-def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test leakage audit: how many verified near-duplicate
-    pairs STRADDLE the train_test_split_assign boundary — the
-    eval-hygiene check benchmark_decontaminate (exact n-gram
-    containment vs an external benchmark) cannot do for WITHIN-corpus
-    splits, and the reason dedup must run before splitting (a test
-    doc whose near-twin is in training inflates every metric).
-    Composes two session-shared artifacts: the dedup family's
-    verified pair table (paid once by dedup_shared_build) and the
-    same salted portable-hash split rule as the assignment query, so
-    the audit's marginal cost is two broadcast-joins and a 3-row
-    rollup."""
-    from etl_pyspark_spark.dedup.shared import verified_pairs
-    from etl_pyspark_spark.functions import text as T
-
-    docs = read_table(spark, sf_dir, "documents")
-    side = F.when(
-        T.portable_hash60(
-            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-        )
-        % 100
-        < 95,
-        F.lit("train"),
-    ).otherwise(F.lit("test"))
-    sides = F.broadcast(docs.select("doc_id", side.alias("side")))
-    pairs = verified_pairs(spark, sf_dir)
-    labeled = (
-        pairs.join(
-            sides.select(
-                F.col("doc_id").alias("doc_id_a"),
-                F.col("side").alias("sa"),
-            ),
-            "doc_id_a",
-        )
-        .join(
-            sides.select(
-                F.col("doc_id").alias("doc_id_b"),
-                F.col("side").alias("sb"),
-            ),
-            "doc_id_b",
-        )
-        .select(
-            F.least("sa", "sb").alias("side_a"),
-            F.greatest("sa", "sb").alias("side_b"),
-        )
-    )
-    return labeled.groupBy("side_a", "side_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
-    )
-
-
-_IPF_ROUNDS = 3
-
-
-def _ipf_oracle(rounds: int) -> str:
-    """Unrolled IPF twin: micro-unit bigint weights, one row scaling
-    and one column scaling per round, each a floor(w_d * ratio + 0.5)
-    requantization so cross-cell sums stay exact integers between
-    rounds (double margin sums would drift order-dependently)."""
-    sql = """
-    WITH c0 AS MATERIALIZED (
-      SELECT c_nationkey AS nk, c_mktsegment AS seg,
-             CAST(count(*) * 1000000 AS BIGINT) AS w
-      FROM customer GROUP BY 1, 2),
-    t AS (SELECT CAST(sum(w) AS BIGINT) AS tot,
-                 CAST(count(DISTINCT nk) AS BIGINT) AS n_rows,
-                 CAST(count(DISTINCT seg) AS BIGINT) AS n_cols
-          FROM c0)"""
-    prev = "c0"
-    for r in range(1, rounds + 1):
-        sql += f""",
-    r{r} AS MATERIALIZED (
-      SELECT p.nk, p.seg,
-             CAST(floor(CAST(p.w AS DOUBLE)
-                        * ((CAST(t.tot AS DOUBLE)
-                            / CAST(t.n_rows AS DOUBLE))
-                           / CAST(s.sw AS DOUBLE)) + 0.5) AS BIGINT)
-               AS w
-      FROM {prev} p
-      JOIN (SELECT nk, CAST(sum(w) AS BIGINT) AS sw
-            FROM {prev} GROUP BY nk) s ON s.nk = p.nk, t),
-    c{r} AS MATERIALIZED (
-      SELECT p.nk, p.seg,
-             CAST(floor(CAST(p.w AS DOUBLE)
-                        * ((CAST(t.tot AS DOUBLE)
-                            / CAST(t.n_cols AS DOUBLE))
-                           / CAST(s.sw AS DOUBLE)) + 0.5) AS BIGINT)
-               AS w
-      FROM r{r} p
-      JOIN (SELECT seg, CAST(sum(w) AS BIGINT) AS sw
-            FROM r{r} GROUP BY seg) s ON s.seg = p.seg, t)"""
-        prev = f"c{r}"
-    sql += f"""
-    SELECT nk AS c_nationkey, seg AS c_mktsegment,
-           w AS weight_micro
-    FROM {prev}
-    """
-    return sql
-
-
-@query("survey_raking_ipf", oracle=_ipf_oracle(_IPF_ROUNDS))
-def q_survey_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Survey raking / iterative proportional fitting: calibrate the
-    (nation x segment) customer cell counts so BOTH margins match
-    uniform targets (total/|nations| per nation, total/|segments| per
-    segment) — the census/survey-weighting standard (Deming-Stephan),
-    and the same kernel as Sinkhorn matrix scaling. Three unrolled
-    rounds of row-then-column scaling; after every scaling the
-    weights REQUANTIZE to bigint micro-units (floor(w*ratio + 0.5)),
-    so every margin sum between rounds is an exact integer — the
-    scaling ratio is then one double division tree over exact
-    operands, identical in both engines (free-running double weights
-    would accumulate order-dependent margin sums across rounds). At
-    scale the cell table is |nations|x|segments| regardless of fact
-    rows: one fact reduce, then each round is two keyed reduces and
-    two broadcast joins on the tiny cell table — the pagerank_int
-    iteration discipline without even needing checkpoints. No
-    reference counterpart (SURVEY §2.9 statistics family)."""
-    c = read_table(spark, sf_dir, "customer")
-    cells = c.groupBy(
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_mktsegment").alias("seg"),
-    ).agg(
-        (F.count(F.lit(1)) * 1_000_000).cast("bigint").alias("w")
-    ).localCheckpoint()
-    t = F.broadcast(
-        cells.agg(
-            F.sum("w").cast("bigint").alias("tot"),
-            F.count_distinct("nk").cast("bigint").alias("n_rows"),
-            F.count_distinct("seg").cast("bigint").alias("n_cols"),
-        )
-    )
-
-    def scale(df: DataFrame, key: str, target_col: str) -> DataFrame:
-        margins = df.groupBy(key).agg(
-            F.sum("w").cast("bigint").alias("sw")
-        )
-        ratio = (
-            F.col("tot").cast("double") / F.col(target_col).cast("double")
-        ) / F.col("sw").cast("double")
-        return (
-            df.join(F.broadcast(margins), key)
-            .crossJoin(t)
-            .select(
-                "nk",
-                "seg",
-                F.floor(F.col("w").cast("double") * ratio + F.lit(0.5))
-                .cast("bigint")
-                .alias("w"),
-            )
-        )
-
-    w = cells
-    for _ in range(_IPF_ROUNDS):
-        w = scale(w, "nk", "n_rows")
-        w = scale(w, "seg", "n_cols")
-    return w.select(
-        F.col("nk").alias("c_nationkey"),
-        F.col("seg").alias("c_mktsegment"),
-        F.col("w").alias("weight_micro"),
-    )
-
-
-@query(
-    "dau_mau_stickiness",
-    oracle=f"""
-    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-                FROM events WHERE ts IS NOT NULL),
-    days AS (SELECT DISTINCT day FROM ud),
-    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
-    mau AS (SELECT d.day, count(DISTINCT u.user_id) AS mau
-            FROM days d JOIN ud u
-              ON u.day <= d.day AND u.day > d.day - INTERVAL 28 DAY
-            GROUP BY d.day)
-    SELECT d.day,
-           CAST(a.dau AS BIGINT) AS dau,
-           CAST(m.mau AS BIGINT) AS mau,
-           {sql_pround(
-        "CAST(a.dau AS DOUBLE) / CAST(m.mau AS DOUBLE)", 6
-    )} AS stickiness
-    FROM days d JOIN dau a USING (day) JOIN mau m USING (day)
-    """,
-)
-def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU/MAU stickiness per day — the product-health staple: daily
-    actives over trailing-28-day actives. Sliding-window DISTINCT
-    cannot ride a window frame (distinct doesn't decompose), so the
-    standard exact form is the one used here: reduce to the DISTINCT
-    (user, day) table first (the one fact-table pass), then a
-    bounded range join of that table against the day spine — work is
-    |active user-days| x O(28), independent of raw event volume, and
-    the join is the interval_overlap_join shape Spark executes as a
-    keyed-broadcast range probe at this dimensionality. At 100 TB the
-    user-day table is the materialized activity rollup every growth
-    stack maintains anyway."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    ud = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct().persist()
-    days = ud.select("day").distinct()
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    d_spine = days.select(F.col("day").alias("dday"))
-    mau = (
-        d_spine.join(
-            ud,
-            (F.col("day") <= F.col("dday"))
-            & (F.col("day") > F.date_sub(F.col("dday"), 28)),
-        )
-        .groupBy("dday")
-        .agg(F.count_distinct("user_id").alias("mau"))
-        .withColumnRenamed("dday", "day")
-    )
-    return (
-        days.join(dau, "day")
-        .join(mau, "day")
-        .select(
-            "day",
-            F.col("dau").cast("bigint").alias("dau"),
-            F.col("mau").cast("bigint").alias("mau"),
-            pround(
-                F.col("dau").cast("double") / F.col("mau").cast("double"),
-                6,
-            ).alias("stickiness"),
-        )
-    )
-
-
-@query(
-    "new_returning_daily",
-    oracle="""
-    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-                FROM events WHERE ts IS NOT NULL),
-    first_seen AS (SELECT user_id, min(day) AS first_day FROM ud
-                   GROUP BY user_id)
-    SELECT u.day,
-           CAST(sum(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_new,
-           CAST(sum(CASE WHEN u.day > f.first_day THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_returning
-    FROM ud u JOIN first_seen f USING (user_id)
-    GROUP BY u.day
-    """,
-)
-def q_new_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """New vs returning active users per day — the acquisition/
-    retention split on every growth dashboard: a user's first active
-    day classifies them 'new' exactly once, 'returning' every active
-    day after. First-seen is one min-reduce on the user axis (the
-    heaps_law first-occurrence pattern on users instead of tokens)
-    joined back to the distinct user-day table; both shuffles are
-    keyed on user_id and map-side combinable."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    ud = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct().persist()
-    first_seen = ud.groupBy("user_id").agg(
-        F.min("day").alias("first_day")
-    )
-    return (
-        ud.join(first_seen, "user_id")
-        .groupBy("day")
-        .agg(
-            F.sum((F.col("day") == F.col("first_day")).cast("int"))
-            .cast("bigint")
-            .alias("n_new"),
-            F.sum((F.col("day") > F.col("first_day")).cast("int"))
-            .cast("bigint")
-            .alias("n_returning"),
-        )
-    )
-
-
-@query(
-    "activity_frequency_histogram",
-    oracle="""
-    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-                FROM events WHERE ts IS NOT NULL),
-    per_user AS (SELECT user_id, count(*) AS active_days FROM ud
-                 GROUP BY user_id)
-    SELECT CAST(active_days AS BIGINT) AS active_days,
-           CAST(count(*) AS BIGINT) AS n_users
-    FROM per_user GROUP BY active_days
-    """,
-)
-def q_activity_frequency_histogram(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The power-user curve (L30 histogram): how many users were
-    active on exactly k distinct days — the engagement-depth
-    distribution whose right-lean distinguishes a habit product from
-    a drive-by one. Two keyed reduces over the distinct user-day
-    table; the histogram axis is bounded by the calendar, the
-    user axis never leaves its hash partitioning."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    ud = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
-    per_user = ud.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("active_days")
-    )
-    return per_user.groupBy("active_days").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users")
-    ).select(
-        F.col("active_days").cast("bigint").alias("active_days"),
-        "n_users",
-    )
-
-
-@query(
-    "order_cohort_ltv",
-    oracle=f"""
-    WITH first_order AS (
-      SELECT o_custkey, CAST(min(year(o_orderdate)) AS INT) AS cohort
-      FROM orders GROUP BY o_custkey),
-    rev AS (
-      SELECT f.cohort,
-             CAST(year(o.o_orderdate) AS INT) - f.cohort AS age,
-             CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5)
-                           AS BIGINT)) AS BIGINT) AS rev_c,
-             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
-      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
-      GROUP BY 1, 2),
-    sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
-           FROM first_order GROUP BY cohort),
-    c AS (SELECT r.cohort, r.age, r.n_active, s.cohort_size,
-                 CAST(sum(r.rev_c) OVER (PARTITION BY r.cohort
-                                         ORDER BY r.age
-                                         ROWS UNBOUNDED PRECEDING)
-                      AS BIGINT) AS cum_rev_c
-          FROM rev r JOIN sz s USING (cohort))
-    SELECT cohort, age, n_active, cohort_size,
-           {sql_pround(
-        "CAST(cum_rev_c AS DOUBLE) / 100.0"
-        " / CAST(cohort_size AS DOUBLE)", 6
-    )} AS ltv_per_customer
-    FROM c
-    """,
-)
-def q_order_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort lifetime-value curve: customers grouped by first-order
-    year, cumulative revenue per cohort member at each cohort age —
-    the LTV table every subscription/commerce business steers by
-    (cohort_retention counts WHO comes back; this prices what they
-    bring). Revenue quantizes to integer cents before any sum; the
-    cumulative runs in a window PARTITIONED by cohort whose input is
-    the |cohorts| x |ages| rollup (bounded by the calendar on both
-    axes, never fact rows); the final per-member division is one
-    double op. First-order assignment is a min-reduce on the
-    customer axis — the first-occurrence pattern again."""
-    from pyspark.sql.window import Window
-
-    o = read_table(spark, sf_dir, "orders")
-    first_order = o.groupBy("o_custkey").agg(
-        F.min(F.year("o_orderdate")).cast("int").alias("cohort")
-    )
-    rev = (
-        o.join(first_order, "o_custkey")
-        .groupBy(
-            "cohort",
-            (F.year("o_orderdate").cast("int") - F.col("cohort")).alias(
-                "age"
-            ),
-        )
-        .agg(
-            F.sum(
-                F.floor(
-                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
-                ).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("rev_c"),
-            F.count_distinct("o_custkey").cast("bigint").alias(
-                "n_active"
-            ),
-        )
-    )
-    sz = first_order.groupBy("cohort").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
-    )
-    w = (
-        Window.partitionBy("cohort")
-        .orderBy("age")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = rev.join(F.broadcast(sz), "cohort").select(
-        "cohort",
-        "age",
-        "n_active",
-        "cohort_size",
-        F.sum("rev_c").over(w).cast("bigint").alias("cum_rev_c"),
-    )
-    return c.select(
-        "cohort",
-        "age",
-        "n_active",
-        "cohort_size",
-        pround(
-            F.col("cum_rev_c").cast("double")
-            / F.lit(100.0)
-            / F.col("cohort_size").cast("double"),
-            6,
-        ).alias("ltv_per_customer"),
-    )
-
-
-@query(
-    "seasonal_residual_anomaly",
-    oracle=f"""
-    WITH d AS (SELECT CAST(ts AS DATE) AS day,
-                      CAST(count(*) AS BIGINT) AS n
-               FROM events WHERE ts IS NOT NULL
-                 AND event_type = 'click'
-               GROUP BY 1),
-    dw AS (SELECT day, n, dayofweek(day) AS dow FROM d),
-    m AS (SELECT dow,
-                 CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-                   AS expected
-          FROM dw GROUP BY dow),
-    r AS (SELECT dw.day, dw.n, m.expected,
-                 abs(CAST(dw.n AS DOUBLE) - m.expected) AS absresid
-          FROM dw JOIN m USING (dow)),
-    med AS (SELECT min(absresid) AS mad FROM (
-              SELECT absresid,
-                     sum(1) OVER (ORDER BY absresid
-                                  ROWS UNBOUNDED PRECEDING) AS cum,
-                     count(*) OVER () AS tot
-              FROM r)
-            WHERE 2 * cum >= tot)
-    SELECT r.day, r.n AS n_events,
-           {sql_pround("r.expected", 6)} AS expected,
-           {sql_pround("CAST(r.n AS DOUBLE) - r.expected", 6)}
-             AS residual,
-           (r.absresid > 3 * med.mad) AS is_anomaly
-    FROM r, med
-    """,
-)
-def q_seasonal_residual_anomaly(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Seasonality-aware anomaly detection (STL-lite): daily click
-    counts deseasonalized by their day-of-week mean, then flagged
-    where the residual exceeds 3x the MAD — the robust alerting rule
-    that survives both weekly rhythm (which a raw threshold trips
-    on) and outlier contamination (which a stddev rule trips on).
-    Composes the engine's established exact pieces: integer day
-    counts, one double division per weekday mean, and the MAD as a
-    DISCRETE median (2*cum >= tot) over the |days|-bounded residual
-    axis via with_global_cumsum — never a SinglePartition window.
-    anomaly_daily_counts is the unseasonal sibling; this is the one
-    you can page on."""
-    from etl_pyspark_spark.operators.ranks import with_global_cumsum
-
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull() & (F.col("event_type") == "click")
-    )
-    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    dw = d.select("day", "n", F.dayofweek("day").alias("dow"))
-    m = dw.groupBy("dow").agg(
-        (
-            F.sum("n").cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("expected")
-    )
-    r = dw.join(F.broadcast(m), "dow").select(
-        "day",
-        "n",
-        "expected",
-        F.abs(F.col("n").cast("double") - F.col("expected")).alias(
-            "absresid"
-        ),
-    ).withColumn("one", F.lit(1)).persist()
-    c = with_global_cumsum(r, ["absresid", "day"], "one", "cum")
-    med = F.broadcast(
-        c.crossJoin(
-            F.broadcast(
-                r.agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
-            )
-        )
-        .where(2 * F.col("cum") >= F.col("tot"))
-        .agg(F.min("absresid").alias("mad"))
-    )
-    return r.crossJoin(med).select(
-        "day",
-        F.col("n").alias("n_events"),
-        pround(F.col("expected"), 6).alias("expected"),
-        pround(
-            F.col("n").cast("double") - F.col("expected"), 6
-        ).alias("residual"),
-        (F.col("absresid") > 3 * F.col("mad")).alias("is_anomaly"),
-    )
-
-
-@query(
-    "conversion_wilson_ci",
-    oracle=f"""
-    WITH per_user AS (SELECT user_id,
-                             max(CASE WHEN event_type = 'purchase'
-                                      THEN 1 ELSE 0 END) AS y
-                      FROM events GROUP BY user_id),
-    seg AS (SELECT user_id % 5 AS segment,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(y) AS BIGINT) AS k
-            FROM per_user GROUP BY 1)
-    SELECT CAST(segment AS INT) AS segment, n, k,
-           {sql_pround("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)", 9)}
-             AS p_hat,
-           {sql_pround(
-        "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
-        " + 1.959964 * 1.959964 / (2 * CAST(n AS DOUBLE))"
-        " - 1.959964 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
-        "   * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
-        "   / CAST(n AS DOUBLE)"
-        "   + 1.959964 * 1.959964"
-        "     / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
-        " / (1 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))", 9
-    )} AS wilson_lo,
-           {sql_pround(
-        "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
-        " + 1.959964 * 1.959964 / (2 * CAST(n AS DOUBLE))"
-        " + 1.959964 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
-        "   * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
-        "   / CAST(n AS DOUBLE)"
-        "   + 1.959964 * 1.959964"
-        "     / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
-        " / (1 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))", 9
-    )} AS wilson_hi
-    FROM seg
-    """,
-)
-def q_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wilson 95% confidence intervals on per-segment conversion —
-    the interval every honest dashboard should draw instead of a
-    bare proportion (Wilson stays inside [0,1] and behaves at small
-    n where the Wald interval collapses). Segments are a
-    deterministic user_id%5 partition; counts are exact bigints; the
-    Wilson bounds are one fixed-order double tree per segment with
-    the z=1.959964 literal shared across engines (inverse-normal is
-    not cross-engine computable) and a single sqrt (correctly
-    rounded identically). One per-user reduce, one 5-group fold."""
-    ev = read_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.max(
-            (F.col("event_type") == "purchase").cast("int")
-        ).alias("y")
-    )
-    seg = per_user.groupBy(
-        (F.col("user_id") % 5).cast("int").alias("segment")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("y").cast("bigint").alias("k"),
-    )
-    z = F.lit(1.959964)
-    nd = F.col("n").cast("double")
-    p = F.col("k").cast("double") / nd
-    half = z * F.sqrt(
-        p * (F.lit(1) - p) / nd + z * z / (F.lit(4) * nd * nd)
-    )
-    center = p + z * z / (F.lit(2) * nd)
-    denom = F.lit(1) + z * z / nd
-    return seg.select(
-        "segment",
-        "n",
-        "k",
-        pround(p, 9).alias("p_hat"),
-        pround((center - half) / denom, 9).alias("wilson_lo"),
-        pround((center + half) / denom, 9).alias("wilson_hi"),
-    )
-
-
-@query(
-    "forecast_backtest_mape",
-    oracle=f"""
-    WITH d AS (SELECT CAST(ts AS DATE) AS day,
-                      CAST(count(*) AS BIGINT) AS n
-               FROM events WHERE ts IS NOT NULL GROUP BY 1),
-    f AS (SELECT a.day, a.n AS actual, p.n AS forecast
-          FROM d a JOIN d p ON p.day = a.day - INTERVAL 7 DAY),
-    ape AS (SELECT day, actual, forecast,
-                   CAST(floor(abs(CAST(actual AS DOUBLE)
-                                  - CAST(forecast AS DOUBLE))
-                              / CAST(actual AS DOUBLE)
-                              * 1000000000.0 + 0.5) AS BIGINT)
-                     AS ape_n
-            FROM f WHERE actual > 0)
-    SELECT CAST(count(*) AS BIGINT) AS n_days,
-           {sql_pround(
-        "CAST(sum(ape_n) AS DOUBLE) / count(*) / 1000000000.0", 9
-    )} AS mape,
-           {sql_pround(
-        "CAST(max(ape_n) AS DOUBLE) / 1000000000.0", 9
-    )} AS worst_ape
-    FROM ape
-    """,
-)
-def q_forecast_backtest_mape(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Forecast backtest: score the seasonal-naive forecast
-    (same weekday last week) against daily actuals with MAPE and the
-    worst single-day error — the evaluation loop that keeps any
-    forecasting pipeline honest, and the baseline every fancier
-    model must beat (if it can't beat naive-seasonal, ship
-    naive-seasonal). The seven-day self-join is the date-spine
-    pattern on the |days|-bounded rollup; each APE quantizes to a
-    1e-9 integer before the cross-day sum so the mean is
-    order-free."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    ).persist()
-    a = d.select(F.col("day"), F.col("n").alias("actual"))
-    p = d.select(
-        F.date_add(F.col("day"), 7).alias("day"),
-        F.col("n").alias("forecast"),
-    )
-    f = a.join(p, "day").where(F.col("actual") > 0)
-    ape_n = F.floor(
-        F.abs(
-            F.col("actual").cast("double")
-            - F.col("forecast").cast("double")
-        )
-        / F.col("actual").cast("double")
-        * F.lit(1000000000.0)
-        + F.lit(0.5)
-    ).cast("bigint")
-    return f.select(ape_n.alias("ape_n")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        pround(
-            F.sum("ape_n").cast("double")
-            / F.count(F.lit(1))
-            / F.lit(1000000000.0),
-            9,
-        ).alias("mape"),
-        pround(
-            F.max("ape_n").cast("double") / F.lit(1000000000.0), 9
-        ).alias("worst_ape"),
-    )
-
-
-@query(
-    "tv_distance_drift",
-    oracle=f"""
-    WITH lab AS (SELECT event_type,
-                        CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
-                             THEN 'a' ELSE 'b' END AS half
-                 FROM events WHERE ts IS NOT NULL),
-    c AS (SELECT event_type,
-                 CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END)
-                      AS BIGINT) AS na,
-                 CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END)
-                      AS BIGINT) AS nb
-          FROM lab GROUP BY event_type),
-    t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
-                 CAST(sum(nb) AS BIGINT) AS tb FROM c),
-    s AS (SELECT CAST(sum(abs(CAST(c.na AS DECIMAL(38,0)) * t.tb
-                              - CAST(c.nb AS DECIMAL(38,0)) * t.ta))
-                      AS DECIMAL(38,0)) AS num,
-                 min(t.ta) AS ta, min(t.tb) AS tb,
-                 CAST(count(*) AS BIGINT) AS n_categories
-          FROM c, t)
-    SELECT n_categories, ta AS n_first_half, tb AS n_second_half,
-           {sql_pround(
-        "CAST(num AS DOUBLE)"
-        " / (2 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))", 9
-    )} AS tv_distance
-    FROM s
-    """,
-)
-def q_tv_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Total-variation distance between the first- and second-half
-    event-type distributions — the drift divergence with NO
-    logarithm (KL/JS need cross-engine log, which doesn't exist;
-    chisq_event_type_drift weights by expected counts, TV is the
-    plain L1/2 with the 'largest possible probability difference of
-    any event' reading). Integer cross-products keep the sum exact:
-    TV = Σ|na_i*tb - nb_i*ta| / (2*ta*tb), accumulated as
-    DECIMAL(38,0) (the ks_two_sample trick applied to categories
-    instead of a CDF), ONE double division at the end. One 5-group
-    reduce, two 1-row folds."""
-    cut = F.lit("2024-01-16").cast("timestamp")
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    c = ev.groupBy("event_type").agg(
-        F.sum((F.col("ts") < cut).cast("int")).cast("bigint").alias("na"),
-        F.sum((F.col("ts") >= cut).cast("int"))
-        .cast("bigint")
-        .alias("nb"),
-    ).persist()
-    t = F.broadcast(
-        c.agg(
-            F.sum("na").cast("bigint").alias("ta"),
-            F.sum("nb").cast("bigint").alias("tb"),
-        )
-    )
-    s = c.crossJoin(t).agg(
-        F.sum(
-            F.abs(
-                F.col("na").cast("decimal(38,0)") * F.col("tb")
-                - F.col("nb").cast("decimal(38,0)") * F.col("ta")
-            )
-        )
-        .cast("decimal(38,0)")
-        .alias("num"),
-        F.min("ta").alias("ta"),
-        F.min("tb").alias("tb"),
-        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
-    )
-    return s.select(
-        "n_categories",
-        F.col("ta").alias("n_first_half"),
-        F.col("tb").alias("n_second_half"),
-        pround(
-            F.col("num").cast("double")
-            / (
-                F.lit(2)
-                * F.col("ta").cast("double")
-                * F.col("tb").cast("double")
-            ),
-            9,
-        ).alias("tv_distance"),
-    )
-
-
-def _xcorr_oracle(max_lag: int) -> str:
-    return f"""
-    WITH d AS (SELECT CAST(ts AS DATE) AS day,
-                      CAST(sum(CASE WHEN event_type = 'click'
-                                    THEN 1 ELSE 0 END) AS BIGINT) AS x,
-                      CAST(sum(CASE WHEN event_type = 'purchase'
-                                    THEN 1 ELSE 0 END) AS BIGINT) AS y
-               FROM events WHERE ts IS NOT NULL GROUP BY 1),
-    lags AS (SELECT CAST(unnest(range(0, {max_lag + 1})) AS INT)
-               AS lag),
-    p AS (SELECT l.lag, a.x, b.y
-          FROM lags l
-          JOIN d a ON TRUE
-          JOIN d b ON b.day = a.day + CAST(l.lag AS INT)),
-    g AS (SELECT lag,
-                 CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(x) AS BIGINT) AS sx,
-                 CAST(sum(y) AS BIGINT) AS sy,
-                 CAST(sum(x * x) AS BIGINT) AS sxx,
-                 CAST(sum(y * y) AS BIGINT) AS syy,
-                 CAST(sum(x * y) AS BIGINT) AS sxy
-          FROM p GROUP BY lag)
-    SELECT lag, n,
-           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                 * 1000000000.0 + 0.5) / 1000000000.0 AS pearson_r
-    FROM g
-    """
-
-
-@query("lagged_cross_correlation", oracle=_xcorr_oracle(7))
-def q_lagged_cross_correlation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Lead-lag discovery: Pearson correlation between daily clicks
-    and purchases LAGGED 0-7 days — does engagement predict
-    conversion, and at what delay (the answer is the lag with max
-    |r|; marketing mix models and capacity planners both start
-    here). The series pair table at each lag comes from one
-    date-spine shift-join of the |days|-bounded rollup (8 lags x
-    ~30 days = a few hundred rows from ONE fact pass); everything
-    else is integer sufficient statistics per lag and a single
-    fixed-order double tree with one sqrt — revenue_autocorrelation's
-    machinery pointed across two series instead of one."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-    )
-    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum((F.col("event_type") == "click").cast("int"))
-        .cast("bigint")
-        .alias("x"),
-        F.sum((F.col("event_type") == "purchase").cast("int"))
-        .cast("bigint")
-        .alias("y"),
-    ).localCheckpoint()
-    lags = F.broadcast(
-        spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
-    )
-    a = d.select("day", "x")
-    b = d.select(F.col("day").alias("bday"), "y")
-    p = (
-        lags.crossJoin(a)
-        .join(
-            b,
-            F.col("bday")
-            == F.expr("date_add(day, lag)"),
-        )
-    )
-    g = p.groupBy("lag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-    )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
-        "double"
-    ) * F.col("sy").cast("double")
-    den = F.sqrt(
-        (
-            nd * F.col("sxx").cast("double")
-            - F.col("sx").cast("double") * F.col("sx").cast("double")
-        )
-        * (
-            nd * F.col("syy").cast("double")
-            - F.col("sy").cast("double") * F.col("sy").cast("double")
-        )
-    )
-    return g.select(
-        "lag", "n", pround(num / den, 9).alias("pearson_r")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 6: compliance cascade, retrieval diversification, matryoshka
-# embedding tradeoff, integer-exact double-exponential smoothing,
-# degree assortativity, encoding-quality audit, dedup threshold sweep.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "gdpr_erasure_cascade",
-    oracle="""
-    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
-    o_del AS (SELECT o_orderkey FROM orders
-              WHERE o_custkey IN (SELECT c_custkey FROM del)),
-    cnts AS (
-      SELECT 'customer' AS table_name,
-             CAST((SELECT count(*) FROM del) AS BIGINT) AS n_erase,
-             CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
-      UNION ALL
-      SELECT 'orders',
-             CAST((SELECT count(*) FROM o_del) AS BIGINT),
-             CAST((SELECT count(*) FROM orders) AS BIGINT)
-      UNION ALL
-      SELECT 'lineitem',
-             CAST((SELECT count(*) FROM lineitem
-                   WHERE l_orderkey IN (SELECT o_orderkey FROM o_del))
-                  AS BIGINT),
-             CAST((SELECT count(*) FROM lineitem) AS BIGINT))
-    SELECT table_name, n_erase, n_total,
-           CAST(n_total - n_erase AS BIGINT) AS n_surviving
-    FROM cnts
-    """,
-)
-def q_gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-erasure impact cascade: a deterministic delete set of
-    data subjects (every 97th custkey — standing in for the day's
-    erasure requests) propagated through the foreign-key chain
-    customer -> orders -> lineitem, reporting per-table rows to erase
-    vs surviving. This is the audit a compliance pipeline runs BEFORE
-    the destructive pass — and at 100 TB the erasure itself is these
-    exact semi-joins flipped to anti-joins feeding an
-    insert-overwrite. Scale shape: the subject set flows down the
-    chain as keyed semi-joins (orderkeys of erased customers, then
-    lineitems of those orders) — each hop is one equi-join shuffle on
-    the child's own key, no fact-side fan-out; the per-table counts
-    are map-side-combinable 1-row aggregates unioned at the end. No
-    reference counterpart (SURVEY §2.9 governance family)."""
-    cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders")
-    li = read_table(spark, sf_dir, "lineitem")
-    del_c = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    del_o = orders.join(
-        del_c, orders["o_custkey"] == del_c["c_custkey"], "leftsemi"
-    ).select("o_orderkey")
-    del_l = li.join(
-        del_o, li["l_orderkey"] == del_o["o_orderkey"], "leftsemi"
-    )
-
-    def one(name: str, erase_df: DataFrame, total_df: DataFrame):
-        e = erase_df.agg(F.count(F.lit(1)).alias("n_erase"))
-        t = total_df.agg(F.count(F.lit(1)).alias("n_total"))
-        return e.crossJoin(t).select(
-            F.lit(name).alias("table_name"),
-            F.col("n_erase").cast("bigint").alias("n_erase"),
-            F.col("n_total").cast("bigint").alias("n_total"),
-            (F.col("n_total") - F.col("n_erase"))
-            .cast("bigint")
-            .alias("n_surviving"),
-        )
-
-    return (
-        one("customer", del_c, cust)
-        .unionByName(one("orders", del_o, orders))
-        .unionByName(one("lineitem", del_l, li))
-    )
-
-
-def _matryoshka_oracle() -> str:
-    from etl_pyspark_spark.similarity.cosine import sql_cosine
-
-    full = sql_pround(sql_cosine("c.embedding", "q.embedding"), 6)
-    # cosine over the 8-dim prefix of both vectors
-    trunc = sql_pround(
-        sql_cosine("c.embedding[1:8]", "q.embedding[1:8]"), 6
-    )
-    return f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
-               WHERE vec_id < 8),
-    simf AS (SELECT q.query_id, c.vec_id AS neighbor_id, {full} AS s
-             FROM embeddings c JOIN q ON c.vec_id <> q.query_id),
-    simt AS (SELECT q.query_id, c.vec_id AS neighbor_id, {trunc} AS s
-             FROM embeddings c JOIN q ON c.vec_id <> q.query_id),
-    topf AS (SELECT query_id, neighbor_id FROM
-             (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY s DESC, neighbor_id) AS rk FROM simf)
-             WHERE rk <= 10),
-    topt AS (SELECT query_id, neighbor_id FROM
-             (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY s DESC, neighbor_id) AS rk FROM simt)
-             WHERE rk <= 10)
-    SELECT f.query_id,
-           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
-           CAST(count(t.neighbor_id) AS DOUBLE) / 10.0 AS recall_at_10
-    FROM topf f LEFT JOIN topt t
-      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
-    GROUP BY f.query_id
-    """
-
-
-@query("matryoshka_dim_tradeoff", oracle=_matryoshka_oracle())
-def q_matryoshka_dim_tradeoff(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Matryoshka-style dimensionality tradeoff audit: for each of 8
-    query vectors, how much of the exact top-10 under FULL 64-dim
-    cosine survives when retrieval uses only the first 8 dimensions
-    (the truncated-prefix regime MRL-trained embedders are built
-    for)? recall@10 per query is the number a platform quotes before
-    switching its ANN index to truncated vectors — storage and
-    compute drop 8x, this measures what ranking quality it costs.
-    Scale shape: both rankings ride brute_force_topk's plan
-    (broadcast 8-row query set against the corpus scan, corpus never
-    shuffles for the join; slice() keeps the prefix cosine in
-    whole-stage codegen), and the overlap join keys on the 8x10-row
-    top lists — dimension-bounded. No reference counterpart (SURVEY
-    §2.9 similarity family)."""
-    from etl_pyspark_spark.similarity.cosine import brute_force_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 8)
-    full = brute_force_topk(emb, q, k=10).select(
-        "query_id", "neighbor_id"
-    )
-    emb8 = emb.select(
-        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
-    )
-    q8 = emb8.where(F.col("vec_id") < 8)
-    trunc = brute_force_topk(emb8, q8, k=10).select(
-        F.col("query_id").alias("t_query_id"),
-        F.col("neighbor_id").alias("t_neighbor_id"),
-    )
-    j = full.join(
-        trunc,
-        (F.col("query_id") == F.col("t_query_id"))
-        & (F.col("neighbor_id") == F.col("t_neighbor_id")),
-        "left",
-    )
-    return j.groupBy("query_id").agg(
-        F.count("t_neighbor_id").cast("bigint").alias("n_overlap"),
-        (F.count("t_neighbor_id").cast("double") / F.lit(10.0)).alias(
-            "recall_at_10"
-        ),
-    )
-
-
-def _mmr_oracle(k: int = 5, lam: float = 0.5) -> str:
-    from etl_pyspark_spark.similarity.cosine import sql_cosine
-
-    rel = sql_pround(sql_cosine("c.embedding", "q.embedding"), 6)
-    psim = sql_pround(sql_cosine("a.embedding", "b.embedding"), 6)
-    steps = []
-    prev = "s1"
-    for i in range(2, k + 1):
-        steps.append(
-            f"""sel{i - 1} AS (
-      {' UNION ALL '.join(f'SELECT * FROM s{j}' for j in range(1, i))}),
-    sc{i} AS (
-      SELECT c.neighbor_id, c.rel,
-             {lam} * c.rel - {1 - lam} * max(p.sim) AS score
-      FROM cand c
-      JOIN ps p ON p.id_a = c.neighbor_id
-      JOIN sel{i - 1} s ON s.neighbor_id = p.id_b
-      WHERE c.neighbor_id NOT IN (SELECT neighbor_id FROM sel{i - 1})
-      GROUP BY c.neighbor_id, c.rel),
-    s{i} AS (
-      SELECT {i} AS rank, neighbor_id, rel, score AS mmr_score
-      FROM sc{i} ORDER BY score DESC, neighbor_id LIMIT 1)"""
-        )
-        prev = f"s{i}"
-    return f"""
-    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-    cand AS MATERIALIZED (SELECT neighbor_id, rel FROM
-             (SELECT c.vec_id AS neighbor_id, {rel} AS rel,
-                     row_number() OVER (ORDER BY {rel} DESC, c.vec_id)
-                       AS rk
-              FROM embeddings c, q WHERE c.vec_id <> 0)
-             WHERE rk <= 20),
-    ps AS MATERIALIZED (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {psim} AS sim
-           FROM embeddings a JOIN embeddings b
-             ON a.vec_id IN (SELECT neighbor_id FROM cand)
-            AND b.vec_id IN (SELECT neighbor_id FROM cand)
-            AND a.vec_id <> b.vec_id),
-    s1 AS (SELECT 1 AS rank, neighbor_id, rel, rel AS mmr_score
-           FROM cand ORDER BY rel DESC, neighbor_id LIMIT 1),
-    {','.join(steps)}
-    {' UNION ALL '.join(f'SELECT * FROM s{j}' for j in range(1, k + 1))}
-    """
-
-
-@query("mmr_diversified_topk", oracle=_mmr_oracle())
-def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance diversified retrieval: greedily pick
-    5 of the query's top-20 cosine candidates, each step maximizing
-    lambda*relevance - (1-lambda)*max-similarity-to-already-selected
-    (lambda = 0.5) — the standard rerank that keeps a RAG context
-    window from filling with five copies of the same passage. Scale
-    shape: the expensive part (corpus-wide scoring) is
-    brute_force_topk's broadcast-against-scan plan; the candidate
-    set and its 20x20 pairwise sims then collapse into ONE row
-    (bounded collect_list aggregates), and the whole greedy loop
-    unrolls as higher-order array expressions over that row — pure
-    whole-stage codegen, zero extra jobs, constant work regardless
-    of corpus size (a first cut as five chained limit(1) DataFrames
-    measured 4.9-14.8 s of per-step job overhead for identical
-    results; arrays run it in milliseconds). Every sim is
-    pround(6)-rounded BEFORE the MMR arithmetic, so both engines
-    fold identical doubles and the greedy choice sequence is
-    deterministic (ties break on neighbor_id). No reference
-    counterpart (SURVEY §2.9 similarity family)."""
-    from etl_pyspark_spark.similarity.cosine import (
-        brute_force_topk,
-        as_double,
-        cosine,
-    )
-
-    lam, k = 0.5, 5
-    emb = read_table(spark, sf_dir, "embeddings")
-    q0 = emb.where(F.col("vec_id") == 0)
-    cand = brute_force_topk(emb, q0, k=20).select(
-        "neighbor_id", F.col("cos_sim").alias("rel")
-    )
-    cvec = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        as_double(F.col("embedding")).alias("v"),
-    ).join(F.broadcast(cand.select("neighbor_id")), "neighbor_id")
-    a = cvec.select(
-        F.col("neighbor_id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = cvec.select(
-        F.col("neighbor_id").alias("id_b"), F.col("v").alias("vb")
-    )
-    ps = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b")).select(
-        "id_a",
-        "id_b",
-        pround(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
-    )
-    # one row: 20 candidates + 380 pair sims (bounded aggregates)
-    one = cand.agg(
-        F.collect_list(F.struct("neighbor_id", "rel")).alias("c")
-    ).crossJoin(
-        F.broadcast(
-            ps.agg(
-                F.collect_list(F.struct("id_a", "id_b", "sim")).alias(
-                    "p"
-                )
-            )
-        )
-    )
-
-    def pick_best(arr):
-        """argmax by (score DESC, neighbor_id ASC) over an array of
-        (neighbor_id, rel, score) structs — a fold, no sort."""
-        return F.aggregate(
-            arr,
-            F.element_at(arr, 1),
-            lambda acc, e: F.when(
-                (e["score"] > acc["score"])
-                | (
-                    (e["score"] == acc["score"])
-                    & (e["neighbor_id"] < acc["neighbor_id"])
-                ),
-                e,
-            ).otherwise(acc),
-        )
-
-    c, p = F.col("c"), F.col("p")
-    first = pick_best(
-        F.transform(
-            c,
-            lambda e: F.struct(
-                e["neighbor_id"].alias("neighbor_id"),
-                e["rel"].alias("rel"),
-                e["rel"].alias("score"),
-            ),
-        )
-    )
-    init = F.array(
-        F.struct(
-            F.lit(1).alias("rank"),
-            first["neighbor_id"].alias("neighbor_id"),
-            first["rel"].alias("rel"),
-            first["score"].alias("mmr_score"),
-        )
-    )
-
-    def step(st, i):
-        picked = F.transform(st, lambda s: s["neighbor_id"])
-        scored = F.transform(
-            F.filter(
-                c,
-                lambda e: ~F.array_contains(picked, e["neighbor_id"]),
-            ),
-            lambda e: F.struct(
-                e["neighbor_id"].alias("neighbor_id"),
-                e["rel"].alias("rel"),
-                (
-                    F.lit(lam) * e["rel"]
-                    - F.lit(1 - lam)
-                    * F.array_max(
-                        F.transform(
-                            F.filter(
-                                p,
-                                lambda x: (
-                                    x["id_a"] == e["neighbor_id"]
-                                )
-                                & F.array_contains(picked, x["id_b"]),
-                            ),
-                            lambda x: x["sim"],
-                        )
-                    )
-                ).alias("score"),
-            ),
-        )
-        best = pick_best(scored)
-        return F.concat(
-            st,
-            F.array(
-                F.struct(
-                    i.cast("int").alias("rank"),
-                    best["neighbor_id"].alias("neighbor_id"),
-                    best["rel"].alias("rel"),
-                    best["score"].alias("mmr_score"),
-                )
-            ),
-        )
-
-    picks = F.aggregate(F.sequence(F.lit(2), F.lit(k)), init, step)
-    return (
-        one.select(F.explode(picks).alias("s"))
-        .select("s.rank", "s.neighbor_id", "s.rel", "s.mmr_score")
-    )
-
-
-@query(
-    "holt_winters_level_trend",
-    oracle="""
-    WITH RECURSIVE daily AS MATERIALIZED (
-      SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
-                  AS BIGINT) AS x
-      FROM orders GROUP BY 1),
-    idx AS MATERIALIZED (
-      SELECT row_number() OVER (ORDER BY d) AS i, x FROM daily),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx),
-    rec AS (
-      SELECT CAST(1 AS BIGINT) AS i, x AS l, CAST(0 AS BIGINT) AS b
-      FROM idx WHERE i = 1
-      UNION ALL
-      SELECT r.i + 1,
-             (ix.x + r.l + r.b) >> 1,
-             ((((ix.x + r.l + r.b) >> 1) - r.l) + r.b) >> 1
-      FROM rec r JOIN idx ix ON ix.i = r.i + 1),
-    fin AS (SELECT r.l, r.b FROM rec r, n WHERE r.i = n.n_days)
-    SELECT CAST(h AS BIGINT) AS horizon_days,
-           CAST(l + h * b AS BIGINT) AS forecast_cents,
-           l AS level_cents, b AS trend_cents
-    FROM fin, UNNEST(generate_series(1, 7)) AS g(h)
-    """,
-)
-def q_holt_winters_level_trend(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Double-exponential smoothing (Holt's level+trend, alpha = beta
-    = 1/2) over daily order revenue, emitting the 1..7-day-ahead
-    linear forecast — the classic ops-forecasting recurrence that a
-    single EWMA (ewma_order_price) can't express because trend needs
-    a SECOND coupled state variable. Cross-engine exactness: revenue
-    is quantized to bigint cents and both recurrence updates are
-    integer adds plus ONE arithmetic right-shift (alpha = 1/2 makes
-    the smoothing a floor-halving, and >> floors identically in
-    Spark and DuckDB, including on negative trend deltas) — the
-    dyadic-exactness idiom, extended to a 2-state linear recurrence.
-    Scale shape: the fact-scale work is one keyed daily aggregation
-    (map-side combinable); the fold then runs over the ~2.4k-day
-    array INSIDE one aggregate via F.aggregate (codegen, sequential
-    by construction — a recurrence is inherently ordered, and the
-    array is bounded by the calendar, the same bounded-by-
-    construction argument as survival_hazard_table), replayed by the
-    oracle as a recursive CTE. No reference counterpart (SURVEY
-    §2.9 time-series family)."""
-    daily = (
-        read_table(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(
-            (
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                * 100
-            )
-            .cast("bigint")
-            .alias("x")
-        )
-    )
-    arr = daily.agg(
-        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("a")
-    )
-    state = F.aggregate(
-        F.slice(F.col("a"), 2, 10_000_000),
-        F.struct(
-            F.element_at(F.col("a"), 1)["x"].alias("l"),
-            F.lit(0).cast("bigint").alias("b"),
-        ),
-        lambda st, e: F.struct(
-            F.shiftright(e["x"] + st["l"] + st["b"], 1).alias("l"),
-            F.shiftright(
-                (F.shiftright(e["x"] + st["l"] + st["b"], 1) - st["l"])
-                + st["b"],
-                1,
-            ).alias("b"),
-        ),
-    )
-    fin = arr.select(
-        state["l"].alias("level_cents"), state["b"].alias("trend_cents")
-    )
-    return fin.select(
-        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("_h"),
-        "level_cents",
-        "trend_cents",
-    ).select(
-        F.col("_h").cast("bigint").alias("horizon_days"),
-        "level_cents",
-        "trend_cents",
-    ).select(
-        "horizon_days",
-        (
-            F.col("level_cents")
-            + F.col("horizon_days") * F.col("trend_cents")
-        )
-        .cast("bigint")
-        .alias("forecast_cents"),
-        "level_cents",
-        "trend_cents",
-    )
-
-
-@query(
-    "graph_degree_assortativity",
-    oracle="WITH "
-    + _copurchase_edges_sql().replace("e0 AS (", "e0 AS MATERIALIZED (")
-    + f""",
-    und AS MATERIALIZED (
-      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-    deg AS MATERIALIZED (
-      SELECT u AS node, CAST(count(*) AS BIGINT) AS d
-      FROM und GROUP BY u),
-    pairs AS (
-      SELECT du.d AS x, dv.d AS y
-      FROM und e
-      JOIN deg du ON du.node = e.u
-      JOIN deg dv ON dv.node = e.v),
-    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(x) AS BIGINT) AS sx,
-                 CAST(sum(y) AS BIGINT) AS sy,
-                 CAST(sum(x * x) AS BIGINT) AS sxx,
-                 CAST(sum(y * y) AS BIGINT) AS syy,
-                 CAST(sum(x * y) AS BIGINT) AS sxy
-          FROM pairs)
-    SELECT n AS n_edge_ends, sxy, sxx,
-           {sql_pround(
-        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-        "      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-        "         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 9
-    )} AS assortativity
-    FROM s
-    """,
-)
-def q_graph_degree_assortativity(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Degree assortativity of the co-purchase graph: the Pearson
-    correlation of endpoint degrees over all directed edge ends —
-    THE one-number summary of whether hubs attach to hubs
-    (assortative, r > 0) or to leaves (disassortative, r < 0), which
-    decides whether degree-capped algorithms (the MAX_BASKET /
-    mid-degree guards) cut a fringe or the core. Exactness: all six
-    sufficient statistics are bigint sums of bounded integers
-    (degrees are capped by the shared basket cap), folded into one
-    double formula whose sqrt is correctly rounded — the Pearson
-    idiom the stats family already pins. Scale shape: two joins of
-    the edge list against the degree table (count-driven broadcast /
-    shuffle-hash strategy shared with link_prediction_jaccard — the
-    fact-scale edge list never sorts), then a 1-row aggregate."""
-    n_edges = _copurchase_edge_count(spark, sf_dir)
-    if n_edges <= 1_000_000:
-        dim = F.broadcast
-    else:
-        dim = lambda df: df.hint("shuffle_hash")  # noqa: E731
-    edges = _copurchase_edges(spark, sf_dir)
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
-    pairs = und.join(dim(du), "u").join(dim(dv), "v")
-    s = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-    )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
-        "double"
-    ) * F.col("sy").cast("double")
-    den = F.sqrt(
-        (
-            nd * F.col("sxx").cast("double")
-            - F.col("sx").cast("double") * F.col("sx").cast("double")
-        )
-        * (
-            nd * F.col("syy").cast("double")
-            - F.col("sy").cast("double") * F.col("sy").cast("double")
-        )
-    )
-    return s.select(
-        F.col("n").alias("n_edge_ends"),
-        "sxy",
-        "sxx",
-        pround(num / den, 9).alias("assortativity"),
-    )
-
-
-@query(
-    "token_burstiness_vmr",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, UNNEST({_WS_TOKENS_SQL.format(col='text')}) AS tok
-      FROM documents),
-    per_doc AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
-                FROM toks GROUP BY 1, 2),
-    stats AS (SELECT tok,
-                     CAST(count(*) AS BIGINT) AS df,
-                     CAST(sum(c) AS BIGINT) AS tf,
-                     CAST(sum(c * c) AS BIGINT) AS sc2
-              FROM per_doc GROUP BY tok)
-    SELECT tok, df, tf,
-           CAST(df * sc2 - tf * tf AS DOUBLE)
-             / CAST(df * tf AS DOUBLE) AS vmr
-    FROM stats
-    ORDER BY df DESC, tok LIMIT 20
-    """,
-)
-def q_token_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token burstiness for the top-20 document-frequency terms: the
-    variance-to-mean ratio of per-document counts over the documents
-    CONTAINING each term. Content words are bursty (VMR >> 0 — they
-    pile up in a few documents), function words are Poisson-flat
-    (VMR near 0); the ratio is the standard Church/Gale dispersion
-    signal for stopword discovery and index compression planning,
-    orthogonal to plain frequency (tfidf_top_terms ranks; this
-    measures CLUMPING). Exactness: df, tf, sum(c^2) are integer
-    sufficient statistics, and VMR = (df*sc2 - tf^2)/(df*tf) is ONE
-    bigint->double division — exactly rounded in both engines.
-    Scale shape: tokenize-once explode -> two map-side-combinable
-    keyed aggregations -> TakeOrderedAndProject top-20; nothing
-    global, no window."""
-    from etl_pyspark_spark.functions.text import ws_tokens
-
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
-    )
-    per_doc = toks.groupBy("tok", "doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    stats = per_doc.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"),
-        F.sum("c").cast("bigint").alias("tf"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
-    )
-    vmr = (
-        F.col("df") * F.col("sc2") - F.col("tf") * F.col("tf")
-    ).cast("double") / (F.col("df") * F.col("tf")).cast("double")
-    return (
-        stats.select("tok", "df", "tf", vmr.alias("vmr"))
-        .orderBy(F.col("df").desc(), "tok")
-        .limit(20)
-    )
-
-
-def _threshold_sweep_oracle() -> str:
-    from etl_pyspark_spark.dedup.minhash import (
-        sql_minhash_pairs,
-        sql_shingles_cte,
-    )
-
-    return (
-        "WITH "
-        + sql_shingles_cte()
-        + ", "
-        + sql_minhash_pairs(threshold=0.5, final_name="vp")
-        + """,
-    thr AS (SELECT CAST(UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
-              AS threshold),
-    surv AS (SELECT t.threshold, p.doc_id_a, p.doc_id_b
-             FROM vp p JOIN thr t ON p.jaccard >= t.threshold),
-    pairs AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
-              FROM surv GROUP BY 1),
-    docs AS (SELECT threshold,
-                    CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
-             FROM (SELECT threshold, doc_id_a AS d FROM surv
-                   UNION ALL
-                   SELECT threshold, doc_id_b AS d FROM surv)
-             GROUP BY 1)
-    SELECT t.threshold, COALESCE(p.n_pairs, 0) AS n_pairs,
-           COALESCE(d.n_docs_affected, 0) AS n_docs_affected
-    FROM thr t
-    LEFT JOIN pairs p ON p.threshold = t.threshold
-    LEFT JOIN docs d ON d.threshold = t.threshold
-    """
-    )
-
-
-@query("dedup_threshold_sweep", oracle=_threshold_sweep_oracle())
-def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup threshold sensitivity sweep: from ONE pass of the
-    shared MinHash-verified pair table (threshold 0.5), how many
-    pairs and how many distinct documents would each candidate
-    release threshold (0.5..0.9) act on — the dial a release engineer
-    turns before committing a dedup pass, answered without re-running
-    candidate generation per setting (the verified jaccard is exact,
-    so higher thresholds are pure filters over the same pairs).
-    Scale shape: the family-shared build pays the LSH + verify cost
-    once (dedup_shared_build); this query is a 5-way threshold
-    explode over the surviving pair list (|pairs| x 5 rows) and two
-    keyed counts — marginal cost near zero at any corpus size."""
-    from etl_pyspark_spark.dedup.shared import verified_pairs
-
-    vp = verified_pairs(spark, sf_dir)
-    thr = spark.createDataFrame(
-        [(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], "threshold double"
-    )
-    surv = vp.join(
-        F.broadcast(thr), F.col("jaccard") >= F.col("threshold")
-    )
-    pairs = surv.groupBy("threshold").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
-    )
-    docs = (
-        surv.select("threshold", F.col("doc_id_a").alias("d"))
-        .unionByName(
-            surv.select("threshold", F.col("doc_id_b").alias("d"))
-        )
-        .groupBy("threshold")
-        .agg(
-            F.countDistinct("d").cast("bigint").alias("n_docs_affected")
-        )
-    )
-    return (
-        thr.join(pairs, "threshold", "left")
-        .join(docs, "threshold", "left")
-        .select(
-            "threshold",
-            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
-            F.coalesce("n_docs_affected", F.lit(0)).alias(
-                "n_docs_affected"
-            ),
-        )
-    )
-
-
-def _hard_negative_oracle() -> str:
-    from etl_pyspark_spark.similarity.cosine import sql_cosine
-
-    cos = sql_pround(sql_cosine("c.embedding", "q.embedding"), 6)
-    return f"""
-    WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding
-               FROM embeddings WHERE vec_id < 8),
-    sims AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-                    c.label AS n_label, {cos} AS cos_sim
-             FROM embeddings c JOIN q
-               ON c.vec_id <> q.query_id AND c.label <> q.q_label),
-    ranked AS (SELECT *, row_number() OVER (
-                 PARTITION BY query_id
-                 ORDER BY cos_sim DESC, neighbor_id) AS rk
-               FROM sims)
-    SELECT query_id, neighbor_id, n_label AS neighbor_label, cos_sim,
-           CAST(rk AS BIGINT) AS rk
-    FROM ranked WHERE rk <= 5
-    """
-
-
-@query("hard_negative_mining", oracle=_hard_negative_oracle())
-def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: per query
-    vector, the 5 most-similar corpus vectors carrying a DIFFERENT
-    label — the near-miss negatives that make an embedding model
-    actually learn boundaries (random negatives are trivially easy;
-    these are the ones it currently confuses). Scale shape: identical
-    to brute_force_topk's broadcast-queries-against-corpus-scan plan
-    with the label-mismatch predicate fused into the join condition
-    (evaluated before any cosine math), one window shuffle keyed by
-    query for the per-query rank, WindowGroupLimit top-5. At corpus
-    scale the same query swaps the scan for the IVF/LSH candidate
-    generators the similarity family already provides. No reference
-    counterpart (SURVEY §2.9 similarity family)."""
-    from etl_pyspark_spark.similarity.cosine import as_double, cosine
-    from pyspark.sql.window import Window
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        as_double(F.col("embedding")).alias("qv"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        as_double(F.col("embedding")).alias("cv"),
-    )
-    sim = pround(cosine(F.col("qv"), F.col("cv")), 6)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        c.join(
-            F.broadcast(q),
-            (F.col("query_id") != F.col("neighbor_id"))
-            & (F.col("q_label") != F.col("neighbor_label")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            "neighbor_label",
-            sim.alias("cos_sim"),
-        )
-        .withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= 5)
-    )
-
-
-# millis, not millionths: the centroid SUM vectors feed a double
-# dot product, and every partial there must stay under 2^53 to be
-# exactly representable — q3 keeps sums ~5e5 and dot terms ~1e13 at
-# bench scale (exact), where q6 overflowed to order-dependent
-# rounding (observed last-ulp cross-engine drift)
-_Q3 = "1000.0"
-
-
-def _label_centroid_sql() -> str:
-    """CTE text ``cent`` : per-label centroid SUM vectors with
-    elements quantized to bigint millis BEFORE summing, so the
-    per-dimension sums are exact integers in any summation order.
-    Cosine is scale-invariant, so the un-divided sum vector IS the
-    centroid for any angular comparison."""
-    return f"""
-    exploded AS (
-      SELECT label, g.i AS pos,
-             CAST(floor(embedding[g.i] * {_Q3} + 0.5) AS BIGINT) AS q
-      FROM embeddings,
-           UNNEST(generate_series(1, len(embedding))) AS g(i)),
-    sums AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s
-             FROM exploded GROUP BY 1, 2),
-    cent AS (SELECT label,
-                    list(CAST(s AS DOUBLE) ORDER BY pos) AS cv
-             FROM sums GROUP BY label)
-    """
-
-
-def _centroid_sep_oracle() -> str:
-    from etl_pyspark_spark.similarity.cosine import sql_cosine
-
-    cos = sql_pround(sql_cosine("a.cv", "b.cv"), 6)
-    return (
-        "WITH "
-        + _label_centroid_sql()
-        + f"""
-    SELECT a.label AS label_a, b.label AS label_b, {cos} AS centroid_cos
-    FROM cent a JOIN cent b ON a.label < b.label
-    """
-    )
-
-
-@query("label_centroid_separation", oracle=_centroid_sep_oracle())
-def q_label_centroid_separation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Class-separability diagnostic: pairwise cosine between
-    per-label centroid vectors — high off-diagonal similarity means
-    two labels are entangled in embedding space and a classifier (or
-    a semantic-dedup threshold) will confuse them. Exactness:
-    elements are quantized to bigint millis BEFORE the
-    per-dimension sums, making the centroid sums exact integers in
-    any summation/partition order; cosine is scale-invariant, so the
-    un-divided sum vector stands in for the mean and no
-    cross-engine-unsafe division happens at all. Scale shape:
-    posexplode -> one (label, dim) keyed aggregation (map-side
-    combinable, |labels| x dims rows) -> 10-row centroid table ->
-    45-pair self-join: everything after the first reduce is
-    dimension-bounded, independent of corpus size."""
-    from etl_pyspark_spark.similarity.cosine import cosine
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "label", F.posexplode("embedding").alias("pos0", "x")
-    ).select(
-        "label",
-        (F.col("pos0") + 1).alias("pos"),
-        F.floor(F.col("x") * F.lit(1e3) + F.lit(0.5))
-        .cast("bigint")
-        .alias("q"),
-    )
-    sums = exploded.groupBy("label", "pos").agg(
-        F.sum("q").cast("bigint").alias("s")
-    )
-    cent = sums.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "s"))),
-            lambda e: e["s"].cast("double"),
-        ).alias("cv")
-    )
-    a = cent.select(
-        F.col("label").alias("label_a"), F.col("cv").alias("ca")
-    )
-    b = cent.select(
-        F.col("label").alias("label_b"), F.col("cv").alias("cb")
-    )
-    return (
-        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
-        .select(
-            "label_a",
-            "label_b",
-            pround(cosine(F.col("ca"), F.col("cb")), 6).alias(
-                "centroid_cos"
-            ),
-        )
-    )
-
-
-def _label_outlier_oracle() -> str:
-    from etl_pyspark_spark.similarity.cosine import sql_cosine
-
-    cos = sql_pround(sql_cosine("e.embedding", "c.cv"), 6)
-    return (
-        "WITH "
-        + _label_centroid_sql()
-        + f"""
-    SELECT e.vec_id, e.label, {cos} AS centroid_cos
-    FROM embeddings e JOIN cent c ON c.label = e.label
-    ORDER BY centroid_cos ASC, e.vec_id LIMIT 10
-    """
-    )
-
-
-@query("embedding_label_outliers", oracle=_label_outlier_oracle())
-def q_embedding_label_outliers(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Label-noise candidates: the 10 vectors LEAST similar to their
-    own label's centroid — the standard first pass of mislabel
-    detection / confident-learning pipelines (a vector far from its
-    class center is either an outlier or wearing the wrong label).
-    Composes the exact integer-sum centroids of
-    label_centroid_separation (10-row broadcast) with one cosine per
-    vector and a TakeOrderedAndProject bottom-10 — a single corpus
-    scan, no window, no shuffle beyond the dimension-bounded
-    centroid reduce."""
-    from etl_pyspark_spark.similarity.cosine import as_double, cosine
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "label", F.posexplode("embedding").alias("pos0", "x")
-    ).select(
-        "label",
-        (F.col("pos0") + 1).alias("pos"),
-        F.floor(F.col("x") * F.lit(1e3) + F.lit(0.5))
-        .cast("bigint")
-        .alias("q"),
-    )
-    cent = (
-        exploded.groupBy("label", "pos")
-        .agg(F.sum("q").cast("bigint").alias("s"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                lambda e: e["s"].cast("double"),
-            ).alias("cv")
-        )
-    )
-    return (
-        emb.select(
-            "vec_id", "label", as_double(F.col("embedding")).alias("v")
-        )
-        .join(F.broadcast(cent), "label")
-        .select(
-            "vec_id",
-            "label",
-            pround(cosine(F.col("v"), F.col("cv")), 6).alias(
-                "centroid_cos"
-            ),
-        )
-        .orderBy(F.col("centroid_cos").asc(), "vec_id")
-        .limit(10)
-    )
-
-
-@query(
-    "cow_delete_plan",
-    oracle=f"""
-    WITH f AS (
-      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-             CAST(count(*) FILTER (
-               WHERE l_shipdate >= TIMESTAMP '{_SKIP_LO}'
-                 AND l_shipdate < TIMESTAMP '{_SKIP_HI}'
-                 AND l_discount > 0.05) AS BIGINT) AS n_rows_deleted,
-             CAST(count(*) AS BIGINT) AS n_rows_total
-      FROM read_parquet(
-        '{_SCRATCH}/skipping_lineitem_{_ORACLE_SF}/*.parquet',
-        filename = true)
-      GROUP BY 1)
-    SELECT file_name, n_rows_total, n_rows_deleted,
-           CAST(n_rows_total - n_rows_deleted AS BIGINT)
-             AS n_rows_rewritten,
-           n_rows_deleted > 0 AS needs_rewrite
-    FROM f
-    """,
-)
-def q_cow_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Copy-on-write DELETE planning — the file-level audit a
-    lakehouse engine (Delta/Iceberg CoW) computes before executing
-    ``DELETE WHERE``: per physical file, how many rows match the
-    predicate, how many survivors a rewrite would carry, and whether
-    the file needs rewriting at all (files with zero matches are left
-    untouched — on the range-clustered layout the ship-date predicate
-    prunes most files to needs_rewrite = false, which is exactly why
-    clustering by the delete key matters operationally). Scale
-    shape: one scan grouped by input_file_name() with conditional
-    counts — map-side combinable, |files| output rows; the actual
-    rewrite would then touch ONLY needs_rewrite files. Uses the per-SF
-    skipping layout so Spark and the oracle read the same physical
-    files (the layout_skipping_report convention). No reference
-    counterpart (SURVEY §2.9 lake-maintenance family)."""
-    dst = _ensure_skipping_lineitem(spark, sf_dir)
-    back = spark.read.parquet(dst).select(
-        F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
-            "file_name"
-        ),
-        "l_shipdate",
-        "l_discount",
-    )
-    lo = F.lit(_SKIP_LO).cast("timestamp")
-    hi = F.lit(_SKIP_HI).cast("timestamp")
-    hit = (
-        (F.col("l_shipdate") >= lo)
-        & (F.col("l_shipdate") < hi)
-        & (F.col("l_discount") > 0.05)
-    )
-    f = back.groupBy("file_name").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows_total"),
-        F.sum(hit.cast("bigint")).cast("bigint").alias("n_rows_deleted"),
-    )
-    return f.select(
-        "file_name",
-        "n_rows_total",
-        "n_rows_deleted",
-        (F.col("n_rows_total") - F.col("n_rows_deleted"))
-        .cast("bigint")
-        .alias("n_rows_rewritten"),
-        (F.col("n_rows_deleted") > 0).alias("needs_rewrite"),
-    )
-
-
-@query(
-    "funnel_window_constrained",
-    oracle="""
-    WITH v AS (SELECT user_id, min(ts) AS t FROM events
-               WHERE event_type = 'view' GROUP BY user_id),
-    c AS (SELECT e.user_id, min(e.ts) AS t
-          FROM events e JOIN v ON e.user_id = v.user_id
-          WHERE e.event_type = 'click'
-            AND e.ts > v.t AND e.ts <= v.t + INTERVAL 1 HOUR
-          GROUP BY e.user_id),
-    p AS (SELECT e.user_id, min(e.ts) AS t
-          FROM events e JOIN c ON e.user_id = c.user_id
-          WHERE e.event_type = 'purchase'
-            AND e.ts > c.t AND e.ts <= c.t + INTERVAL 24 HOUR
-          GROUP BY e.user_id)
-    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
-           CAST((SELECT count(*) FROM c) AS BIGINT)
-             AS n_click_within_1h,
-           CAST((SELECT count(*) FROM p) AS BIGINT)
-             AS n_purchase_within_24h
-    """,
-)
-def q_funnel_window_constrained(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Time-constrained funnel (the ClickHouse ``windowFunnel``
-    semantics a plain sequential funnel can't express): view ->
-    FIRST click within 1 HOUR of the first view -> FIRST purchase
-    within 24 HOURS of that click. The per-step deadline is the part
-    that matters commercially (a purchase three weeks later is not
-    funnel conversion), and it changes the algebra: each stage is a
-    min() over a bounded half-open interval anchored at the previous
-    stage's timestamp, so the chain is two keyed joins with range
-    predicates on the SAME user key — one shuffle partitioning
-    reused down the whole funnel, no window functions, no
-    per-user explode. Counts divide downstream into step conversion
-    rates. No reference counterpart (SURVEY §2.9 sequence-analytics
-    family)."""
-    ev = read_table(spark, sf_dir, "events")
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("vt"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(
-            (F.col("ts") > F.col("vt"))
-            & (F.col("ts") <= F.col("vt") + F.expr("INTERVAL 1 HOUR"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ct"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(
-            (F.col("ts") > F.col("ct"))
-            & (F.col("ts") <= F.col("ct") + F.expr("INTERVAL 24 HOUR"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("pt"))
-    )
-    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
-    nc = c.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_click_within_1h")
-    )
-    np_ = p.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_purchase_within_24h")
-    )
-    return nv.crossJoin(nc).crossJoin(np_)
-
-
-@query(
-    "listagg_order_report",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           string_agg(CAST(o_orderkey AS VARCHAR), ','
-                      ORDER BY o_totalprice DESC, o_orderkey)
-             FILTER (WHERE o_totalprice > 350000) AS top_keys_csv
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
-    GROUP BY o_orderpriority
-    """,
-)
-def q_listagg_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL:2023 LISTAGG (Spark 4's F.listagg) with deterministic
-    WITHIN GROUP ordering and a FILTER clause — the standards-track
-    string aggregation surface (DuckDB twin: string_agg ... ORDER
-    BY ... FILTER). The (price DESC, orderkey) tiebreak makes the
-    concatenated string identical across engines and partitionings;
-    the filter keeps the aggregated payload bounded (only
-    >350k-priced orders are listed, the count still covers all).
-    One keyed aggregation, map-side combinable."""
-    o = read_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
-    )
-    return o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        # WITHIN GROUP is SQL-parser-only surface in PySpark 4
-        F.expr(
-            "listagg(CASE WHEN o_totalprice > 350000"
-            " THEN CAST(o_orderkey AS STRING) END, ',')"
-            " WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)"
-        ).alias("top_keys_csv"),
-    )
-
-
-@query(
-    "parquet_footer_stats",
-    oracle=f"""
-    SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
-           CAST(row_group_id AS BIGINT) AS row_group_id,
-           CAST(row_group_num_rows AS BIGINT) AS n_rows,
-           CAST(stats_min_value AS BIGINT) AS min_orderkey,
-           CAST(stats_max_value AS BIGINT) AS max_orderkey,
-           CAST(stats_null_count AS BIGINT) AS n_nulls
-    FROM parquet_metadata(
-      '{_SCRATCH}/skipping_lineitem_{_ORACLE_SF}/*.parquet')
-    WHERE path_in_schema = 'l_orderkey'
-    """,
-)
-def q_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Footer-only statistics inventory: per (file, row group), the
-    row count and the l_orderkey min/max/null-count read from parquet
-    FOOTER metadata — zero data pages touched. This is the
-    manifest-building / skipping-index primitive every lakehouse
-    table format maintains (Delta's add-file stats, Iceberg
-    manifests), and the reason a 100 TB table can answer pruning
-    questions in seconds: the job's input is |files| footers, not
-    bytes of data. Distribution shape: the file list parallelizes
-    across tasks; each task opens only its files' footers via
-    pyarrow inside an Arrow-batched ``mapInPandas`` (the one honest
-    use of Python here — Spark has no footer-stats SQL surface;
-    DuckDB does, which is exactly the oracle: ``parquet_metadata``).
-    Uses the per-SF skipping layout so both engines read the same
-    physical files."""
-    import os as _os
-
-    dst = _ensure_skipping_lineitem(spark, sf_dir)
-    paths = sorted(
-        _os.path.join(dst, f)
-        for f in _os.listdir(dst)
-        if f.endswith(".parquet")
-    )
-    pdf = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
-    ).repartition(8, "path")
-
-    def footers(batches):
-        import pandas as pd
-        import pyarrow.parquet as pq
-
-        for chunk in batches:
-            rows = []
-            for p in chunk["path"]:
-                md = pq.ParquetFile(p).metadata
-                for g in range(md.num_row_groups):
-                    rg = md.row_group(g)
-                    col = next(
-                        rg.column(i)
-                        for i in range(rg.num_columns)
-                        if rg.column(i).path_in_schema == "l_orderkey"
-                    )
-                    st = col.statistics
-                    rows.append(
-                        (
-                            p.rsplit("/", 1)[-1],
-                            g,
-                            rg.num_rows,
-                            st.min,
-                            st.max,
-                            st.null_count,
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "file_name",
-                    "row_group_id",
-                    "n_rows",
-                    "min_orderkey",
-                    "max_orderkey",
-                    "n_nulls",
-                ],
-            )
-
-    return pdf.mapInPandas(
-        footers,
-        "file_name string, row_group_id long, n_rows long,"
-        " min_orderkey long, max_orderkey long, n_nulls long",
-    )
-
-
-@query(
-    "referential_integrity_audit",
-    oracle="""
-    WITH ls AS (
-      SELECT l_orderkey,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(8,4)))
-                 * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS line_total
-      FROM lineitem GROUP BY 1),
-    childless AS (
-      SELECT count(*) AS n FROM orders o
-      WHERE o.o_orderkey NOT IN (SELECT l_orderkey FROM ls)),
-    orphans AS (
-      SELECT count(*) AS n FROM lineitem l
-      WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
-    drift AS (
-      SELECT count(*) AS n FROM orders o JOIN ls
-        ON ls.l_orderkey = o.o_orderkey
-      WHERE abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - line_total)
-            > 0.01)
-    SELECT 'orders_without_lineitems' AS check_name,
-           CAST(childless.n AS BIGINT) AS n_violations,
-           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
-    FROM childless
-    UNION ALL
-    SELECT 'lineitems_without_order', CAST(orphans.n AS BIGINT),
-           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
-    FROM orphans
-    UNION ALL
-    SELECT 'totalprice_vs_line_sum_drift', CAST(drift.n AS BIGINT),
-           CAST((SELECT count(*) FROM orders) AS BIGINT)
-    FROM drift
-    """,
-)
-def q_referential_integrity_audit(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Cross-table referential-integrity audit — the reconciliation
-    pass dq_expectations (single-table rules) cannot express: orders
-    with no line items, line items pointing at no order, and orders
-    whose header total drifts from the recomputed line-level sum by
-    more than a cent. Exactness: the line total is a chain of exact
-    DECIMAL multiplications (price(18,2) x (1-disc)(8,4) x
-    (1+tax)(8,4) fits scale 10 exactly in both engines) summed per
-    order, so the drift comparison is exact arithmetic, not float
-    tolerance. Scale shape: one keyed line-level aggregation
-    (map-side combinable), two anti-join counts and one equi-join
-    filter count — all on the orderkey partitioning, no windows. On
-    the fixture the drift check FIRES (the generator doesn't maintain
-    the TPC-H header identity), which is the point: audits earn
-    their keep on dirty data."""
-    o = read_table(spark, sf_dir, "orders")
-    li = read_table(spark, sf_dir, "lineitem")
-    ls = li.groupBy("l_orderkey").agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
-            * (F.lit(1) + F.col("l_tax").cast("decimal(8,4)"))
-        ).alias("line_total")
-    )
-    n_orders = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    n_lines = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    childless = (
-        o.join(ls, o["o_orderkey"] == ls["l_orderkey"], "left_anti")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    )
-    orphans = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    )
-    drift = (
-        o.join(ls, o["o_orderkey"] == ls["l_orderkey"])
-        .where(
-            F.abs(
-                F.col("o_totalprice").cast("decimal(18,2)")
-                - F.col("line_total")
-            )
-            > 0.01
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    )
-
-    def row(name, viol, checked):
-        return viol.crossJoin(checked).select(
-            F.lit(name).alias("check_name"),
-            F.col("v").alias("n_violations"),
-            F.col("n").alias("n_checked"),
-        )
-
-    return (
-        row("orders_without_lineitems", childless, n_orders)
-        .unionByName(row("lineitems_without_order", orphans, n_lines))
-        .unionByName(
-            row("totalprice_vs_line_sum_drift", drift, n_orders)
-        )
-    )
-
-
-@query(
-    "graph_temporal_edge_novelty",
-    oracle="""
-    WITH lp AS (SELECT DISTINCT l.l_orderkey, l.l_partkey,
-                       date_trunc('quarter', o.o_orderdate) AS q
-                FROM lineitem l JOIN orders o
-                  ON o.o_orderkey = l.l_orderkey
-                WHERE l.l_orderkey % 10 = 0),
-    e AS (SELECT a.l_partkey AS u, b.l_partkey AS v, a.q
-          FROM lp a JOIN lp b
-            ON a.l_orderkey = b.l_orderkey
-           AND a.q = b.q
-           AND a.l_partkey < b.l_partkey),
-    first_seen AS (SELECT u, v, min(q) AS first_q
-                   FROM e GROUP BY 1, 2),
-    per_q AS (SELECT q, count(*) AS n_active
-              FROM (SELECT DISTINCT u, v, q FROM e) GROUP BY 1),
-    new_q AS (SELECT first_q AS q, count(*) AS n_new
-              FROM first_seen GROUP BY 1)
-    SELECT CAST(p.q AS DATE) AS quarter,
-           CAST(p.n_active AS BIGINT) AS n_active_edges,
-           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_edges,
-           CAST(COALESCE(n.n_new, 0) AS DOUBLE)
-             / CAST(p.n_active AS DOUBLE) AS novelty_rate
-    FROM per_q p LEFT JOIN new_q n ON n.q = p.q
-    """,
-)
-def q_graph_temporal_edge_novelty(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Temporal graph dynamics: per quarter, how many co-purchase
-    edges are ACTIVE and what fraction are NEW (first ever seen that
-    quarter) — the edge-novelty decay curve that tells a recommender
-    team whether the item graph has stabilized (retrain less) or is
-    still churning (retrain more). Distinct from the static graph
-    family: the time dimension rides the SAME sharded basket
-    expansion (order date joins in before the pair self-join, so
-    edges carry their quarter for free), then two keyed aggregates
-    (first-seen min, per-quarter distinct actives) on the edge key.
-    Scale shape: the pair explosion is bounded by the shared basket
-    discipline; everything after is |edges|-scale keyed aggregation,
-    output bounded by the calendar."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
-
-    li = read_table(spark, sf_dir, "lineitem").where(
-        F.col("l_orderkey") % 10 == 0
-    )
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.date_trunc("quarter", "o_orderdate").alias("q")
-    )
-    # MAX_BASKET hash-rank cap BEFORE the pair self-join (the shared
-    # mega-basket guard); the quarter is constant per order, so it
-    # joins back onto the capped membership for free
-    lp = capped_basket_items(li, "l_orderkey", "l_partkey").join(
-        o, F.col("l_orderkey") == o["o_orderkey"]
-    ).select("l_orderkey", "l_partkey", "q")
-    a = lp.select("l_orderkey", "q", F.col("l_partkey").alias("u"))
-    b = lp.select(
-        F.col("l_orderkey").alias("ok2"),
-        F.col("q").alias("q2"),
-        F.col("l_partkey").alias("v"),
-    )
-    e = a.join(
-        b,
-        (F.col("l_orderkey") == F.col("ok2"))
-        & (F.col("q") == F.col("q2"))
-        & (F.col("u") < F.col("v")),
-    ).select("u", "v", "q")
-    first_seen = e.groupBy("u", "v").agg(F.min("q").alias("first_q"))
-    per_q = (
-        e.distinct()
-        .groupBy("q")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_edges"))
-    )
-    new_q = first_seen.groupBy(F.col("first_q").alias("q")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_new")
-    )
-    return (
-        per_q.join(new_q, "q", "left")
-        .select(
-            F.col("q").cast("date").alias("quarter"),
-            "n_active_edges",
-            F.coalesce("n_new", F.lit(0))
-            .cast("bigint")
-            .alias("n_new_edges"),
-            (
-                F.coalesce("n_new", F.lit(0)).cast("double")
-                / F.col("n_active_edges").cast("double")
-            ).alias("novelty_rate"),
-        )
-    )
-
-
-@query(
-    "data_retention_expiry_audit",
-    oracle="""
-    WITH h AS (SELECT max(ts) AS horizon FROM events),
-    ev AS (SELECT CAST(count(*) FILTER (
-                    WHERE ts < horizon - INTERVAL 180 DAY) AS BIGINT)
-                    AS n_expired,
-                  CAST(count(*) AS BIGINT) AS n_total
-           FROM events, h),
-    oh AS (SELECT max(o_orderdate) AS horizon FROM orders),
-    od AS (SELECT CAST(count(*) FILTER (
-                    WHERE o_orderdate < horizon - INTERVAL 730 DAY)
-                    AS BIGINT) AS n_expired,
-                  CAST(count(*) AS BIGINT) AS n_total
-           FROM orders, oh)
-    SELECT 'events_180d' AS policy, n_expired, n_total,
-           CAST(n_expired AS DOUBLE) / CAST(n_total AS DOUBLE)
-             AS expired_frac
-    FROM ev
-    UNION ALL
-    SELECT 'orders_730d', n_expired, n_total,
-           CAST(n_expired AS DOUBLE) / CAST(n_total AS DOUBLE)
-    FROM od
-    """,
-)
-def q_data_retention_expiry_audit(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Retention-policy expiry audit — the scheduled twin of
-    gdpr_erasure_cascade (that one erases named subjects on request;
-    this one finds everything past its table-level retention clock):
-    per policy, rows older than the horizon (events > 180 days,
-    orders > 730 days, anchored at each table's own max event time so
-    the fixture replays deterministically). At 100 TB the same
-    predicate drives partition-level drops on a date-partitioned
-    layout — which is why retention policies and partition keys
-    should agree. One conditional aggregate per table (map-side
-    combinable), a broadcast 1-row horizon join, no shuffles beyond
-    the aggregates."""
-    ev = read_table(spark, sf_dir, "events")
-    o = read_table(spark, sf_dir, "orders")
-
-    def audit(df, ts_col, days, name):
-        h = df.agg(F.max(ts_col).alias("horizon"))
-        return (
-            df.crossJoin(F.broadcast(h))
-            .agg(
-                F.sum(
-                    (
-                        F.col(ts_col)
-                        < F.col("horizon")
-                        - F.expr(f"INTERVAL {days} DAY")
-                    ).cast("bigint")
-                )
-                .cast("bigint")
-                .alias("n_expired"),
-                F.count(F.lit(1)).cast("bigint").alias("n_total"),
-            )
-            .select(
-                F.lit(name).alias("policy"),
-                "n_expired",
-                "n_total",
-                (
-                    F.col("n_expired").cast("double")
-                    / F.col("n_total").cast("double")
-                ).alias("expired_frac"),
-            )
-        )
-
-    return audit(ev, "ts", 180, "events_180d").unionByName(
-        audit(o, "o_orderdate", 730, "orders_730d")
-    )
-
-
-@query(
-    "ohlc_daily_bars",
-    oracle="""
-    WITH e AS (SELECT CAST(ts AS DATE) AS day, ts, event_id, value
-               FROM events WHERE value IS NOT NULL),
-    o AS (SELECT day, value AS open_v FROM
-          (SELECT *, row_number() OVER (PARTITION BY day
-             ORDER BY ts, event_id) AS rn FROM e) WHERE rn = 1),
-    c AS (SELECT day, value AS close_v FROM
-          (SELECT *, row_number() OVER (PARTITION BY day
-             ORDER BY ts DESC, event_id DESC) AS rn FROM e)
-          WHERE rn = 1),
-    hl AS (SELECT day, max(value) AS high_v, min(value) AS low_v,
-                  CAST(count(*) AS BIGINT) AS n_ticks
-           FROM e GROUP BY day)
-    SELECT hl.day, o.open_v, hl.high_v, hl.low_v, c.close_v, hl.n_ticks
-    FROM hl JOIN o USING (day) JOIN c USING (day)
-    """,
-)
-def q_ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily OHLC bars over the event value stream — the market-data /
-    metrics-downsampling primitive (open/close are the
-    deterministically FIRST/LAST readings by (ts, event_id), high/low
-    plain extrema). Scale shape: ONE keyed aggregation does all six
-    outputs — open and close ride min/max over (ts, event_id, value)
-    STRUCTS inside the same partial-aggregable pass (struct ordering
-    is lexicographic, so the min struct IS the first reading), no
-    windows, no second shuffle; the oracle spells the same picks as
-    rank-1 windows. Output is calendar-bounded."""
-    e = read_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
-    )
-    day = F.to_date("ts").alias("day")
-    return (
-        e.select(
-            day,
-            F.struct("ts", "event_id", "value").alias("s"),
-            "value",
-        )
-        .groupBy("day")
-        .agg(
-            F.min("s")["value"].alias("open_v"),
-            F.max("value").alias("high_v"),
-            F.min("value").alias("low_v"),
-            F.max("s")["value"].alias("close_v"),
-            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
-        )
-    )
-
-
-@query(
-    "attribution_linear_touch",
-    oracle="""
-    WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS cts
-                  FROM events WHERE event_type = 'purchase'),
-    touch AS (SELECT user_id, event_type, ts AS tts FROM events
-              WHERE event_type IN ('view', 'click')),
-    pairs AS (SELECT c.conv_id, t.event_type
-              FROM conv c JOIN touch t
-                ON t.user_id = c.user_id
-               AND t.tts < c.cts
-               AND t.tts >= c.cts - INTERVAL 7 DAY),
-    sized AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS k
-              FROM pairs GROUP BY 1),
-    credited AS (
-      SELECT p.event_type,
-             CAST(floor(1.0 / s.k * 1000000000.0 + 0.5)
-                  / 1000000000.0 AS DECIMAL(20,9)) AS credit
-      FROM pairs p JOIN sized s ON s.conv_id = p.conv_id)
-    SELECT event_type AS channel,
-           CAST(sum(credit) AS DECIMAL(20,9)) AS total_credit,
-           CAST(count(*) AS BIGINT) AS n_touches
-    FROM credited GROUP BY 1
-    """,
+from etl_pyspark_spark.queries.core import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.flagship import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.aggregations import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.joins import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.sort_set_window import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.scalar_funcs import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.text_analysis import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.dedup_queries import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.streaming_multimodal import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.sql_layer import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.io_lake import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.temporal_tpch import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.corpus_pipeline import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.widening_r3 import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.training_growth import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.semdedup_tokenizer import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.eval_stats import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.graph_temporal import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.timeseries_entity import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.records_quality import *  # noqa: F401,F403
+from etl_pyspark_spark.queries.round6_extensions import *  # noqa: F401,F403
+
+# underscore names star-import skips, re-exported for
+# backwards compatibility (tests import several)
+from etl_pyspark_spark.queries.core import (  # noqa: F401
+    _dec_sum_sql,
+)
+from etl_pyspark_spark.queries.text_analysis import (  # noqa: F401
+    _WS_TOKENS_SQL,
+    _STOP_HITS_SQL,
+    _sql_str_list,
+    _NGRAMS_SQL,
+    _ngram_sql,
+)
+from etl_pyspark_spark.queries.dedup_queries import (  # noqa: F401
+    _dedup_shared_build_oracle,
+    _minhash_oracle,
+    _ngram_oracle,
+    _components_oracle,
+    _simhash_oracle,
+    _simhash_pairs_oracle,
+    _sql_cos,
+    _norms_oracle,
+    _cosine_topk_oracle,
+    _assign_centroid_oracle,
+    _ann_pairs_oracle,
+)
+from etl_pyspark_spark.queries.sql_layer import (  # noqa: F401
+    _register_views,
+)
+from etl_pyspark_spark.queries.io_lake import (  # noqa: F401
+    _SCRATCH,
+    _ORACLE_SF,
+    _ensure_orders_by_year,
+)
+from etl_pyspark_spark.queries.temporal_tpch import (  # noqa: F401
+    _STRATA_THRESH,
+    _pagerank_oracle,
+)
+from etl_pyspark_spark.queries.corpus_pipeline import (  # noqa: F401
+    _quantized_rerank_oracle,
+    _sql_quality_inline,
+    _sql_lang_inline,
+    _corpus_prep_oracle,
+    _canonical_oracle,
+    _media_prep_oracle,
+    _stream_corpus_prep_oracle,
+    _docgen_oracle,
+)
+from etl_pyspark_spark.queries.widening_r3 import (  # noqa: F401
+    _GROUPING_SETS_SQL,
+    _EVENT_TYPES,
+    _STRATUM_RATE_SQL,
+    _LATERAL_SQL,
+    _GROUP_BY_ALL_SQL,
+    _PAGINATION_SQL,
+)
+from etl_pyspark_spark.queries.training_growth import (  # noqa: F401
+    _incremental_minhash_oracle,
+    _ensure_orders_mixed_spec,
+)
+from etl_pyspark_spark.queries.semdedup_tokenizer import (  # noqa: F401
+    _semantic_dedup_oracle,
+    _substring_dup_remove_oracle,
+    _vocab_build_oracle,
+    _segment_oracle,
+    _bigram_lm_oracle,
+    _copurchase_pagerank_oracle,
+    _EQUIDEPTH_BINS,
+    _equidepth_oracle,
+)
+from etl_pyspark_spark.queries.eval_stats import (  # noqa: F401
+    _AUC_POS,
+    _token_class_oracle,
+    _LANGID_CASE_CTE,
+    _CM_DEPTH,
+    _CM_WIDTH,
+    _countmin_oracle,
+    _calibration_oracle,
+    _containment_oracle,
+    _COLLOC_MIN_DF,
+    _COLLOC_MIN_PAIR,
+    _collocation_oracle,
+    _inverted_index_oracle,
+    _SKEW_DIAG_PARTS,
+    _event_seq_oracle,
+    _cluster_histogram_oracle,
+    _RRF_K,
+    _minhash_estimate_oracle,
+    _ensure_skipping_lineitem,
+    _SKIP_LO,
+    _SKIP_HI,
+    _ensure_deflate_sizes,
+    _CHUNK_W,
+    _CHUNK_S,
+    _TOKEN_BUDGET,
+    _source_overlap_oracle,
+)
+from etl_pyspark_spark.queries.graph_temporal import (  # noqa: F401
+    _KCORE_K,
+    _KCORE_ROUNDS,
+    _copurchase_edges_sql,
+    _EDGE_CACHE,
+    _EDGE_COUNTS,
+    _EDGE_CACHE_MAX,
+    _edge_cache_put,
+    _copurchase_edges,
+    _copurchase_edge_count,
+    _kcore_oracle,
+    _EWMA_WINDOW,
+    _SNAPSHOT_TS,
+    _APPORTION_BUDGET,
+    _entity_resolution_oracle,
+    _dedup_impact_oracle,
+    _WM_DELAY_US,
+    _KANON_K,
+    _DECAY_WEEKS,
+    _release_card_oracle,
+)
+from etl_pyspark_spark.queries.timeseries_entity import (  # noqa: F401
+    _HRW_SHARDS,
+    _negative_sampling_oracle,
+    _autocorr_oracle,
+    _jackknife_oracle,
+    _ISO_BINS,
+    _BENFORD_P,
+    _BFS_HOPS,
+    _bfs_oracle,
+    _pr_curve_oracle,
+    _golden_record_oracle,
+)
+from etl_pyspark_spark.queries.records_quality import (  # noqa: F401
+    _LINKPRED_MID_CAP,
+    _qini_oracle,
+    _split_leakage_oracle,
+    _IPF_ROUNDS,
+    _ipf_oracle,
+    _xcorr_oracle,
+)
+from etl_pyspark_spark.queries.round6_extensions import (  # noqa: F401
+    _matryoshka_oracle,
+    _mmr_oracle,
+    _threshold_sweep_oracle,
+    _hard_negative_oracle,
+    _Q3,
+    _label_centroid_sql,
+    _centroid_sep_oracle,
+    _label_outlier_oracle,
 )
-def q_attribution_linear_touch(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Linear multi-touch attribution: each purchase splits one unit
-    of credit EQUALLY across the user's view/click touches in the 7
-    preceding days — the allocation last-touch attribution throws
-    away (attribution_last_touch crowns one touch; this pays the
-    whole path, the other industry-standard model). Exactness: the
-    per-touch share 1/k is pround(9)-rounded — the double is within
-    5e-18 of n/1e9, so the DECIMAL(20,9) cast lands on the identical
-    exact decimal in both engines — and credits then sum as exact
-    decimals in any order. Scale shape: one user-keyed range join
-    (touch windows are bounded by the 7-day horizon), a per-
-    conversion count, and a keyed credit sum — all on the same user/
-    conversion partitioning; no windows, no explode."""
-    ev = read_table(spark, sf_dir, "events")
-    conv = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("conv_id"),
-        F.col("user_id").alias("cu"),
-        F.col("ts").alias("cts"),
-    )
-    touch = ev.where(F.col("event_type").isin("view", "click")).select(
-        F.col("user_id").alias("tu"),
-        "event_type",
-        F.col("ts").alias("tts"),
-    )
-    pairs = conv.join(
-        touch,
-        (F.col("tu") == F.col("cu"))
-        & (F.col("tts") < F.col("cts"))
-        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAY")),
-    ).select("conv_id", "event_type")
-    sized = pairs.groupBy("conv_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k")
-    )
-    credited = pairs.join(sized, "conv_id").select(
-        "event_type",
-        pround(F.lit(1.0) / F.col("k"), 9)
-        .cast("decimal(20,9)")
-        .alias("credit"),
-    )
-    return credited.groupBy(
-        F.col("event_type").alias("channel")
-    ).agg(
-        F.sum("credit").cast("decimal(20,9)").alias("total_credit"),
-        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-    )

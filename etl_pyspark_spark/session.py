@@ -22,8 +22,12 @@ Config choices (and why):
 - AQE on (coalesce shuffle partitions, skew-join splitting) — at
   100 TB the static ``shuffle.partitions`` is never right; AQE
   re-plans from runtime stats.
-- ``shuffle.partitions`` defaults to cores locally; on a real cluster
-  AQE's coalescing makes the initial number mostly a ceiling.
+- ``shuffle.partitions`` defaults to cores locally, but that is only
+  the FLOOR: AQE coalesces down, never up, so
+  ``sources.io.autosize_shuffle_partitions`` (called by every
+  ``read_table``) raises it to the fixture's input volume — the 100x
+  grow smoke spilled at the static 32 until the volume-derived value
+  (one partition per ~200k input rows of the largest table) applied.
 """
 
 from __future__ import annotations

@@ -83,6 +83,93 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# --- shuffle-partition auto-sizing (r06 verdict #1) -----------------------
+#
+# AQE coalesces shuffle partitions DOWN, never up: a session pinned to
+# `cpus` partitions (right for 32 cores at sf0.1) pushed ~20M+ rows
+# per partition into spill at the 100x grow smoke until a human set
+# 256. The rule "size shuffle.partitions to the job's data volume" is
+# the one knob that is ALWAYS set per job on a real cluster — so the
+# engine derives it from the fixture itself: the largest table's row
+# count (read from parquet FOOTERS only, memoized per fixture dir),
+# one partition per ~200k input rows, floored at the session's own
+# configured value and capped at 4096. At bench scale (600k rows) the
+# floor wins and the sf0.1 plan is byte-identical; at 30x/100x the
+# derived value (90/300) keeps the widest intermediate (the wedge
+# aggregation's ~700M rows) out of spill with NO manual knob. Rows,
+# not bytes, because the pathological shuffles are intermediate
+# EXPLOSIONS (quadratic-in-degree wedges) — compressed input bytes
+# under-estimate them by 30x+.
+#
+# Opt out with SPARK_GRAFT_SHUFFLE_AUTOSIZE=0 (e.g. an A/B that wants
+# a hand-pinned value to stick across read_table calls); session-
+# builder `shuffle_partitions=` overrides act as the floor instead.
+
+_AUTOSIZE_ROWS_PER_PARTITION = 200_000
+_AUTOSIZE_MAX_PARTITIONS = 4096
+_FIXTURE_MAX_ROWS: dict[str, int] = {}
+_SHUFFLE_BASELINE: dict[str, int] = {}
+
+
+def _fixture_max_rows(sf_dir: str) -> int:
+    """Largest fixture table's row count, from parquet footers only
+    (no data pages, no Spark job); memoized per fixture identity so a
+    regenerated fixture at the same path re-measures."""
+    import os
+
+    key = fixture_fingerprint(sf_dir, *FIXTURE_TABLES)
+    got = _FIXTURE_MAX_ROWS.get(key)
+    if got is not None:
+        return got
+    import pyarrow.parquet as pq
+
+    mx = 0
+    for t in FIXTURE_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        n = 0
+        try:
+            if os.path.isdir(p):
+                # directory-shaped table (grow fixtures, real lakes)
+                for root, _, files in os.walk(p):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            n += pq.ParquetFile(
+                                os.path.join(root, f)
+                            ).metadata.num_rows
+            elif os.path.isfile(p):
+                n = pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            n = 0
+        mx = max(mx, n)
+    _FIXTURE_MAX_ROWS[key] = mx
+    return mx
+
+
+def autosize_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Set ``spark.sql.shuffle.partitions`` for this fixture's volume:
+    ``clamp(session baseline, max_rows/200k, 4096)``. The baseline is
+    the value the session was BUILT with (captured on first call), so
+    alternating fixtures in one session re-derive per query — a 100x
+    query raises it, the next sf0.1 query drops it back, and AQE
+    coalesces any small case down for free. Returns the applied value
+    (0 = autosize disabled/unavailable)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_AUTOSIZE", "1") == "0":
+        return 0
+    try:
+        app = spark.sparkContext.applicationId
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 0
+    base = _SHUFFLE_BASELINE.setdefault(app, cur)
+    need = _fixture_max_rows(sf_dir) // _AUTOSIZE_ROWS_PER_PARTITION
+    target = max(base, min(_AUTOSIZE_MAX_PARTITIONS, need))
+    if cur != target:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    return target
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table, e.g. ``read_table(spark, sf, 'lineitem')``.
 
@@ -94,8 +181,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``ensure_compat`` pins ANSI-off/UTC confs because the caller
     (e.g. the verify driver) may pass a session built with Spark 4
     defaults.
+
+    Also auto-sizes ``spark.sql.shuffle.partitions`` to the fixture's
+    volume (see ``autosize_shuffle_partitions``) — every engine query
+    enters through here, so the knob tracks the data the query is
+    about to shuffle.
     """
     ensure_compat(spark)
+    autosize_shuffle_partitions(spark, sf_dir)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if "ts" in df.columns:
         df = normalize_event_ts(df, "ts")

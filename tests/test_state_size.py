@@ -81,6 +81,47 @@ def test_quota_state_rows_track_users_not_events(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_grow_fixture_state_sizes_scale_with_keys(spark):
+    """30x catalog-growing fixture (r06 verdict #3): the USER
+    population itself grows 30x, so this pins state ∝ keys in the
+    regime where keys (not just events) scale — quota state must be
+    exactly |users| at 30x, sessionization at most one open session
+    per user, and the join buffer bounded by its input. Skips when
+    the grow fixture has not been generated (it is scratch-only;
+    build with SPARK_GRAFT_SMOKE_MODE=grow scripts/scale_smoke_gen.py)."""
+    grow = "/root/repo/.scratch/sf3.0grow"
+    if not os.path.exists(os.path.join(grow, "events.parquet")):
+        pytest.skip("30x grow fixture not built")
+    from etl_pyspark_spark.sources.io import read_table
+
+    ev = read_table(spark, grow, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+
+    QUERIES["stream_quota_drop"](spark, grow).count()
+    quota_state = _state_rows()
+    assert quota_state == n_users
+
+    QUERIES["stream_session_timeout_custom"](spark, grow).count()
+    session_state = _state_rows()
+    assert session_state <= n_users
+
+    QUERIES["stream_stream_left_outer"](spark, grow).count()
+    join_state = _state_rows()
+    n_join_input = ev.where(
+        F.col("event_type").isin("click", "purchase")
+    ).count()
+    assert join_state <= n_join_input
+
+    print(
+        f"\nstate-size audit (30x grow): events={n_events} "
+        f"users={n_users} quota_state={quota_state} "
+        f"session_state={session_state} join_state={join_state} "
+        f"join_input={n_join_input}"
+    )
+
+
+@pytest.mark.slow
 def test_fixture_state_sizes_are_key_bounded(spark, oracle_sf_dir):
     """The three heaviest stateful queries on the real fixture: state
     rows bounded by key cardinality (quota/sessions) or input size
