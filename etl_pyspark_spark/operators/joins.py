@@ -52,6 +52,7 @@ def range_join_binned(
     start_col: str,
     end_col: str,
     bin_width: int,
+    salt: int | None = None,
 ) -> DataFrame:
     """Point-in-interval join where BOTH sides are large (neither
     broadcastable): rewrite the pure range predicate as a bin
@@ -70,7 +71,23 @@ def range_join_binned(
     ``point_col``/``start_col``/``end_col`` must be integer-like
     (cast dates to epoch days first). Interval is half-open
     [start, end).
-    """
+
+    ``salt`` splits each bin's work ``salt`` ways: points carry a
+    deterministic hash-derived salt, intervals replicate across all
+    salt values (the small side — intervals blow up ``salt``x, pairs
+    enumerated are UNCHANGED). This matters because the join's
+    *output* can be orders of magnitude larger than its inputs (dense
+    calendars: every point x every overlapping window), and AQE sizes
+    post-shuffle partitions from input BYTES — a 16 MB input that
+    explodes to billions of pairs gets coalesced onto ~1 task and
+    single-threads the whole stage (measured: a 30x-density fixture
+    ground one core for 17+ min; salt=32 spread it back across the
+    cluster). Bin count alone can't provide parallelism when the
+    calendar span is short. Default: the session's default
+    parallelism, so each bin's enumeration spreads across every core
+    regardless of AQE's input-byte view."""
+    if salt is None:
+        salt = max(1, points.sparkSession.sparkContext.defaultParallelism)
     iv = intervals.withColumn(
         "_bin",
         F.explode(
@@ -84,13 +101,33 @@ def range_join_binned(
     pt = points.withColumn(
         "_bin", F.floor(F.col(point_col) / bin_width).cast("long")
     )
+    if salt > 1:
+        iv = iv.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        # xxhash64, not pmod(point) itself: consecutive points must
+        # scatter, and a point column with its own modular structure
+        # (epoch days) would otherwise alias into few salt values
+        pt = pt.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(point_col)), F.lit(salt))
+        )
+        join_keys = ["_bin", "_salt"]
+    else:
+        join_keys = ["_bin"]
+    # shuffle_hash, never broadcast: the planner costs the interval
+    # side from its SCAN estimate, but two Generates later it is
+    # bins x salt bigger (22M rows at the 30x fixture) — statically
+    # "small enough to broadcast", actually a single-threaded
+    # driver-side hash build that took longer than the whole join.
+    # Explode never updates size estimates; any operator that explodes
+    # its build side must pin the join strategy itself.
     return (
-        pt.join(iv, "_bin")
+        pt.join(iv.hint("shuffle_hash"), join_keys)
         .where(
             (F.col(point_col) >= F.col(start_col))
             & (F.col(point_col) < F.col(end_col))
         )
-        .drop("_bin")
+        .drop("_bin", "_salt")
     )
 
 
