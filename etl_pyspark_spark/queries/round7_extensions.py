@@ -1,0 +1,149 @@
+"""Query family: round-7 extensions.
+
+Two additions that exercise Spark surfaces the registry lacked:
+
+- a MANUAL bloom-style prefiltered semi join (the two-phase filter a
+  100 TB fact-vs-big-dim join needs when the dim is too large to
+  broadcast but its hashed key-bucket SET is not), and
+- a polymorphic Python UDTF whose output schema is derived at
+  plan time by a static ``analyze`` method (Spark 4 API; the existing
+  UDTF queries all use a fixed ``returnType``).
+"""
+
+from __future__ import annotations
+
+from etl_pyspark_spark.queries.core import (
+    DataFrame,
+    F,
+    SparkSession,
+    dec_sum,
+    query,
+    read_table,
+)
+
+_BLOOM_BUCKETS = 4096
+_BLOOM_BAL = 9000.0
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_acctbal > {_BLOOM_BAL})
+    GROUP BY order_month
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style prefiltered semi join: monthly order volume from
+    high-balance customers, where the fact side is PREFILTERED by a
+    compact hash-bucket set of the dim keys before the exact semi
+    join runs.
+
+    Scale story: when the dim side is too large to broadcast (tens of
+    millions of qualifying keys), the exact semi join must shuffle the
+    FULL fact table. But the dim's ``pmod(xxhash64(key), m)`` bucket
+    SET is bounded by m regardless of dim size — broadcast it, drop
+    every fact row whose key hashes to an absent bucket (no false
+    negatives, bounded false positives, exactly a 1-hash Bloom
+    filter), and only the surviving fraction pays the shuffle. The
+    exact semi join then removes the false positives, so the result
+    is identical to the plain semi join the oracle runs — the
+    prefilter is semantically transparent, which is what makes it
+    safe to apply mechanically. (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` does this inside AQE
+    for some shapes; this operator is the explicit, plan-pinnable
+    form.) Output is calendar-bounded (~84 months)."""
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > _BLOOM_BAL)
+        .select("c_custkey")
+    )
+    buckets = (
+        cust.select(
+            F.pmod(F.xxhash64("c_custkey"), F.lit(_BLOOM_BUCKETS)).alias(
+                "bkt"
+            )
+        )
+        .distinct()
+    )
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "bkt", F.pmod(F.xxhash64("o_custkey"), F.lit(_BLOOM_BUCKETS))
+    )
+    # phase 1: broadcast bucket-set membership (<= m rows, any dim size)
+    prefiltered = orders.join(F.broadcast(buckets), "bkt")
+    # phase 2: exact verification semi join on the real key
+    exact = prefiltered.join(
+        cust,
+        prefiltered["o_custkey"] == cust["c_custkey"],
+        "left_semi",
+    )
+    return exact.groupBy(
+        F.trunc(F.col("o_orderdate"), "month").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+@query(
+    "udtf_analyze_polymorphic",
+    # first three whitespace tokens of each document title line;
+    # list_filter(string_split) is the engine-wide token convention
+    # (text_analysis._WS_TOKENS_SQL) and list[i] is NULL past the end
+    # in DuckDB, matching the UDTF's None padding
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    )
+    SELECT doc_id, ts[1] AS f1, ts[2] AS f2, ts[3] AS f3
+    FROM toks
+    """,
+)
+def q_udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF (Spark 4): the output schema is computed at
+    PLAN time by a static ``analyze`` method from a constant argument
+    — here ``leading_fields(text, 3)`` emits columns f1..f3 — instead
+    of a fixed ``returnType`` string (udtf_numbered_tokens' static
+    form). This is the API a reusable table function needs when its
+    arity depends on the call site (CSV splitters, top-N expanders,
+    pivot-like fanouts). Evaluation is Arrow-batched
+    (``spark.sql.execution.pythonUDTF.arrow.enabled`` is a session
+    default), so the Python boundary is columnar, not per-row
+    pickling. One UDTF pass over documents, no shuffle."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+
+    class LeadingFields:
+        @staticmethod
+        def analyze(text, n):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"f{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            toks = [t for t in (text or "").split(" ") if t]
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(int(n))
+            )
+
+    spark.udtf.register("leading_fields", udtf(LeadingFields))
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("udtf_poly_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.f1, f.f2, f.f3
+        FROM udtf_poly_docs d,
+             LATERAL leading_fields(d.text, 3) f
+        """
+    )

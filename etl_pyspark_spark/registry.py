@@ -179,3 +179,7 @@ from etl_pyspark_spark.queries.round6_extensions import (  # noqa: F401
     _centroid_sep_oracle,
     _label_outlier_oracle,
 )
+
+# round-7 additions (new family modules append here, after the
+# original 21 so earlier-module helper shadowing is unaffected)
+from etl_pyspark_spark.queries.round7_extensions import *  # noqa: E402,F401,F403

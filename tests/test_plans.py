@@ -912,3 +912,63 @@ def test_round6_additions_never_single_partition(spark, oracle_sf_dir):
 def test_label_outliers_bottomk_is_take_ordered(spark, oracle_sf_dir):
     plan = plan_of(QUERIES["embedding_label_outliers"](spark, oracle_sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_binned_is_shuffled_hash(spark, oracle_sf_dir):
+    """The band join must NEVER broadcast its exploded interval side:
+    the planner costs it from the SCAN estimate, but after the
+    bins x salt Generates it is orders of magnitude bigger (22M rows
+    at the 30x fixture — a single-threaded driver-side hash build
+    that pinned one core for 17+ minutes before the operator pinned
+    shuffle_hash). Also pins the salt column on the join keys, which
+    is what keeps AQE from coalescing the exploding stage onto one
+    task (output bytes >> input bytes is invisible to AQE)."""
+    for name in ("join_range_binned", "join_range_binned_agg"):
+        df = QUERIES[name](spark, oracle_sf_dir)
+        tree = tree_of(df)
+        assert "ShuffledHashJoin" in tree, name
+        assert "BroadcastHashJoin" not in tree, name
+        assert "_salt" in plan_of(df), name
+
+
+def test_bloom_prefilter_two_phase(spark, oracle_sf_dir):
+    """Phase 1 must be a BROADCAST join on the bounded bucket set
+    (never a shuffle: the whole point is that the fact side stays
+    in place until pruned); phase 2 is the exact semi join."""
+    tree = tree_of(QUERIES["join_bloom_prefilter"](spark, oracle_sf_dir))
+    assert "BroadcastHashJoin" in tree
+    assert "LeftSemi" in tree
+
+
+def test_autosize_shuffle_partitions_floor_and_raise(spark, oracle_sf_dir):
+    """At fixture scale the session's configured value is the floor
+    (bench plans unchanged); when the derived need exceeds it the
+    conf rises, and a later small-fixture query drops it back."""
+    import etl_pyspark_spark.sources.io as io
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    applied = io.autosize_shuffle_partitions(spark, oracle_sf_dir)
+    assert str(applied) == spark.conf.get("spark.sql.shuffle.partitions")
+    assert applied == int(before)  # 60k rows << 200k/partition: floor
+
+    # shrink the per-partition budget so the same fixture demands more
+    old = io._AUTOSIZE_ROWS_PER_PARTITION
+    io._AUTOSIZE_ROWS_PER_PARTITION = 1_000
+    try:
+        raised = io.autosize_shuffle_partitions(spark, oracle_sf_dir)
+        assert raised > int(before)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(raised)
+    finally:
+        io._AUTOSIZE_ROWS_PER_PARTITION = old
+    # next call at the real budget restores the floor
+    assert io.autosize_shuffle_partitions(spark, oracle_sf_dir) == int(before)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_autosize_disabled_by_env(spark, oracle_sf_dir, monkeypatch):
+    import etl_pyspark_spark.sources.io as io
+
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_AUTOSIZE", "0")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert io.autosize_shuffle_partitions(spark, oracle_sf_dir) == 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
