@@ -577,7 +577,13 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
     )
     return (
-        a.join(b, ["k", "bin"])
+        # shuffle_hash, never broadcast: the build side is EXPLODED
+        # (bins x rows) but the planner costs it from the pre-Generate
+        # scan estimate — the same misestimate range_join_binned
+        # hardens against (operators/joins.py); a statically-chosen
+        # broadcast of the exploded side is a driver-side build that
+        # grows with the fact table
+        a.join(b.hint("shuffle_hash"), ["k", "bin"])
         .where(
             (F.col("order_a") < F.col("order_b"))
             & (F.col("sa") <= F.col("eb"))

@@ -1,13 +1,16 @@
 """Query family: round-7 extensions.
 
-Two additions that exercise Spark surfaces the registry lacked:
+Additions that exercise Spark surfaces the registry lacked:
 
 - a MANUAL bloom-style prefiltered semi join (the two-phase filter a
   100 TB fact-vs-big-dim join needs when the dim is too large to
-  broadcast but its hashed key-bucket SET is not), and
+  broadcast but its hashed key-bucket SET is not),
 - a polymorphic Python UDTF whose output schema is derived at
   plan time by a static ``analyze`` method (Spark 4 API; the existing
-  UDTF queries all use a fixed ``returnType``).
+  UDTF queries all use a fixed ``returnType``), and
+- interval-union coverage — the overlap-merging gaps-and-islands
+  idiom (running-max sweep), distinct from the registry's point-streak
+  and fixed-gap-session forms.
 """
 
 from __future__ import annotations
@@ -146,4 +149,95 @@ def q_udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_poly_docs d,
              LATERAL leading_fields(d.text, 3) f
         """
+    )
+
+
+@query(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS c, o_orderkey AS k,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS s,
+             date_diff('day', DATE '1970-01-01', o_orderdate) + 30 AS e
+      FROM orders
+    ),
+    flagged AS (
+      SELECT c, k, s, e,
+             max(e) OVER (PARTITION BY c ORDER BY s, e, k
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ),
+    numbered AS (
+      SELECT c, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY c ORDER BY s, e, k) AS island
+      FROM flagged
+    ),
+    islands AS (
+      SELECT c, island, max(e) - min(s) AS covered
+      FROM numbered GROUP BY c, island
+    ),
+    per_cust AS (
+      SELECT c, count(*) AS n_islands,
+             CAST(sum(covered) AS BIGINT) AS covered_days
+      FROM islands GROUP BY c
+    )
+    SELECT n_islands,
+           count(*) AS n_customers,
+           CAST(sum(covered_days) AS BIGINT) AS covered_days
+    FROM per_cust GROUP BY n_islands
+    """,
+)
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (merge overlapping ranges): each order
+    opens a 30-day activity window per customer; overlapping windows
+    merge into islands and the engine reports, per island-count
+    bucket, how many customers have that many islands and their total
+    covered days. This is the third gaps-and-islands idiom in the
+    registry and the only one that handles OVERLAP: streaks
+    (longest_daily_streak) use the row_number-difference trick on
+    points, sessionization (sessionize_events) uses fixed-gap flags —
+    neither works when ranges extend past their successors. The sweep
+    is a running max of interval ends per key: a new island starts
+    exactly when s exceeds every previous end. Scale shape: ALL
+    windows partition by customer (never SinglePartition), the
+    per-(key, island) rollup reuses the same partitioning, and the
+    final histogram is bounded by max-islands-per-customer (~orders
+    per customer). Output is cardinality-bounded at any fixture
+    replication."""
+    from pyspark.sql import Window
+
+    epoch = F.lit("1970-01-01")
+    iv = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+        F.datediff(F.col("o_orderdate"), epoch).alias("s"),
+        (F.datediff(F.col("o_orderdate"), epoch) + 30).alias("e"),
+    )
+    w = Window.partitionBy("c").orderBy("s", "e", "k")
+    flagged = iv.withColumn(
+        "prev_max",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    numbered = flagged.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    islands = numbered.groupBy("c", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    per_cust = islands.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("covered").cast("bigint").alias("covered_days"),
+    )
+    return per_cust.groupBy("n_islands").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("covered_days").cast("bigint").alias("covered_days"),
     )
