@@ -10,7 +10,10 @@ Additions that exercise Spark surfaces the registry lacked:
   UDTF queries all use a fixed ``returnType``), and
 - interval-union coverage — the overlap-merging gaps-and-islands
   idiom (running-max sweep), distinct from the registry's point-streak
-  and fixed-gap-session forms.
+  and fixed-gap-session forms, and
+- max-min-fair (waterfilling) token-budget allocation across sources
+  — the capped-fair-share mixing rule, vs mixture_sampling_quota's
+  proportional split.
 """
 
 from __future__ import annotations
@@ -240,4 +243,138 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("n_islands").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("covered_days").cast("bigint").alias("covered_days"),
+    )
+
+
+@query(
+    "token_budget_waterfill",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      t -> t <> ''))) AS BIGINT) AS demand
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(demand) AS BIGINT) AS total,
+                   count(*) AS n,
+                   CAST((19 * CAST(sum(demand) AS BIGINT)) // 20 AS BIGINT)
+                     AS budget
+            FROM d),
+    ranked AS (
+      SELECT source, demand,
+             row_number() OVER (ORDER BY demand, source) AS k,
+             CAST(sum(demand) OVER (ORDER BY demand, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM d
+    ),
+    flagged AS (
+      SELECT r.*, t.n, t.budget,
+             r.demand * (t.n - r.k + 1) <= t.budget - (r.cum - r.demand)
+               AS fits
+      FROM ranked r, tot t
+    ),
+    kstar AS (
+      SELECT COALESCE((SELECT min(k) - 1 FROM flagged WHERE NOT fits),
+                      (SELECT n FROM tot)) AS ks
+    ),
+    base AS (
+      SELECT f.*, kk.ks,
+             CASE WHEN f.k <= kk.ks THEN NULL
+                  ELSE f.budget
+                       - COALESCE((SELECT max(cum) FROM flagged
+                                   WHERE k <= kk.ks), 0)
+             END AS rem
+      FROM flagged f, kstar kk
+    )
+    SELECT source, demand,
+           CAST(CASE WHEN k <= ks THEN demand
+                ELSE rem // (n - ks)
+                     + CASE WHEN k - ks <= rem % (n - ks)
+                            THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc,
+           k <= ks AS fully_satisfied
+    FROM base
+    """,
+)
+def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min-fair (waterfilling) token-budget allocation across
+    sources: a 95%-of-demand training budget is split so every source
+    gets min(demand, waterline) — small sources keep everything,
+    over-represented sources are capped at the fair level, and the
+    integer remainder is distributed deterministically (smallest
+    demand first). This is the allocation a balanced pre-training mix
+    uses when proportional quotas (mixture_sampling_quota) would let
+    the biggest crawl drown the small curated sets. All arithmetic is
+    integer-exact (token counts, DIV/MOD), so both engines agree
+    bit-for-bit. Scale shape: the fact-scale work is ONE map-side
+    combinable per-source token-count aggregation; the waterline
+    search runs on the |sources|-row table (bounded catalog
+    dimension), where an unpartitioned window is safe by
+    construction (allowlisted in tests/test_window_allowlist)."""
+    from pyspark.sql import Window
+
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", F.size(ws_tokens(F.col("text"))).alias("n_tokens")
+    )
+    d = docs.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("demand")
+    )
+    tot = d.agg(
+        F.sum("demand").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "total", "n", F.expr("(19 * total) DIV 20").alias("budget")
+    )
+    w = Window.orderBy("demand", "source")
+    ranked = d.select(
+        "source",
+        "demand",
+        F.row_number().over(w).alias("k"),
+        F.sum("demand")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "fits",
+        F.col("demand") * (F.col("n") - F.col("k") + 1)
+        <= F.col("budget") - (F.col("cum") - F.col("demand")),
+    )
+    ks = flagged.agg(
+        F.coalesce(
+            F.min(F.when(~F.col("fits"), F.col("k"))) - 1,
+            F.max("n"),
+        ).alias("ks")
+    )
+    sstar = flagged.crossJoin(F.broadcast(ks)).agg(
+        F.coalesce(
+            F.max(F.when(F.col("k") <= F.col("ks"), F.col("cum"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sstar")
+    )
+    base = (
+        flagged.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(sstar))
+        .withColumn("rem", F.col("budget") - F.col("sstar"))
+    )
+    return base.select(
+        "source",
+        "demand",
+        F.when(F.col("k") <= F.col("ks"), F.col("demand"))
+        .otherwise(
+            F.expr("rem DIV (n - ks)")
+            + F.when(
+                (F.col("k") - F.col("ks"))
+                <= F.expr("rem % (n - ks)"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("alloc"),
+        (F.col("k") <= F.col("ks")).alias("fully_satisfied"),
     )

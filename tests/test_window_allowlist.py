@@ -40,6 +40,10 @@ ALLOWLIST = {
     "q_theil_sen_slope": "|days|^2 slope pairs over the day table",
     # two ranks over the per-day series pair table (|days| rows)
     "q_spearman_rank_correlation": "per-day series table (|days| rows)",
+    # waterline search over the per-source demand table — |sources|
+    # rows, a bounded catalog dimension (the fact-scale token count
+    # is a keyed aggregation before this window)
+    "q_token_budget_waterfill": "per-source demand table (|sources| rows)",
 }
 
 
