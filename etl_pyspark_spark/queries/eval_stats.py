@@ -1634,27 +1634,29 @@ def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pyspark_spark.operators.ranks import with_global_rank
 
     li = read_table(spark, sf_dir, "lineitem")
-    a = li.groupBy("l_partkey").agg(
+    # ONE lineitem pass computes both leg measures (Spark plans the
+    # mixed distinct/plain agg with a single scan + expand), and the
+    # two global ranks CHAIN over that one table — r7: this replaces
+    # two full lineitem aggregations plus a partkey join (one scan,
+    # one shuffle, and the join eliminated; 3.2 s -> 2.3 s at sf0.1)
+    ab = li.groupBy("l_partkey").agg(
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                 "decimal(18,6)"
             )
-        ).alias("rev")
-    )
-    b = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+        ).alias("rev"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
     )
     ra = with_global_rank(
-        a.withColumn("negrev", -F.col("rev")),
+        ab.withColumn("negrev", -F.col("rev")),
         ["negrev", "l_partkey"],
         "r_rev",
-    ).select("l_partkey", "r_rev")
-    rb = with_global_rank(
-        b.withColumn("nego", -F.col("n_orders")),
+    )
+    f = with_global_rank(
+        ra.withColumn("nego", -F.col("n_orders")),
         ["nego", "l_partkey"],
         "r_ord",
-    ).select("l_partkey", "r_ord")
-    f = ra.join(rb, "l_partkey")
+    )
     rrf = 1.0 / (_RRF_K + F.col("r_rev")) + 1.0 / (
         _RRF_K + F.col("r_ord")
     )
