@@ -37,6 +37,7 @@ def _force(df) -> int:
 
 
 def main() -> None:
+    t_start = time.time()  # phase detection references run START (below)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_pyspark_spark.registry import QUERIES
     from etl_pyspark_spark.session import get_session
@@ -174,20 +175,44 @@ def main() -> None:
         # clears it only to measure under first-pass-comparable
         # conditions.
 
-    # Round key for the durable archive (r06 advice #5 / verdict #2):
-    # the driver writes CORRECTNESS_r{N}.json BEFORE its round-closing
-    # bench run (observed file mtimes, rounds 3-6), so the round being
-    # closed IS the max existing index — the old count+1 labeled every
-    # closing record one round ahead. Computed here (not at archive
-    # time) so a slow run can't straddle a file drop.
+    # Round key + run phase for the durable archive (r06 advice #5 /
+    # r07 verdict #3 / r07 advice #1). The driver's CLOSING run starts
+    # within seconds of its CORRECTNESS_r{N}.json drop and is the
+    # first full run of the round, so: closing <=> the clean per-round
+    # archive name is still free AND CORRECTNESS_r{max} was written
+    # shortly before this run STARTED. Everything else is a mid-round
+    # run of round max+1 and self-labels that way (the old rule
+    # stamped mid-round records with the PREVIOUS round). With no
+    # CORRECTNESS file at all (early round 1) the run is mid-round by
+    # definition and must NOT claim the clean bench_r1 name — the
+    # driver's later closing run owns it. SPARK_GRAFT_BENCH_PHASE
+    # overrides both (closing|midround) for manual adjudication runs.
     import glob as _glob
 
-    _idx = [
-        int(m.group(1))
+    _by_idx = {
+        int(m.group(1)): p
         for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
-    rnd = max(_idx) if _idx else 1
+    }
+    if not _by_idx:
+        rnd, phase = 1, "midround"
+    else:
+        mx = max(_by_idx)
+        clean = os.path.join(
+            here, ".scratch", f"bench_r{mx}_sf{_sf_of(sf_dir)}.json"
+        )
+        try:
+            corr_age = t_start - os.path.getmtime(_by_idx[mx])
+        except OSError:
+            corr_age = float("inf")
+        if not os.path.exists(clean) and corr_age < 900:
+            rnd, phase = mx, "closing"
+        else:
+            rnd, phase = mx + 1, "midround"
+    env_phase = os.environ.get("SPARK_GRAFT_BENCH_PHASE")
+    if env_phase in ("closing", "midround"):
+        phase = env_phase
+        rnd = (max(_by_idx) if _by_idx else 1) if phase == "closing" else rnd
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     line = json.dumps(
@@ -203,6 +228,7 @@ def main() -> None:
             # self-describing archive fields: adjudication can resolve
             # a record even if the filename convention ever drifts
             "round": rnd,
+            "phase": phase,
             "registry_total": len(QUERIES),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         },
@@ -246,16 +272,15 @@ def main() -> None:
         os.makedirs(os.path.dirname(sf_last), exist_ok=True)
         with open(sf_last, "w") as fh:
             fh.write(line + "\n")
-        arch = os.path.join(
-            here, ".scratch", f"bench_r{rnd}_sf{_sf_of(sf_dir)}.json"
+        # mid-round runs never claim the clean closing name (r07
+        # advice #1): they archive under an explicit _midround suffix
+        stem = f"bench_r{rnd}_sf{_sf_of(sf_dir)}" + (
+            "_midround" if phase == "midround" else ""
         )
+        arch = os.path.join(here, ".scratch", f"{stem}.json")
         k = 2
         while os.path.exists(arch):
-            arch = os.path.join(
-                here,
-                ".scratch",
-                f"bench_r{rnd}_sf{_sf_of(sf_dir)}_rerun{k}.json",
-            )
+            arch = os.path.join(here, ".scratch", f"{stem}_rerun{k}.json")
             k += 1
         with open(arch, "w") as fh:
             fh.write(line + "\n")

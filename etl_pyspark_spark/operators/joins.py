@@ -105,11 +105,22 @@ def range_join_binned(
         iv = iv.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
-        # xxhash64, not pmod(point) itself: consecutive points must
-        # scatter, and a point column with its own modular structure
-        # (epoch days) would otherwise alias into few salt values
+        # Salt from a hash of ALL point-side columns, not the point
+        # value alone (r07 advice #2): value-keyed salt lands every
+        # duplicate row of a hot point value in ONE salt bucket — the
+        # exact skew salting exists to break. Hashing the whole row
+        # scatters duplicates whose other columns differ (the normal
+        # hot-key shape: many distinct rows sharing a timestamp);
+        # fully-identical duplicate rows still co-locate, the one
+        # residual value-keyed case. xxhash64, not pmod(point): a
+        # point column with modular structure (epoch days) would
+        # alias into few salt values.
         pt = pt.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col(point_col)), F.lit(salt))
+            "_salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in points.columns]),
+                F.lit(salt),
+            ),
         )
         join_keys = ["_bin", "_salt"]
     else:

@@ -18,7 +18,12 @@ from etl_pyspark_spark.queries.text_analysis import (
     _ngram_sql,
     _sql_str_list,
 )
-from etl_pyspark_spark.queries.io_lake import _ORACLE_SF, _SCRATCH
+from etl_pyspark_spark.queries._shared import (  # noqa: F401
+    _ORACLE_SF,
+    _SCRATCH,
+    _ensure_deflate_sizes,
+    _ensure_skipping_lineitem,
+)
 from etl_pyspark_spark.queries.widening_r3 import ensure_layouts
 from etl_pyspark_spark.queries.semdedup_tokenizer import _EQUIDEPTH_BINS
 
@@ -2064,31 +2069,7 @@ def q_histogram_merge_quantiles(
     )
 
 
-def _ensure_skipping_lineitem(spark: SparkSession, sf_dir: str) -> str:
-    """Per-SF range-clustered lineitem copy for the skipping report.
-
-    Unlike the shared range_clustered_lineitem layout (one dir, marker
-    keyed to the LAST-built fixture), this keeps one directory PER
-    fixture basename so an sf0.1 bench run never invalidates the
-    sf0.01 layout the driver's oracle SQL points at — the file-level
-    report is the one query whose ORACLE reads the physical layout,
-    so its files must be stable across sf switches within a round."""
-    from etl_pyspark_spark.sources.io import (
-        fixture_fingerprint,
-        marker_current,
-        write_marker,
-        write_range_clustered,
-    )
-
-    dst = f"{_SCRATCH}/skipping_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
-    marker = f"{dst}/.built_for"
-    want = fixture_fingerprint(sf_dir, "lineitem")
-    if not marker_current(marker, want):
-        li = read_table(spark, sf_dir, "lineitem")
-        write_range_clustered(li, dst, "l_shipdate", num_files=8)
-        write_marker(marker, want)
-    return dst
-
+# _ensure_skipping_lineitem moved to queries._shared (r07 verdict #4)
 
 _SKIP_LO = "1997-03-01 00:00:00"
 _SKIP_HI = "1997-06-01 00:00:00"
@@ -2166,49 +2147,7 @@ def q_layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ensure_deflate_sizes(sf_dir: str) -> str:
-    """Per-SF precomputed deflate(6) sizes of every document, built
-    DRIVER-SIDE in plain single-process Python (no Spark) so the
-    oracle can value-check the distributed mapInPandas plumbing
-    against an independent computation of the same zlib build.
-    Per-SF directory so a bench at another scale can't invalidate the
-    files the oracle path names (same convention as
-    _ensure_skipping_lineitem)."""
-    from etl_pyspark_spark.sources.io import (
-        fixture_fingerprint,
-        marker_current,
-        write_marker,
-    )
-
-    dst = f"{_SCRATCH}/deflate_sizes_{os.path.basename(sf_dir.rstrip('/'))}"
-    marker = f"{dst}/.built_for"
-    want = fixture_fingerprint(sf_dir, "documents")
-    if not marker_current(marker, want):
-        import zlib
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        src = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        ids = src.column("doc_id").to_pylist()
-        sizes = [
-            len(zlib.compress((t or "").encode("utf-8"), 6))
-            for t in src.column("text").to_pylist()
-        ]
-        os.makedirs(dst, exist_ok=True)
-        pq.write_table(
-            pa.table(
-                {"doc_id": ids, "compressed_bytes": sizes},
-                schema=pa.schema(
-                    [("doc_id", pa.int64()), ("compressed_bytes", pa.int64())]
-                ),
-            ),
-            f"{dst}/sizes.parquet",
-        )
-        write_marker(marker, want)
-    return dst
+# _ensure_deflate_sizes moved to queries._shared (r07 verdict #4)
 
 
 @query(

@@ -12,6 +12,15 @@ from etl_pyspark_spark.queries.core import (
     read_table,
 )
 from etl_pyspark_spark.queries.text_analysis import _WS_TOKENS_SQL
+from etl_pyspark_spark.queries._shared import (  # noqa: F401
+    _EDGE_CACHE,
+    _EDGE_CACHE_MAX,
+    _EDGE_COUNTS,
+    _copurchase_edge_count,
+    _copurchase_edges,
+    _copurchase_edges_sql,
+    _edge_cache_put,
+)
 
 # ---------------------------------------------------------------------------
 # Graph cohesion (k-core, local clustering) + temporal analytics
@@ -21,103 +30,8 @@ from etl_pyspark_spark.queries.text_analysis import _WS_TOKENS_SQL
 _KCORE_K = 4
 _KCORE_ROUNDS = 5
 
-
-def _copurchase_edges_sql() -> str:
-    """Shared SQL CTE text for the sharded part co-purchase graph
-    (identical derivation to graph_triangle_count's oracle)."""
-    return """
-    lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-           WHERE l_orderkey % 10 = 0),
-    e0 AS (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lp a JOIN lp b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
-
-
-_EDGE_CACHE: dict[tuple, DataFrame] = {}
-_EDGE_COUNTS: dict[tuple, int] = {}
-# A long session touches several fixtures (sf0.001/0.01/0.1 + scale
-# smokes); keep only the most recent ones so superseded checkpoint
-# blocks are unpersisted and their driver references dropped (the
-# ContextCleaner frees the JVM-side blocks once unreferenced) instead
-# of pinning block-manager memory for the app's lifetime.
-_EDGE_CACHE_MAX = 2
-
-
-def _edge_cache_put(key: tuple, edges: DataFrame) -> None:
-    # Eviction = dropping the dict reference, nothing more. The cached
-    # frames are localCheckpoint-backed, and unpersist() on a
-    # checkpointed plan is a CacheManager no-op (the RDD blocks are
-    # not registered there) — and if it ever did free them, a still-
-    # live consumer could not recompute (lineage truncated) and would
-    # die with checkpoint-block-not-found (advice r06). Once the last
-    # Python/JVM reference goes, the ContextCleaner reclaims the
-    # checkpoint blocks.
-    while len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
-        oldest = next(iter(_EDGE_CACHE))
-        _EDGE_CACHE.pop(oldest)
-        _EDGE_COUNTS.pop(oldest, None)
-    _EDGE_CACHE[key] = edges
-
-
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sharded part co-purchase edge list (u < v, distinct), the same
-    derivation graph_triangle_count documents; baskets are truncated
-    to MAX_BASKET items by the shared hash-rank cap
-    (operators/baskets) before the pair self-join, so a mega-basket
-    is O(cap^2) pairs; eagerly checkpointed because every caller fans
-    it into several join subtrees.
-
-    Memoized per (session, fixture) exactly like the dedup family's
-    shared stages (dedup/shared.py): six graph queries (triangles,
-    k-core, local clustering, BFS, link prediction) derive from this
-    one edge table, and before round 5 each rebuilt it from the
-    lineitem scan — the materialized edge list is the checkpointed
-    artifact a production graph pipeline writes once per ingest."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
-    from etl_pyspark_spark.sources.io import fixture_fingerprint
-
-    key = (
-        spark.sparkContext.applicationId,
-        fixture_fingerprint(sf_dir, "lineitem"),
-    )
-    cached = _EDGE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    lp = capped_basket_items(
-        read_table(spark, sf_dir, "lineitem").where(
-            F.col("l_orderkey") % 10 == 0
-        ),
-        "l_orderkey",
-        "l_partkey",
-    )
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
-    )
-    # one count against the just-checkpointed edges (cheap — no
-    # recompute) so consumers can pick physical join strategies from
-    # REAL cardinality instead of planner estimates, AQE-style
-    _EDGE_COUNTS[key] = edges.count()
-    _edge_cache_put(key, edges)
-    return edges
-
-
-def _copurchase_edge_count(spark: SparkSession, sf_dir: str) -> int:
-    from etl_pyspark_spark.sources.io import fixture_fingerprint
-
-    key = (
-        spark.sparkContext.applicationId,
-        fixture_fingerprint(sf_dir, "lineitem"),
-    )
-    if key not in _EDGE_COUNTS:
-        _copurchase_edges(spark, sf_dir)
-    return _EDGE_COUNTS[key]
+# co-purchase edge build + session cache moved to queries._shared
+# (r07 verdict #4); re-imported above for historical import sites.
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:

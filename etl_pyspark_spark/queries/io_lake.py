@@ -14,7 +14,11 @@ from etl_pyspark_spark.queries.core import (
     query,
     read_table,
 )
-from etl_pyspark_spark.queries.sql_layer import _register_views
+from etl_pyspark_spark.queries._shared import (  # noqa: F401
+    _ORACLE_SF,
+    _SCRATCH,
+    _register_views,
+)
 
 # ---------------------------------------------------------------------------
 # IO round-trips: the reference's scatter/process/gather file pipeline
@@ -22,18 +26,8 @@ from etl_pyspark_spark.queries.sql_layer import _register_views
 # typed parquet end-to-end, no pandas text hop (S6/S7 anti-pattern).
 # ---------------------------------------------------------------------------
 
-_SCRATCH = "/root/repo/.scratch"
-
-# Scale factor the static oracle strings are evaluated against. The
-# driver's correctness crosscheck always runs at sf0.01, so oracles
-# that must name a concrete on-disk layout path (deflate sizes,
-# range-clustered lineitem) derive it from this constant instead of a
-# string literal; a crosscheck at another SF exports
-# SPARK_GRAFT_ORACLE_SF before importing the registry and both the
-# engine side (which self-ensures the per-SF layout from the actual
-# sf_dir) and the oracle side then read the SAME files (advice r06:
-# the literal defeated _ensure_deflate_sizes' per-SF design).
-_ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
+# _SCRATCH / _ORACLE_SF moved to queries._shared (r07 verdict #4);
+# re-imported above so every historical import site keeps resolving.
 
 
 @query(

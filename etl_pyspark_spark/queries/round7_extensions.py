@@ -27,8 +27,58 @@ from etl_pyspark_spark.queries.core import (
     read_table,
 )
 
-_BLOOM_BUCKETS = 4096
 _BLOOM_BAL = 9000.0
+# Bucket-set sizing (r07 verdict #1: a fixed 4096 saturates at the
+# operator's own target regime and the prefilter degrades to pass-all
+# overhead). Sized like a real Bloom filter instead: m ≈ 12x the
+# QUALIFYING key count (memoized per fixture, one bounded dim count —
+# the same real-cardinality-over-planner-estimate discipline as the
+# graph family's count-driven join strategy), rounded up to a power
+# of two. Floor 4096 keeps the sf0.01/0.1 plan byte-identical to the
+# r7 record; past _BLOOM_MAX_BUCKETS the broadcast row set itself is
+# the bottleneck (a bucket SET costs one row per occupied bucket,
+# unlike a bitset's m BITS) and the right tool is Spark's
+# optimizer-injected bitset bloom filter
+# (spark.sql.optimizer.runtime.bloomFilter, plan-pinned in
+# tests/test_plans.py::test_runtime_bloom_filter_injected;
+# bloom_filter_agg/might_contain are NOT user-callable in PySpark 4 —
+# probed this round, UNRESOLVED_ROUTINE).
+_BLOOM_MIN_BUCKETS = 4096
+_BLOOM_MAX_BUCKETS = 1 << 22
+_BLOOM_BUCKETS_PER_KEY = 12
+_BLOOM_KEY_COUNTS: dict[str, int] = {}
+
+
+def _bloom_qualifying_count(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized count of qualifying dim keys (high-balance customers),
+    keyed on the fixture fingerprint so a regenerated fixture at the
+    same path re-measures."""
+    from etl_pyspark_spark.sources.io import fixture_fingerprint
+
+    key = fixture_fingerprint(sf_dir, "customer")
+    n = _BLOOM_KEY_COUNTS.get(key)
+    if n is None:
+        n = (
+            read_table(spark, sf_dir, "customer")
+            .where(F.col("c_acctbal") > _BLOOM_BAL)
+            .count()
+        )
+        _BLOOM_KEY_COUNTS[key] = n
+    return n
+
+
+def _bloom_bucket_count(spark: SparkSession, sf_dir: str) -> int:
+    """Power-of-two m with ~_BLOOM_BUCKETS_PER_KEY buckets per
+    qualifying key, clamped to [min, max] — at 12 buckets/key the
+    occupied fraction stays ~= 1 - exp(-1/12) ~= 8%, so the prefilter
+    keeps PRUNING (~92% of non-matching fact rows dropped before the
+    shuffle) at any dim size below the broadcast ceiling, where the
+    old fixed 4096 saturated to pass-all."""
+    n = _bloom_qualifying_count(spark, sf_dir)
+    m = _BLOOM_MIN_BUCKETS
+    while m < n * _BLOOM_BUCKETS_PER_KEY and m < _BLOOM_MAX_BUCKETS:
+        m *= 2
+    return m
 
 
 @query(
@@ -64,7 +114,11 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe to apply mechanically. (Spark's own
     ``spark.sql.optimizer.runtime.bloomFilter`` does this inside AQE
     for some shapes; this operator is the explicit, plan-pinnable
-    form.) Output is calendar-bounded (~84 months)."""
+    form.) m is DERIVED from the memoized qualifying-key count
+    (``_bloom_bucket_count``), not fixed — a fixed set saturates once
+    keys >> m and the prefilter silently degrades to pure overhead.
+    Output is calendar-bounded (~84 months)."""
+    m = _bloom_bucket_count(spark, sf_dir)
     cust = (
         read_table(spark, sf_dir, "customer")
         .where(F.col("c_acctbal") > _BLOOM_BAL)
@@ -72,14 +126,12 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = (
         cust.select(
-            F.pmod(F.xxhash64("c_custkey"), F.lit(_BLOOM_BUCKETS)).alias(
-                "bkt"
-            )
+            F.pmod(F.xxhash64("c_custkey"), F.lit(m)).alias("bkt")
         )
         .distinct()
     )
     orders = read_table(spark, sf_dir, "orders").withColumn(
-        "bkt", F.pmod(F.xxhash64("o_custkey"), F.lit(_BLOOM_BUCKETS))
+        "bkt", F.pmod(F.xxhash64("o_custkey"), F.lit(m))
     )
     # phase 1: broadcast bucket-set membership (<= m rows, any dim size)
     prefiltered = orders.join(F.broadcast(buckets), "bkt")

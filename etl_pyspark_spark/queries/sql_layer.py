@@ -11,17 +11,13 @@ from etl_pyspark_spark.queries.core import (
     read_table,
     sql_pround,
 )
+from etl_pyspark_spark.queries._shared import _register_views  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # SQL layer: the engine is also driveable through spark.sql over temp
 # views — demonstrated with TPC-H-shaped analytical queries. (The
 # reference has no SQL surface at all, SURVEY.md TL;DR.)
 # ---------------------------------------------------------------------------
-
-
-def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
-    for t in tables:
-        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 @query(

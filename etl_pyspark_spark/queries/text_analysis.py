@@ -12,15 +12,7 @@ from etl_pyspark_spark.queries.core import (
     read_table,
     sql_pround,
 )
-
-
-def _register_views(*a, **k):
-    # deferred forward ref: real definition in queries.sql_layer
-    from etl_pyspark_spark.queries.sql_layer import (
-        _register_views as _real,
-    )
-
-    return _real(*a, **k)
+from etl_pyspark_spark.queries._shared import _register_views  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # LLM-pipeline: text analysis (BASELINE.json north star; SURVEY §2.9)

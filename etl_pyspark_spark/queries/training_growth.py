@@ -17,16 +17,11 @@ from etl_pyspark_spark.queries.text_analysis import (
     _ngram_sql,
     _sql_str_list,
 )
-from etl_pyspark_spark.queries.io_lake import _SCRATCH
-
-
-def _copurchase_edges(*a, **k):
-    # deferred forward ref: real definition in queries.graph_temporal
-    from etl_pyspark_spark.queries.graph_temporal import (
-        _copurchase_edges as _real,
-    )
-
-    return _real(*a, **k)
+from etl_pyspark_spark.queries._shared import (  # noqa: F401
+    _SCRATCH,
+    _copurchase_edges,
+    _ensure_orders_mixed_spec,
+)
 
 # ---------------------------------------------------------------------------
 # Round 3: training-data growth surface — exact substring-duplication
@@ -1917,45 +1912,7 @@ def q_json_corrupt_records_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ensure_orders_mixed_spec(spark: SparkSession, sf_dir: str) -> tuple:
-    """Two-generation lake layout under scratch: orders before 1998
-    partitioned by year only (the original spec), 1998 onward by
-    year/month (the evolved spec; the fixture spans 1995-2001) —
-    written once per fixture fingerprint, same pay-once marker
-    discipline as the other layouts."""
-    from etl_pyspark_spark.sources.io import (
-        fixture_fingerprint,
-        marker_current,
-        write_marker,
-        write_parquet,
-    )
-
-    old_out = f"{_SCRATCH}/orders_spec_v1"
-    new_out = f"{_SCRATCH}/orders_spec_v2"
-    # one marker PER output directory, both written only after both
-    # layouts exist: a deleted/partial v2 with a surviving v1 marker
-    # must trigger a rebuild, not a read of the stale layout
-    markers = [f"{old_out}/.built_for", f"{new_out}/.built_for"]
-    want = fixture_fingerprint(sf_dir, "orders")
-    if not all(marker_current(m, want) for m in markers):
-        o = read_table(spark, sf_dir, "orders").withColumn(
-            "order_year", F.year("o_orderdate")
-        )
-        write_parquet(
-            o.where(F.col("order_year") < 1998),
-            old_out,
-            partition_by=["order_year"],
-        )
-        write_parquet(
-            o.where(F.col("order_year") >= 1998).withColumn(
-                "order_month", F.month("o_orderdate")
-            ),
-            new_out,
-            partition_by=["order_year", "order_month"],
-        )
-        for m in markers:
-            write_marker(m, want)
-    return old_out, new_out
+# _ensure_orders_mixed_spec moved to queries._shared (r07 verdict #4)
 
 
 @query(

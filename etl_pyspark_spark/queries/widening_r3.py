@@ -15,39 +15,18 @@ from etl_pyspark_spark.queries.core import (
     read_table,
     sql_pround,
 )
-from etl_pyspark_spark.queries.sql_layer import _register_views
-from etl_pyspark_spark.queries.io_lake import _SCRATCH, _ensure_orders_by_year
+from etl_pyspark_spark.queries._shared import (  # noqa: F401
+    _SCRATCH,
+    _ensure_deflate_sizes,
+    _ensure_orders_mixed_spec,
+    _ensure_skipping_lineitem,
+    _register_views,
+)
+from etl_pyspark_spark.queries.io_lake import _ensure_orders_by_year
 from etl_pyspark_spark.queries.corpus_pipeline import (
     ensure_range_clustered_lineitem,
     ensure_zorder_lineitem,
 )
-
-
-def _ensure_skipping_lineitem(*a, **k):
-    # deferred forward ref: real definition in queries.eval_stats
-    from etl_pyspark_spark.queries.eval_stats import (
-        _ensure_skipping_lineitem as _real,
-    )
-
-    return _real(*a, **k)
-
-
-def _ensure_deflate_sizes(*a, **k):
-    # deferred forward ref: real definition in queries.eval_stats
-    from etl_pyspark_spark.queries.eval_stats import (
-        _ensure_deflate_sizes as _real,
-    )
-
-    return _real(*a, **k)
-
-
-def _ensure_orders_mixed_spec(*a, **k):
-    # deferred forward ref: real definition in queries.training_growth
-    from etl_pyspark_spark.queries.training_growth import (
-        _ensure_orders_mixed_spec as _real,
-    )
-
-    return _real(*a, **k)
 
 # ---------------------------------------------------------------------------
 # Round-3 widening: grouping sets, pivot/unpivot, exact percentiles,

@@ -11,6 +11,11 @@ the old module defined."""
 from __future__ import annotations
 
 from etl_pyspark_spark.queries.core import *  # noqa: F401,F403
+
+# cross-family shared helpers load right after core (r07 verdict #4):
+# every family module imports them from queries._shared, so facade
+# order below is data-independent — no deferred-import stubs remain
+from etl_pyspark_spark.queries import _shared  # noqa: F401
 from etl_pyspark_spark.queries.flagship import *  # noqa: F401,F403
 from etl_pyspark_spark.queries.aggregations import *  # noqa: F401,F403
 from etl_pyspark_spark.queries.joins import *  # noqa: F401,F403

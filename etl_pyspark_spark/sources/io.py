@@ -114,14 +114,32 @@ _SHUFFLE_BASELINE: dict[str, int] = {}
 def _fixture_max_rows(sf_dir: str) -> int:
     """Largest fixture table's row count, from parquet footers only
     (no data pages, no Spark job); memoized per fixture identity so a
-    regenerated fixture at the same path re-measures."""
+    regenerated fixture at the same path re-measures.
+
+    A footer read that FAILS (corrupt file, permission, missing
+    pyarrow) logs one warning per fixture instead of being swallowed
+    (r07 advice #3): a silently-inert autosize would reintroduce the
+    exact 100x spill regression the feature exists to prevent, with
+    no signal. Missing tables are normal (partial fixtures) and stay
+    silent."""
     import os
+    import sys
 
     key = fixture_fingerprint(sf_dir, *FIXTURE_TABLES)
     got = _FIXTURE_MAX_ROWS.get(key)
     if got is not None:
         return got
-    import pyarrow.parquet as pq
+    failed: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+    except Exception as exc:  # pragma: no cover - pyarrow is baked in
+        print(
+            f"autosize: pyarrow unavailable ({exc}); shuffle-partition "
+            f"autosizing DISABLED for {sf_dir}",
+            file=sys.stderr,
+        )
+        _FIXTURE_MAX_ROWS[key] = 0
+        return 0
 
     mx = 0
     for t in FIXTURE_TABLES:
@@ -139,8 +157,15 @@ def _fixture_max_rows(sf_dir: str) -> int:
             elif os.path.isfile(p):
                 n = pq.ParquetFile(p).metadata.num_rows
         except Exception:
+            failed.append(t)
             n = 0
         mx = max(mx, n)
+    if failed:
+        print(
+            f"autosize: footer read FAILED for {failed} under {sf_dir}; "
+            f"shuffle-partition autosizing may under-size this fixture",
+            file=sys.stderr,
+        )
     _FIXTURE_MAX_ROWS[key] = mx
     return mx
 
@@ -152,7 +177,17 @@ def autosize_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
     alternating fixtures in one session re-derive per query — a 100x
     query raises it, the next sf0.1 query drops it back, and AQE
     coalesces any small case down for free. Returns the applied value
-    (0 = autosize disabled/unavailable)."""
+    (0 = autosize disabled/unavailable).
+
+    Construct-then-execute-immediately assumption (r07 advice #4):
+    the conf is set when ``read_table`` CONSTRUCTS the DataFrame, but
+    Spark reads ``shuffle.partitions`` at EXECUTION — a plan built
+    against a large fixture but executed only after a later
+    ``read_table`` against a small one runs under the small value
+    (perf only, never correctness). The engine's drivers (bench,
+    tests, the external harness) all force each query before building
+    the next, so the assumption holds there; an interleaving caller
+    should re-call this right before each action."""
     import os
 
     if os.environ.get("SPARK_GRAFT_SHUFFLE_AUTOSIZE", "1") == "0":
