@@ -883,11 +883,17 @@ def q_stream_quota_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_stream_left_outer",
     oracle="""
-    WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m FROM events),
-    c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
           FROM events WHERE event_type = 'click'),
     p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
           FROM events WHERE event_type = 'purchase'),
+    -- global watermark = MIN of the two per-stream watermarks; the
+    -- all-events max used before round 8 only agreed because the
+    -- fixture's stream maxima straddle no unmatched click's horizon
+    -- (r8: stream_stream_full_outer exposed the min rule)
+    mx AS (SELECT least((SELECT date_trunc('milliseconds', max(c_ts)) FROM c),
+                        (SELECT date_trunc('milliseconds', max(p_ts)) FROM p))
+                  AS m),
     matched AS (
       SELECT c.click_id, c.user_id, p.purchase_id,
              (epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 1000000 AS delay_s

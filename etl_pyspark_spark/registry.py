@@ -188,3 +188,4 @@ from etl_pyspark_spark.queries.round6_extensions import (  # noqa: F401
 # round-7 additions (new family modules append here, after the
 # original 21 so earlier-module helper shadowing is unaffected)
 from etl_pyspark_spark.queries.round7_extensions import *  # noqa: E402,F401,F403
+from etl_pyspark_spark.queries.round8_extensions import *  # noqa: E402,F401,F403

@@ -123,3 +123,59 @@ def click_purchase_left_outer(
         ).alias("delay_s"),
     )
     return run_to_memory_table(out, spark, mode="append")
+
+
+def click_purchase_full_outer(
+    spark: SparkSession, sf_dir: str, window: str = "30 minutes"
+) -> DataFrame:
+    """FULL OUTER stream-stream join — both unmatched sides emit.
+
+    The eviction asymmetry is the interesting part: an unmatched
+    CLICK's null row waits until the watermark passes ``c_ts +
+    window`` (a matching purchase may arrive that long after it), but
+    an unmatched PURCHASE only waits until the watermark passes
+    ``p_ts`` itself — matching clicks satisfy ``c_ts <= p_ts``, so
+    once the click-side watermark moves beyond ``p_ts`` none can
+    still arrive. Under bounded replay that means the purchase side
+    flushes EARLIER than the click side; the registry oracle encodes
+    both cutoffs (strictly below the final watermark = ms-floored max
+    event time minus the 1h delay). State cost at 100 TB is the sum
+    of both sides' buffers over their own horizons — rate_c x
+    (delay + window) + rate_p x delay.
+    """
+    sdf = stream_events(spark, sf_dir)
+    clicks = (
+        sdf.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        sdf.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window}")),
+        "fullOuter",
+    )
+    out = joined.select(
+        "click_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "purchase_id",
+        F.expr(
+            "CASE WHEN p_ts IS NOT NULL AND c_ts IS NOT NULL THEN"
+            " (unix_micros(p_ts) - unix_micros(c_ts)) div 1000000 END"
+        ).alias("delay_s"),
+    )
+    return run_to_memory_table(out, spark, mode="append")

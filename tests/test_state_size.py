@@ -113,6 +113,14 @@ def test_grow_fixture_state_sizes_scale_with_keys(spark):
     ).count()
     assert join_state <= n_join_input
 
+    # full outer buffers BOTH sides, but never more than its input
+    # either — the purchase side's shorter eviction horizon (r8,
+    # streaming/joins.click_purchase_full_outer) keeps it below the
+    # naive 2x-left-outer bound
+    QUERIES["stream_stream_full_outer"](spark, grow).count()
+    fo_state = _state_rows()
+    assert fo_state <= n_join_input
+
     print(
         f"\nstate-size audit (30x grow): events={n_events} "
         f"users={n_users} quota_state={quota_state} "
