@@ -972,3 +972,46 @@ def test_autosize_disabled_by_env(spark, oracle_sf_dir, monkeypatch):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     assert io.autosize_shuffle_partitions(spark, oracle_sf_dir) == 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_maxsim_single_pass_no_shuffle(spark, oracle_sf_dir):
+    """Late-interaction MaxSim is ONE codegen expression per corpus
+    row: a 1-row broadcast for the query bag, no data exchange, and
+    the top-10 as TakeOrderedAndProject (never a global sort). The
+    probe shape a 100 TB multi-vector scan needs."""
+    tree = tree_of(
+        QUERIES["similarity_maxsim_late_interaction"](spark, oracle_sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 0
+    assert "BatchEvalPython" not in tree
+
+
+def test_weighted_reservoir_is_take_ordered_scan(spark, oracle_sf_dir):
+    """A-Res weighted sampling = one scan + TakeOrderedAndProject;
+    zero exchanges, zero Python."""
+    tree = tree_of(QUERIES["sample_weighted_reservoir"](spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange" not in tree
+    assert "EvalPython" not in tree  # neither Batch- nor ArrowEvalPython
+
+
+def test_decontaminate_corpus_never_shuffles(spark, oracle_sf_dir):
+    """Semantic decontamination rides the benchmark matrix into an
+    Arrow-batched GEMM over the training scan: MapInPandas directly
+    on the scan, no exchange, no row-at-a-time Python."""
+    tree = tree_of(QUERIES["decontaminate_semantic"](spark, oracle_sf_dir))
+    assert "MapInPandas" in tree
+    assert "Exchange" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_sorted_neighborhood_one_block_exchange(spark, oracle_sf_dir):
+    """Sorted-neighborhood ER: exactly one hash exchange (the block
+    partitioning); the window sorts WITHIN blocks — never a global
+    single-partition sort."""
+    tree = tree_of(QUERIES["er_sorted_neighborhood"](spark, oracle_sf_dir))
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+    assert "SinglePartition" not in tree
+    assert "WindowGroupLimit" not in tree  # plain lags, no limit push
