@@ -1484,17 +1484,24 @@ def q_k_anonymity_generalize(
     oracle="""
     WITH rev AS (
       SELECT r.r_name AS region, n.n_name AS nation,
-             sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+             -- reduce the scale-12 product sum to the house
+             -- DECIMAL(18,6) (exact: revenue terms have 4 decimals)
+             -- BEFORE any double cast: a scale-12 scaled integer
+             -- exceeds 2^53, where the engines' decimal->double
+             -- roundings can differ by one ulp (caught by the r8
+             -- native-fixture sweep at a 10-sig-digit midpoint)
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
                  * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-               AS rev_dec
+               AS DECIMAL(18,6)) AS rev_dec
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       JOIN region r ON r.r_regionkey = n.n_regionkey
       GROUP BY 1, 2),
-    reg AS (SELECT region, sum(rev_dec) AS reg_dec FROM rev GROUP BY 1),
-    tot AS (SELECT sum(rev_dec) AS tot_dec FROM rev)
+    reg AS (SELECT region, CAST(sum(rev_dec) AS DECIMAL(18,6)) AS reg_dec
+            FROM rev GROUP BY 1),
+    tot AS (SELECT CAST(sum(rev_dec) AS DECIMAL(18,6)) AS tot_dec FROM rev)
     SELECT v.region, v.nation,
            CAST(v.rev_dec AS DOUBLE) AS nation_revenue,
            CAST(CAST(v.rev_dec AS DOUBLE) / CAST(g.reg_dec AS DOUBLE)
@@ -1534,16 +1541,20 @@ def q_percent_of_parent_rollup(
             F.col("n_name").alias("nation"),
         )
         .agg(
+            # scale reduced to (18,6) before the double cast — see
+            # the oracle comment (2^53 decimal->double ulp hazard)
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,6)")
                 * (1 - F.col("l_discount").cast("decimal(18,6)"))
-            ).alias("rev_dec")
+            )
+            .cast("decimal(18,6)")
+            .alias("rev_dec")
         )
     )
     reg = rev.groupBy("region").agg(
-        F.sum("rev_dec").alias("reg_dec")
+        F.sum("rev_dec").cast("decimal(18,6)").alias("reg_dec")
     )
-    tot = rev.agg(F.sum("rev_dec").alias("tot_dec"))
+    tot = rev.agg(F.sum("rev_dec").cast("decimal(18,6)").alias("tot_dec"))
     return (
         rev.join(F.broadcast(reg), "region")
         .crossJoin(F.broadcast(tot))

@@ -10,6 +10,7 @@ before the round's CORRECTNESS run.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 
@@ -26,9 +27,13 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con.execute("SET memory_limit='16GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in FIXTURE_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver fixtures are single files; generated fixtures
+        # (scale_smoke_gen, native_datagen) are Spark output
+        # directories — glob those so oracle sweeps run on both
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
