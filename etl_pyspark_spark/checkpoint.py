@@ -1,0 +1,41 @@
+"""Checkpoint storage policy for iterative operators.
+
+Every iterative operator (PageRank, hash-min components, BPE rounds,
+BFS hops, gap-fill sweeps...) truncates lineage with
+``localCheckpoint``. Spark's default level for those blocks is
+MEMORY_AND_DISK **deserialized**, which has two scale problems the
+round-8 100x full-registry run hit head-on:
+
+1. checkpoint blocks from every finished query stay in the unified
+   memory region until the ContextCleaner gets to them, so a long
+   session's heap fills with dead blocks, and
+2. when memory pressure pushes blocks to disk, every read-back goes
+   through ``BlockManager.maybeCacheDiskValuesInMemory`` — which
+   re-promotes the block into the heap as deserialized Java objects.
+   With 32 tasks concurrently re-promoting 100x-sized rank tables the
+   80 GB heap OOMed (GCLocker retry storm -> executor OOM -> the
+   SparkContext shut down mid-run).
+
+DISK_ONLY removes both: blocks never occupy heap, read-back streams
+from disk per use, and the cost at fixture scale is milliseconds. On
+a real cluster this is the same judgment as writing iterative
+intermediates to local SSD instead of caching them deserialized —
+predictable memory beats re-read latency for lineage-truncation
+blocks that are each read a handful of times.
+"""
+
+from __future__ import annotations
+
+from pyspark.storagelevel import StorageLevel
+
+#: storage level for every localCheckpoint in the engine
+DISK_CKPT = StorageLevel.DISK_ONLY
+
+#: storage level for reused family-stage caches (dedup shared builds,
+#: minhash signatures, shingle tables, rank spines): SERIALIZED
+#: memory+disk. ``df.cache()`` defaults to MEMORY_AND_DISK_DESER,
+#: whose disk read-back goes through the same
+#: ``maybeCacheDiskValuesInMemory`` re-promotion that OOMed the 100x
+#: run; the serialized level stores compact bytes (~3-5x smaller),
+#: evicts gracefully, and never re-deserializes into the store.
+FAMILY_CACHE = StorageLevel.MEMORY_AND_DISK

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_pyspark_spark.checkpoint import DISK_CKPT, FAMILY_CACHE
 
 
 def connected_components(
@@ -47,16 +48,16 @@ def connected_components(
     them left-join this result back to the corpus and coalesce."""
     # materialize the (small) pair list once — unioning two projections
     # of the raw plan would execute the upstream pair pipeline twice
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(storageLevel=DISK_CKPT)
     sym = (
         e.union(e.select(F.col("v"), F.col("u")))
         .distinct()
-        .cache()
+        .persist(FAMILY_CACHE)
     )
     labels = (
         sym.select(F.col("u").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=DISK_CKPT)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -70,7 +71,7 @@ def connected_components(
                 F.col("lbl").alias("old_lbl"),
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint()  # eager: materializes + truncates lineage
+            .localCheckpoint(storageLevel=DISK_CKPT)  # eager: materializes + truncates lineage
         )
         changed = stepped.where(F.col("lbl") < F.col("old_lbl")).count()
         labels = stepped.select("node", "lbl")

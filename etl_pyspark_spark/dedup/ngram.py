@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_pyspark_spark.checkpoint import FAMILY_CACHE
 
 from etl_pyspark_spark.dedup.minhash import hashed_shingles
 from etl_pyspark_spark.functions.compat import pround
@@ -39,7 +40,7 @@ def ngram_jaccard_pairs(
         sh = (
             hashed_shingles(df, text_col, id_col, n)
             .dropDuplicates([id_col, "h60"])
-            .cache()
+            .persist(FAMILY_CACHE)
         )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "h60")
@@ -108,7 +109,7 @@ def ngram_jaccard_pairs_prefix(
             .groupBy(id_col)
             .agg(F.sort_array(F.collect_set("h60")).alias("hs"))
             .withColumn("n_sh", F.size("hs"))
-            .cache()
+            .persist(FAMILY_CACHE)
         )
     plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = docs.select(

@@ -29,6 +29,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from etl_pyspark_spark.checkpoint import FAMILY_CACHE
 
 _CACHE: dict[tuple, DataFrame] = {}
 # Keep stages for at most this many distinct (app, fixture) groups; a
@@ -70,7 +71,7 @@ def _memo(
     df = _CACHE.get(key)
     if df is None:
         _evict_stale_groups(key[:2])
-        df = builder().cache()
+        df = builder().persist(FAMILY_CACHE)
         _CACHE[key] = df
     return df
 

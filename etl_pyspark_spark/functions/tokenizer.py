@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_pyspark_spark.checkpoint import DISK_CKPT, FAMILY_CACHE
 
 #: vocabulary size (top-K pieces) and the longest piece considered.
 VOCAB_K = 512
@@ -88,7 +89,7 @@ def collect_vocab(docs: DataFrame, k: int = VOCAB_K) -> frozenset:
     Bounded collect: k + |alphabet| short strings. The substring
     aggregation is materialized once (persist) and probed by both
     branches — without it the double-explode count runs twice."""
-    pc = piece_counts(docs).persist()
+    pc = piece_counts(docs).persist(FAMILY_CACHE)
     try:
         pieces = {
             r["piece"]
@@ -224,7 +225,7 @@ def bpe_learn(docs: DataFrame, n_merges: int = 10, text_col: str = "text"):
                 F.split(F.col("term"), "(?!^)"), lambda s: s != ""
             ).alias("sym"),
         )
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=DISK_CKPT)
     )
     rules = []
     for step in range(1, n_merges + 1):
@@ -255,7 +256,7 @@ def bpe_learn(docs: DataFrame, n_merges: int = 10, text_col: str = "text"):
         rules.append((step, left, right, n))
         words = words.select(
             "term", "weight", _merge_fold(F.col("sym"), left, right).alias("sym")
-        ).localCheckpoint()
+        ).localCheckpoint(storageLevel=DISK_CKPT)
     return rules, words
 
 

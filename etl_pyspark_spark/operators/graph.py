@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_pyspark_spark.checkpoint import DISK_CKPT
 
 #: total rank mass in integer micro-units (1.0 == 1e12)
 MASS = 1_000_000_000_000
@@ -39,7 +40,7 @@ def pagerank_int(
     n_nodes = nodes.count()  # one scalar to the driver, once
     base = (DAMP_DEN - DAMP_NUM) * (MASS // n_nodes) // DAMP_DEN
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    ed = edges.join(outdeg, "src").localCheckpoint()
+    ed = edges.join(outdeg, "src").localCheckpoint(storageLevel=DISK_CKPT)
 
     ranks = nodes.withColumn("rank_int", F.lit(MASS // n_nodes))
     for _ in range(iterations):
@@ -60,7 +61,7 @@ def pagerank_int(
                     )
                 ).alias("rank_int"),
             )
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=DISK_CKPT)
         )
     return ranks
 

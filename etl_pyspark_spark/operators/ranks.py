@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from etl_pyspark_spark.checkpoint import FAMILY_CACHE
 
 
 def _range_partitioned(
@@ -54,7 +55,7 @@ def _range_partitioned(
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist()
+        .persist(FAMILY_CACHE)
     )
 
 

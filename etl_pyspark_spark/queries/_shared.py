@@ -25,6 +25,8 @@ Contents:
 
 from __future__ import annotations
 
+from etl_pyspark_spark.checkpoint import DISK_CKPT
+
 from etl_pyspark_spark.queries.core import (
     DataFrame,
     F,
@@ -240,7 +242,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=DISK_CKPT)
     )
     # one count against the just-checkpointed edges (cheap — no
     # recompute) so consumers can pick physical join strategies from

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from etl_pyspark_spark.checkpoint import DISK_CKPT
+
 from etl_pyspark_spark.queries.core import (
     DataFrame,
     F,
@@ -91,7 +93,7 @@ def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .join(core.withColumnRenamed("node", "v"), "v", "semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=DISK_CKPT)
         )
     return (
         edges.select(F.col("u").alias("node"))
@@ -167,7 +169,7 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=DISK_CKPT)
     )
     e1 = o.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
     e2 = o.select(F.col("s").alias("s2"), F.col("t").alias("t2"))

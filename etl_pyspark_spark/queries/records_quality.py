@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from etl_pyspark_spark.checkpoint import DISK_CKPT, FAMILY_CACHE
+
 from etl_pyspark_spark.queries.core import (
     DataFrame,
     F,
@@ -42,7 +44,7 @@ def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dup_components(spark, sf_dir)
     members = comp.join(
         docs.select("doc_id", "lang", "source", "n_chars"), "doc_id"
-    ).persist()
+    ).persist(FAMILY_CACHE)
 
     def field_mode(col: str, out: str) -> DataFrame:
         w = Window.partitionBy("component_id").orderBy(
@@ -161,7 +163,7 @@ def q_cuped_variance_reduction(
                 F.col("ts") >= cut, F.col("value").cast("decimal(18,6)")
             ).otherwise(zero)
         ).alias("y"),
-    ).withColumn("variant", F.col("user_id") % 2).persist()
+    ).withColumn("variant", F.col("user_id") % 2).persist(FAMILY_CACHE)
     xd = F.col("x").cast("double")
     yd = F.col("y").cast("double")
     g = F.broadcast(
@@ -336,7 +338,7 @@ def q_link_prediction_jaccard(
     edges = _copurchase_edges(spark, sf_dir)
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=DISK_CKPT)
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -482,7 +484,7 @@ def q_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yt", (F.col("t") * F.col("y")).cast("int")
     ).withColumn(
         "yc", ((1 - F.col("t")) * F.col("y")).cast("int")
-    ).persist()  # read by the cumulative pass AND the totals fold
+    ).persist(FAMILY_CACHE)  # read by the cumulative pass AND the totals fold
     c = with_global_cumsum_multi(
         per_user,
         ["negscore", "user_id"],
@@ -1201,7 +1203,7 @@ def q_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pyspark_spark.operators.baskets import capped_basket_items
 
     li = read_table(spark, sf_dir, "lineitem")
-    parts = capped_basket_items(li, "l_orderkey", "l_partkey").persist()
+    parts = capped_basket_items(li, "l_orderkey", "l_partkey").persist(FAMILY_CACHE)
     nb = F.broadcast(
         parts.agg(
             F.count_distinct("l_orderkey").cast("bigint").alias(
@@ -1314,7 +1316,7 @@ def q_pareto_abc_classification(
         )
         .cast("bigint")
         .alias("rev_c")
-    ).withColumn("neg_rev", -F.col("rev_c")).persist()
+    ).withColumn("neg_rev", -F.col("rev_c")).persist(FAMILY_CACHE)
     t = F.broadcast(
         rev.agg(F.sum("rev_c").cast("bigint").alias("total_c"))
     )
@@ -1489,7 +1491,7 @@ def q_survey_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
     ).agg(
         (F.count(F.lit(1)) * 1_000_000).cast("bigint").alias("w")
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=DISK_CKPT)
     t = F.broadcast(
         cells.agg(
             F.sum("w").cast("bigint").alias("tot"),
@@ -1565,7 +1567,7 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct().persist()
+    ).distinct().persist(FAMILY_CACHE)
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     d_spine = days.select(F.col("day").alias("dday"))
@@ -1623,7 +1625,7 @@ def q_new_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct().persist()
+    ).distinct().persist(FAMILY_CACHE)
     first_seen = ud.groupBy("user_id").agg(
         F.min("day").alias("first_day")
     )
@@ -1843,7 +1845,7 @@ def q_seasonal_residual_anomaly(
         F.abs(F.col("n").cast("double") - F.col("expected")).alias(
             "absresid"
         ),
-    ).withColumn("one", F.lit(1)).persist()
+    ).withColumn("one", F.lit(1)).persist(FAMILY_CACHE)
     c = with_global_cumsum(r, ["absresid", "day"], "one", "cum")
     med = F.broadcast(
         c.crossJoin(
@@ -1984,7 +1986,7 @@ def q_forecast_backtest_mape(
     )
     d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    ).persist()
+    ).persist(FAMILY_CACHE)
     a = d.select(F.col("day"), F.col("n").alias("actual"))
     p = d.select(
         F.date_add(F.col("day"), 7).alias("day"),
@@ -2063,7 +2065,7 @@ def q_tv_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("ts") >= cut).cast("int"))
         .cast("bigint")
         .alias("nb"),
-    ).persist()
+    ).persist(FAMILY_CACHE)
     t = F.broadcast(
         c.agg(
             F.sum("na").cast("bigint").alias("ta"),
@@ -2157,7 +2159,7 @@ def q_lagged_cross_correlation(
         F.sum((F.col("event_type") == "purchase").cast("int"))
         .cast("bigint")
         .alias("y"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=DISK_CKPT)
     lags = F.broadcast(
         spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
     )

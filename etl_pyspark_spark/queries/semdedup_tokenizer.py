@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from etl_pyspark_spark.checkpoint import DISK_CKPT
+
 from etl_pyspark_spark.queries.core import (
     DataFrame,
     F,
@@ -1075,7 +1077,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", F.explode("ps").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=DISK_CKPT)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     return pagerank_int(nodes, edges, iterations=3).select(

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from etl_pyspark_spark.checkpoint import DISK_CKPT
+
 from etl_pyspark_spark.queries.core import (
     DataFrame,
     F,
@@ -502,7 +504,7 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "l_orderkey",
         "l_partkey",
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=DISK_CKPT)
     a = lp.select("l_orderkey", F.col("l_partkey").alias("i"))
     b = lp.select("l_orderkey", F.col("l_partkey").alias("j"))
     co = (
@@ -846,7 +848,7 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.sum("n").over(w).cast("bigint").alias("cn"),
         F.sum("pos").over(w).cast("bigint").alias("cp"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=DISK_CKPT)
     j = c.select(
         F.col("bin").alias("j"),
         F.col("cn").alias("jcn"),
@@ -1187,7 +1189,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
         F.sum((F.col("event_type") == "view").cast("long")).alias("y"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=DISK_CKPT)
     a = d.select(
         F.col("day").alias("da"), F.col("x").alias("xa"),
         F.col("y").alias("ya"),
@@ -1828,19 +1830,19 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "l_orderkey",
         "l_partkey",
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=DISK_CKPT)
     edges = _copurchase_edges(spark, sf_dir)
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=DISK_CKPT)
     mk = F.broadcast(lp.agg(F.min("l_orderkey").alias("k")))
     seeds = (
         lp.join(mk, F.col("l_orderkey") == F.col("k"))
         .select(F.col("l_partkey").alias("node"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=DISK_CKPT)
     )
-    visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint()
+    visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint(storageLevel=DISK_CKPT)
     frontier = seeds
     for h in range(1, _BFS_HOPS + 1):
         frontier = (
@@ -1848,11 +1850,11 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "anti")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=DISK_CKPT)
         )
         visited = visited.unionAll(
             frontier.withColumn("hop", F.lit(h))
-        ).localCheckpoint()
+        ).localCheckpoint(storageLevel=DISK_CKPT)
     return visited.select("node", F.col("hop").cast("int").alias("hop"))
 
 
@@ -1907,7 +1909,7 @@ def q_boilerplate_coverage_ratio(
     docs = read_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", T.ws_tokens(F.col("text")).alias("toks")
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=DISK_CKPT)
     g = t.select(
         "doc_id",
         F.posexplode(

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from etl_pyspark_spark.checkpoint import DISK_CKPT
+
 from etl_pyspark_spark.queries.core import (
     DataFrame,
     F,
@@ -644,7 +646,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=DISK_CKPT)
     )
     e1 = o.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
     e2 = o.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
@@ -1723,7 +1725,7 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id") + 100000
     )
     corpus = docs.unionByName(recrawl)
-    keys = perceptual_hash_bands(with_payload(corpus)).localCheckpoint()
+    keys = perceptual_hash_bands(with_payload(corpus)).localCheckpoint(storageLevel=DISK_CKPT)
     # candidate generation MUST be an equi-join on (band, key) bucket
     # entries — an OR of 4 key equalities compiles to a
     # BroadcastNestedLoopJoin (O(n^2) pair grid, the exact thing
