@@ -13,6 +13,7 @@ from etl_pyspark_spark.queries.core import (
     query,
     read_table,
 )
+from etl_pyspark_spark.functions.compat import pround
 from etl_pyspark_spark.queries.text_analysis import _WS_TOKENS_SQL
 from etl_pyspark_spark.queries._shared import (  # noqa: F401
     _EDGE_CACHE,
@@ -1486,30 +1487,37 @@ def q_k_anonymity_generalize(
     oracle="""
     WITH rev AS (
       SELECT r.r_name AS region, n.n_name AS nation,
-             -- reduce the scale-12 product sum to the house
-             -- DECIMAL(18,6) (exact: revenue terms have 4 decimals)
-             -- BEFORE any double cast: a scale-12 scaled integer
-             -- exceeds 2^53, where the engines' decimal->double
-             -- roundings can differ by one ulp (caught by the r8
-             -- native-fixture sweep at a 10-sig-digit midpoint)
+             -- reduce the scale-12 product sum to scale 6 BEFORE any
+             -- double cast (a scale-12 scaled integer exceeds 2^53,
+             -- where the engines' decimal->double roundings can
+             -- differ by one ulp — caught by the r8 native-fixture
+             -- sweep), but keep precision 38: DECIMAL(18,6) capped
+             -- the totals at 1e12, which native sf~7 revenue exceeds
+             -- (Spark nulls the overflow, DuckDB errors — r9 advice)
              CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
                  * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-               AS DECIMAL(18,6)) AS rev_dec
+               AS DECIMAL(38,6)) AS rev_dec
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       JOIN region r ON r.r_regionkey = n.n_regionkey
       GROUP BY 1, 2),
-    reg AS (SELECT region, CAST(sum(rev_dec) AS DECIMAL(18,6)) AS reg_dec
+    reg AS (SELECT region, CAST(sum(rev_dec) AS DECIMAL(38,6)) AS reg_dec
             FROM rev GROUP BY 1),
-    tot AS (SELECT CAST(sum(rev_dec) AS DECIMAL(18,6)) AS tot_dec FROM rev)
+    tot AS (SELECT CAST(sum(rev_dec) AS DECIMAL(38,6)) AS tot_dec FROM rev)
+    -- every displayed double takes the house pround (floor(x*m+0.5)/m)
+    -- so a 1-ulp decimal->double cast divergence past 2^53 can no
+    -- longer flip the rendered value off-boundary; a DECIMAL cast to
+    -- scale 2 is NOT usable here — Spark rescales half-up, DuckDB
+    -- half-even, and scale-6 revenues land on exact .xx5 midpoints
     SELECT v.region, v.nation,
-           CAST(v.rev_dec AS DOUBLE) AS nation_revenue,
-           CAST(CAST(v.rev_dec AS DOUBLE) / CAST(g.reg_dec AS DOUBLE)
-                AS DOUBLE) AS share_of_region,
-           CAST(CAST(g.reg_dec AS DOUBLE) / CAST(t.tot_dec AS DOUBLE)
-                AS DOUBLE) AS region_share_of_total
+           floor(CAST(v.rev_dec AS DOUBLE) * 100.0 + 0.5) / 100.0
+             AS nation_revenue,
+           floor((CAST(v.rev_dec AS DOUBLE) / CAST(g.reg_dec AS DOUBLE))
+                 * 1e12 + 0.5) / 1e12 AS share_of_region,
+           floor((CAST(g.reg_dec AS DOUBLE) / CAST(t.tot_dec AS DOUBLE))
+                 * 1e12 + 0.5) / 1e12 AS region_share_of_total
     FROM rev v JOIN reg g ON g.region = v.region, tot t
     """,
 )
@@ -1543,34 +1551,42 @@ def q_percent_of_parent_rollup(
             F.col("n_name").alias("nation"),
         )
         .agg(
-            # scale reduced to (18,6) before the double cast — see
-            # the oracle comment (2^53 decimal->double ulp hazard)
+            # scale reduced to 6 before the double cast (2^53 ulp
+            # hazard) at precision 38 — precision 18 overflowed at
+            # native sf~7 (Spark nulls, DuckDB errors); see oracle
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,6)")
                 * (1 - F.col("l_discount").cast("decimal(18,6)"))
             )
-            .cast("decimal(18,6)")
+            .cast("decimal(38,6)")
             .alias("rev_dec")
         )
     )
     reg = rev.groupBy("region").agg(
-        F.sum("rev_dec").cast("decimal(18,6)").alias("reg_dec")
+        F.sum("rev_dec").cast("decimal(38,6)").alias("reg_dec")
     )
-    tot = rev.agg(F.sum("rev_dec").cast("decimal(18,6)").alias("tot_dec"))
+    tot = rev.agg(F.sum("rev_dec").cast("decimal(38,6)").alias("tot_dec"))
     return (
         rev.join(F.broadcast(reg), "region")
         .crossJoin(F.broadcast(tot))
         .select(
             "region",
             "nation",
-            F.col("rev_dec").cast("double").alias("nation_revenue"),
-            (
+            # house pround, NOT a decimal rescale to cents: Spark's
+            # decimal cast rounds half-up, DuckDB's half-even, and
+            # scale-6 revenue sums do land on exact .xx5 midpoints
+            pround(F.col("rev_dec").cast("double"), 2).alias(
+                "nation_revenue"
+            ),
+            pround(
                 F.col("rev_dec").cast("double")
-                / F.col("reg_dec").cast("double")
+                / F.col("reg_dec").cast("double"),
+                12,
             ).alias("share_of_region"),
-            (
+            pround(
                 F.col("reg_dec").cast("double")
-                / F.col("tot_dec").cast("double")
+                / F.col("tot_dec").cast("double"),
+                12,
             ).alias("region_share_of_total"),
         )
     )

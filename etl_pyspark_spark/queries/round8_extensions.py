@@ -185,6 +185,11 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- semantic benchmark decontamination -------------------------------
 
 _DECON_MOD = 20  # vec_id % 20 == 0 -> "benchmark" split (5%)
+# absolute ceiling on the benchmark rows collected to the driver:
+# real benchmarks are 1e3-1e5 rows; 2^18 keeps the 100x-grow scale
+# fixture (~100k bench rows) reproducible while bounding the collect
+# at ~128 MiB of float64 at dim 64 regardless of corpus size
+_DECON_MAX_BENCH = 262_144
 _DECON_TAU = 0.25  # fixture-calibrated (near-random embeddings);
 # a production run against real near-dup leakage uses ~0.9
 
@@ -216,7 +221,14 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched GEMM over the training scan — the corpus never
     shuffles, and per-batch work is one BLAS matmul
     (similarity/bipartite.py). Exact, not ANN: recall gaps are the one
-    thing a decontamination pass must not have."""
+    thing a decontamination pass must not have.
+
+    The collect is HARD-capped at ``_DECON_MAX_BENCH`` rows (the
+    absolute-bound discipline of blocking.MAX_BLOCK): the fixture's
+    mod-20 split is corpus-proportional, and without the cap a 100 TB
+    embedding table would silently scale the "benchmark" into driver
+    memory. Exceeding the cap raises rather than truncates — a
+    truncated benchmark would silently under-decontaminate."""
     import numpy as np
 
     from etl_pyspark_spark.similarity.bipartite import bipartite_max_cosine
@@ -225,8 +237,15 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         emb.where(F.col("vec_id") % _DECON_MOD == 0)
         .select("vec_id", "embedding")
+        .limit(_DECON_MAX_BENCH + 1)
         .collect()
     )
+    if len(bench) > _DECON_MAX_BENCH:
+        raise ValueError(
+            f"decontaminate_semantic: benchmark split exceeds the "
+            f"{_DECON_MAX_BENCH}-row driver-collect cap; a benchmark "
+            "this large must be broadcast from storage, not collected"
+        )
     ids = np.array([r["vec_id"] for r in bench])
     mat = np.array([r["embedding"] for r in bench])
     train = emb.where(F.col("vec_id") % _DECON_MOD != 0)
@@ -245,10 +264,10 @@ SELECT l_orderkey, l_linenumber,
        CAST(l_extendedprice AS DOUBLE) AS weight
 FROM (
   SELECT l_orderkey, l_linenumber, l_extendedprice,
-         ln((('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+         floor((ln((('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
                                  CAST(l_linenumber AS VARCHAR)), 1, 15))
              ::BIGINT % {_TWO53} + 1) / {_TWO53}.0)
-           / l_extendedprice AS score
+           / l_extendedprice) * 1e12 + 0.5) / 1e12 AS score
   FROM lineitem)
 ORDER BY score DESC, l_orderkey, l_linenumber LIMIT {_WRS_K}
 """
@@ -287,7 +306,11 @@ def q_sample_weighted_reservoir(
             "l_orderkey",
             "l_linenumber",
             F.col("l_extendedprice").cast("double").alias("weight"),
-            (F.log(u01) / F.col("l_extendedprice")).alias("score"),
+            # pround(12) BEFORE the order-by: Java Math.log and
+            # DuckDB's libm are each allowed 1 ulp, so an unrounded
+            # boundary score could admit different rows per engine
+            # (house rule: round order/threshold-sensitive doubles)
+            pround(F.log(u01) / F.col("l_extendedprice"), 12).alias("score"),
         )
         .orderBy(
             F.col("score").desc(),

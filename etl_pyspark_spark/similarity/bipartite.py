@@ -42,7 +42,12 @@ def bipartite_max_cosine(
         ]
     )
     rm = right_mat.astype(np.float64)
-    rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+    # same zero-norm guard as the left side: an all-zero benchmark
+    # vector must yield cosine 0 everywhere, not a NaN column that
+    # poisons sims.max(axis=1) for every emitted row
+    rnrm = np.linalg.norm(rm, axis=1, keepdims=True)
+    rnrm[rnrm == 0.0] = 1.0
+    rm = rm / rnrm
     m = float(10**round_to)
 
     def compute(batches):

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 import pytest
 
@@ -36,8 +37,24 @@ from etl_pyspark_spark.queries._shared import _ORACLE_SF
 from etl_pyspark_spark.registry import ORACLES, QUERIES
 from tests.oracle_utils import compare, duckdb_connect
 
-_NATIVE = "/root/repo/.scratch/sf0.01native"
-_ROUND = len(glob.glob("/root/repo/CORRECTNESS_r*.json")) + 1
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE = os.path.join(_REPO, ".scratch", "sf0.01native")
+
+
+def _next_round() -> int:
+    """1 + the max round number present in CORRECTNESS_r*.json names —
+    robust to archived/pruned records (a file COUNT repeats or skips
+    rotation windows when records are removed) and to running the
+    suite from a checkout outside /root/repo."""
+    rounds = [0]
+    for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+_ROUND = _next_round()
 _WINDOW = 40
 
 # oracles whose SQL reads a $SPARK_GRAFT_ORACLE_SF-pinned side table
