@@ -82,36 +82,69 @@ def ngram_jaccard_pairs_prefix(
     among each side's first ``|d| - ceil(t*|d|) + 1`` tokens — so only
     that prefix is indexed. At t=0.5 the postings halve and the
     candidate self-join shrinks ~4x; a length filter
-    (t*|a| <= |b| <= |a|/t) prunes further. Both filters are lossless,
-    so verification against the full shingle sets returns exactly the
-    inverted-index answer (shared oracle).
+    (t*|a| <= |b| <= |a|/t) prunes further. Both filters are lossless
+    for ANY fixed global order, so verification against the full
+    shingle sets returns exactly the inverted-index answer (shared
+    oracle).
 
-    Global order = ascending h60 hash: deterministic and
-    cluster-stable. (Rarest-first document-frequency order prunes even
-    harder but costs an extra aggregation + skewed broadcast; hash
-    order is the scale-safe default.)
+    Global order = ascending (document frequency, h60) — RAREST
+    FIRST (Bayardo et al. WWW'07's canonical order). Hash order (the
+    pre-r9 choice) is one aggregation cheaper but puts ultra-common
+    shingles in prefixes, and on low-diversity corpora (code, logs,
+    boilerplate web — or the 30-word native fixture, where it
+    measured ~107x wall for 10x data) prefix postings then grow
+    linearly and candidates quadratically. Rarest-first keeps prefix
+    postings short precisely because a prefix shingle is, by
+    construction, one few other docs carry. The df aggregation +
+    h60-keyed join are linear in postings (dedup/shared.py
+    ``doc_hash_sets_rarest`` memoizes them per session).
 
     Physical shape: each doc's shingle-hash set is collected ONCE into
-    a sorted array (one groupBy); the prefix is then just the first
-    ``|d| - ceil(t*|d|) + 1`` elements (``slice`` — no window, no
-    re-join), and candidate verification intersects the two bundled
-    arrays JVM-side (``array_intersect``). Verify cost is
-    O(candidates x doc size) with no exploded shuffle — an earlier
-    version that re-joined the posting table per candidate was 4x
-    slower than the plain inverted index at sf0.1.
+    a df-ordered array (one groupBy); the prefix is then just the
+    first ``|d| - ceil(t*|d|) + 1`` elements (``slice`` — no window,
+    no re-join), and candidate verification intersects the two bundled
+    arrays JVM-side (``array_intersect``, order-insensitive). Verify
+    cost is O(candidates x doc size) with no exploded shuffle — an
+    earlier version that re-joined the posting table per candidate was
+    4x slower than the plain inverted index at sf0.1.
+
+    Prefix length and length filter use INTEGER arithmetic on the
+    threshold as a fraction p/q (``ceil(t*n) = floor((p*n + q-1)/q)``):
+    a float ``ceil(0.7*n)`` can round past the true ceiling and
+    silently shorten a prefix — which would drop pairs, not just
+    prune less.
     """
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10**6)
+    p, q = fr.numerator, fr.denominator
+
     if sets is not None:
-        # precomputed (id, hs, n_sh) stage from dedup/shared.py
+        # precomputed (id, hs, n_sh) stage from dedup/shared.py —
+        # hs must already be in a fixed global order (rarest-first
+        # from doc_hash_sets_rarest is the intended feed)
         docs = sets
     else:
-        docs = (
+        posts = (
             hashed_shingles(df, text_col, id_col, n)
+            .dropDuplicates([id_col, "h60"])
+        )
+        df_tbl = posts.groupBy("h60").agg(F.count(F.lit(1)).alias("df"))
+        docs = (
+            posts.join(df_tbl, "h60")
             .groupBy(id_col)
-            .agg(F.sort_array(F.collect_set("h60")).alias("hs"))
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("df", "h60"))),
+                    lambda s: s["h60"],
+                ).alias("hs")
+            )
             .withColumn("n_sh", F.size("hs"))
             .persist(FAMILY_CACHE)
         )
-    plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    # ceil(t*n) = floor((p*n + q - 1) / q), exact in int64
+    ceil_tn = F.floor((F.lit(p) * F.col("n_sh") + F.lit(q - 1)) / F.lit(q))
+    plen = F.col("n_sh") - ceil_tn + 1
     prefix = docs.select(
         F.col(id_col),
         F.explode(F.slice(F.col("hs"), F.lit(1), plen)).alias("h60"),
@@ -127,20 +160,35 @@ def ngram_jaccard_pairs_prefix(
         a.join(b, "h60")
         .where(
             (F.col("id_a") < F.col("id_b"))
-            # length filter: t*|a| <= |b| and t*|b| <= |a|
-            & (F.lit(threshold) * F.col("n_a") <= F.col("n_b"))
-            & (F.lit(threshold) * F.col("n_b") <= F.col("n_a"))
+            # length filter: t*|a| <= |b| and t*|b| <= |a|, in exact
+            # integer form p*|a| <= q*|b|
+            & (F.lit(p) * F.col("n_a") <= F.lit(q) * F.col("n_b"))
+            & (F.lit(p) * F.col("n_b") <= F.lit(q) * F.col("n_a"))
         )
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
+    # verify via BROADCAST lookups of the set dictionary: candidates
+    # stream through both joins and the intersect in one stage with no
+    # shuffle (on low-diversity corpora the candidate side dwarfs the
+    # dictionary; at lake scale where the dictionary outgrows a
+    # broadcast this becomes a shuffled hash join on a bucketed sets
+    # table — same asymptotics)
     inter = (
         cand.join(
-            docs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")),
+            F.broadcast(
+                docs.select(
+                    F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")
+                )
+            ),
             "id_a",
         )
         .join(
-            docs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")),
+            F.broadcast(
+                docs.select(
+                    F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")
+                )
+            ),
             "id_b",
         )
         .withColumn(

@@ -106,6 +106,43 @@ def doc_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "doc_hash_sets", build)
 
 
+def doc_hash_sets_rarest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs array<h60> in ascending-(document frequency, h60)
+    order, n_sh): the same per-doc shingle-hash sets as
+    :func:`doc_hash_sets`, re-ordered RAREST-FIRST.
+
+    This is the global token order the PPJoin-style prefix filters
+    want (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07): a doc's
+    prefix then holds its rarest shingles, so prefix postings-lists
+    stay short even on low-diversity corpora where ascending-hash
+    order puts ultra-common shingles in prefixes and candidate pairs
+    go quadratic (the r8 native-fixture finding: dedup_ngram_prefix
+    ~107x wall for 10x data). Cost over the hash-sorted stage: one
+    df aggregation over the postings plus one h60-keyed join — both
+    linear in postings, the same cost shape as the boilerplate
+    query's broadcast top-k. Any fixed global order is lossless, so
+    every consumer's oracle is unchanged."""
+
+    def build() -> DataFrame:
+        posts = doc_hash_sets(spark, sf_dir).select(
+            "doc_id", F.explode("hs").alias("h60")
+        )
+        df_tbl = posts.groupBy("h60").agg(F.count(F.lit(1)).alias("df"))
+        return (
+            posts.join(df_tbl, "h60")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("df", "h60"))),
+                    lambda s: s["h60"],
+                ).alias("hs")
+            )
+            .withColumn("n_sh", F.size("hs"))
+        )
+
+    return _memo(spark, sf_dir, "doc_hash_sets_rarest", build)
+
+
 def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id_a, doc_id_b, jaccard): MinHash-LSH candidates verified
     by exact Jaccard at threshold 0.5 — shared by the LSH query,
@@ -155,6 +192,7 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 __all__ = [
     "shingle_hashes",
     "doc_hash_sets",
+    "doc_hash_sets_rarest",
     "verified_pairs",
     "dup_components",
     "simhash_sigs",

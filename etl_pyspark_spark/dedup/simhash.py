@@ -65,11 +65,40 @@ def simhash(
 
 
 def simhash_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id_a < id_b, hamming) pairs with Hamming distance <= 6, via the
-    byte-band candidate join (complete by pigeonhole for <= 6/32)."""
+    """(id_a < id_b, hamming) pairs sharing a byte band with Hamming
+    distance <= 6 — same output as the naive all-docs band self-join,
+    restructured around DISTINCT fingerprints so candidate work scales
+    with the fingerprint population, not the document count squared:
+
+    1. identical fingerprints (hamming 0) come from an equality
+       self-join on the full 32-bit code — its size IS the output's
+       hamming-0 section (output-bound, no band explosion);
+    2. the byte-band candidate join runs on ``SELECT DISTINCT
+       simhash`` only — on low-diversity corpora the fingerprint
+       space saturates while documents keep growing (the r8 native
+       fixture measured the doc-level join at ~51x wall for 10x
+       data), so this side stops growing with corpus size;
+    3. qualifying fingerprint PAIRS expand back to doc pairs via two
+       hash joins — again output-bound.
+
+    Both restructurings are lossless (a doc pair qualifies iff its
+    fingerprint pair does), so the DuckDB oracle is unchanged."""
+    docs = sig.select(F.col(id_col).alias("vid"), "simhash")
+    # 1. equal fingerprints: every co-located doc pair, hamming 0
+    same = (
+        docs.select(F.col("vid").alias("id_a"), "simhash")
+        .join(docs.select(F.col("vid").alias("id_b"), "simhash"), "simhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    # 2. band join over DISTINCT fingerprints only
+    fps = docs.select("simhash").distinct()
     bands = [
-        sig.select(
-            F.col(id_col).alias("vid"),
+        fps.select(
             F.col("simhash"),
             F.lit(b).alias("band"),
             (F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))).alias(
@@ -79,20 +108,33 @@ def simhash_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for b in range(BAND_BYTES)
     ]
     exploded = reduce(lambda a, c: a.unionByName(c), bands)
-    left = exploded.select(
-        F.col("vid").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "byte"
-    )
-    right = exploded.select(
-        F.col("vid").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "byte"
-    )
+    left = exploded.select(F.col("simhash").alias("sh_a"), "band", "byte")
+    right = exploded.select(F.col("simhash").alias("sh_b"), "band", "byte")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    fpairs = (
         left.join(right, ["band", "byte"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .where(F.col("hamming") <= MAX_HAMMING)
+        .where(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b", ham.cast("int").alias("hamming"))
+        .where((F.col("hamming") >= 1) & (F.col("hamming") <= MAX_HAMMING))
         .distinct()
     )
+    # 3. expand fingerprint pairs back to doc pairs (output-bound)
+    cross = (
+        fpairs.join(
+            docs.select(F.col("vid").alias("va"), F.col("simhash").alias("sh_a")),
+            "sh_a",
+        )
+        .join(
+            docs.select(F.col("vid").alias("vb"), F.col("simhash").alias("sh_b")),
+            "sh_b",
+        )
+        .select(
+            F.least("va", "vb").alias("id_a"),
+            F.greatest("va", "vb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
 
 
 # --- DuckDB oracle twins ---------------------------------------------

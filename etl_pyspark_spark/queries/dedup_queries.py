@@ -65,6 +65,13 @@ def q_dedup_shared_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = shared.shingle_hashes(spark, sf_dir)
     shared.doc_hash_sets(spark, sf_dir)
+    # the rarest-first reorder (r9) is not an input of the summary
+    # aggregates below, so force its cache here — the whole point of
+    # this entry is that downstream family queries measure their own
+    # logic, not stage derivation
+    shared.doc_hash_sets_rarest(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     pairs = shared.verified_pairs(spark, sf_dir)
     comp = shared.dup_components(spark, sf_dir)
     a = sh.agg(
@@ -190,15 +197,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_ngram_prefix", oracle=_ngram_oracle())
 def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard (PPJoin-style): index only each
-    doc's hash-order prefix, add a length filter, verify candidates
-    against full sets — provably the same pairs as dedup_ngram_jaccard
-    (shared oracle) with ~4x fewer candidate comparisons at t=0.5."""
+    doc's RAREST-FIRST prefix (ascending document frequency — the
+    Bayardo WWW'07 order; lossless for any fixed order, so the oracle
+    is shared with dedup_ngram_jaccard unchanged), add a length
+    filter, verify candidates against full sets. Rarest-first keeps
+    prefix postings short on low-diversity corpora, where the old
+    hash order went quadratic (r8 native fixture: ~107x wall for 10x
+    data)."""
     from etl_pyspark_spark.dedup.ngram import ngram_jaccard_pairs_prefix
-    from etl_pyspark_spark.dedup.shared import doc_hash_sets
+    from etl_pyspark_spark.dedup.shared import doc_hash_sets_rarest
 
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs_prefix(
-        docs, threshold=0.5, sets=doc_hash_sets(spark, sf_dir)
+        docs, threshold=0.5, sets=doc_hash_sets_rarest(spark, sf_dir)
     )
 
 

@@ -937,47 +937,112 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores high containment but low Jaccard (the union is dominated
     by the big doc), the classic quoted-boilerplate / doc-in-doc
     case in web corpora (Broder'97 distinguishes resemblance vs
-    containment for exactly this). Intersections come from the same
-    session-shared 60-bit-hash posting join as the Jaccard family
-    (dedup/shared.py — complete candidates: positive containment
-    requires a shared shingle), emitted in BOTH directions and
-    divided by each side's OWN set size; threshold 0.7."""
-    from etl_pyspark_spark.dedup.shared import doc_hash_sets
+    containment for exactly this). Candidates come from the
+    DIRECTIONAL prefix filter over the rarest-first ordered sets
+    (dedup/shared.py doc_hash_sets_rarest): C(A in B) >= t forces
+    |A n B| >= ceil(t*|A|), so A must share one of its first
+    |A| - ceil(t*|A|) + 1 rarest shingles with B — only that prefix
+    of the contained side is indexed, joined against full postings
+    (the container side carries no floor on its overlap fraction,
+    so it cannot be prefix-pruned). Lossless, so the inverted-index
+    oracle is unchanged; the pre-r9 full posting self-join measured
+    ~22x wall for 10x data on the low-diversity native fixture.
+    Prefix length and the |B| >= t*|A| length filter use integer
+    arithmetic (t = 7/10) — a float ceil that rounds past the true
+    ceiling would shorten a prefix and DROP pairs.
 
-    sets = doc_hash_sets(spark, sf_dir)
-    sh = sets.select("doc_id", F.explode("hs").alias("h60"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "h60")
-    b = sh.select(F.col("doc_id").alias("id_b"), "h60")
-    inter = (
-        a.join(b, "h60")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        # both directions of the union read this — persist so the
-        # posting self-join runs once, not once per direction
-        .persist()
+    Because the container side indexes its FULL postings (no prefix
+    bound exists for it), the join also applies PPJoin's POSITIONAL
+    filter (Xiao et al., WWW'08): both lists share one global order,
+    so for the first shared shingle at 1-based positions (pa, pb),
+    |A n B| <= 1 + min(|A|-pa, |B|-pb) — every qualifying pair
+    survives via its first-match row (which provably sits inside A's
+    prefix), while a random pair whose only early match is a common
+    shingle late in both orders is dropped BEFORE the distinct
+    shuffle and the array verify. Verification intersects the two
+    bundled arrays JVM-side; the final >= 0.7 test stays the
+    oracle's double division. Threshold 0.7."""
+    from etl_pyspark_spark.dedup.shared import doc_hash_sets_rarest
+
+    sets = doc_hash_sets_rarest(spark, sf_dir)
+    # ceil(0.7*n) = floor((7n + 9) / 10), exact in int64
+    plen = (
+        F.col("n_sh")
+        - F.floor((F.lit(7) * F.col("n_sh") + F.lit(9)) / F.lit(10))
+        + 1
     )
-    directed = inter.select(
-        F.col("id_a").alias("doc_id"),
-        F.col("id_b").alias("container_id"),
-        "n_inter",
-    ).unionByName(
-        inter.select(
-            F.col("id_b").alias("doc_id"),
-            F.col("id_a").alias("container_id"),
-            "n_inter",
+    pref = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.posexplode(F.slice(F.col("hs"), F.lit(1), plen)).alias(
+            "pa0", "h60"
+        ),
+        F.col("n_sh").alias("n_a"),
+    )
+    full = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.posexplode("hs").alias("pb0", "h60"),
+        F.col("n_sh").alias("n_b"),
+    )
+    # elements strictly after the matched position (posexplode is
+    # 0-based: remaining = n - (pos0 + 1))
+    rem_a = F.col("n_a") - F.col("pa0") - 1
+    rem_b = F.col("n_b") - F.col("pb0") - 1
+    cand = (
+        pref.join(full, "h60")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            # |B| >= |A n B| >= t*|A|, integer form 7*|A| <= 10*|B|
+            & (F.lit(7) * F.col("n_a") <= F.lit(10) * F.col("n_b"))
+            # positional: |A n B| <= 1 + min(rem_a, rem_b) must still
+            # reach t*|A|; integer form 10*(1+min) >= 7*|A|
+            & (
+                F.lit(10) * (F.lit(1) + F.least(rem_a, rem_b))
+                >= F.lit(7) * F.col("n_a")
+            )
+        )
+        # NO pre-verify distinct: multi-token prefix matches duplicate
+        # a candidate ~1.03x (measured sf1native), far cheaper to
+        # re-verify than to shuffle 40M+ rows for dedup; the output
+        # dedups AFTER the >= 0.7 filter, where rows are ~1e4 not 1e7
+        .select("id_a", "id_b", "n_a")
+    )
+    # verify as a BROADCAST lookup of the per-doc set dictionary:
+    # candidates (the big side on adversarial low-diversity corpora —
+    # 43M at native sf1.0) stream through two broadcast-hash joins and
+    # the array_intersect in ONE stage, never shuffling. At true lake
+    # scale the dictionary outgrows a broadcast and this pair of joins
+    # becomes a shuffled hash join on a bucketed sets table — the
+    # asymptotics (candidates x intersect) are unchanged either way.
+    ver = (
+        cand.join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a")
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b")
+                )
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
         )
     )
-    sizes = sets.select("doc_id", F.col("n_sh").alias("n_self"))
-    cont = F.col("n_inter").cast("double") / F.col("n_self").cast("double")
+    cont = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
     return (
-        directed.join(sizes, "doc_id")
-        .where(cont >= 0.7)
+        ver.where(cont >= 0.7)
         .select(
-            "doc_id",
-            "container_id",
+            F.col("id_a").alias("doc_id"),
+            F.col("id_b").alias("container_id"),
             pround(cont, 6).alias("containment"),
         )
+        .distinct()
     )
 
 
