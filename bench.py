@@ -36,6 +36,55 @@ def _force(df) -> int:
     return 0
 
 
+def _round_phase(
+    here: str,
+    sf_dir: str,
+    t_start: float,
+    env_phase: str | None = None,
+) -> tuple[int, str]:
+    """(round, phase) for the durable archive name (r06 advice #5 /
+    r07 verdict #3 / r07 advice #1 / r08 verdict #7).
+
+    The driver's CLOSING run starts within seconds of its
+    CORRECTNESS_r{N}.json drop and is the first full run of the round,
+    so: closing <=> the clean per-round archive name is still free AND
+    CORRECTNESS_r{max} was written shortly (<15 min) before this run
+    STARTED. Everything else is a mid-round run of round max+1 and
+    self-labels that way. With no CORRECTNESS file at all (early
+    round 1) the run is mid-round by definition and must NOT claim the
+    clean bench_r1 name — the driver's later closing run owns it.
+    ``env_phase`` (SPARK_GRAFT_BENCH_PHASE) overrides both for manual
+    adjudication runs. Pure function of the filesystem snapshot —
+    unit-tested in tests/test_contract.py."""
+    import glob as _glob
+
+    by_idx = {
+        int(m.group(1)): p
+        for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    }
+    if not by_idx:
+        rnd, phase = 1, "midround"
+    else:
+        mx = max(by_idx)
+        clean = os.path.join(
+            here, ".scratch", f"bench_r{mx}_sf{_sf_of(sf_dir)}.json"
+        )
+        try:
+            corr_age = t_start - os.path.getmtime(by_idx[mx])
+        except OSError:
+            corr_age = float("inf")
+        if not os.path.exists(clean) and corr_age < 900:
+            rnd, phase = mx, "closing"
+        else:
+            rnd, phase = mx + 1, "midround"
+    if env_phase in ("closing", "midround"):
+        phase = env_phase
+        if phase == "closing":
+            rnd = max(by_idx) if by_idx else 1
+    return rnd, phase
+
+
 def main() -> None:
     t_start = time.time()  # phase detection references run START (below)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -207,44 +256,11 @@ def main() -> None:
         # clears it only to measure under first-pass-comparable
         # conditions.
 
-    # Round key + run phase for the durable archive (r06 advice #5 /
-    # r07 verdict #3 / r07 advice #1). The driver's CLOSING run starts
-    # within seconds of its CORRECTNESS_r{N}.json drop and is the
-    # first full run of the round, so: closing <=> the clean per-round
-    # archive name is still free AND CORRECTNESS_r{max} was written
-    # shortly before this run STARTED. Everything else is a mid-round
-    # run of round max+1 and self-labels that way (the old rule
-    # stamped mid-round records with the PREVIOUS round). With no
-    # CORRECTNESS file at all (early round 1) the run is mid-round by
-    # definition and must NOT claim the clean bench_r1 name — the
-    # driver's later closing run owns it. SPARK_GRAFT_BENCH_PHASE
-    # overrides both (closing|midround) for manual adjudication runs.
-    import glob as _glob
-
-    _by_idx = {
-        int(m.group(1)): p
-        for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    }
-    if not _by_idx:
-        rnd, phase = 1, "midround"
-    else:
-        mx = max(_by_idx)
-        clean = os.path.join(
-            here, ".scratch", f"bench_r{mx}_sf{_sf_of(sf_dir)}.json"
-        )
-        try:
-            corr_age = t_start - os.path.getmtime(_by_idx[mx])
-        except OSError:
-            corr_age = float("inf")
-        if not os.path.exists(clean) and corr_age < 900:
-            rnd, phase = mx, "closing"
-        else:
-            rnd, phase = mx + 1, "midround"
-    env_phase = os.environ.get("SPARK_GRAFT_BENCH_PHASE")
-    if env_phase in ("closing", "midround"):
-        phase = env_phase
-        rnd = (max(_by_idx) if _by_idx else 1) if phase == "closing" else rnd
+    # Round key + run phase for the durable archive — extracted to
+    # the unit-tested _round_phase (r08 verdict #7).
+    rnd, phase = _round_phase(
+        here, sf_dir, t_start, os.environ.get("SPARK_GRAFT_BENCH_PHASE")
+    )
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     line = json.dumps(
@@ -317,6 +333,17 @@ def main() -> None:
             k += 1
         with open(arch, "w") as fh:
             fh.write(line + "\n")
+        # ... and a GIT-TRACKED copy (r08 verdict #3): .scratch/ does
+        # not survive rounds and BENCH_r*.json truncates to a tail, so
+        # cross-round per-query regression diffs were impossible from
+        # git alone. bench_records/ keeps the full per-query record of
+        # every closing run (and labeled midround runs) durable.
+        rec_dir = os.path.join(here, "bench_records")
+        os.makedirs(rec_dir, exist_ok=True)
+        rec = os.path.join(rec_dir, os.path.basename(arch))
+        if not os.path.exists(rec):
+            with open(rec, "w") as fh:
+                fh.write(line + "\n")
     sys.stdout.flush()
     sys.stderr.flush()
     print(line, flush=True)

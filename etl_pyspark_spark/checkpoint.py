@@ -26,10 +26,23 @@ blocks that are each read a handful of times.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.storagelevel import StorageLevel
 
-#: storage level for every localCheckpoint in the engine
-DISK_CKPT = StorageLevel.DISK_ONLY
+#: storage level for every localCheckpoint in the engine.
+#: SPARK_GRAFT_CKPT_LEVEL=mem_disk_ser switches to SERIALIZED
+#: memory+disk for A/B runs (r08 verdict #6): serialized read-back
+#: re-promotes compact BYTES (maybeCacheDiskBytesInMemory), not the
+#: deserialized Java objects that OOMed the 100x run — but it still
+#: grows the storage region with dead blocks of finished queries, so
+#: DISK_ONLY stays the default unless the A/B proves the 100x margin
+#: (measured table in BASELINE.md).
+DISK_CKPT = (
+    StorageLevel.MEMORY_AND_DISK
+    if os.environ.get("SPARK_GRAFT_CKPT_LEVEL") == "mem_disk_ser"
+    else StorageLevel.DISK_ONLY
+)
 
 #: storage level for reused family-stage caches (dedup shared builds,
 #: minhash signatures, shingle tables, rank spines): SERIALIZED

@@ -105,22 +105,18 @@ def range_join_binned(
         iv = iv.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
-        # Salt from a hash of ALL point-side columns, not the point
-        # value alone (r07 advice #2): value-keyed salt lands every
-        # duplicate row of a hot point value in ONE salt bucket — the
-        # exact skew salting exists to break. Hashing the whole row
-        # scatters duplicates whose other columns differ (the normal
-        # hot-key shape: many distinct rows sharing a timestamp);
-        # fully-identical duplicate rows still co-locate, the one
-        # residual value-keyed case. xxhash64, not pmod(point): a
-        # point column with modular structure (epoch days) would
-        # alias into few salt values.
+        # Salt per ROW, not per value (r07 advice #2, closed fully in
+        # r9): round-robin on monotonically_increasing_id spreads even
+        # FULLY-IDENTICAL duplicate rows of one hot point value across
+        # all salt buckets — the residual case a whole-row hash left
+        # single-bucket. The salt never reaches the output (dropped
+        # after the join) and the interval side replicates across ALL
+        # salt values, so the enumerated pairs are identical for any
+        # salt assignment; mono_id's partitioning-dependence therefore
+        # cannot leak into results, only into load balance.
         pt = pt.withColumn(
             "_salt",
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in points.columns]),
-                F.lit(salt),
-            ),
+            F.pmod(F.monotonically_increasing_id(), F.lit(salt)),
         )
         join_keys = ["_bin", "_salt"]
     else:

@@ -158,16 +158,43 @@ def _fixture_max_rows(sf_dir: str) -> int:
                 n = pq.ParquetFile(p).metadata.num_rows
         except Exception:
             failed.append(t)
-            n = 0
+            # NON-ZERO fallback (r08 verdict #5): estimate rows from
+            # on-disk bytes at ~50 B/row. Compressed TPC-H-ish parquet
+            # runs >= ~100 B/row, so this OVER-estimates rows — the
+            # safe direction: an oversized shuffle-partition count is
+            # coalesced back by AQE for free, while recording 0 rows
+            # made autosize silently inert on exactly the fixture it
+            # could no longer read.
+            n = _table_bytes(p) // 50
         mx = max(mx, n)
     if failed:
         print(
             f"autosize: footer read FAILED for {failed} under {sf_dir}; "
-            f"shuffle-partition autosizing may under-size this fixture",
+            f"falling back to a bytes-derived row estimate (~50 B/row) "
+            f"for those tables",
             file=sys.stderr,
         )
     _FIXTURE_MAX_ROWS[key] = mx
     return mx
+
+
+def _table_bytes(p: str) -> int:
+    """Total on-disk bytes of a file- or directory-shaped table; 0 if
+    unreadable (the caller then degrades to an unsized table)."""
+    import os
+
+    total = 0
+    try:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
+        elif os.path.isfile(p):
+            total = os.path.getsize(p)
+    except OSError:
+        return 0
+    return total
 
 
 def autosize_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:

@@ -104,3 +104,43 @@ def test_driver_memory_default_covers_long_sessions(spark):
 
     expected = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
     assert spark.conf.get("spark.driver.memory") == expected
+
+
+def test_bench_round_phase_key_derivation(tmp_path):
+    """r08 verdict #7: the bench archive's (round, phase) key. The
+    round-1/no-CORRECTNESS edge must label 'midround' and round 1 —
+    never claiming the clean bench_r1 name the driver's closing run
+    owns; a fresh CORRECTNESS_r{max} with a free clean name is the
+    closing run; a stale or already-archived round is midround of
+    max+1; the env override wins for manual adjudication."""
+    import time as _time
+
+    import bench
+
+    here = str(tmp_path)
+    now = _time.time()
+    sf = "/x/sf0.1"
+
+    # no CORRECTNESS at all: round 1, midround, clean name refused
+    assert bench._round_phase(here, sf, now) == (1, "midround")
+
+    # fresh CORRECTNESS_r3 + free clean name: the closing run of r3
+    c3 = tmp_path / "CORRECTNESS_r3.json"
+    c3.write_text("{}")
+    os.utime(c3, (now - 10, now - 10))
+    assert bench._round_phase(here, sf, now) == (3, "closing")
+
+    # clean archive already claimed: later re-runs are r4 midround
+    scratch = tmp_path / ".scratch"
+    scratch.mkdir()
+    (scratch / "bench_r3_sf0.1.json").write_text("{}")
+    assert bench._round_phase(here, sf, now) == (4, "midround")
+
+    # stale CORRECTNESS (>15 min before run start): midround of r4
+    (scratch / "bench_r3_sf0.1.json").unlink()
+    os.utime(c3, (now - 3600, now - 3600))
+    assert bench._round_phase(here, sf, now) == (4, "midround")
+
+    # env override pins closing to the max recorded round
+    assert bench._round_phase(here, sf, now, "closing") == (3, "closing")
+    assert bench._round_phase(here, sf, now, "midround")[1] == "midround"

@@ -931,6 +931,30 @@ def test_range_join_binned_is_shuffled_hash(spark, oracle_sf_dir):
         assert "_salt" in plan_of(df), name
 
 
+def test_range_binned_salt_spreads_identical_duplicate_rows(spark):
+    """r8 advice: a whole-row-hash salt lands FULLY-IDENTICAL
+    duplicate rows of one hot point value in a single salt bucket —
+    the exact skew the salting exists to break. The salt must be
+    per-row (round-robin on monotonically_increasing_id): pin the
+    expression in the plan, and check the join output is exactly the
+    duplicate-preserving cross of the hot value with its one covering
+    interval regardless of salt assignment."""
+    from pyspark.sql import functions as F
+
+    from etl_pyspark_spark.operators.joins import range_join_binned
+
+    pts = spark.range(4000).select(F.lit(500).cast("long").alias("p"))
+    iv = spark.createDataFrame(
+        [(0, 1000, "w"), (2000, 3000, "x")], "s long, e long, tag string"
+    )
+    out = range_join_binned(pts, iv, "p", "s", "e", bin_width=100, salt=8)
+    plan = plan_of(out)
+    assert "monotonically_increasing_id" in plan, plan[:2000]
+    assert "xxhash64" not in plan.lower(), "salt regressed to a row hash"
+    assert out.count() == 4000
+    assert out.select("tag").distinct().collect()[0]["tag"] == "w"
+
+
 def test_bloom_prefilter_two_phase(spark, oracle_sf_dir):
     """Phase 1 must be a BROADCAST join on the bounded bucket set
     (never a shuffle: the whole point is that the fact side stays
@@ -974,6 +998,26 @@ def test_autosize_disabled_by_env(spark, oracle_sf_dir, monkeypatch):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_autosize_corrupt_footer_warns_and_falls_back(tmp_path, capfd):
+    """r08 verdict #5: a corrupt parquet footer must produce a VISIBLE
+    warning and a NON-ZERO bytes-derived row estimate — recording 0
+    rows made autosize silently inert on exactly the fixture it could
+    no longer read."""
+    import etl_pyspark_spark.sources.io as io
+
+    # 1 MiB of garbage named like the largest fixture table: footer
+    # read fails, size-based fallback says ~1 MiB / 50 B/row rows
+    garbage = tmp_path / "lineitem.parquet"
+    garbage.write_bytes(b"\x00" * (1 << 20))
+    rows = io._fixture_max_rows(str(tmp_path))
+    err = capfd.readouterr().err
+    assert "footer read FAILED" in err
+    assert "lineitem" in err
+    assert rows == (1 << 20) // 50
+    # memoized: second call returns the same estimate without re-warn
+    assert io._fixture_max_rows(str(tmp_path)) == rows
+
+
 def test_maxsim_single_pass_no_shuffle(spark, oracle_sf_dir):
     """Late-interaction MaxSim is ONE codegen expression per corpus
     row: a 1-row broadcast for the query bag, no data exchange, and
@@ -1015,3 +1059,36 @@ def test_sorted_neighborhood_one_block_exchange(spark, oracle_sf_dir):
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
     assert "SinglePartition" not in tree
     assert "WindowGroupLimit" not in tree  # plain lags, no limit push
+
+
+def test_dedup_prefix_family_verify_is_broadcast(spark, oracle_sf_dir):
+    """r9 weak-cell fix regression guard: the prefix-filter family's
+    verify stage must attach the per-doc set dictionary via BROADCAST
+    joins — candidates (40M+ on low-diversity corpora) stream through
+    in one stage. A shuffled verify re-creates the 76x-for-10x wall
+    measured mid-fix on the native fixture."""
+    for name in ("dedup_ngram_prefix", "dedup_containment"):
+        tree = tree_of(QUERIES[name](spark, oracle_sf_dir))
+        assert "BroadcastHashJoin" in tree, name
+
+
+def test_mutual_knn_is_arrow_gemm_no_shuffle_knn(spark, oracle_sf_dir):
+    """The kNN stage must be Arrow mapInPandas over the scan (one GEMM
+    per batch, zero shuffles); only the tiny n*k edge list may
+    shuffle for the reciprocal self-join. A cartesian/broadcast
+    nested loop here is the 10us/pair Catalyst path — 400x slower."""
+    df = QUERIES["similarity_mutual_knn"](spark, oracle_sf_dir)
+    tree = tree_of(df)
+    assert "MapInPandas" in tree or "ArrowEvalPython" in plan_of(df), tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_asof_nearest_twopass_is_two_windows(spark, oracle_sf_dir):
+    """Two as-of passes = exactly two Window operators over the
+    union'd frames; no per-key candidate join (the one-pass nearest
+    variant's plan contains a user-keyed join feeding a window — this
+    twin must not)."""
+    df = QUERIES["join_asof_nearest_twopass"](spark, oracle_sf_dir)
+    tree = tree_of(df)
+    assert tree.count("Window") >= 2, tree
