@@ -1,0 +1,388 @@
+"""Query family: round-9 extensions.
+
+Capabilities the registry genuinely lacked, each a first-class
+LLM-data-pipeline operator (the reference — a linear taxi ETL,
+nyc_taxi_etl.py:50-103 — has none of these surfaces; SURVEY.md §2.9
+growth plan):
+
+- **unigram-LM surprisal scoring** — the perplexity-proxy quality
+  gate every corpus pipeline runs before training: score each doc by
+  the mean negative log-probability of its tokens under the corpus's
+  own unigram model. Garbled/boilerplate text scores high (rare-token
+  soup) or suspiciously low (repeated stop-tokens); both tails get
+  cut. The registry's quality scores (Gopher/C4 gates, stats) are all
+  rule-based; this is the first model-based one.
+- **within-doc token entropy** — Shannon entropy of each doc's token
+  histogram: the repetition detector that catches "spam spam spam"
+  degenerate text that length/ratio rules miss (text_repetition_ratio
+  counts adjacent repeats; entropy catches global imbalance).
+- **mutual k-NN graph** — edges where BOTH endpoints rank each other
+  in their top-k by cosine: the standard graph for dedup clustering /
+  diversity analysis, strictly stronger than one-directional kNN
+  (hub vectors collect thousands of in-edges but reciprocate few).
+- **two-pass nearest as-of join** — join_asof_nearest (widening_r3)
+  ranks ALL of a user's signups per purchase (per-key candidates are
+  unbounded: its own docstring concedes it needs time pre-binning at
+  scale); this twin composes one backward + one forward as-of pass,
+  so cost stays two window shuffles regardless of per-key history.
+"""
+
+from __future__ import annotations
+
+from etl_pyspark_spark.functions.compat import pround
+from etl_pyspark_spark.queries.core import (
+    DataFrame,
+    F,
+    SparkSession,
+    query,
+    read_table,
+)
+
+# DuckDB twin of functions.text.ws_tokens (same rule as
+# text_analysis._WS_TOKENS_SQL, inlined to keep this module
+# import-order independent)
+_WS = "list_filter(string_split({col}, ' '), t -> t <> '')"
+
+# --- unigram-LM surprisal ---------------------------------------------
+
+# ln() is allowed 1 ulp per libm, so every ln term is pre-rounded with
+# the house pround at 12 digits and summed as an INTEGER of 1e-12
+# units — both engines then aggregate bit-identically in any order
+# (same discipline as registry.dec_sum for money sums).
+_UNIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, UNNEST({_WS.format(col="text")}) AS t(tok)),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n_total FROM vocab),
+surp AS (
+  SELECT doc_id,
+         CAST(floor((ln(CAST(n_total AS DOUBLE))
+                     - ln(CAST(cnt AS DOUBLE))) * 1e12 + 0.5)
+              AS BIGINT) AS s
+  FROM toks JOIN vocab USING (tok), tot)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       floor(((CAST(sum(s) AS DOUBLE) / 1e12) / count(*)) * 1e6 + 0.5)
+         / 1e6 AS avg_surprisal
+FROM surp GROUP BY doc_id
+"""
+
+
+@query("quality_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def q_quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram surprisal
+    -ln p(tok) per document, with p() the corpus's own token
+    distribution — the model-based filter pass of a training-data
+    pipeline (a KenLM in production; the unigram LM here keeps it
+    exactly oracle-replayable).
+
+    Plan shape at 100 TB: tokenize once (one explode), ONE token-keyed
+    aggregation builds the LM (vocab is Heaps-law bounded, orders of
+    magnitude smaller than the corpus), one join tokens->vocab that
+    AQE turns into a broadcast once the aggregated vocab proves small,
+    one doc-keyed aggregation. No collect, no UDF; the ln terms ride
+    whole-stage codegen. Cross-engine exactness: each surprisal is
+    pround(12)-scaled to integer 1e-12 units BEFORE summing, so the
+    per-doc sums are order-independent integers on both engines."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n_total"))
+    surp = (
+        F.floor(
+            (
+                F.log(F.col("n_total").cast("double"))
+                - F.log(F.col("cnt").cast("double"))
+            )
+            * F.lit(1e12)
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", surp.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("s").alias("ssum"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            pround(
+                (F.col("ssum").cast("double") / F.lit(1e12))
+                / F.col("n_tok"),
+                6,
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+# --- within-doc token entropy -----------------------------------------
+
+_ENTROPY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, UNNEST({_WS.format(col="text")}) AS t(tok)),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e12 + 0.5)
+                      AS BIGINT)) AS clnc,
+         sum(c) AS n
+  FROM tc GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tok,
+       floor((CAST(floor(ln(CAST(n AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)
+              / 1e12
+              - (CAST(clnc AS DOUBLE) / 1e12) / n) * 1e6 + 0.5) / 1e6
+         AS token_entropy
+FROM agg
+"""
+
+
+@query("text_token_entropy", oracle=_ENTROPY_ORACLE)
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token histogram,
+    H = ln(n) - (1/n) * sum c_i*ln(c_i): the degenerate-repetition
+    detector (a doc that is one token over and over has H = 0; a doc
+    of all-distinct tokens has H = ln(n)). Complements
+    text_repetition_ratio (adjacent repeats) with global imbalance.
+
+    Two narrow aggregations (doc+token counts, then per-doc fold); the
+    ln terms are pround(12)-scaled to integers before summation, so
+    both engines fold bit-identically in any order. No UDF, no
+    collect; the whole plan is codegen."""
+    from etl_pyspark_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    lnc = F.floor(F.log(F.col("c").cast("double")) * F.lit(1e12) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum(F.col("c") * lnc).alias("clnc"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    lnn = F.floor(
+        F.log(F.col("n").cast("double")) * F.lit(1e12) + F.lit(0.5)
+    ).cast("bigint")
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tok"),
+        pround(
+            lnn / F.lit(1e12)
+            - (F.col("clnc").cast("double") / F.lit(1e12)) / F.col("n"),
+            6,
+        ).alias("token_entropy"),
+    )
+
+
+# --- mutual k-NN graph -------------------------------------------------
+
+_KNN_K = 5
+# absolute ceiling on the corpus rows shipped into the GEMM closure —
+# the blocking.MAX_BLOCK / _DECON_MAX_BENCH discipline: beyond this,
+# brute force is the wrong tool and the IVF path (similarity_ann_ivf)
+# is the scale answer; raising silently would OOM executors instead
+_KNN_MAX_CORPUS = 262_144
+
+
+def _knn_oracle() -> str:
+    from etl_pyspark_spark.queries.dedup_queries import _sql_cos
+
+    cos = _sql_cos("a.embedding", "b.embedding")
+    return f"""
+    WITH sims AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb, {cos} AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    rk AS (
+      SELECT qa, qb, c,
+             row_number() OVER (PARTITION BY qa
+                                ORDER BY c DESC, qb ASC) AS r
+      FROM sims),
+    knn AS (SELECT qa, qb, c FROM rk WHERE r <= {_KNN_K})
+    SELECT x.qa AS vec_id_a, x.qb AS vec_id_b, x.c AS cos_sim
+    FROM knn x JOIN knn y ON x.qa = y.qb AND x.qb = y.qa
+    WHERE x.qa < x.qb
+    """
+
+
+@query("similarity_mutual_knn", oracle=_knn_oracle())
+def q_similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the embedding corpus: an edge (a, b)
+    exists iff b is in a's cosine top-k AND a is in b's — the
+    reciprocal filter that strips hub vectors (which collect thousands
+    of one-way in-edges) and is the standard input graph for
+    SemDeDup-style clustering and diversity audits.
+
+    Physical shape: the corpus matrix ships ONCE into an Arrow-batched
+    ``mapInPandas`` closure (hard-capped at ``_KNN_MAX_CORPUS`` rows —
+    the MAX_BLOCK discipline; past the cap brute force is the wrong
+    tool and similarity_ann_ivf is the scale path), each batch does
+    one BLAS GEMM against it and emits its rows' top-k, so the kNN
+    stage is embarrassingly parallel with zero shuffles. The mutual
+    filter is then a self-join of the tiny (n*k)-row edge list. Ranks
+    order by the pround(6)-rounded cosine with vec_id tiebreak, so
+    BLAS summation order cannot flip a rank against the oracle."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("vec_id", "embedding")
+        .limit(_KNN_MAX_CORPUS + 1)
+        .collect()
+    )
+    if len(rows) > _KNN_MAX_CORPUS:
+        raise ValueError(
+            f"similarity_mutual_knn: corpus exceeds the "
+            f"{_KNN_MAX_CORPUS}-row brute-force cap; use the IVF path"
+        )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    unit = mat / nrm
+    order = np.argsort(ids)
+    ids_s, unit_s = ids[order], unit[order]
+
+    schema = T.StructType(
+        [
+            T.StructField("qa", T.LongType()),
+            T.StructField("qb", T.LongType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+
+    def topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0
+            sims = (q / qn) @ unit_s.T
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6  # pround BEFORE rank
+            qa = pdf["vec_id"].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for i in range(len(qa)):
+                row = sims[i]
+                # mask self; ids_s ascending => stable argsort on
+                # (-cos, id) reproduces the oracle's tiebreak
+                mask = ids_s != qa[i]
+                cand_ids = ids_s[mask]
+                cand = row[mask]
+                sel = np.lexsort((cand_ids, -cand))[:_KNN_K]
+                out_a.extend([qa[i]] * len(sel))
+                out_b.extend(cand_ids[sel])
+                out_c.extend(cand[sel])
+            yield pd.DataFrame({"qa": out_a, "qb": out_b, "c": out_c})
+
+    edges = emb.select("vec_id", "embedding").mapInPandas(topk, schema)
+    rev = edges.select(
+        F.col("qa").alias("qb"), F.col("qb").alias("qa")
+    )
+    return (
+        edges.join(rev, ["qa", "qb"])  # reciprocal edges only
+        .where(F.col("qa") < F.col("qb"))
+        .select(
+            F.col("qa").alias("vec_id_a"),
+            F.col("qb").alias("vec_id_b"),
+            F.col("c").alias("cos_sim"),
+        )
+    )
+
+
+# --- nearest-direction as-of join --------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, epoch_us(ts) AS s_us
+      FROM events WHERE event_type = 'signup'),
+cand AS (
+  SELECT p.event_id, p.user_id, s.s_us, abs(s.s_us - p.p_us) AS d
+  FROM p JOIN s USING (user_id)),
+best AS (
+  SELECT event_id, s_us, d,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY d ASC, s_us ASC) AS rk
+  FROM cand)
+SELECT p.event_id, p.user_id,
+       b.s_us AS nearest_signup_epoch_us,
+       b.d AS abs_delta_us
+FROM p LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (event_id)
+"""
+
+
+@query("join_asof_nearest_twopass", oracle=_ASOF_NEAREST_ORACLE)
+def q_join_asof_nearest_twopass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of join, direction='nearest' (pandas merge_asof parity), as
+    TWO as-of passes: each purchase takes the signup closest in time
+    for the same user — before or after — ties to the earlier signup.
+
+    The existing join_asof_nearest ranks every signup of the user per
+    purchase (per-key candidate set is unbounded — its docstring
+    concedes it needs time pre-binning at scale). This twin composes
+    one backward and one forward as-of pass
+    (operators/joins.asof_join — union + single window each, no UDF,
+    both sides arbitrarily large), joined on the left key; the nearer
+    candidate wins, equal distances resolve to the backward (earlier)
+    one. Cost: two key-partitioned window shuffles — the same
+    asymptotics as either single direction, never a per-key
+    candidate blow-up."""
+    from etl_pyspark_spark.operators.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("p_us")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.unix_micros("ts").alias("s_us")
+    )
+    bwd = asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["s_us"],
+        direction="backward",
+    ).select("event_id", "user_id", "p_us", F.col("asof_s_us").alias("b_us"))
+    fwd = asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["s_us"],
+        direction="forward",
+    ).select("event_id", F.col("asof_s_us").alias("f_us"))
+    both = bwd.join(fwd, "event_id")
+    d_b = F.col("p_us") - F.col("b_us")  # >= 0 or NULL
+    d_f = F.col("f_us") - F.col("p_us")  # >= 0 or NULL
+    take_b = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull() | (d_b <= d_f)  # tie -> earlier (backward)
+    )
+    nearest = F.when(take_b, F.col("b_us")).otherwise(F.col("f_us"))
+    delta = F.when(take_b, d_b).otherwise(d_f)
+    return both.select(
+        "event_id",
+        "user_id",
+        nearest.alias("nearest_signup_epoch_us"),
+        delta.alias("abs_delta_us"),
+    )
