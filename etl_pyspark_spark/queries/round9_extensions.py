@@ -386,3 +386,129 @@ def q_join_asof_nearest_twopass(
         nearest.alias("nearest_signup_epoch_us"),
         delta.alias("abs_delta_us"),
     )
+
+
+# --- Poisson bootstrap confidence interval -----------------------------
+
+_BOOT_R = 16
+_TWO53 = 9007199254740992
+# cumulative CDF of Poisson(1): P(X <= k) for k = 0..8 (beyond -> 9).
+# Hard literals so Spark and DuckDB parse the IDENTICAL doubles; the
+# inverse-CDF draw is then bit-equal on both engines.
+_POIS1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+    "0.9999897508033253",
+    "0.9999988747974917",
+)
+
+
+def _boot_oracle() -> str:
+    u = (
+        "((('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||"
+        " CAST(l_linenumber AS VARCHAR) || '_r{r}'), 1, 15))::BIGINT"
+        f" % {_TWO53} + 1) / {_TWO53}.0)"
+    )
+    w = (
+        "(CASE "
+        + " ".join(
+            f"WHEN {{u}} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+        )
+        + " ELSE 9 END)"
+    )
+    cols = []
+    for r in range(_BOOT_R):
+        ur = u.format(r=r)
+        wr = w.format(u=ur)
+        cols.append(f"sum({wr}) AS n{r}")
+        cols.append(
+            f"sum({wr} * CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+            f" * 100 AS BIGINT)) AS s{r}"
+        )
+    sel = ", ".join(cols)
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS replicate, CAST(n{r} AS BIGINT) AS n_eff, "
+        f"floor(((CAST(s{r} AS DOUBLE) / 100.0) / n{r}) * 1e6 + 0.5)"
+        f" / 1e6 AS mean_price FROM agg"
+        for r in range(_BOOT_R)
+    )
+    return f"WITH agg AS (SELECT {sel} FROM lineitem) {rows}"
+
+
+@query("stats_bootstrap_ci_poisson", oracle=_boot_oracle())
+def q_stats_bootstrap_ci_poisson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012 — 'Estimating
+    Uncertainty for Massive Data Streams'): THE bootstrap that works
+    at 100 TB. Classical resampling needs n draws WITH replacement per
+    replicate (a shuffle per replicate, unusable at scale); the
+    Poisson trick gives each row an independent Poisson(1) weight per
+    replicate, so ALL R replicates are computed in ONE streaming pass
+    as R weighted sums — map-side partial aggregation, zero extra
+    shuffles, and n_eff fluctuates around n exactly as the bootstrap
+    requires.
+
+    Determinism: each draw u is the portable 60-bit md5 hash of
+    (orderkey, linenumber, replicate) mapped into (0,1], and the
+    Poisson(1) inverse CDF uses hard-coded literal thresholds, so both
+    engines produce the IDENTICAL integer weight for every (row,
+    replicate) — the replicate sums are then exact integers (prices in
+    cents). Emits one row per replicate (replicate, n_eff,
+    mean_price); the CI is any quantile of the 16 means — the
+    expensive part, the resampled statistics, is what the operator
+    computes."""
+    from etl_pyspark_spark.functions.text import portable_hash60
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = (
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+    )
+    key = F.concat_ws(
+        "_",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    aggs = []
+    for r in range(_BOOT_R):
+        u = (
+            (
+                F.pmod(
+                    portable_hash60(F.concat(key, F.lit(f"_r{r}"))),
+                    F.lit(_TWO53),
+                )
+                + 1
+            ).cast("double")
+            / F.lit(float(_TWO53))
+        )
+        w = F.lit(9)
+        for k in range(len(_POIS1_CDF) - 1, -1, -1):
+            w = F.when(u < float(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+        aggs.append(F.sum(w).cast("bigint").alias(f"n{r}"))
+        aggs.append(F.sum(w * cents).cast("bigint").alias(f"s{r}"))
+    one = li.agg(*aggs)
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("replicate"),
+                F.col(f"n{r}").alias("n_eff"),
+                pround(
+                    (F.col(f"s{r}").cast("double") / F.lit(100.0))
+                    / F.col(f"n{r}"),
+                    6,
+                ).alias("mean_price"),
+            )
+            for r in range(_BOOT_R)
+        ]
+    )
+    return one.select(F.explode(reps).alias("x")).select(
+        F.col("x.replicate").alias("replicate"),
+        F.col("x.n_eff").alias("n_eff"),
+        F.col("x.mean_price").alias("mean_price"),
+    )

@@ -1092,3 +1092,15 @@ def test_asof_nearest_twopass_is_two_windows(spark, oracle_sf_dir):
     df = QUERIES["join_asof_nearest_twopass"](spark, oracle_sf_dir)
     tree = tree_of(df)
     assert tree.count("Window") >= 2, tree
+
+
+def test_bootstrap_poisson_is_one_pass(spark, oracle_sf_dir):
+    """All 16 Poisson-bootstrap replicates must come out of ONE
+    streaming aggregation pass (the whole point of the Poisson trick
+    vs per-replicate resampling): one scan, map-side partials, a
+    single exchange carrying one partial row per partition, no UDF."""
+    df = QUERIES["stats_bootstrap_ci_poisson"](spark, oracle_sf_dir)
+    tree = tree_of(df)
+    assert "HashAggregate" in tree or "SortAggregate" in tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Scan" in tree and tree.count("FileScan") <= 1
