@@ -32,12 +32,15 @@ from pyspark.storagelevel import StorageLevel
 
 #: storage level for every localCheckpoint in the engine.
 #: SPARK_GRAFT_CKPT_LEVEL=mem_disk_ser switches to SERIALIZED
-#: memory+disk for A/B runs (r08 verdict #6): serialized read-back
-#: re-promotes compact BYTES (maybeCacheDiskBytesInMemory), not the
-#: deserialized Java objects that OOMed the 100x run — but it still
-#: grows the storage region with dead blocks of finished queries, so
-#: DISK_ONLY stays the default unless the A/B proves the 100x margin
-#: (measured table in BASELINE.md).
+#: memory+disk for A/B runs (r08 verdict #6). The round-9 A/B settled
+#: it: serialized blocks ARE cheaper to re-read (100x pagerank solo:
+#: 265 s vs 385 s) and sf0.1 is a wash, but a FULL-registry 100x run
+#: under mem_disk_ser died of java.lang.OutOfMemoryError (GCLocker
+#: retry storm) ~90 min in — serialized bytes still re-promote into
+#: the unified region on every disk read-back, and 240+ queries of
+#: dead-block litter fill the heap exactly like the r8 deserialized
+#: OOM. DISK_ONLY is the only level with a PROVEN clean full 100x
+#: run; it stays the default (measured table in BASELINE.md round 9).
 DISK_CKPT = (
     StorageLevel.MEMORY_AND_DISK
     if os.environ.get("SPARK_GRAFT_CKPT_LEVEL") == "mem_disk_ser"

@@ -276,19 +276,29 @@ def q_similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims = (q / qn) @ unit_s.T
             sims = np.floor(sims * 1e6 + 0.5) / 1e6  # pround BEFORE rank
             qa = pdf["vec_id"].to_numpy()
-            out_a, out_b, out_c = [], [], []
-            for i in range(len(qa)):
-                row = sims[i]
-                # mask self; ids_s ascending => stable argsort on
-                # (-cos, id) reproduces the oracle's tiebreak
-                mask = ids_s != qa[i]
-                cand_ids = ids_s[mask]
-                cand = row[mask]
-                sel = np.lexsort((cand_ids, -cand))[:_KNN_K]
-                out_a.extend([qa[i]] * len(sel))
-                out_b.extend(cand_ids[sel])
-                out_c.extend(cand[sel])
-            yield pd.DataFrame({"qa": out_a, "qb": out_b, "c": out_c})
+            # fully vectorized top-k with the oracle's (cos DESC,
+            # id ASC) tiebreak: composite key = round(cos*1e6)*2^33 -
+            # id, exact in float64 (|key| < 2^53 for ids < 2^33), so
+            # argpartition+argsort on ONE array reproduces lexsort
+            # without the per-row Python loop (which measured 7 s at
+            # sf0.1 on a 20k corpus)
+            comp = np.floor(sims * 1e6 + 0.5) * 8589934592.0 - ids_s[None, :]
+            pos = np.searchsorted(ids_s, qa)
+            rows_idx = np.arange(len(qa))
+            self_rows = rows_idx[ids_s[np.clip(pos, 0, len(ids_s) - 1)] == qa]
+            comp[self_rows, pos[self_rows]] = -np.inf  # mask self
+            k = min(_KNN_K, comp.shape[1] - 1)
+            part = np.argpartition(-comp, kth=k - 1, axis=1)[:, :k]
+            pc = np.take_along_axis(comp, part, axis=1)
+            order = np.argsort(-pc, axis=1, kind="stable")
+            sel = np.take_along_axis(part, order, axis=1)
+            yield pd.DataFrame(
+                {
+                    "qa": np.repeat(qa, k),
+                    "qb": ids_s[sel].ravel(),
+                    "c": np.take_along_axis(sims, sel, axis=1).ravel(),
+                }
+            )
 
     edges = emb.select("vec_id", "embedding").mapInPandas(topk, schema)
     rev = edges.select(
@@ -391,40 +401,37 @@ def q_join_asof_nearest_twopass(
 # --- Poisson bootstrap confidence interval -----------------------------
 
 _BOOT_R = 16
-_TWO53 = 9007199254740992
-# cumulative CDF of Poisson(1): P(X <= k) for k = 0..8 (beyond -> 9).
-# Hard literals so Spark and DuckDB parse the IDENTICAL doubles; the
-# inverse-CDF draw is then bit-equal on both engines.
-_POIS1_CDF = (
-    "0.36787944117144233",
-    "0.7357588823428847",
-    "0.9196986029286058",
-    "0.9810118431238462",
-    "0.9963401531726563",
-    "0.9994058151824183",
-    "0.9999167588507119",
-    "0.9999897508033253",
-    "0.9999988747974917",
-)
+# Poisson(1) inverse CDF at 15-bit resolution, as INTEGER thresholds:
+# a draw is 15 bits of an md5-derived 60-bit integer, and the weight
+# is the count of thresholds t_k the draw reaches
+# (t_k = ceil(cdf_k * 2^15) - 1, so P(w > k) = (2^15 - 1 - t_k)/2^15
+# ~= 1 - cdf_k; quantization error < 2^-15 per class, mean 1.0002).
+# Integer thresholds keep the whole weight derivation in int codegen —
+# the double-math variant (conv per draw + double compares) measured
+# ~1.2 s per replicate at sf0.1, ~20 s for 16 — and make cross-engine
+# agreement trivial: no doubles exist anywhere before the final mean.
+_POIS1_T15 = (12054, 24109, 30136, 32145, 32648, 32748, 32765, 32767, 32767)
 
 
 def _boot_oracle() -> str:
-    u = (
-        "((('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||"
-        " CAST(l_linenumber AS VARCHAR) || '_r{r}'), 1, 15))::BIGINT"
-        f" % {_TWO53} + 1) / {_TWO53}.0)"
-    )
-    w = (
-        "(CASE "
-        + " ".join(
-            f"WHEN {{u}} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
-        )
-        + " ELSE 9 END)"
-    )
+    # one md5 -> one 60-bit integer -> FOUR 15-bit draws via bit
+    # extraction; weight = count of integer thresholds reached
     cols = []
     for r in range(_BOOT_R):
-        ur = u.format(r=r)
-        wr = w.format(u=ur)
+        d, part = divmod(r, 4)
+        h = (
+            f"(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||"
+            f" CAST(l_linenumber AS VARCHAR) || '_h{d}'), 1, 15))::BIGINT)"
+        )
+        bits = f"(({h} >> {15 * part}) & 32767)"
+        wr = (
+            "("
+            + " + ".join(
+                f"CASE WHEN {bits} >= {t} THEN 1 ELSE 0 END"
+                for t in _POIS1_T15
+            )
+            + ")"
+        )
         cols.append(f"sum({wr}) AS n{r}")
         cols.append(
             f"sum({wr} * CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -454,17 +461,18 @@ def q_stats_bootstrap_ci_poisson(
     shuffles, and n_eff fluctuates around n exactly as the bootstrap
     requires.
 
-    Determinism: each draw u is the portable 60-bit md5 hash of
-    (orderkey, linenumber, replicate) mapped into (0,1], and the
-    Poisson(1) inverse CDF uses hard-coded literal thresholds, so both
-    engines produce the IDENTICAL integer weight for every (row,
-    replicate) — the replicate sums are then exact integers (prices in
-    cents). Emits one row per replicate (replicate, n_eff,
+    Determinism AND codegen economy share one design: each digest of
+    (orderkey, linenumber, digest-group) becomes ONE 60-bit integer
+    (the portable conv), which yields FOUR 15-bit draws by bit
+    extraction, and the Poisson(1) inverse CDF is hard-coded INTEGER
+    thresholds — so weight derivation is pure int codegen (the
+    double-math variant measured ~1.2 s per replicate at sf0.1; this
+    runs all 16 in a fraction of that) and no floating point exists
+    anywhere before the final mean, making cross-engine agreement
+    structural rather than ulp-managed. Emits one row per replicate (replicate, n_eff,
     mean_price); the CI is any quantile of the 16 means — the
     expensive part, the resampled statistics, is what the operator
     computes."""
-    from etl_pyspark_spark.functions.text import portable_hash60
-
     li = read_table(spark, sf_dir, "lineitem")
     cents = (
         (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
@@ -475,24 +483,38 @@ def q_stats_bootstrap_ci_poisson(
         F.col("l_orderkey").cast("string"),
         F.col("l_linenumber").cast("string"),
     )
+    # one md5 -> one 60-bit int (projected ONCE; the multi-reference
+    # aliases also keep CollapseProject from re-inlining the md5) ->
+    # four 15-bit draws via shift/mask -> weight = count of integer
+    # thresholds reached. Everything after the 4 convs is int codegen.
+    from etl_pyspark_spark.functions.text import portable_hash60
+
+    staged = li.select(
+        cents.alias("cents"),
+        *[
+            portable_hash60(F.concat(key, F.lit(f"_h{d}"))).alias(f"h{d}")
+            for d in range(_BOOT_R // 4)
+        ],
+    )
+    weighted = []
+    for r in range(_BOOT_R):
+        d, part = divmod(r, 4)
+        bits = F.shiftright(F.col(f"h{d}"), 15 * part).bitwiseAND(
+            F.lit(32767)
+        )
+        w = None
+        for t in _POIS1_T15:
+            ind = F.when(bits >= t, 1).otherwise(0)
+            w = ind if w is None else (w + ind)
+        weighted.append(w.alias(f"w{r}"))
+    staged = staged.select("cents", *weighted)
     aggs = []
     for r in range(_BOOT_R):
-        u = (
-            (
-                F.pmod(
-                    portable_hash60(F.concat(key, F.lit(f"_r{r}"))),
-                    F.lit(_TWO53),
-                )
-                + 1
-            ).cast("double")
-            / F.lit(float(_TWO53))
+        aggs.append(F.sum(F.col(f"w{r}")).cast("bigint").alias(f"n{r}"))
+        aggs.append(
+            F.sum(F.col(f"w{r}") * F.col("cents")).cast("bigint").alias(f"s{r}")
         )
-        w = F.lit(9)
-        for k in range(len(_POIS1_CDF) - 1, -1, -1):
-            w = F.when(u < float(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
-        aggs.append(F.sum(w).cast("bigint").alias(f"n{r}"))
-        aggs.append(F.sum(w * cents).cast("bigint").alias(f"s{r}"))
-    one = li.agg(*aggs)
+    one = staged.agg(*aggs)
     reps = F.array(
         *[
             F.struct(

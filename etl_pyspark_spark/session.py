@@ -57,6 +57,15 @@ RUNTIME_COMPAT_CONF = {
     # UDTFs evaluate Arrow-batched (ArrowEvalPythonUDTF), keeping the
     # engine's no-row-at-a-time-Python rule true for the UDTF surface
     "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
+    # HotSpot C2 refuses to JIT methods over 8000 bytecode bytes
+    # (-XX:-DontCompileHugeMethods is off by default), so a generated
+    # whole-stage method past that runs as INTERPRETED bytecode —
+    # slower than Spark's own non-codegen path. Align Spark's
+    # fallback threshold with the JIT's (SPARK-21871): wide-expression
+    # queries (the 16-replicate Poisson bootstrap: 32 aggregates over
+    # 16 derived weights) measured 2x faster in both A/B orders;
+    # everything else was order-noise-neutral (BASELINE.md round 9).
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 
