@@ -300,7 +300,16 @@ def q_similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    edges = emb.select("vec_id", "embedding").mapInPandas(topk, schema)
+    # spread(): a single-row-group embeddings file is ONE input split,
+    # which serializes the whole corpus GEMM onto one Python worker
+    # (measured 221 s vs ~14 s on the native fixture's one-row-group
+    # parquet); the guarded repartition restores data parallelism and
+    # is a no-op on real many-file lakes
+    from etl_pyspark_spark.sources.io import spread
+
+    edges = spread(emb.select("vec_id", "embedding")).mapInPandas(
+        topk, schema
+    )
     rev = edges.select(
         F.col("qa").alias("qb"), F.col("qb").alias("qa")
     )
