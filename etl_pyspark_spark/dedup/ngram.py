@@ -75,6 +75,7 @@ def ngram_jaccard_pairs_prefix(
     n: int = 3,
     threshold: float = 0.5,
     sets: DataFrame | None = None,
+    corpus_bytes: int | None = None,
 ) -> DataFrame:
     """Same exact result as :func:`ngram_jaccard_pairs`, via **prefix
     filtering** (Chaudhuri et al. ICDE'06 / PPJoin): with tokens in a
@@ -168,26 +169,35 @@ def ngram_jaccard_pairs_prefix(
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
-    # verify via BROADCAST lookups of the set dictionary: candidates
-    # stream through both joins and the intersect in one stage with no
-    # shuffle (on low-diversity corpora the candidate side dwarfs the
-    # dictionary; at lake scale where the dictionary outgrows a
-    # broadcast this becomes a shuffled hash join on a bucketed sets
-    # table — same asymptotics)
+    # verify via lookups of the set dictionary: while the corpus is
+    # small the dictionary rides a BROADCAST hint, so candidates (the
+    # big side on low-diversity corpora) stream through both joins and
+    # the intersect in one stage with no shuffle; dict_hint GATES the
+    # hint on the measured corpus size (8 GB broadcast limit / driver
+    # memory), falling back to a shuffled hash join on the sets table
+    # above the cap — same asymptotics, only the transport changes
+    from etl_pyspark_spark.dedup.shared import _scan_size_bytes, dict_hint
+
+    if corpus_bytes is None and sets is None:
+        # standalone path: df is (close to) a raw scan, whose Catalyst
+        # size estimate equals file bytes — a reliable measurement
+        corpus_bytes = _scan_size_bytes(df)
     inter = (
         cand.join(
-            F.broadcast(
+            dict_hint(
                 docs.select(
                     F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")
-                )
+                ),
+                corpus_bytes,
             ),
             "id_a",
         )
         .join(
-            F.broadcast(
+            dict_hint(
                 docs.select(
                     F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")
-                )
+                ),
+                corpus_bytes,
             ),
             "id_b",
         )

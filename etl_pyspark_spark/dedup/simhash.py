@@ -5,10 +5,18 @@ Manku/Jain/Sarma, WWW'07).
 the fingerprint is 1 iff the sum of +-1 votes of bit *i* of each
 token's portable 60-bit hash is positive. Near-duplicates are pairs
 within a small Hamming distance, found at scale by the WWW'07 trick:
-split the fingerprint into 4 byte-bands; any pair within Hamming
-distance <= 6 of a 32-bit code must agree exactly on at least one
-whole byte (pigeonhole over 4 bands), so a band-keyed self-join
-produces a complete candidate set, verified by ``bit_count(xor)``.
+split the fingerprint into 4 byte-bands and self-join on band
+equality, verifying candidates by ``bit_count(xor)``.
+
+Recall contract (exact): the output is *band-sharing pairs with
+Hamming <= MAX_HAMMING (6)*. By pigeonhole over 4 bands the candidate
+set is COMPLETE only for Hamming <= 3 (4+ differing bits can touch
+all 4 bytes); pairs at distance 4-6 are emitted iff their differing
+bits happen to leave some byte untouched. Engine and oracle apply the
+identical band rule, so they agree row-for-row; if true <= 6
+completeness is ever needed, split into 7+ bands (d+1 bands pigeonhole
+a shared band for Hamming <= d; WWW'07 composes block permutations
+for the same reason).
 
 Everything is integer arithmetic on md5-derived hashes — zero
 randomness, so the DuckDB oracle replays it bit-exactly (SQL

@@ -64,11 +64,10 @@ def q_dedup_shared_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pyspark_spark.dedup import shared
 
     sh = shared.shingle_hashes(spark, sf_dir)
-    shared.doc_hash_sets(spark, sf_dir)
-    # the rarest-first reorder (r9) is not an input of the summary
-    # aggregates below, so force its cache here — the whole point of
-    # this entry is that downstream family queries measure their own
-    # logic, not stage derivation
+    # the fused set stage (both orderings, r10 fold) is not an input
+    # of the summary aggregates below, so force its cache here — the
+    # whole point of this entry is that downstream family queries
+    # measure their own logic, not stage derivation
     shared.doc_hash_sets_rarest(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
@@ -205,11 +204,17 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash order went quadratic (r8 native fixture: ~107x wall for 10x
     data)."""
     from etl_pyspark_spark.dedup.ngram import ngram_jaccard_pairs_prefix
-    from etl_pyspark_spark.dedup.shared import doc_hash_sets_rarest
+    from etl_pyspark_spark.dedup.shared import (
+        corpus_bytes_of,
+        doc_hash_sets_rarest,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs_prefix(
-        docs, threshold=0.5, sets=doc_hash_sets_rarest(spark, sf_dir)
+        docs,
+        threshold=0.5,
+        sets=doc_hash_sets_rarest(spark, sf_dir),
+        corpus_bytes=corpus_bytes_of(sf_dir),
     )
 
 

@@ -1006,27 +1006,34 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dedups AFTER the >= 0.7 filter, where rows are ~1e4 not 1e7
         .select("id_a", "id_b", "n_a")
     )
-    # verify as a BROADCAST lookup of the per-doc set dictionary:
+    # verify as a lookup of the per-doc set dictionary: while the
+    # corpus is small the dictionary rides a BROADCAST hint, so
     # candidates (the big side on adversarial low-diversity corpora —
     # 43M at native sf1.0) stream through two broadcast-hash joins and
-    # the array_intersect in ONE stage, never shuffling. At true lake
-    # scale the dictionary outgrows a broadcast and this pair of joins
-    # becomes a shuffled hash join on a bucketed sets table — the
-    # asymptotics (candidates x intersect) are unchanged either way.
+    # the array_intersect in ONE stage, never shuffling. dict_hint
+    # GATES the hint on measured corpus bytes (8 GB broadcast limit /
+    # driver memory): above the cap the same pair of joins runs as a
+    # shuffled hash join on the sets table — the asymptotics
+    # (candidates x intersect) are unchanged either way.
+    from etl_pyspark_spark.dedup.shared import corpus_bytes_of, dict_hint
+
+    cb = corpus_bytes_of(sf_dir)
     ver = (
         cand.join(
-            F.broadcast(
+            dict_hint(
                 sets.select(
                     F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a")
-                )
+                ),
+                cb,
             ),
             "id_a",
         )
         .join(
-            F.broadcast(
+            dict_hint(
                 sets.select(
                     F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b")
-                )
+                ),
+                cb,
             ),
             "id_b",
         )

@@ -201,9 +201,14 @@ def _knn_oracle() -> str:
     from etl_pyspark_spark.queries.dedup_queries import _sql_cos
 
     cos = _sql_cos("a.embedding", "b.embedding")
+    # COALESCE(.., 0.0): sql_cosine yields NULL for a zero-norm vector
+    # (which DuckDB would rank BELOW negative cosines under ORDER BY c
+    # DESC) while the engine's guarded norm forces cosine 0.0 for the
+    # same rows; coalescing the oracle to 0.0 makes both engines rank
+    # zero vectors identically (no-op on fixtures with no zero vector)
     return f"""
     WITH sims AS (
-      SELECT a.vec_id AS qa, b.vec_id AS qb, {cos} AS c
+      SELECT a.vec_id AS qa, b.vec_id AS qb, COALESCE({cos}, 0.0) AS c
       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
     rk AS (
       SELECT qa, qb, c,
@@ -249,6 +254,15 @@ def q_similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_KNN_MAX_CORPUS}-row brute-force cap; use the IVF path"
         )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    # the composite rank key round(cos*1e6)*2^33 - id is exact in
+    # float64 only while |id| < 2^33 (|key| < 2^53); past that the
+    # tiebreak silently corrupts top-k order vs the oracle, so raise
+    # (same raise-over-silent-degrade discipline as the corpus cap)
+    if len(ids) and int(np.abs(ids).max()) >= (1 << 33):
+        raise ValueError(
+            "similarity_mutual_knn: |vec_id| >= 2^33 breaks the exact "
+            "float64 composite rank key; remap ids below 2^33 first"
+        )
     mat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)
     nrm[nrm == 0.0] = 1.0
@@ -264,6 +278,14 @@ def q_similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
+    n_corpus = unit_s.shape[0]
+    # sims/comp are (rows x corpus) float64 temporaries; an unchunked
+    # 10k-row Arrow batch against the 2^18-row cap would be ~21 GB PER
+    # ARRAY per worker — so slice each batch to keep every temporary
+    # under ~2^25 elements (~256 MB), bounding worker RSS regardless
+    # of Arrow batch size or corpus size under the cap
+    _chunk = max(16, (1 << 25) // max(1, n_corpus))
+
     def topk(batches):
         import pandas as pd
 
@@ -273,32 +295,42 @@ def q_similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0.0] = 1.0
-            sims = (q / qn) @ unit_s.T
-            sims = np.floor(sims * 1e6 + 0.5) / 1e6  # pround BEFORE rank
-            qa = pdf["vec_id"].to_numpy()
-            # fully vectorized top-k with the oracle's (cos DESC,
-            # id ASC) tiebreak: composite key = round(cos*1e6)*2^33 -
-            # id, exact in float64 (|key| < 2^53 for ids < 2^33), so
-            # argpartition+argsort on ONE array reproduces lexsort
-            # without the per-row Python loop (which measured 7 s at
-            # sf0.1 on a 20k corpus)
-            comp = np.floor(sims * 1e6 + 0.5) * 8589934592.0 - ids_s[None, :]
-            pos = np.searchsorted(ids_s, qa)
-            rows_idx = np.arange(len(qa))
-            self_rows = rows_idx[ids_s[np.clip(pos, 0, len(ids_s) - 1)] == qa]
-            comp[self_rows, pos[self_rows]] = -np.inf  # mask self
-            k = min(_KNN_K, comp.shape[1] - 1)
-            part = np.argpartition(-comp, kth=k - 1, axis=1)[:, :k]
-            pc = np.take_along_axis(comp, part, axis=1)
-            order = np.argsort(-pc, axis=1, kind="stable")
-            sel = np.take_along_axis(part, order, axis=1)
-            yield pd.DataFrame(
-                {
-                    "qa": np.repeat(qa, k),
-                    "qb": ids_s[sel].ravel(),
-                    "c": np.take_along_axis(sims, sel, axis=1).ravel(),
-                }
-            )
+            uq = q / qn
+            qa_all = pdf["vec_id"].to_numpy()
+            k = min(_KNN_K, n_corpus - 1)
+            if k <= 0:  # single-vector corpus: no non-self neighbors
+                continue
+            for s0 in range(0, len(qa_all), _chunk):
+                qa = qa_all[s0 : s0 + _chunk]
+                sims = uq[s0 : s0 + _chunk] @ unit_s.T
+                sims = np.floor(sims * 1e6 + 0.5) / 1e6  # pround BEFORE rank
+                # fully vectorized top-k with the oracle's (cos DESC,
+                # id ASC) tiebreak: composite key = round(cos*1e6)*2^33
+                # - id, exact in float64 (|key| < 2^53 for ids < 2^33,
+                # guarded above), so argpartition+argsort on ONE array
+                # reproduces lexsort without the per-row Python loop
+                # (which measured 7 s at sf0.1 on a 20k corpus)
+                comp = (
+                    np.floor(sims * 1e6 + 0.5) * 8589934592.0
+                    - ids_s[None, :]
+                )
+                pos = np.searchsorted(ids_s, qa)
+                rows_idx = np.arange(len(qa))
+                self_rows = rows_idx[
+                    ids_s[np.clip(pos, 0, n_corpus - 1)] == qa
+                ]
+                comp[self_rows, pos[self_rows]] = -np.inf  # mask self
+                part = np.argpartition(-comp, kth=k - 1, axis=1)[:, :k]
+                pc = np.take_along_axis(comp, part, axis=1)
+                order = np.argsort(-pc, axis=1, kind="stable")
+                sel = np.take_along_axis(part, order, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "qa": np.repeat(qa, k),
+                        "qb": ids_s[sel].ravel(),
+                        "c": np.take_along_axis(sims, sel, axis=1).ravel(),
+                    }
+                )
 
     # spread(): a single-row-group embeddings file is ONE input split,
     # which serializes the whole corpus GEMM onto one Python worker
