@@ -194,6 +194,16 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         rebuilds += 1
 
+    # SPARK_GRAFT_GC_BOUNDARY=1: collect python + JVM garbage after
+    # each query so the ContextCleaner reclaims finished queries'
+    # checkpoint blocks (r9 verdict #5's "capture the 31% safely" —
+    # only UNREACHABLE blocks are freed, so family caches and live
+    # lineage are untouched by construction; see
+    # checkpoint.release_dead_blocks).
+    gc_boundary = os.environ.get("SPARK_GRAFT_GC_BOUNDARY") == "1"
+    if gc_boundary:
+        from etl_pyspark_spark.checkpoint import release_dead_blocks
+
     rebuilds = 0
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
@@ -208,6 +218,8 @@ def main() -> None:
                     samples.append(time.perf_counter() - t0)
                 samples.sort()
                 timings[name] = round(samples[len(samples) // 2], 3)
+                if gc_boundary:
+                    release_dead_blocks(spark)
                 break
             except Exception as exc:  # pragma: no cover - surfaced in JSON
                 if attempt == 0 and _ctx_dead():

@@ -55,3 +55,34 @@ DISK_CKPT = (
 #: run; the serialized level stores compact bytes (~3-5x smaller),
 #: evicts gracefully, and never re-deserializes into the store.
 FAMILY_CACHE = StorageLevel.MEMORY_AND_DISK
+
+
+def release_dead_blocks(spark) -> None:
+    """Nudge the ContextCleaner at a pipeline/query boundary — the
+    SAFE capture of the r9 checkpoint-litter finding.
+
+    A long session accumulates localCheckpoint blocks from finished
+    queries; they are only reclaimed when the ContextCleaner's
+    reference queue sees their RDD objects become unreachable, which
+    on a driver that never pressures its own old-gen can lag hundreds
+    of queries (the r9 100x A/B measured 31% on a storage-level change
+    that was NOT safe — mem_disk_ser OOMed the full run). Explicitly
+    unpersisting checkpoint RDDs is unsafe in general: lineage is
+    truncated, so a later recompute of any still-referenced descendant
+    (an evicted family cache, a retried task) would find neither data
+    nor a recipe. Collecting the PYTHON garbage first (dropping py4j
+    proxies) and then requesting a JVM GC makes exactly the
+    UNREACHABLE blocks eligible — the cleaner then unpersists them
+    asynchronously, and anything still referenced survives by
+    construction.
+
+    Cost: one driver JVM GC (~0.1-1 s on a large heap); gate behind
+    ``SPARK_GRAFT_GC_BOUNDARY=1`` where latency matters (bench does).
+    """
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass

@@ -254,14 +254,18 @@ def q_similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_KNN_MAX_CORPUS}-row brute-force cap; use the IVF path"
         )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    # the composite rank key round(cos*1e6)*2^33 - id is exact in
-    # float64 only while |id| < 2^33 (|key| < 2^53); past that the
-    # tiebreak silently corrupts top-k order vs the oracle, so raise
-    # (same raise-over-silent-degrade discipline as the corpus cap)
-    if len(ids) and int(np.abs(ids).max()) >= (1 << 33):
+    # the composite rank key round(cos*1e6)*2^42 - id is exact and
+    # order-correct in int64 only for 0 <= id < 2^42 (|key| <= 2^62;
+    # the 100x grow fixture's ids reach ~10^11, which already overflows
+    # the float64 variant this replaced); past the bound the tiebreak
+    # silently corrupts top-k order vs the oracle, so raise (same
+    # raise-over-silent-degrade discipline as the corpus cap)
+    if len(ids) and (
+        int(ids.min()) < 0 or int(ids.max()) >= (1 << 42)
+    ):
         raise ValueError(
-            "similarity_mutual_knn: |vec_id| >= 2^33 breaks the exact "
-            "float64 composite rank key; remap ids below 2^33 first"
+            "similarity_mutual_knn: vec_id outside [0, 2^42) breaks "
+            "the exact int64 composite rank key; remap ids first"
         )
     mat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -305,13 +309,14 @@ def q_similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sims = uq[s0 : s0 + _chunk] @ unit_s.T
                 sims = np.floor(sims * 1e6 + 0.5) / 1e6  # pround BEFORE rank
                 # fully vectorized top-k with the oracle's (cos DESC,
-                # id ASC) tiebreak: composite key = round(cos*1e6)*2^33
-                # - id, exact in float64 (|key| < 2^53 for ids < 2^33,
-                # guarded above), so argpartition+argsort on ONE array
-                # reproduces lexsort without the per-row Python loop
-                # (which measured 7 s at sf0.1 on a 20k corpus)
+                # id ASC) tiebreak: composite key = round(cos*1e6)*2^42
+                # - id, exact in int64 (|key| <= 2^62 for 0 <= id <
+                # 2^42, guarded above), so argpartition+argsort on ONE
+                # array reproduces lexsort without the per-row Python
+                # loop (which measured 7 s at sf0.1 on a 20k corpus)
                 comp = (
-                    np.floor(sims * 1e6 + 0.5) * 8589934592.0
+                    np.floor(sims * 1e6 + 0.5).astype(np.int64)
+                    * (1 << 42)
                     - ids_s[None, :]
                 )
                 pos = np.searchsorted(ids_s, qa)
@@ -319,7 +324,12 @@ def q_similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 self_rows = rows_idx[
                     ids_s[np.clip(pos, 0, n_corpus - 1)] == qa
                 ]
-                comp[self_rows, pos[self_rows]] = -np.inf  # mask self
+                # mask self with -(2^62): strictly below every real
+                # key (comp >= -1e6*2^42 - id > -2^62) and, unlike
+                # int64 min, safe under the argpartition negation
+                # (-int64_min overflows back to itself and would rank
+                # the masked self FIRST)
+                comp[self_rows, pos[self_rows]] = -(1 << 62)
                 part = np.argpartition(-comp, kth=k - 1, axis=1)[:, :k]
                 pc = np.take_along_axis(comp, part, axis=1)
                 order = np.argsort(-pc, axis=1, kind="stable")

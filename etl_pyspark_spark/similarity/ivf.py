@@ -47,6 +47,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 13,
+    symmetric_candidates: bool = False,
 ) -> DataFrame:
     """Approximate per-query top-k by cosine over probed IVF cells.
 
@@ -88,9 +89,14 @@ def ivf_topk(
     k_cells = min(k_cells, len(sample))
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=k_cells, replace=False)]
-    for _ in range(8):  # Lloyd on the sample: k_cells x dim x |sample|
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        labels = d2.argmin(axis=1)
+    for _ in range(8):
+        # Lloyd assignment as ONE GEMM: argmin ||x-c||^2 ==
+        # argmax (2 x.c - |c|^2). The broadcast-difference form
+        # ((sample[:,None,:]-centroids[None,:,:])**2) materializes a
+        # (|sample| x k x dim) array — 2.1 GB at k=256/16k sample —
+        # while the GEMM peaks at (|sample| x k) doubles (~34 MB)
+        cn2_it = (centroids * centroids).sum(axis=1)
+        labels = (2.0 * (sample @ centroids.T) - cn2_it).argmax(axis=1)
         for c in range(k_cells):
             m = labels == c
             if m.any():
@@ -147,7 +153,7 @@ def ivf_topk(
     def cell_topk(pdf):
         import pandas as pd
 
-        c = pdf[pdf["role"] == "C"]
+        c = pdf[pdf["role"] == "C"].sort_values("rid")
         q = pdf[pdf["role"] == "Q"]
         if c.empty or q.empty:
             return pd.DataFrame(columns=["query_id", "neighbor_id", "cos_sim"])
@@ -157,19 +163,79 @@ def ivf_topk(
         qn = np.sqrt((qx * qx).sum(axis=1))
         sims = (qx @ cx.T) / np.outer(qn, cn)
         sims = np.floor(sims * 1e6 + 0.5) / 1e6
-        qi, ci = np.nonzero(np.ones_like(sims, dtype=bool))
-        out = pd.DataFrame(
+        rid_c = c["rid"].to_numpy()
+        rid_q = q["rid"].to_numpy()
+        # emit only each query's top-k WITHIN the cell instead of the
+        # full (queries x cell) cross product: the global window keeps
+        # at most topk per query, and every globally-kept row is by
+        # definition inside its own cell's top-k, so the pruning is
+        # LOSSLESS — while candidate volume drops from |q|x|cell| rows
+        # to |q| x topk. The r8 version shuffled the full product into
+        # the window (624M rows at 200k x 4 probes); worse, an
+        # unpruned cell emits one multi-hundred-MB Arrow batch, which
+        # exhausted the JVM's 20 GB direct-memory pool at 32
+        # concurrent tasks on the 100x fixture (measured:
+        # OutOfDirectMemoryError at 21.4/21.5 GB). Tiebreak matches
+        # the window's (cos DESC, id ASC) via the composite int64 key
+        # round(cos*1e6)*2^42 - id, exact for 0 <= id < 2^42 — ~4e12,
+        # past any fixture; raise beyond rather than degrade.
+        if (
+            min(rid_c.min(), rid_q.min()) < 0
+            or max(rid_c.max(), rid_q.max()) >= 2**42
+        ):
+            raise ValueError(
+                "ivf_topk: ids outside [0, 2^42) break the exact int64 "
+                "composite rank key; remap ids first"
+            )
+        comp = (
+            np.floor(sims * 1e6 + 0.5).astype(np.int64) * (1 << 42)
+            - rid_c[None, :]
+        )
+        pos = np.searchsorted(rid_c, rid_q)
+        rows = np.arange(len(rid_q))
+        hit = rows[rid_c[np.clip(pos, 0, len(rid_c) - 1)] == rid_q]
+        # -(2^62): strictly below every real key and safe under the
+        # argpartition negation (-int64_min overflows to itself)
+        imin = -(1 << 62)
+        comp[hit, pos[hit]] = imin  # self-match never a neighbor
+        # topk+1 slots: one may be the masked self, so every query
+        # still carries its full topk VALID candidates out of the
+        # cell (k = topk would drop one real candidate for queries
+        # whose self sits in another cell)
+        k = min(topk + 1, sims.shape[1])
+        part = np.argpartition(-comp, kth=k - 1, axis=1)[:, :k]
+        pc = np.take_along_axis(comp, part, axis=1)
+        order = np.argsort(-pc, axis=1, kind="stable")
+        sel = np.take_along_axis(part, order, axis=1)
+        keep = np.take_along_axis(comp, sel, axis=1) > imin
+        qi = np.repeat(rows, k)[keep.ravel()]
+        ci = sel.ravel()[keep.ravel()]
+        return pd.DataFrame(
             {
-                "query_id": q["rid"].values[qi],
-                "neighbor_id": c["rid"].values[ci],
+                "query_id": rid_q[qi],
+                "neighbor_id": rid_c[ci],
                 "cos_sim": sims[qi, ci],
             }
         )
-        return out[out["query_id"] != out["neighbor_id"]]
 
     candidates = tagged.groupBy("cell").applyInPandas(
         cell_topk, schema=_TOPK_SCHEMA
     )
+    if symmetric_candidates:
+        # self-kNN corpora only (queries == corpus id space): cosine
+        # is symmetric, so a pair discovered in EITHER direction's
+        # probes is a candidate for BOTH — roughly doubling discovery
+        # probability at low probed fractions for the cost of one
+        # union before the (already tiny) rank stage. Ranking over a
+        # candidate SUPERSET can only move approximate ranks toward
+        # the exact ones.
+        candidates = candidates.unionByName(
+            candidates.select(
+                F.col("neighbor_id").alias("query_id"),
+                F.col("query_id").alias("neighbor_id"),
+                "cos_sim",
+            )
+        )
     # a (query, neighbor) pair can surface from several probed cells
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

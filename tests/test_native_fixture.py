@@ -72,6 +72,43 @@ def _window(names: list[str], key: int) -> list[str]:
     return (names + names)[start : start + _WINDOW]
 
 
+# Newest registry additions (r10 verdict #7): rehearse them on the
+# second population EVERY round until they age into the main rotation —
+# the native fixture's single-row-group files and natural skew are
+# exactly where spread()/ordering regressions hide. Update per round:
+# drop names once the main window has visited them twice.
+_FRESH = [
+    # round 9
+    "quality_unigram_logprob",
+    "text_token_entropy",
+    "similarity_mutual_knn",
+    "join_asof_nearest_twopass",
+    "stats_bootstrap_ci_poisson",
+    # round 10
+    "text_zipf_slope",
+    "mining_hardest_negative",
+    "dedup_lsh_curve_audit",
+]
+
+
+@pytest.mark.slow
+def test_native_population_fresh_additions(spark):
+    if not os.path.isdir(os.path.join(_NATIVE, "lineitem.parquet")):
+        pytest.skip("native fixture not built (scratch-only)")
+    con = duckdb_connect(_NATIVE)
+    failures = []
+    try:
+        for name in _FRESH:
+            if name not in ORACLES:
+                continue
+            probs = compare(QUERIES[name](spark, _NATIVE), con, ORACLES[name])
+            if probs:
+                failures.append((name, probs[:2]))
+    finally:
+        con.close()
+    assert not failures, failures
+
+
 @pytest.mark.slow
 def test_native_population_oracle_window(spark):
     if not os.path.isdir(os.path.join(_NATIVE, "lineitem.parquet")):
