@@ -39,6 +39,8 @@ def test_contract_shapes(spark):
         "hll_sketch_rollup",          # Datasketches estimate, error-bound-tested
         "hll_intersection_estimate",  # sketch inclusion-exclusion, estimate
         "similarity_ivf_topk",        # k-means quantizer, recall-tested
+        "similarity_mutual_knn_ivf",  # same quantizer; recall + degree
+                                      # + symmetry pinned (test_round10)
         "similarity_pq_topk",         # PQ codebooks, recall-tested
         "stream_dedup_within_watermark",  # batching-dependent state bound
         "embedding_pca_whiten",       # eigendecomposition, invariant-
