@@ -218,10 +218,20 @@ def sql_minhash_pairs(
               JOIN hashed a ON a.{id_col} = c.id_a
               JOIN hashed b ON b.{id_col} = c.id_b AND b.h60 = a.h60
               GROUP BY c.id_a, c.id_b),
-    sized AS (SELECT i.id_a, i.id_b, i.n_inter, na.n_sh AS n_a, nb.n_sh AS n_b
-              FROM inter i
-              JOIN sizes na ON na.{id_col} = i.id_a
-              JOIN sizes nb ON nb.{id_col} = i.id_b)
+    -- LEFT JOIN + COALESCE, not an inner join on inter: signatures run
+    -- over h60 % P (P = 2^31-1, far below 2^60), so two DISTINCT h60
+    -- shingle hashes can collide mod P and band two docs that share
+    -- ZERO h60 shingles. The engine keeps such a candidate (jaccard 0
+    -- via array_intersect); an inner join here would silently drop it
+    -- and the candidate populations would diverge. Thresholded
+    -- consumers are unaffected (jac = 0 never passes), but unfiltered
+    -- audits (dedup_lsh_curve_audit) compare the FULL population.
+    sized AS (SELECT c.id_a, c.id_b, COALESCE(i.n_inter, 0) AS n_inter,
+                     na.n_sh AS n_a, nb.n_sh AS n_b
+              FROM cand c
+              LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+              JOIN sizes na ON na.{id_col} = c.id_a
+              JOIN sizes nb ON nb.{id_col} = c.id_b)
     """
     if final_name is not None:
         return f"{ctes}, {final_name} AS ({final})"

@@ -315,9 +315,13 @@ def q_dedup_lsh_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signatures are one 16-aggregate groupBy; candidates
     come from the banded join (never all pairs); the exact side
     verifies through the gated broadcast set dictionary (dict_hint);
-    the curve is ONE 10-row aggregation. A banded pair always shares
-    >= 1 shingle ((a*h+b) mod P is injective in h), so the estimate
-    join and the exact intersect see identical pair sets. Cross-engine
+    the curve is ONE 10-row aggregation. A banded pair can share ZERO
+    h60 shingles — signatures run over h60 % P with P = 2^31-1, so
+    distinct h60 hashes can collide mod P and win the same band
+    minimum; both engines keep such pairs (engine: array_intersect
+    size 0; oracle: LEFT JOIN + COALESCE(n_inter, 0) in the ``sized``
+    CTE), landing them in decile 0 as banding false positives — which
+    is exactly what this audit is for measuring. Cross-engine
     exactness: n_match sums are integers, mean_jaccard folds
     pround(6)-rounded values through DECIMAL(18,6) (order-insensitive
     on both engines)."""

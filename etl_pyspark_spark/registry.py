@@ -191,3 +191,4 @@ from etl_pyspark_spark.queries.round7_extensions import *  # noqa: E402,F401,F40
 from etl_pyspark_spark.queries.round8_extensions import *  # noqa: E402,F401,F403
 from etl_pyspark_spark.queries.round9_extensions import *  # noqa: E402,F401,F403
 from etl_pyspark_spark.queries.round10_extensions import *  # noqa: E402,F401,F403
+from etl_pyspark_spark.queries.round11_extensions import *  # noqa: E402,F401,F403

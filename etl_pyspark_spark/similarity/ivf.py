@@ -48,6 +48,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 13,
     symmetric_candidates: bool = False,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Approximate per-query top-k by cosine over probed IVF cells.
 
@@ -59,15 +60,26 @@ def ivf_topk(
     of an ML pipeline. Cell boundaries only gate which cells a query
     probes — nprobe covers boundary error (recall bounded by
     tests/test_sketches.py) — so sample-trained centroids lose nothing
-    that matters. Assignment is one Arrow-batched pandas UDF GEMM."""
+    that matters. Assignment is one Arrow-batched pandas UDF GEMM.
+
+    With ``label_col`` (a column present on BOTH corpus and queries),
+    candidates sharing the query's label are masked INSIDE the
+    per-cell GEMM — the hard-negative-mining contract (only
+    different-label neighbors count), applied before the in-task
+    top-k so every emitted slot is a valid negative rather than
+    post-filtering away most of the top-k."""
     import pandas as pd
     import numpy as np
 
     from pyspark.sql.window import Window
 
+    lab_cols = (
+        [F.col(label_col).cast("bigint").alias("lab")] if label_col else []
+    )
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
+        *lab_cols,
     )
 
     # --- train the coarse quantizer on a deterministic sample ---
@@ -113,10 +125,14 @@ def ivf_topk(
         cell = (2.0 * (X @ centroids.T) - cn2).argmax(axis=1)
         return pd.Series(cell.astype("int32"))
 
-    assigned = vecs.select("vid", "vec", assign_cell("vec").alias("cell"))
+    assigned = vecs.select(
+        "vid", "vec", *(["lab"] if label_col else []),
+        assign_cell("vec").alias("cell"),
+    )
     q_rows = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
+        *lab_cols,
     )
     cnorm = np.sqrt((centroids * centroids).sum(axis=1))
 
@@ -135,18 +151,22 @@ def ivf_topk(
         idx = np.argsort(-sims, axis=1)[:, :nprobe]
         return pd.Series([r.astype("int32").tolist() for r in idx])
     probed = q_rows.select(
-        "query_id", "qv", F.explode(probe_udf("qv")).alias("cell")
+        "query_id", "qv", *(["lab"] if label_col else []),
+        F.explode(probe_udf("qv")).alias("cell"),
     )
 
     # one GEMM per cell: corpus rows of the cell x queries probing it
+    _lab = (["lab"] if label_col else [])
     tagged = assigned.select(
-        "cell", F.lit("C").alias("role"), F.col("vid").alias("rid"), "vec"
+        "cell", F.lit("C").alias("role"), F.col("vid").alias("rid"), "vec",
+        *_lab,
     ).unionByName(
         probed.select(
             "cell",
             F.lit("Q").alias("role"),
             F.col("query_id").alias("rid"),
             F.col("qv").alias("vec"),
+            *_lab,
         )
     )
 
@@ -161,6 +181,8 @@ def ivf_topk(
         qx = np.stack(q["vec"].values)
         cn = np.sqrt((cx * cx).sum(axis=1))
         qn = np.sqrt((qx * qx).sum(axis=1))
+        cn[cn == 0.0] = 1.0  # zero-norm -> cosine 0.0, not inf/nan
+        qn[qn == 0.0] = 1.0
         sims = (qx @ cx.T) / np.outer(qn, cn)
         sims = np.floor(sims * 1e6 + 0.5) / 1e6
         rid_c = c["rid"].to_numpy()
@@ -198,6 +220,13 @@ def ivf_topk(
         # argpartition negation (-int64_min overflows to itself)
         imin = -(1 << 62)
         comp[hit, pos[hit]] = imin  # self-match never a neighbor
+        if "lab" in pdf.columns:
+            # hard-negative contract: a candidate sharing the query's
+            # label is NOT a neighbor — masked before the in-task
+            # top-k so every emitted slot is a valid negative
+            lab_c = c["lab"].to_numpy()
+            lab_q = q["lab"].to_numpy()
+            comp[lab_q[:, None] == lab_c[None, :]] = imin
         # topk+1 slots: one may be the masked self, so every query
         # still carries its full topk VALID candidates out of the
         # cell (k = topk would drop one real candidate for queries

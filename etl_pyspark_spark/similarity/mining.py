@@ -71,7 +71,12 @@ def hard_negative_mine(
         F.col(id_col).cast("bigint").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         F.col(label_col).cast("bigint").alias("lab"),
-        (F.col(id_col) % num_blocks).cast("int").alias("blk"),
+        # pmod, not %: Spark's remainder is negative for negative ids,
+        # and a negative blk matches no (bi, bj) pair row — the row
+        # would vanish BEFORE the in-task [0, 2^42) guard could raise.
+        # pmod keeps every row flowing into a task where the guard
+        # upholds the raise-over-silent-degrade contract.
+        F.pmod(F.col(id_col), F.lit(num_blocks)).cast("int").alias("blk"),
     )
     pairs = spark.createDataFrame(
         [(i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j],
@@ -80,7 +85,11 @@ def hard_negative_mine(
     left = blocked.join(F.broadcast(pairs), blocked.blk == pairs.bi).select(
         "pair_id", F.lit("L").alias("role"), "vid", "vec", "lab", "bi", "bj"
     )
-    right = blocked.join(F.broadcast(pairs), blocked.blk == pairs.bj).select(
+    # R-side copies only for OFF-diagonal rectangles: a diagonal
+    # rectangle (bi == bj) uses its L rows as both sides in-task, so
+    # shipping an R copy would shuffle every block twice for nothing
+    offdiag = pairs.where(F.col("bi") < F.col("bj"))
+    right = blocked.join(F.broadcast(offdiag), blocked.blk == offdiag.bj).select(
         "pair_id", F.lit("R").alias("role"), "vid", "vec", "lab", "bi", "bj"
     )
     both = left.unionByName(right)
@@ -181,4 +190,70 @@ def hard_negative_mine(
         F.col("anchor_label").alias("label"),
         hid.alias("hard_neg_id"),
         (rc.cast("double") / F.lit(1e6)).alias("cos_sim"),
+    )
+
+
+def hard_negative_mine_ann(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k_cells: int | None = None,
+    nprobe: int = 24,
+    cand_k: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate hard-negative mining — the scale twin of
+    :func:`hard_negative_mine` (same output contract: one row per
+    anchor, its highest-cosine DIFFERENT-label neighbor, house
+    tiebreak cos DESC / id ASC via the shared int64 composite key).
+
+    Candidates come from the IVF coarse quantizer
+    (:func:`etl_pyspark_spark.similarity.ivf.ivf_topk` with
+    ``label_col`` masking same-label candidates INSIDE the per-cell
+    GEMM, so every emitted slot is a valid negative): the corpus
+    shuffles ONCE on cell id, each anchor probes its ``nprobe``
+    nearest cells, per-cell GEMMs emit per-anchor top-``cand_k``
+    different-label candidates in-task, and symmetric candidate
+    generation lets either endpoint's probes rescue a pair the other
+    missed. Compute is O(n * probed-fraction * n / k_cells) instead
+    of the exact miner's n^2 — at 100 TB this is the declared path
+    (SURVEY §4.3 rule 5: O(n^2) candidate generation goes through
+    bucketing above a size threshold); the exact block-GEMM stays as
+    the recall-reference twin, the same split as
+    similarity_mutual_knn / similarity_mutual_knn_ivf.
+
+    At fixture scale the defaults probe every cell, so the result
+    EQUALS the exact miner's (tests/test_round11.py pins recall);
+    at 200k vectors the probed fraction is ~11% and falls with n.
+    """
+    n = emb.count()
+    if k_cells is None:
+        # same sizing as the mutual-kNN twin: coarse cells + many
+        # probes, because top-1 misses are unrecoverable downstream
+        k_cells = max(16, min(512, int(n**0.5) // 2))
+    from etl_pyspark_spark.similarity.ivf import ivf_topk
+
+    cands = ivf_topk(
+        emb,
+        emb,
+        k_cells=k_cells,
+        nprobe=nprobe,
+        topk=cand_k,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        symmetric_candidates=True,
+        label_col=label_col,
+    )
+    best = cands.where(F.col("rk") == 1)
+    labels = emb.select(
+        F.col(id_col).cast("bigint").alias("query_id"),
+        F.col(label_col).cast("bigint").alias("label"),
+    )
+    return best.join(labels, "query_id").select(
+        F.col("query_id").alias("vec_id"),
+        "label",
+        F.col("neighbor_id").alias("hard_neg_id"),
+        F.col("cos_sim"),
     )

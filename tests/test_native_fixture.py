@@ -75,20 +75,14 @@ def _window(names: list[str], key: int) -> list[str]:
 # Newest registry additions (r10 verdict #7): rehearse them on the
 # second population EVERY round until they age into the main rotation —
 # the native fixture's single-row-group files and natural skew are
-# exactly where spread()/ordering regressions hide. Update per round:
-# drop names once the main window has visited them twice.
-_FRESH = [
-    # round 9
-    "quality_unigram_logprob",
-    "text_token_entropy",
-    "similarity_mutual_knn",
-    "join_asof_nearest_twopass",
-    "stats_bootstrap_ci_poisson",
-    # round 10
-    "text_zipf_slope",
-    "mining_hardest_negative",
-    "dedup_lsh_curve_audit",
-]
+# exactly where spread()/ordering regressions hide. DERIVED, not
+# hand-listed (r10 verdict #7 follow-up): query modules register in a
+# fixed import order with the newest round's module last, so the tail
+# of the insertion-ordered registry IS the newest-additions set — a
+# new round's queries are rehearsed here with no hand edit, and older
+# names age out as the tail advances. ~12 covers two rounds of
+# additions at the recent growth rate.
+_FRESH = [n for n in QUERIES if n in ORACLES][-12:]
 
 
 @pytest.mark.slow

@@ -1,0 +1,88 @@
+"""Round-11 operators: twin contracts, guard contracts, plan pins.
+
+``mining_hardest_negative_ann`` is rows-only by declaration (k-means
+quantizer is estimator-specific), so its correctness evidence is this
+module: equality with the exact miner at all-cells-probed fixture
+scale, and the physical-plan shape that makes it 100 TB-safe. The
+negative-id guard test pins the r10-advice contract: raise over
+silent degrade (Spark ``%`` is negative for negative ids and would
+silently drop rows from the block join before the in-task guard).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pyspark_spark.plans import tree_of
+from etl_pyspark_spark.registry import QUERIES
+
+
+def _mined(df):
+    return {(r.vec_id, r.hard_neg_id): (r.label, r.cos_sim) for r in df.collect()}
+
+
+def test_hardest_negative_ann_matches_exact_at_fixture_scale(
+    spark, oracle_sf_dir
+):
+    """At fixture scale the twin's defaults probe EVERY cell, so IVF
+    candidate generation degrades to exact search and the only
+    admissible difference is none at all: same anchors, same winners,
+    same pround(6) cosines (both sides rank by the shared int64
+    composite key)."""
+    exact = _mined(QUERIES["mining_hardest_negative"](spark, oracle_sf_dir))
+    appr = _mined(QUERIES["mining_hardest_negative_ann"](spark, oracle_sf_dir))
+    assert exact, "exact miner returned nothing"
+    missing = set(exact) - set(appr)
+    phantom = set(appr) - set(exact)
+    assert not missing and not phantom, (
+        f"ann!=exact at all-cells-probed scale: missing={sorted(missing)[:5]} "
+        f"phantom={sorted(phantom)[:5]}"
+    )
+    for k, (lab, cos) in exact.items():
+        alab, acos = appr[k]
+        assert alab == lab
+        assert abs(acos - cos) < 1e-9
+
+
+def test_hardest_negative_ann_plan(spark, oracle_sf_dir):
+    """The scale twin's point is its plan: candidates ride cell-keyed
+    applyInPandas GEMMs (no cartesian product, no row-at-a-time
+    Python UDF, no pair-space window), and nothing collects the
+    corpus (quantizer training is a bounded TakeOrderedAndProject)."""
+    tree = tree_of(QUERIES["mining_hardest_negative_ann"](spark, oracle_sf_dir))
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "FlatMapGroupsInPandas" in tree  # per-cell GEMM
+
+
+def test_hard_negative_mine_raises_on_negative_ids(spark):
+    """Negative ids must RAISE (the [0, 2^42) composite-key guard),
+    never silently drop — r10 advice: with Spark's `%` a negative id
+    got a negative block id, matched no (bi, bj) pair row, and
+    vanished before the in-task guard could fire. pmod keeps the row
+    flowing into a task where the guard upholds the contract."""
+    from etl_pyspark_spark.similarity.mining import hard_negative_mine
+
+    emb = spark.createDataFrame(
+        [(-1, [1.0, 0.0], 0), (2, [1.0, 0.1], 1), (3, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    with pytest.raises(Exception, match="2\\^42"):
+        hard_negative_mine(emb, num_blocks=2).collect()
+
+
+def test_hard_negative_mine_diagonal_single_copy(spark):
+    """Off-diagonal fix must not change results: a 2-block corpus
+    mines identically to the single-block (pure diagonal) run."""
+    rows = [
+        (i, [float(i % 7), float((3 * i) % 5), 1.0], i % 3) for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    from etl_pyspark_spark.similarity.mining import hard_negative_mine
+
+    one = _mined(hard_negative_mine(emb, num_blocks=1))
+    two = _mined(hard_negative_mine(emb, num_blocks=3))
+    assert one == two
