@@ -392,13 +392,19 @@ def _ann_pairs_oracle(threshold: float) -> str:
 @query("similarity_ann_lsh", oracle=_ann_pairs_oracle(0.2))
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs similarity: random-hyperplane LSH buckets
-    (2 bands x 4 bits, deterministic planes) generate candidates; exact
+    (2 bands, deterministic planes) generate candidates; exact
     cosine >= 0.2 verifies (threshold calibrated to the near-random
     fixture embeddings; a production near-dup run would use ~0.9).
     Pairs are computed per bucket group by one numpy triangle GEMM
     (applyInPandas) — vectors shuffle at most once per band and the
     candidate pair list is never materialized. The scale path — no
-    cross join anywhere."""
+    cross join anywhere. Per-band bit width grows with corpus size
+    (similarity/lsh.planes_per_band_for) to hold expected bucket size
+    ~constant: the r11 adjudication of this query's 100x tail found
+    the historical FIXED 4 bits made per-bucket GEMM work quadratic
+    in n (2.5e9 pair evals, ~360 s warm at 200k); at every fixture
+    <= 65k vectors the adaptive width IS the historical 2x4-bit
+    scheme, which keeps the baked SQL oracle bit-exact."""
     from etl_pyspark_spark.similarity.lsh import bucket_cosine_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")

@@ -27,6 +27,10 @@ growth plan):
   standardized-mean-difference audit of the deterministic 95/5
   train/test split: per feature, does held-out data look like
   training data? (|SMD| > 0.1 is the classic imbalance flag.)
+- **split embedding MMD** (``split_embedding_mmd``) — the same audit
+  in embedding space: linear-kernel squared MMD (= squared distance
+  between the two sides' mean embeddings), the one-number drift
+  check between train and held-out distributions.
 """
 
 from __future__ import annotations
@@ -427,3 +431,245 @@ def q_split_covariate_balance(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# --- embedding-space balance of the split: linear-kernel MMD^2 ----------
+
+
+def _mmd_oracle() -> str:
+    diff = (
+        "(CAST(st AS DOUBLE) * CAST(ne AS DOUBLE)"
+        " - CAST(se AS DOUBLE) * CAST(nt AS DOUBLE))"
+        " / (CAST(nt AS DOUBLE) * CAST(ne AS DOUBLE))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT ('0x' || substr(md5('split:' || CAST(vec_id AS VARCHAR)),
+                             1, 15))::BIGINT % 100 AS bucket,
+             g.i AS pos,
+             CAST(floor(embedding[g.i] * 1000.0 + 0.5) AS BIGINT) AS qv
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS g(i)),
+    agg AS (SELECT pos,
+                   CAST(sum(qv) FILTER (WHERE bucket < 95) AS BIGINT) AS st,
+                   count(*) FILTER (WHERE bucket < 95) AS nt,
+                   CAST(sum(qv) FILTER (WHERE bucket >= 95) AS BIGINT) AS se,
+                   count(*) FILTER (WHERE bucket >= 95) AS ne
+            FROM q GROUP BY pos),
+    d AS (SELECT pos, nt, ne, {diff} AS diff FROM agg)
+    SELECT CAST(max(nt) AS BIGINT) AS n_train,
+           CAST(max(ne) AS BIGINT) AS n_test,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           {sql_pround(
+               "CAST(sum(CAST(diff * diff AS DECIMAL(18,6))) AS DOUBLE)"
+               " / 1e6",
+               9,
+           )} AS mmd_sq
+    FROM d
+    """
+
+
+@query("split_embedding_mmd", oracle=_mmd_oracle())
+def q_split_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel squared MMD between the train and test sides of
+    the deterministic 95/5 split, in embedding space: ||mean_train -
+    mean_test||^2 — Gretton et al.'s maximum mean discrepancy with
+    the linear kernel, the O(n) member of the two-sample-test family
+    (the quadratic-kernel forms are n^2). Near 0 = the held-out set
+    is drawn from the training distribution; large = the split is
+    skewed and eval numbers won't transfer. Complements
+    split_covariate_balance (scalar features) with the
+    representation-space view.
+
+    Exactness: elements quantize to bigint millis BEFORE the
+    per-dimension sums (order-insensitive exact integers — the
+    centroid technique), each dimension's mean difference is ONE
+    double division of exact-in-double integer products, and the
+    64-term sum of squares folds DECIMAL(18,6). Scale shape: one
+    posexplode scan -> (pos)-keyed map-side-combinable aggregation
+    (|dims| rows) -> a 1-row reduce. Nothing downstream of the first
+    reduce depends on corpus size."""
+    from etl_pyspark_spark.functions import text as T
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bucket = (
+        T.portable_hash60(
+            F.concat(F.lit("split:"), F.col("vec_id").cast("string"))
+        )
+        % 100
+    )
+    ex = emb.select(
+        bucket.alias("bucket"), F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "bucket",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x") * F.lit(1e3) + F.lit(0.5))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    train = F.col("bucket") < 95
+    agg = ex.groupBy("pos").agg(
+        F.sum(F.when(train, F.col("qv"))).cast("bigint").alias("st"),
+        F.count(F.when(train, 1)).alias("nt"),
+        F.sum(F.when(~train, F.col("qv"))).cast("bigint").alias("se"),
+        F.count(F.when(~train, 1)).alias("ne"),
+    )
+    diff = (
+        F.col("st").cast("double") * F.col("ne").cast("double")
+        - F.col("se").cast("double") * F.col("nt").cast("double")
+    ) / (F.col("nt").cast("double") * F.col("ne").cast("double"))
+    d = agg.select("nt", "ne", diff.alias("diff"))
+    return d.agg(
+        F.max("nt").cast("bigint").alias("n_train"),
+        F.max("ne").cast("bigint").alias("n_test"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        pround(
+            F.sum((F.col("diff") * F.col("diff")).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.lit(1e6),
+            9,
+        ).alias("mmd_sq"),
+    )
+
+
+# --- PSI drift between order-date eras ----------------------------------
+
+_PSI_SPLIT = "1995-01-01"
+
+
+def _psi_oracle() -> str:
+    # smoothed shares: p = (c + 0.5) / (n + 5) with 10 bins; each
+    # ln-term is floor-scaled to an exact bigint at 1e-12 (the house
+    # rule for libm terms crossing engines) and divided back out
+    return f"""
+    WITH pop AS (
+      SELECT o_totalprice AS price, o_orderkey AS k,
+             CASE WHEN o_orderdate < DATE '{_PSI_SPLIT}'
+                  THEN 0 ELSE 1 END AS era
+      FROM orders),
+    ref AS (SELECT price, k FROM pop WHERE era = 0),
+    nref AS (SELECT count(*) AS n FROM ref),
+    ranked AS (SELECT price,
+                      row_number() OVER (ORDER BY price, k) AS rnk
+               FROM ref),
+    edges AS (SELECT r.price AS e
+              FROM ranked r, nref
+              WHERE r.rnk IN (SELECT CAST(ceil(n * x / 10.0) AS BIGINT)
+                              FROM nref, UNNEST([1,2,3,4,5,6,7,8,9])
+                                   AS t(x))),
+    binned AS (
+      SELECT p.era,
+             1 + (SELECT count(*) FROM edges e WHERE p.price > e.e)
+               AS bin
+      FROM pop p),
+    hist AS (SELECT bin,
+                    count(*) FILTER (WHERE era = 0) AS c_ref,
+                    count(*) FILTER (WHERE era = 1) AS c_cur
+             FROM binned GROUP BY bin),
+    spine AS (SELECT x AS bin FROM UNNEST([1,2,3,4,5,6,7,8,9,10]) AS s(x)),
+    tot AS (SELECT sum(c_ref) AS nr, sum(c_cur) AS nc FROM hist),
+    terms AS (
+      SELECT s.bin,
+             COALESCE(h.c_ref, 0) AS c_ref, COALESCE(h.c_cur, 0) AS c_cur,
+             (COALESCE(h.c_ref, 0) + 0.5) / (nr + 5.0) AS p,
+             (COALESCE(h.c_cur, 0) + 0.5) / (nc + 5.0) AS q
+      FROM spine s LEFT JOIN hist h ON h.bin = s.bin, tot)
+    SELECT bin,
+           CAST(c_ref AS BIGINT) AS n_ref,
+           CAST(c_cur AS BIGINT) AS n_cur,
+           CAST(floor((p - q) * ln(p / q) * 1e12 + 0.5) AS BIGINT) / 1e12
+             AS psi_term
+    FROM terms ORDER BY bin
+    """
+
+
+@query("drift_psi_price_deciles", oracle=_psi_oracle())
+def q_drift_psi_price_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Population Stability Index between order-date eras (pre/post
+    1995): order totals binned by the REFERENCE era's price deciles,
+    per-bin PSI terms (p - q) * ln(p / q) with Laplace smoothing —
+    the standard production drift gate (PSI < 0.1 stable, > 0.25
+    investigate); their sum is the PSI. Complements tv_distance_drift
+    (which needs no binning) with the binned, reference-anchored form
+    every model-monitoring stack reports.
+
+    Scale shape: decile edges come from the distributed rank operator
+    (range exchange + per-partition offsets — NEVER a global-sort
+    window over the population), collected as NINE values and folded
+    into a literal bin expression, so binning both eras is one
+    scan-speed projection and the histogram one map-side-combinable
+    aggregation. Cross-engine exactness: counts are integers, the
+    smoothed shares are identically-sequenced double arithmetic, and
+    each ln term floor-scales to an exact bigint at 1e-12 before the
+    final division (the unigram-logprob rule)."""
+    import math
+
+    from etl_pyspark_spark.operators.ranks import with_global_rank
+
+    orders = read_table(spark, sf_dir, "orders")
+    pop = orders.select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    )
+    ref = pop.where(F.col("era") == 0)
+    n_ref_pop = ref.count()
+    targets = {math.ceil(n_ref_pop * x / 10.0) for x in range(1, 10)}
+    ranked = with_global_rank(ref.select("price", "k"), ["price", "k"], "rnk")
+    edges = sorted(
+        r["price"] for r in ranked.where(F.col("rnk").isin(targets)).collect()
+    )
+    bin_expr = F.lit(1)
+    for e in edges:
+        bin_expr = bin_expr + F.when(F.col("price") > F.lit(e), 1).otherwise(0)
+    hist = (
+        pop.select(bin_expr.alias("bin"), "era")
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("era") == 0, 1)).alias("c_ref"),
+            F.count(F.when(F.col("era") == 1, 1)).alias("c_cur"),
+        )
+    )
+    spine = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    tot = hist.agg(
+        F.sum("c_ref").alias("nr"), F.sum("c_cur").alias("nc")
+    )
+    terms = (
+        spine.join(hist, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "c_ref",
+            "c_cur",
+            (
+                (F.col("c_ref") + F.lit(0.5))
+                / (F.col("nr") + F.lit(5.0))
+            ).alias("p"),
+            (
+                (F.col("c_cur") + F.lit(0.5))
+                / (F.col("nc") + F.lit(5.0))
+            ).alias("q"),
+        )
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return terms.select(
+        "bin",
+        F.col("c_ref").cast("bigint").alias("n_ref"),
+        F.col("c_cur").cast("bigint").alias("n_cur"),
+        (
+            F.floor(term * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+            / F.lit(1e12)
+        ).alias("psi_term"),
+    )

@@ -66,7 +66,29 @@ RUNTIME_COMPAT_CONF = {
     # 16 derived weights) measured 2x faster in both A/B orders;
     # everything else was order-noise-neutral (BASELINE.md round 9).
     "spark.sql.codegen.hugeMethodLimit": "8000",
+    # Arrow batches for the pandas-UDF surface: 2500 records, not
+    # Spark's 10000. The r11 cold-pool A/B (BASELINE.md round 11;
+    # order-deconfounded rerun included — the first pass's "3x" was
+    # mostly OS-file-cache order confounding) measured the GEMM-heavy
+    # family ~30% faster on session-cold reps and never slower warm,
+    # and the full-registry sf0.1 arm with this value was the fastest
+    # of four (410.0 vs 447.5 s base, 0 regressions beyond sub-4 s
+    # jitter). Mechanically: per-batch worker temporaries in the
+    # Arrow-GEMM operators scale with batch rows, and ~1.3 MB input
+    # batches keep them allocator-friendly; narrow-row queries see
+    # only ~4x more (cheap) batch boundaries.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2500",
 }
+
+# A/B arms override confs via SPARK_GRAFT_EXTRA_CONF ("k=v;k2=v2").
+# get_session applies them at build time; mirroring them here keeps
+# the per-query compat pinning (ensure_compat) from silently undoing
+# an experiment arm mid-run.
+for _pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+    if "=" in _pair:
+        _k, _v = _pair.split("=", 1)
+        RUNTIME_COMPAT_CONF[_k.strip()] = _v.strip()
+del _pair
 
 
 def ensure_compat(spark: SparkSession) -> SparkSession:
@@ -146,6 +168,13 @@ def get_session(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": arbitrary conf overrides for
+    # A/B arms (e.g. Arrow batch sizing) without code edits — the
+    # bench/verify drivers inherit them through the environment
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

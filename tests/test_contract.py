@@ -41,6 +41,9 @@ def test_contract_shapes(spark):
         "similarity_ivf_topk",        # k-means quantizer, recall-tested
         "similarity_mutual_knn_ivf",  # same quantizer; recall + degree
                                       # + symmetry pinned (test_round10)
+        "mining_hardest_negative_ann",  # same quantizer; exact-equality
+                                        # at fixture scale + native
+                                        # recall pinned (test_round11)
         "similarity_pq_topk",         # PQ codebooks, recall-tested
         "stream_dedup_within_watermark",  # batching-dependent state bound
         "embedding_pca_whiten",       # eigendecomposition, invariant-

@@ -72,6 +72,72 @@ def test_hard_negative_mine_raises_on_negative_ids(spark):
         hard_negative_mine(emb, num_blocks=2).collect()
 
 
+def test_graph_modularity_plan_and_sum(spark, oracle_sf_dir):
+    """Brand joins must broadcast (part is a dim table), no cartesian
+    product anywhere, and the per-community contributions must sum to
+    a sane Q (|Q| <= 1 by construction; ~0 on brand-independent
+    edges)."""
+    df = QUERIES["graph_modularity"](spark, oracle_sf_dir)
+    tree = tree_of(df)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree
+    rows = df.collect()
+    assert rows
+    q = sum(r.q_contrib for r in rows)
+    assert -1.0 <= q <= 1.0
+    m = sum(r.intra_edges for r in rows)
+    deg = sum(r.degree_sum for r in rows)
+    assert deg % 2 == 0 and m <= deg // 2  # handshake bound
+
+
+def test_embedding_silhouette_plan_and_range(spark, oracle_sf_dir):
+    """One corpus scan against a broadcast centroid table — no
+    row-at-a-time Python UDF, no O(n^2) join — and silhouettes live
+    in [-1, 1]."""
+    df = QUERIES["embedding_silhouette"](spark, oracle_sf_dir)
+    tree = tree_of(df)
+    assert "BatchEvalPython" not in tree
+    assert "CartesianProduct" not in tree or "Broadcast" in tree
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert r.n_vectors > 0
+
+
+def test_split_covariate_balance_counts(spark, oracle_sf_dir):
+    """The three features must agree on the split sizes (they audit
+    the SAME 95/5 hash split), and train+test must cover the corpus."""
+    from etl_pyspark_spark.queries.core import read_table
+
+    rows = QUERIES["split_covariate_balance"](spark, oracle_sf_dir).collect()
+    assert len(rows) == 3
+    sizes = {(r.n_train, r.n_test) for r in rows}
+    assert len(sizes) == 1
+    n_train, n_test = sizes.pop()
+    total = read_table(spark, oracle_sf_dir, "documents").count()
+    assert n_train + n_test == total
+    assert n_test < n_train  # 5% side is the small one
+
+
+def test_lsh_adaptive_width_rule():
+    """similarity_ann_lsh's per-band bit width must (a) equal the
+    historical 4 bits for every oracle-checked fixture size (the
+    baked SQL oracle replays exactly that banding), (b) grow
+    logarithmically so expected bucket size stays ~target as n grows,
+    (c) cap at 16 bits."""
+    from etl_pyspark_spark.similarity.lsh import planes_per_band_for
+
+    for n in (0, 1, 500, 2000, 20000, 65536):  # all driver/native SFs
+        assert planes_per_band_for(n) == 4, n
+    assert planes_per_band_for(200_000) == 6
+    assert planes_per_band_for(2_000_000) == 9
+    assert planes_per_band_for(10**12) == 16  # cap
+    # monotone non-decreasing over decades
+    widths = [planes_per_band_for(10**k) for k in range(3, 13)]
+    assert widths == sorted(widths)
+
+
 def test_hard_negative_mine_diagonal_single_copy(spark):
     """Off-diagonal fix must not change results: a 2-block corpus
     mines identically to the single-block (pure diagonal) run."""
