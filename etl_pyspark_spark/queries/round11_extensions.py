@@ -535,7 +535,9 @@ def q_split_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- PSI drift between order-date eras ----------------------------------
 
-_PSI_SPLIT = "1995-01-01"
+# fixture order dates span 1995-01-01 .. 2001-08-01 (both the driver
+# and the native generator): 1998 splits them into two populated eras
+_PSI_SPLIT = "1998-01-01"
 
 
 def _psi_oracle() -> str:
@@ -589,7 +591,7 @@ def q_drift_psi_price_deciles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Population Stability Index between order-date eras (pre/post
-    1995): order totals binned by the REFERENCE era's price deciles,
+    1998): order totals binned by the REFERENCE era's price deciles,
     per-bin PSI terms (p - q) * ln(p / q) with Laplace smoothing —
     the standard production drift gate (PSI < 0.1 stable, > 0.25
     investigate); their sum is the PSI. Complements tv_distance_drift
@@ -673,3 +675,235 @@ def q_drift_psi_price_deciles(
             / F.lit(1e12)
         ).alias("psi_term"),
     )
+
+
+# --- t-closeness: the third leg of the privacy triad --------------------
+
+
+def _tcloseness_oracle() -> str:
+    return f"""
+    WITH c AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000.0) AS INT) AS bin
+      FROM customer),
+    bins AS (SELECT x AS bin FROM UNNEST(generate_series(-1, 9)) AS t(x)),
+    groups AS (SELECT DISTINCT nation, seg FROM c),
+    gsize AS (SELECT nation, seg, count(*) AS ng FROM c GROUP BY 1, 2),
+    gbin AS (SELECT nation, seg, bin, count(*) AS cg
+             FROM c GROUP BY 1, 2, 3),
+    tot AS (SELECT count(*) AS n FROM c),
+    tbin AS (SELECT bin, count(*) AS ct FROM c GROUP BY 1),
+    spine AS (SELECT g.nation, g.seg, b.bin FROM groups g CROSS JOIN bins b),
+    dist AS (
+      SELECT s.nation, s.seg, s.bin,
+             CAST(COALESCE(gb.cg, 0) AS DOUBLE) / gs.ng
+               - CAST(COALESCE(tb.ct, 0) AS DOUBLE) / t.n AS d
+      FROM spine s
+      JOIN gsize gs ON gs.nation = s.nation AND gs.seg = s.seg
+      LEFT JOIN gbin gb ON gb.nation = s.nation AND gb.seg = s.seg
+                       AND gb.bin = s.bin
+      LEFT JOIN tbin tb ON tb.bin = s.bin, tot t),
+    cum AS (
+      SELECT nation, seg,
+             abs(sum(d) OVER (PARTITION BY nation, seg
+                              ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)) AS acd
+      FROM dist)
+    SELECT c.nation, c.seg,
+           CAST(gs.ng AS BIGINT) AS n_group,
+           {sql_pround("CAST(sum(CAST(" + sql_pround("c.acd / 10.0", 9)
+                       + " AS DECIMAL(18,9))) AS DOUBLE)", 6)} AS emd
+    FROM cum c JOIN gsize gs ON gs.nation = c.nation AND gs.seg = c.seg
+    GROUP BY c.nation, c.seg, gs.ng
+    """
+
+
+@query("privacy_t_closeness", oracle=_tcloseness_oracle())
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE'07) — the third leg of the
+    privacy triad next to k_anonymity_audit and l_diversity_audit:
+    for every quasi-identifier group (nation x market segment), the
+    Earth Mover's Distance between the group's distribution of the
+    ordered sensitive attribute (account-balance bands) and the
+    global distribution; a group with small EMD reveals nothing
+    beyond the public marginal, a large one pinpoints its members'
+    balances even when k-anonymity and l-diversity hold. Ordered-EMD
+    = mean |cumulative difference| over the m=11 fixed bands.
+
+    Scale shape: two map-side-combinable aggregations (per-group-band,
+    per-band) + a groups x 11-band spine; the cumulative window
+    partitions BY GROUP over 11 rows — never a single-partition
+    window. Exactness: counts are integers, shares identically
+    sequenced doubles, per-band terms pround(9)-quantized into
+    DECIMAL(18,9) so the 11-term sum is order-insensitive, final
+    pround(6)."""
+    from pyspark.sql.window import Window
+
+    cust = read_table(spark, sf_dir, "customer")
+    c = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("int")
+        .alias("bin"),
+    )
+    bins = spark.range(-1, 10).select(F.col("id").cast("int").alias("bin"))
+    groups = c.select("nation", "seg").distinct()
+    gsize = c.groupBy("nation", "seg").agg(F.count(F.lit(1)).alias("ng"))
+    gbin = c.groupBy("nation", "seg", "bin").agg(
+        F.count(F.lit(1)).alias("cg")
+    )
+    tot = c.agg(F.count(F.lit(1)).alias("n"))
+    tbin = c.groupBy("bin").agg(F.count(F.lit(1)).alias("ct"))
+    spine = groups.crossJoin(F.broadcast(bins))
+    dist = (
+        spine.join(gsize, ["nation", "seg"])
+        .join(gbin, ["nation", "seg", "bin"], "left")
+        .join(F.broadcast(tbin), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "seg",
+            "bin",
+            "ng",
+            (
+                F.coalesce("cg", F.lit(0)).cast("double") / F.col("ng")
+                - F.coalesce("ct", F.lit(0)).cast("double") / F.col("n")
+            ).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("nation", "seg")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.select(
+        "nation", "seg", "ng", F.abs(F.sum("d").over(w)).alias("acd")
+    )
+    return cum.groupBy("nation", "seg", F.col("ng")).agg(
+        pround(
+            F.sum(
+                pround(F.col("acd") / F.lit(10.0), 9).cast("decimal(18,9)")
+            ).cast("double"),
+            6,
+        ).alias("emd")
+    ).select(
+        "nation", "seg", F.col("ng").cast("bigint").alias("n_group"), "emd"
+    )
+
+
+# --- Cramer's V association matrix --------------------------------------
+
+
+def _cramers_pair_sql(name, table, a, b):
+    # each cell's chi-square term floor-scales to bigint at 1e-6, so
+    # the cell sum is order-insensitive; V = sqrt(chi2/(n*min(r-1,c-1)))
+    return f"""
+    SELECT '{name}' AS pair,
+           CAST(n AS BIGINT) AS n,
+           CAST(dof AS BIGINT) AS dof_min,
+           {sql_pround("chi2", 6)} AS chi2,
+           {sql_pround("sqrt(chi2 / (n * dof))", 6)} AS cramers_v
+    FROM (
+      SELECT max(n) AS n,
+             (count(DISTINCT va) - 1) AS ra, (count(DISTINCT vb) - 1) AS cb,
+             least(count(DISTINCT va) - 1, count(DISTINCT vb) - 1) AS dof,
+             CAST(sum(cq) AS DOUBLE) / 1e6 AS chi2
+      FROM (
+        SELECT o.va, o.vb,
+               max(t.n) AS n,
+               CAST(floor(
+                 (o.obs - CAST(ra.rt AS DOUBLE) * ca.ct / t.n)
+                 * (o.obs - CAST(ra.rt AS DOUBLE) * ca.ct / t.n)
+                 / (CAST(ra.rt AS DOUBLE) * ca.ct / t.n) * 1e6 + 0.5
+               ) AS BIGINT) AS cq
+        FROM (SELECT {a} AS va, {b} AS vb, CAST(count(*) AS DOUBLE) AS obs
+              FROM {table} GROUP BY 1, 2) o
+        JOIN (SELECT {a} AS va, count(*) AS rt FROM {table} GROUP BY 1) ra
+          ON ra.va = o.va
+        JOIN (SELECT {b} AS vb, count(*) AS ct FROM {table} GROUP BY 1) ca
+          ON ca.vb = o.vb,
+             (SELECT CAST(count(*) AS DOUBLE) AS n FROM {table}) t
+        GROUP BY o.va, o.vb, cq))
+    """
+
+
+def _cramers_oracle() -> str:
+    pairs = [
+        ("orders.status_x_priority", "orders", "o_orderstatus", "o_orderpriority"),
+        ("customer.segment_x_nation", "customer", "c_mktsegment", "c_nationkey"),
+        ("documents.lang_x_source", "documents", "lang", "source"),
+    ]
+    return " UNION ALL ".join(_cramers_pair_sql(*p) for p in pairs)
+
+
+@query("stats_cramers_v", oracle=_cramers_oracle())
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association strength for three categorical column
+    pairs (order status x priority, customer segment x nation,
+    document language x source) — the bounded [0, 1] effect-size twin
+    of the chi-square drift tests already in the registry (a V near 0
+    on lang x source says corpus language mix is balanced across
+    sources; near 1 says sources are language-silos, which skews any
+    source-stratified sample). V = sqrt(chi2 / (n * min(r-1, c-1))).
+
+    Scale shape per pair: one contingency aggregation (map-side
+    combinable, cells bounded by category cardinalities), marginals
+    joined back onto cells, everything after the first reduce bounded
+    by r x c. Exactness: observed/expected arise from integer counts
+    with identically-sequenced double arithmetic; each cell's
+    chi-square term floor-scales to a bigint at 1e-6 so the cell SUM
+    is order-insensitive on both engines."""
+    pairs = [
+        ("orders.status_x_priority", "orders", "o_orderstatus", "o_orderpriority"),
+        ("customer.segment_x_nation", "customer", "c_mktsegment", "c_nationkey"),
+        ("documents.lang_x_source", "documents", "lang", "source"),
+    ]
+    outs = []
+    for name, table, a, b in pairs:
+        t = read_table(spark, sf_dir, table).select(
+            F.col(a).cast("string").alias("va"),
+            F.col(b).cast("string").alias("vb"),
+        )
+        cells = t.groupBy("va", "vb").agg(
+            F.count(F.lit(1)).cast("double").alias("obs")
+        )
+        rowt = t.groupBy("va").agg(F.count(F.lit(1)).alias("rt"))
+        colt = t.groupBy("vb").agg(F.count(F.lit(1)).alias("ct"))
+        n = t.agg(F.count(F.lit(1)).cast("double").alias("n"))
+        exp = (
+            F.col("rt").cast("double") * F.col("ct") / F.col("n")
+        )
+        cq = F.floor(
+            (F.col("obs") - exp) * (F.col("obs") - exp) / exp * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint")
+        per_cell = (
+            cells.join(F.broadcast(rowt), "va")
+            .join(F.broadcast(colt), "vb")
+            .crossJoin(F.broadcast(n))
+            .select("va", "vb", "n", cq.alias("cq"))
+        )
+        agg = per_cell.agg(
+            F.max("n").alias("n"),
+            F.least(
+                F.countDistinct("va") - 1, F.countDistinct("vb") - 1
+            ).alias("dof"),
+            (F.sum("cq").cast("double") / F.lit(1e6)).alias("chi2"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(name).alias("pair"),
+                F.col("n").cast("bigint").alias("n"),
+                F.col("dof").cast("bigint").alias("dof_min"),
+                pround(F.col("chi2"), 6).alias("chi2"),
+                pround(
+                    F.sqrt(F.col("chi2") / (F.col("n") * F.col("dof"))), 6
+                ).alias("cramers_v"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

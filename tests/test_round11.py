@@ -120,6 +120,39 @@ def test_split_covariate_balance_counts(spark, oracle_sf_dir):
     assert n_test < n_train  # 5% side is the small one
 
 
+def test_psi_invariants_and_plan(spark, oracle_sf_dir):
+    """Every PSI term (p - q) ln(p / q) is non-negative by
+    construction (p - q and ln(p/q) share sign), bins cover both
+    populations, and the decile edges come from the distributed rank
+    operator — no window over the reference population."""
+    df = QUERIES["drift_psi_price_deciles"](spark, oracle_sf_dir)
+    assert "Window" not in tree_of(df)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r.psi_term >= 0 for r in rows)
+    assert sum(r.n_ref for r in rows) > 0 and sum(r.n_cur for r in rows) > 0
+
+
+def test_t_closeness_bounds(spark, oracle_sf_dir):
+    """Ordered-bin EMD lives in [0, 1]; group sizes are positive."""
+    rows = QUERIES["privacy_t_closeness"](spark, oracle_sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.emd <= 1.0
+        assert r.n_group > 0
+
+
+def test_cramers_v_bounds(spark, oracle_sf_dir):
+    """V is a bounded effect size: [0, ~1] for all three pairs (ulp
+    slack above 1 is impossible after pround), chi2 >= 0."""
+    rows = QUERIES["stats_cramers_v"](spark, oracle_sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.chi2 >= 0.0
+        assert 0.0 <= r.cramers_v <= 1.0
+        assert r.dof_min >= 1
+
+
 def test_lsh_adaptive_width_rule():
     """similarity_ann_lsh's per-band bit width must (a) equal the
     historical 4 bits for every oracle-checked fixture size (the
