@@ -907,3 +907,92 @@ def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# --- Flesch readability gate --------------------------------------------
+
+# identical regexes on both engines: words = maximal ASCII-letter runs,
+# sentence enders = maximal [.!?] runs, syllables ~ vowel groups per
+# word (the standard cheap proxy)
+_RX_WORD = "[A-Za-z]+"
+_RX_SENT = "[.!?]+"
+_RX_VOWEL = "[aeiouyAEIOUY]+"
+
+
+def _flesch_oracle() -> str:
+    fre = (
+        "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)"
+        " - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)"
+    )
+    return f"""
+    WITH feats AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_RX_WORD}')) AS n_words,
+             greatest(len(regexp_extract_all(text, '{_RX_SENT}')), 1)
+               AS n_sents,
+             len(regexp_extract_all(text, '{_RX_VOWEL}')) AS n_syll
+      FROM documents),
+    scored AS (
+      SELECT source,
+             CAST({sql_pround(fre, 6)} AS DECIMAL(18,6)) AS fre
+      FROM feats WHERE n_words > 0)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_pround("CAST(sum(fre) AS DOUBLE) / count(*)", 6)}
+             AS mean_flesch,
+           CAST(sum(CASE WHEN fre < 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hard
+    FROM scored GROUP BY source
+    """
+
+
+@query("quality_flesch_readability", oracle=_flesch_oracle())
+def q_quality_flesch_readability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flesch Reading-Ease per source: 206.835 - 1.015(words/sentence)
+    - 84.6(syllables/word), syllables approximated by vowel groups —
+    the standard cheap readability gate next to the structural quality
+    filters (C4/Gopher): a source whose mean drops under ~30
+    ("very difficult") is usually boilerplate, legalese, or token
+    soup rather than prose, and readability-stratified mixing is a
+    common curriculum signal. Reported per source with the count of
+    hard (< 30) documents.
+
+    Scale shape: ONE scan computes the three regexp counts per
+    document (JVM-side regexp_extract_all — no Python), then a
+    per-source map-side-combinable rollup. Exactness: counts are
+    integers, the score is identically-sequenced double arithmetic
+    pround(6)-quantized into DECIMAL(18,6) per document, so the
+    cross-document mean is order-insensitive on both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all(F.col("text"), F.lit(_RX_WORD), 0))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_RX_SENT), 0)),
+        F.lit(1),
+    )
+    n_syll = F.size(F.regexp_extract_all(F.col("text"), F.lit(_RX_VOWEL), 0))
+    feats = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).where(F.col("n_words") > 0)
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    scored = feats.select(
+        "source", pround(fre, 6).cast("decimal(18,6)").alias("fre")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        pround(
+            F.sum("fre").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_flesch"),
+        F.sum(F.when(F.col("fre") < 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hard"),
+    )

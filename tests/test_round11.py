@@ -153,6 +153,19 @@ def test_cramers_v_bounds(spark, oracle_sf_dir):
         assert r.dof_min >= 1
 
 
+def test_flesch_readability_sanity(spark, oracle_sf_dir):
+    """Per-source doc counts positive, hard-doc counts bounded by doc
+    counts, and the plan stays JVM-side (regexp counting must not
+    fall into a Python UDF)."""
+    df = QUERIES["quality_flesch_readability"](spark, oracle_sf_dir)
+    assert "BatchEvalPython" not in tree_of(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0
+        assert 0 <= r.n_hard <= r.n_docs
+
+
 def test_lsh_adaptive_width_rule():
     """similarity_ann_lsh's per-band bit width must (a) equal the
     historical 4 bits for every oracle-checked fixture size (the
