@@ -64,11 +64,16 @@ def test_bench_emits_one_json_line(tmp_path):
         # keep the driver's sf0.1 bench_last.json intact
         SPARK_GRAFT_BENCH_OUT=str(tmp_path / "bench_last.json"),
     )
+    # The timeout must scale with the registry: 540s was sized for the
+    # round-1 registry (136 queries) and the round-11 registry (403)
+    # tipped past it on a loaded host. ~1.5 s/query at sf0.001 plus
+    # session/layout warm-up slack.
+    n_registered = len(_entry_module().queries())
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,
         text=True,
-        timeout=540,
+        timeout=240 + int(1.5 * n_registered),
         env=env,
         cwd="/root/repo",
     )
