@@ -22,6 +22,8 @@ more than the 12th decimal at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from etl_pyspark_spark.checkpoint import DISK_CKPT
@@ -30,26 +32,73 @@ from etl_pyspark_spark.checkpoint import DISK_CKPT
 MASS = 1_000_000_000_000
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
 
+#: Broadcast the node-proportional tables (ranks, out-degrees,
+#: per-round contribution sums) while the graph is small enough —
+#: every per-iteration join then probes a hash map in place and the
+#: EDGE table (the fact-scale side) is never shuffled or sorted. 2M
+#: rows of (bigint, bigint) build to a ~50 MB hash relation, inside
+#: the guide's "a few hundred MB is fine" broadcast envelope with
+#: slack; past the gate the keyed-shuffle arm is the 100 TB path.
+#: Same count-driven strategy pick as link_prediction_jaccard's dim()
+#: gate — the planner's own estimates flip these joins to SortMergeJoin
+#: far too early because the rank table is a fresh checkpoint each
+#: round.
+_PR_BCAST_MAX_NODES = int(
+    os.environ.get("SPARK_GRAFT_PR_BROADCAST_MAX_NODES", "2000000")
+)
+
 
 def pagerank_int(
-    nodes: DataFrame, edges: DataFrame, iterations: int = 5
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    edges_reusable: bool = False,
 ) -> DataFrame:
     """(node, rank_int) after ``iterations`` rounds of integer-quantized
     PageRank. ``nodes``: column ``node``; ``edges``: columns
-    ``src``/``dst`` (dedup'd; every src must appear in nodes)."""
+    ``src``/``dst`` (dedup'd; every src must appear in nodes).
+
+    ``edges_reusable=True`` tells the operator the caller's ``edges``
+    is already materialized (checkpointed/cached), so re-scanning it
+    per round is cheap and the operator skips its own edge
+    re-materialization in the broadcast arm — one full copy of the
+    fact-scale table less on disk.
+    """
+    # The node set is referenced ~(iterations + 2) times (count, the
+    # initial rank seed, every round's left join). Callers pass it as
+    # a derived plan (a distinct over the edge list, a filtered scan),
+    # so without materialization each reference re-runs that shuffle.
+    nodes = nodes.localCheckpoint(storageLevel=DISK_CKPT)
     n_nodes = nodes.count()  # one scalar to the driver, once
     base = (DAMP_DEN - DAMP_NUM) * (MASS // n_nodes) // DAMP_DEN
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    ed = edges.join(outdeg, "src").localCheckpoint(storageLevel=DISK_CKPT)
+    small = n_nodes <= _PR_BCAST_MAX_NODES
+    if small and edges_reusable:
+        # outdeg is |V|-proportional: materialize it alone and attach
+        # it per round via broadcast — the |E|-scale join result is
+        # never written to disk.
+        ed = edges
+        od = F.broadcast(outdeg.localCheckpoint(storageLevel=DISK_CKPT))
+    else:
+        ed = edges.join(outdeg, "src").localCheckpoint(
+            storageLevel=DISK_CKPT
+        )
+        od = None
 
     ranks = nodes.withColumn("rank_int", F.lit(MASS // n_nodes))
     for _ in range(iterations):
+        contribs = ed.join(od, "src") if od is not None else ed
         contribs = (
-            ed.join(ranks, ed.src == ranks.node)
+            contribs.join(
+                F.broadcast(ranks) if small else ranks,
+                F.col("src") == F.col("node"),
+            )
             .select("dst", F.expr("rank_int div od").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("csum"))
         )
+        if small:
+            contribs = F.broadcast(contribs)
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(

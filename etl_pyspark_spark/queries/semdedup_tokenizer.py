@@ -1080,9 +1080,11 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(storageLevel=DISK_CKPT)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    return pagerank_int(nodes, edges, iterations=3).select(
-        F.col("node").alias("part"), "rank_int"
-    )
+    # edges is checkpointed above, so the operator can rescan it per
+    # round instead of writing a second |E|-scale copy to disk
+    return pagerank_int(
+        nodes, edges, iterations=3, edges_reusable=True
+    ).select(F.col("node").alias("part"), "rank_int")
 
 
 @query("tokenizer_bpe_learn")  # rows-only: BPE is inherently
