@@ -79,6 +79,41 @@ def cap_items_array(items: Column, cap: int = MAX_BASKET) -> Column:
     )
 
 
+def capped_basket_pairs(
+    df: DataFrame,
+    key: str,
+    item: str,
+    cap: int = MAX_BASKET,
+    out_a: str = "item_a",
+    out_b: str = "item_b",
+) -> DataFrame:
+    """Ordered within-basket pairs ``(key, out_a < out_b)`` over the
+    capped distinct memberships — the pair-expansion twin of
+    :func:`capped_basket_items` built the cheaper way.
+
+    ONE ``groupBy(key).collect_set`` (map-side partial, dedup fused
+    into the aggregate) followed by an in-row double explode replaces
+    the distinct + hash-rank window + self-join chain: one exchange
+    over memberships instead of two plus a join, and no per-key sort.
+    Measured ~35% cheaper at sf0.1 when pagerank_copurchase moved to
+    this shape in round 10; identical pair set by construction —
+    ``cap_items_array`` keeps the same ``(xxhash64(item), item)``
+    hash-rank survivors as the window form, and ``collect_set`` is the
+    same distinct. The quadratic explode stays bounded at O(cap^2)
+    per basket because the cap is applied INSIDE the aggregate's row,
+    before any explode."""
+    baskets = (
+        df.select(key, item)
+        .groupBy(key)
+        .agg(cap_items_array(F.collect_set(item), cap).alias("_items"))
+    )
+    return (
+        baskets.select(key, F.explode("_items").alias(out_a), "_items")
+        .select(key, out_a, F.explode("_items").alias(out_b))
+        .where(F.col(out_a) < F.col(out_b))
+    )
+
+
 def basket_truncation_audit(
     df: DataFrame, key: str, item: str, cap: int = MAX_BASKET
 ) -> DataFrame:

@@ -218,7 +218,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     one edge table, and before round 5 each rebuilt it from the
     lineitem scan — the materialized edge list is the checkpointed
     artifact a production graph pipeline writes once per ingest."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
+    from etl_pyspark_spark.operators.baskets import capped_basket_pairs
     from etl_pyspark_spark.sources.io import fixture_fingerprint
 
     key = (
@@ -228,18 +228,20 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
-    lp = capped_basket_items(
-        read_table(spark, sf_dir, "lineitem").where(
-            F.col("l_orderkey") % 10 == 0
-        ),
-        "l_orderkey",
-        "l_partkey",
-    )
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # ONE basket aggregate + in-row double explode replaces the
+    # distinct + hash-rank window + self-join chain (identical pair
+    # set — see capped_basket_pairs): one membership exchange instead
+    # of two plus a join, no per-key sort
     edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
+        capped_basket_pairs(
+            read_table(spark, sf_dir, "lineitem").where(
+                F.col("l_orderkey") % 10 == 0
+            ),
+            "l_orderkey",
+            "l_partkey",
+            out_a="u",
+            out_b="v",
+        )
         .select("u", "v")
         .distinct()
         .localCheckpoint(storageLevel=DISK_CKPT)

@@ -1200,32 +1200,32 @@ def q_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break — TakeOrderedAndProject, never a global sort. The
     support floor prunes the rule space BEFORE the dimension joins,
     the standard Apriori anti-monotonicity cut."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
+    from etl_pyspark_spark.operators.baskets import cap_items_array
 
     li = read_table(spark, sf_dir, "lineitem")
-    parts = capped_basket_items(li, "l_orderkey", "l_partkey").persist(FAMILY_CACHE)
+    # ONE basket aggregate (collect_set dedup fused map-side, the
+    # shared hash-rank cap applied inside the row) feeds all three
+    # derivations — basket count, item supports, pair supports — via
+    # in-row explodes; the old shape paid a distinct + hash-rank
+    # window over memberships AND a self-join (identical outputs, see
+    # operators/baskets.capped_basket_pairs)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(cap_items_array(F.collect_set("l_partkey")).alias("ps"))
+        .persist(FAMILY_CACHE)
+    )
     nb = F.broadcast(
-        parts.agg(
-            F.count_distinct("l_orderkey").cast("bigint").alias(
-                "n_baskets"
-            )
-        )
+        baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
     )
-    sup = parts.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_i")
+    sup = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_i"))
     )
-    a = parts.alias("a")
-    b = parts.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode("ps").alias("part_a"), "ps")
+        .select("part_a", F.explode("ps").alias("part_b"))
+        .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= 3)

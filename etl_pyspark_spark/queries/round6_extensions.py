@@ -1342,7 +1342,7 @@ def q_graph_temporal_edge_novelty(
     Scale shape: the pair explosion is bounded by the shared basket
     discipline; everything after is |edges|-scale keyed aggregation,
     output bounded by the calendar."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
+    from etl_pyspark_spark.operators.baskets import cap_items_array
 
     li = read_table(spark, sf_dir, "lineitem").where(
         F.col("l_orderkey") % 10 == 0
@@ -1350,24 +1350,23 @@ def q_graph_temporal_edge_novelty(
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.date_trunc("quarter", "o_orderdate").alias("q")
     )
-    # MAX_BASKET hash-rank cap BEFORE the pair self-join (the shared
-    # mega-basket guard); the quarter is constant per order, so it
-    # joins back onto the capped membership for free
-    lp = capped_basket_items(li, "l_orderkey", "l_partkey").join(
-        o, F.col("l_orderkey") == o["o_orderkey"]
-    ).select("l_orderkey", "l_partkey", "q")
-    a = lp.select("l_orderkey", "q", F.col("l_partkey").alias("u"))
-    b = lp.select(
-        F.col("l_orderkey").alias("ok2"),
-        F.col("q").alias("q2"),
-        F.col("l_partkey").alias("v"),
+    # MAX_BASKET hash-rank cap INSIDE the basket aggregate, before the
+    # in-row pair explode (the shared mega-basket guard, in the
+    # cheaper collect_set shape — see capped_basket_pairs); the
+    # quarter is constant per order, so it joins at BASKET granularity
+    # (one row per order) instead of per membership
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(cap_items_array(F.collect_set("l_partkey")).alias("ps"))
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select("q", "ps")
     )
-    e = a.join(
-        b,
-        (F.col("l_orderkey") == F.col("ok2"))
-        & (F.col("q") == F.col("q2"))
-        & (F.col("u") < F.col("v")),
-    ).select("u", "v", "q")
+    e = (
+        baskets.select("q", F.explode("ps").alias("u"), "ps")
+        .select("q", "u", F.explode("ps").alias("v"))
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v", "q")
+    )
     first_seen = e.groupBy("u", "v").agg(F.min("q").alias("first_q"))
     per_q = (
         e.distinct()

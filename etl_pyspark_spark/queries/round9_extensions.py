@@ -524,7 +524,14 @@ def q_stats_bootstrap_ci_poisson(
     mean_price); the CI is any quantile of the 16 means — the
     expensive part, the resampled statistics, is what the operator
     computes."""
-    li = read_table(spark, sf_dir, "lineitem")
+    from etl_pyspark_spark.sources.io import spread
+
+    # the 4-md5-per-row draw derivation is the job; a single-row-group
+    # fixture file is ONE scan task no matter the core count (parquet
+    # splits only at row-group boundaries), so fan the scan out first —
+    # spread() is a guarded no-op on any real many-file lake. The
+    # shuffled payload is 3 narrow columns, ~2% of the md5 stage cost.
+    li = spread(read_table(spark, sf_dir, "lineitem"))
     cents = (
         (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
         .cast("bigint")

@@ -371,23 +371,18 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a global sort. The cap never binds
     on honest baskets (fixture orders carry <= 7 lines), so the
     oracle is cap-free."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
+    from etl_pyspark_spark.operators.baskets import capped_basket_pairs
 
     li = read_table(spark, sf_dir, "lineitem")
-    parts = capped_basket_items(li, "l_orderkey", "l_partkey")
-    a = parts.alias("a")
-    b = parts.alias("b")
+    # ONE basket aggregate + in-row double explode (same pair set as
+    # the old distinct + hash-rank window + self-join chain — see
+    # capped_basket_pairs): one membership exchange instead of two
+    # plus a join, no per-key sort
+    pairs = capped_basket_pairs(
+        li, "l_orderkey", "l_partkey", out_a="part_a", out_b="part_b"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)

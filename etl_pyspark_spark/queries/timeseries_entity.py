@@ -496,27 +496,31 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-rank cap (operators/baskets — degrees too, so numerator and
     denominator describe the same truncated baskets; cap-free on the
     fixture)."""
-    from etl_pyspark_spark.operators.baskets import capped_basket_items
+    from etl_pyspark_spark.operators.baskets import cap_items_array
 
-    lp = capped_basket_items(
-        read_table(spark, sf_dir, "lineitem").where(
-            F.col("l_orderkey") % 10 == 0
-        ),
-        "l_orderkey",
-        "l_partkey",
-    ).localCheckpoint(storageLevel=DISK_CKPT)
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("i"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("j"))
+    # ONE basket aggregate feeds both the co-occurrence pairs and the
+    # degree table via in-row explodes (identical outputs to the old
+    # distinct + hash-rank window + self-join chain — see
+    # operators/baskets.capped_basket_pairs); checkpointed because
+    # both derivations fan out of it
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .groupBy("l_orderkey")
+        .agg(cap_items_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(storageLevel=DISK_CKPT)
+    )
     co = (
-        a.join(b, "l_orderkey")
+        baskets.select(F.explode("ps").alias("i"), "ps")
+        .select("i", F.explode("ps").alias("j"))
         .where(F.col("i") < F.col("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_ij"))
         .where(F.col("c_ij") >= 2)
     )
-    deg = lp.groupBy(F.col("l_partkey").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    deg = baskets.select(F.explode("ps").alias("node")).groupBy(
+        "node"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     di = deg.select(F.col("node").alias("i"), F.col("c").alias("ci"))
     dj = deg.select(F.col("node").alias("j"), F.col("c").alias("cj"))
     return (

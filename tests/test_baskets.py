@@ -127,3 +127,24 @@ def test_default_cap_never_binds_on_fixture(spark, sf_dir):
     ).collect()[0]
     assert row["n_truncated"] == 0
     assert row["max_basket_size"] < MAX_BASKET
+
+
+def test_capped_basket_pairs_matches_self_join(spark):
+    """The collect_set + in-row double-explode pair builder (the r11
+    cheaper shape) must emit EXACTLY the pair multiset of the
+    capped_basket_items self-join it replaced — including when the
+    cap binds (same hash-rank survivors inside the aggregate row as
+    in the WindowGroupLimit filter)."""
+    from etl_pyspark_spark.operators.baskets import capped_basket_pairs
+
+    df, cap = _mega_fixture(spark)
+    items = capped_basket_items(df, "k", "v", cap=cap)
+    a = items.select("k", F.col("v").alias("item_a"))
+    b = items.select("k", F.col("v").alias("item_b"))
+    via_join = a.join(b, "k").where(F.col("item_a") < F.col("item_b"))
+    via_explode = capped_basket_pairs(df, "k", "v", cap=cap)
+    assert via_join.exceptAll(via_explode).count() == 0
+    assert via_explode.exceptAll(via_join).count() == 0
+    # and the mega-basket stays O(cap^2), never O(n^2)
+    n0 = via_explode.where(F.col("k") == 0).count()
+    assert n0 == cap * (cap - 1) // 2

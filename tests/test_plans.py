@@ -1098,9 +1098,16 @@ def test_bootstrap_poisson_is_one_pass(spark, oracle_sf_dir):
     """All 16 Poisson-bootstrap replicates must come out of ONE
     streaming aggregation pass (the whole point of the Poisson trick
     vs per-replicate resampling): one scan, map-side partials, a
-    single exchange carrying one partial row per partition, no UDF."""
+    single aggregation exchange carrying one partial row per
+    partition, no UDF. The r11 spread() fan-out (single-row-group
+    fixture files scan as ONE task otherwise) may add at most one
+    round-robin repartition exchange BELOW the hash derivation — that
+    one is deliberate and carries raw rows, not partials."""
     df = QUERIES["stats_bootstrap_ci_poisson"](spark, oracle_sf_dir)
     tree = tree_of(df)
+    plan = plan_of(df)
     assert "HashAggregate" in tree or "SortAggregate" in tree
-    assert tree.count("Exchange") == 1, tree
+    rr = plan.count("RoundRobinPartitioning")
+    assert rr <= 1, plan
+    assert tree.count("Exchange") - rr == 1, tree
     assert "Scan" in tree and tree.count("FileScan") <= 1
