@@ -2570,7 +2570,9 @@ def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = run_to_memory_table(agg, spark).select(
+    # complete-mode aggregation: no eviction-driven output — skip the
+    # empty flush batch
+    out = run_to_memory_table(agg, spark, final_flush=False).select(
         F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
         "user_id",
         "n_events",

@@ -178,8 +178,13 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     dd = sdf.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+    # dropDuplicatesWithinWatermark emits survivors on arrival; the
+    # watermark only expires state — skip the empty flush batch
     return run_to_memory_table(
-        dd.select("user_id", "event_type"), spark, mode="append"
+        dd.select("user_id", "event_type"),
+        spark,
+        mode="append",
+        final_flush=False,
     )
 
 
@@ -453,7 +458,11 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    mem = run_to_memory_table(counted, spark, mode="update")
+    # update mode + NoTimeout: every emission rides a data batch —
+    # skip the empty flush batch
+    mem = run_to_memory_table(
+        counted, spark, mode="update", final_flush=False
+    )
     # update mode re-emits a user on every batch; the last emission per
     # user is the final state (single-batch replay emits exactly once)
     from pyspark.sql.window import Window

@@ -879,7 +879,11 @@ def q_stream_quota_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory_table(admitted, spark, mode="append")
+    # append + NoTimeout custom state: output rides data batches only —
+    # skip the empty flush batch
+    return run_to_memory_table(
+        admitted, spark, mode="append", final_flush=False
+    )
 
 
 @query(

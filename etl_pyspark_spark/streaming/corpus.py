@@ -84,8 +84,12 @@ def incremental_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality") >= 0.4) & (F.col("lang_pred") != "und")
     )
     deduped = gated.dropDuplicates(["fingerprint"])
+    # dropDuplicates emits on first sight; no eviction-driven output
     accepted = run_to_memory_table(
-        deduped.select("lang_pred", "fingerprint"), spark, mode="append"
+        deduped.select("lang_pred", "fingerprint"),
+        spark,
+        mode="append",
+        final_flush=False,
     )
     return accepted.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_accepted")

@@ -67,7 +67,9 @@ def click_purchase_attribution(
             "delay_s"
         ),
     )
-    return run_to_memory_table(out, spark, mode="append")
+    # INNER stream-stream join: matches emit on arrival; eviction only
+    # drops buffered state — the no-data flush batch emits zero rows
+    return run_to_memory_table(out, spark, mode="append", final_flush=False)
 
 
 def click_purchase_left_outer(

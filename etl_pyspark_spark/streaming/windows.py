@@ -100,21 +100,43 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory_table(
-    result: DataFrame, spark: SparkSession, mode: str = "complete"
+    result: DataFrame,
+    spark: SparkSession,
+    mode: str = "complete",
+    final_flush: bool = True,
 ) -> DataFrame:
     """Execute a streaming plan to completion (AvailableNow) into a
     memory sink; return the sink table. Bounded-input replay, so the
-    returned data is the full-history result."""
+    returned data is the full-history result.
+
+    ``final_flush=False`` skips the trailing NO-DATA micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``), which exists
+    only to advance the watermark once more so eviction-driven output
+    can emit (outer-join null rows, append-mode window finalization,
+    event-time timeouts). Operators whose every output row is emitted
+    on ARRIVAL — inner stream-stream joins, streaming dedup,
+    complete/update-mode aggregations, NoTimeout custom state — pay a
+    full state-store load/commit cycle in that empty batch (measured
+    ~0.9-1.1 s per query at 8 state partitions) for zero rows. Callers
+    assert their operator is in that class when passing False; the
+    default stays True (the always-correct arm)."""
     name = f"stream_result_{next(_MEM_IDS)}"
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     with stream_shuffle_partitions(spark):
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        old_nodata = spark.conf.get(nodata_key)
+        if not final_flush:
+            spark.conf.set(nodata_key, "false")
+        try:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set(nodata_key, old_nodata)
     LAST_STATE_METRICS.clear()
     try:
         for p in reversed(q.recentProgress):
@@ -140,7 +162,9 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
-    out = run_to_memory_table(agg, spark)
+    # complete-mode aggregation: every row re-emitted per data batch,
+    # nothing emits on eviction — the no-data flush buys zero rows
+    out = run_to_memory_table(agg, spark, final_flush=False)
     return out.select(
         F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
         "event_type",
@@ -158,7 +182,8 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = run_to_memory_table(agg, spark)
+    # complete mode: no eviction-driven output (see tumbling_counts)
+    out = run_to_memory_table(agg, spark, final_flush=False)
     return out.select(
         F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
         "n_events",
@@ -173,7 +198,8 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = run_to_memory_table(agg, spark)
+    # complete mode: no eviction-driven output (see tumbling_counts)
+    out = run_to_memory_table(agg, spark, final_flush=False)
     return out.select(
         "user_id",
         F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
@@ -191,7 +217,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = sdf.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    return run_to_memory_table(dd, spark, mode="append")
+    # dropDuplicates emits each key on FIRST SIGHT; the watermark
+    # only evicts state, never emits — skip the empty flush batch
+    return run_to_memory_table(dd, spark, mode="append", final_flush=False)
 
 
 def static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +254,8 @@ def static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
-    out = run_to_memory_table(agg, spark)
+    # complete mode: no eviction-driven output (see tumbling_counts)
+    out = run_to_memory_table(agg, spark, final_flush=False)
     return out.select(
         F.unix_timestamp(F.col("window.start")).alias("day_start_s"),
         "n_name",
