@@ -42,10 +42,18 @@ def test_sort_limit_is_top_n(spark, oracle_sf_dir):
 
 
 def test_agg_has_partial_phase(spark, oracle_sf_dir):
-    tree = tree_of(QUERIES["agg_pricing_summary"](spark, oracle_sf_dir))
-    # partial (map-side) + final hash aggregate around one exchange
+    df = QUERIES["agg_pricing_summary"](spark, oracle_sf_dir)
+    tree = tree_of(df)
+    plan = plan_of(df)
+    # partial (map-side) + final hash aggregate around one aggregation
+    # exchange; the r11 spread() fan-out (single-row-group fixture
+    # files scan as ONE task otherwise) may add at most one
+    # round-robin repartition BELOW the partial agg — deliberate, it
+    # carries raw rows, not partials
     assert tree.count("HashAggregate") >= 2
-    assert tree.count("Exchange") == 1
+    rr = plan.count("RoundRobinPartitioning")
+    assert rr <= 1, plan
+    assert tree.count("Exchange") - rr == 1
 
 
 def test_reference_pipeline_no_shuffle(spark, oracle_sf_dir):
