@@ -57,6 +57,65 @@ DISK_CKPT = (
 FAMILY_CACHE = StorageLevel.MEMORY_AND_DISK
 
 
+# --- query-scoped cache registry (round-12 session-pressure fix) -----
+# A 403-query session used to leave every within-query persist()
+# registered in the CacheManager forever: ~60+ live InMemoryRelations
+# by the tail of a full run, each holding storage blocks AND a large
+# analyzed plan that every LATER query's compilation walks during
+# cache lookup. Measured effect: late-session queries ran 1.5-5x their
+# solo-warm times (r11 verdict #1). These caches are strictly
+# within-query reuse (two join sides, a probe + totals fold), dead the
+# moment the query's action finishes — so the query() decorator drains
+# them at the NEXT query's entry. Session-lifetime memo caches (the
+# dedup family's shared stages, the co-purchase edge cache) never
+# register here and are untouched by construction.
+_SCOPED: list = []
+
+
+def scoped_persist(df, level=None):
+    """persist() a within-query intermediate and register it for
+    release at the next query boundary (see drain_scoped_caches).
+
+    A plan that is ALREADY cached (a session memo stage, or a
+    plan-identical cache from the current query) is returned as-is and
+    NOT registered: draining it would yank a cache some later consumer
+    legitimately shares."""
+    try:
+        if df.is_cached:
+            return df
+    except Exception:
+        pass
+    _SCOPED.append(df.persist(level) if level is not None else df.persist())
+    return df
+
+
+def scoped_family_persist(df):
+    """Postfix form of :func:`scoped_persist` at the FAMILY_CACHE
+    level, for ``.transform(scoped_family_persist)`` chains."""
+    return scoped_persist(df, FAMILY_CACHE)
+
+
+def drain_scoped_caches() -> int:
+    """Unpersist every scoped cache registered since the last drain;
+    returns how many were released. Safe at any time: unpersist never
+    breaks correctness (consumers recompute from lineage), and the
+    engine only calls it at query boundaries where the previous
+    query's action has already consumed its caches. Disable with
+    SPARK_GRAFT_NO_DRAIN=1 (A/B arm)."""
+    if os.environ.get("SPARK_GRAFT_NO_DRAIN") == "1":
+        _SCOPED.clear()
+        return 0
+    n = 0
+    while _SCOPED:
+        df = _SCOPED.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def release_dead_blocks(spark) -> None:
     """Nudge the ContextCleaner at a pipeline/query boundary — the
     SAFE capture of the r9 checkpoint-litter finding.

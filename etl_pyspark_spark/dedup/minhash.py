@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from etl_pyspark_spark.checkpoint import FAMILY_CACHE
+from etl_pyspark_spark.checkpoint import scoped_family_persist
 
 from etl_pyspark_spark.functions.compat import pround
 from etl_pyspark_spark.functions.text import portable_hash60
@@ -113,7 +113,7 @@ def minhash_candidate_pairs(
     """
     # one row per doc with 17 ints — caching it keeps the two join
     # sides from re-running the signature aggregation
-    sig = sig.persist(FAMILY_CACHE)
+    sig = scoped_family_persist(sig)
     entries = F.array(
         *[
             F.struct(
@@ -312,7 +312,7 @@ def verified_near_duplicates(
     from pyspark.sql import types as T
 
     if sh is None:
-        sh = hashed_shingles(df, text_col, id_col, n).persist(FAMILY_CACHE)
+        sh = scoped_family_persist(hashed_shingles(df, text_col, id_col, n))
     sig = minhash_signatures_hashed(sh, id_col)
     cand = minhash_candidate_pairs(sig, id_col)
 

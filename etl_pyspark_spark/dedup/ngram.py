@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from etl_pyspark_spark.checkpoint import FAMILY_CACHE
+from etl_pyspark_spark.checkpoint import scoped_family_persist
 
 from etl_pyspark_spark.dedup.minhash import hashed_shingles
 from etl_pyspark_spark.functions.compat import pround
@@ -40,7 +40,7 @@ def ngram_jaccard_pairs(
         sh = (
             hashed_shingles(df, text_col, id_col, n)
             .dropDuplicates([id_col, "h60"])
-            .persist(FAMILY_CACHE)
+            .transform(scoped_family_persist)
         )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "h60")
@@ -141,7 +141,7 @@ def ngram_jaccard_pairs_prefix(
                 ).alias("hs")
             )
             .withColumn("n_sh", F.size("hs"))
-            .persist(FAMILY_CACHE)
+            .transform(scoped_family_persist)
         )
     # ceil(t*n) = floor((p*n + q - 1) / q), exact in int64
     ceil_tn = F.floor((F.lit(p) * F.col("n_sh") + F.lit(q - 1)) / F.lit(q))

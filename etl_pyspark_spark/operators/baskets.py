@@ -79,6 +79,42 @@ def cap_items_array(items: Column, cap: int = MAX_BASKET) -> Column:
     )
 
 
+def capped_baskets(
+    df: DataFrame,
+    key: str,
+    item: str,
+    cap: int = MAX_BASKET,
+    out: str = "_items",
+) -> DataFrame:
+    """``(key, out: array<item>)`` — one basket row per key holding the
+    capped distinct item set: ``groupBy(key).collect_set(item)`` with
+    the deterministic ``(xxhash64(item), item)`` hash-rank cap applied
+    INSIDE the row (:func:`cap_items_array`). The shared building
+    block of every collect_set-shaped basket consumer
+    (capped_basket_pairs, basket_lift_rules, item_item_cosine,
+    graph_temporal_edge_novelty, the co-purchase edge build).
+
+    Cap tradeoff, stated honestly: ``collect_set`` assembles the FULL
+    distinct item set of a key in its aggregation buffer before the
+    cap slices it, so one pathological mega-basket costs O(|basket|)
+    buffer memory (map-side partial) and up to O(|basket|) set rows
+    over the exchange. The WindowGroupLimit shape
+    (:func:`capped_basket_items`) prunes to O(cap) per key during the
+    shuffle read instead — at the price of a second exchange plus a
+    per-key sort, which this fused shape exists to avoid (measured
+    ~35% cheaper at sf0.1, 29% at the 10x grow fixture). Downstream
+    pair work is O(cap^2) either way because the cap precedes any
+    explode. A caller expecting ADVERSARIAL mega-baskets (crawler
+    sessions, a null key) should pre-cap with
+    ``capped_basket_items(df, key, item, cap)`` before this aggregate
+    and accept the extra exchange."""
+    return (
+        df.select(key, item)
+        .groupBy(key)
+        .agg(cap_items_array(F.collect_set(item), cap).alias(out))
+    )
+
+
 def capped_basket_pairs(
     df: DataFrame,
     key: str,
@@ -101,12 +137,9 @@ def capped_basket_pairs(
     hash-rank survivors as the window form, and ``collect_set`` is the
     same distinct. The quadratic explode stays bounded at O(cap^2)
     per basket because the cap is applied INSIDE the aggregate's row,
-    before any explode."""
-    baskets = (
-        df.select(key, item)
-        .groupBy(key)
-        .agg(cap_items_array(F.collect_set(item), cap).alias("_items"))
-    )
+    before any explode. See :func:`capped_baskets` for the mega-basket
+    buffer tradeoff this shape accepts."""
+    baskets = capped_baskets(df, key, item, cap)
     return (
         baskets.select(key, F.explode("_items").alias(out_a), "_items")
         .select(key, out_a, F.explode("_items").alias(out_b))

@@ -47,6 +47,39 @@ _PR_BCAST_MAX_NODES = int(
     os.environ.get("SPARK_GRAFT_PR_BROADCAST_MAX_NODES", "2000000")
 )
 
+#: r12 (r11 verdict #3 / the r11 cc-gate negative result): node count
+#: alone is the wrong pay condition. The broadcast arm saves a
+#: per-round shuffle+sort of the |E|-scale table and costs a per-round
+#: |V|-proportional broadcast build — it pays when |E| dominates |V|
+#: (pagerank_copurchase: |E| ≈ 40·|V|, measured 2.6x) and loses when
+#: the edge table is |V|-scale tiny (the REVERTED cc/k-core probe:
+#: 3.74 s shuffle vs 5.08 s broadcast). Gate on the measured ratio,
+#: with a tiny-graph floor: under ~64k nodes the broadcast relation is
+#: ≲2 MB and its build latency is far below even one round's
+#: shuffle+sort latency (pagerank_iterative, 150 nodes, |E|≈2|V|:
+#: 1.33 s broadcast vs 2.08 s shuffle in the r11 driver bench), so
+#: tiny graphs always take the broadcast arm.
+_PR_BCAST_MIN_RATIO = float(
+    os.environ.get("SPARK_GRAFT_PR_BROADCAST_MIN_RATIO", "8")
+)
+_PR_BCAST_TINY_NODES = int(
+    os.environ.get("SPARK_GRAFT_PR_BROADCAST_TINY_NODES", "65536")
+)
+
+
+def _pr_use_broadcast(n_nodes: int, n_edges: int) -> bool:
+    """True when the per-iteration node-table broadcast pays: the node
+    side must fit the broadcast envelope AND the graph must be either
+    tiny (broadcast build is sub-millisecond) or edge-dominated
+    (|E|/|V| ≥ ratio — the saved |E|-scale shuffle outweighs the
+    per-round build)."""
+    if n_nodes > _PR_BCAST_MAX_NODES:
+        return False
+    return (
+        n_nodes <= _PR_BCAST_TINY_NODES
+        or n_edges >= _PR_BCAST_MIN_RATIO * n_nodes
+    )
+
 
 def pagerank_int(
     nodes: DataFrame,
@@ -71,18 +104,29 @@ def pagerank_int(
     nodes = nodes.localCheckpoint(storageLevel=DISK_CKPT)
     n_nodes = nodes.count()  # one scalar to the driver, once
     base = (DAMP_DEN - DAMP_NUM) * (MASS // n_nodes) // DAMP_DEN
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    small = n_nodes <= _PR_BCAST_MAX_NODES
+    # outdeg is |V|-proportional and read every round: materialize it
+    # once (the groupBy pass over edges is paid exactly once either
+    # way) — the checkpointed table also yields the EXACT edge count
+    # for the broadcast gate as one tiny aggregate, no |E|-scale count
+    # job (r11 verdict #3: gate on measured |E|/|V|, not |V| alone).
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .localCheckpoint(storageLevel=DISK_CKPT)
+    )
+    n_edges = int(
+        outdeg.agg(F.sum("od").alias("m")).collect()[0]["m"] or 0
+    )
+    small = _pr_use_broadcast(n_nodes, n_edges)
     if small and edges_reusable:
-        # outdeg is |V|-proportional: materialize it alone and attach
-        # it per round via broadcast — the |E|-scale join result is
-        # never written to disk.
+        # attach outdeg per round via broadcast — the |E|-scale join
+        # result is never written to disk.
         ed = edges
-        od = F.broadcast(outdeg.localCheckpoint(storageLevel=DISK_CKPT))
+        od = F.broadcast(outdeg)
     else:
-        ed = edges.join(outdeg, "src").localCheckpoint(
-            storageLevel=DISK_CKPT
-        )
+        ed = edges.join(
+            F.broadcast(outdeg) if small else outdeg, "src"
+        ).localCheckpoint(storageLevel=DISK_CKPT)
         od = None
 
     ranks = nodes.withColumn("rank_int", F.lit(MASS // n_nodes))

@@ -65,15 +65,7 @@ def exact_discrete_quantiles(
         return [None for _ in probs]
     k = len(probs)
     brackets = list(zip(head["lohi"][:k], head["lohi"][k:]))
-    # exact below-bracket counts for every prob in ONE scan
-    below_row = vals.agg(
-        *[
-            F.count(F.when(F.col("_v") < F.lit(a), 1)).alias(f"b{i}")
-            for i, (a, _) in enumerate(brackets)
-        ]
-    ).collect()[0]
     ranks = [max(1, math.ceil(q * n)) for q in probs]
-    belows = [int(below_row[f"b{i}"]) for i in range(len(probs))]
     # the sliver is sketch-bounded at ~6·k·n/accuracy rows: size the
     # cumsum's range exchange to that, not the global shuffle conf
     # (a 50-row sliver at sf0.1 doesn't need 32 tasks × 3 stages)
@@ -81,9 +73,7 @@ def exact_discrete_quantiles(
     spark = vals.sparkSession
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_part = max(1, min(cap, -(-est_rows // 65536)))
-    cuts = _rank_search_all(
-        spark, vals, brackets, belows, ranks, n_part
-    )
+    cuts = _rank_search_all(spark, vals, brackets, ranks, n_part)
     out = []
     for i, cut in enumerate(cuts):
         if cut is None:  # pragma: no cover - outside sketch guarantee
@@ -91,7 +81,6 @@ def exact_discrete_quantiles(
                 vals.sparkSession,
                 vals,
                 [(None, None)],
-                [0],
                 [ranks[i]],
                 None,
             )[0]
@@ -99,54 +88,80 @@ def exact_discrete_quantiles(
     return out
 
 
-def _rank_search_all(
-    spark, vals: DataFrame, brackets, belows, ranks, n_part=None
-):
+def _rank_search_all(spark, vals: DataFrame, brackets, ranks, n_part=None):
     """For each probe i: smallest value v in brackets[i] with
-    belows[i] + cum_count(≤ v within the bracket) ≥ ranks[i].
+    below_count(< a_i) + cum_count(≤ v within the bracket) ≥ ranks[i].
 
-    ALL probes share ONE distributed pass: bracket-sliver rows are
-    tagged with their probe id (a value inside two overlapping
-    brackets is duplicated per probe — bracket mass is sketch-bounded
-    either way), one range-partitioned cumsum runs over
-    (probe, value), and the per-probe base (total sliver mass of the
-    preceding probes, a len(probs)-row driver prefix) converts the
-    global running sum into per-probe cumulative counts. Jobs stay
+    ALL probes share ONE distributed pass over ``vals`` — the only
+    pass this function makes (r12: the separate below-count scan and
+    totals scan were folded in; the operator's per-call cost dropped
+    from 4 full passes to 2 including the sketch pass). Each row emits
+    a (probe, kind) tag per probe it concerns: ``kind=0`` for
+    strictly-below-bracket rows (aggregated to ONE row per probe — the
+    exact below count the rank offset needs), ``kind=1`` for in-bracket
+    sliver rows (per-value counts, sketch-bounded mass). The aggregate
+    is localCheckpointed — it is sliver-sized, ~6·k·n/accuracy rows
+    plus k below rows — so the below/total collect, the
+    range-partitioned cumsum and the final hit collect all read the
+    tiny materialization instead of re-scanning ``vals``. Jobs stay
     constant in len(probs)."""
-    probe_filters = []
+    from etl_pyspark_spark.checkpoint import DISK_CKPT
+
+    tag_exprs = []
     for i, (a, b) in enumerate(brackets):
-        cond = (
-            F.lit(True)
-            if a is None
-            else (F.col("_v") >= a) & (F.col("_v") <= b)
+        if a is None:
+            in_bracket = F.lit(True)
+            below = F.lit(False)
+        else:
+            in_bracket = (F.col("_v") >= a) & (F.col("_v") <= b)
+            below = F.col("_v") < F.lit(a)
+        tag_exprs.append(
+            F.when(
+                in_bracket,
+                F.struct(
+                    F.lit(i).alias("_probe"), F.lit(1).alias("_kind")
+                ),
+            ).when(
+                below,
+                F.struct(
+                    F.lit(i).alias("_probe"), F.lit(0).alias("_kind")
+                ),
+            )
         )
-        probe_filters.append(
-            F.when(cond, F.lit(i)).otherwise(F.lit(None))
-        )
-    tagged = (
+    grouped = (
         vals.select(
             "_v",
-            F.explode(
-                F.array_compact(F.array(*probe_filters))
-            ).alias("_probe"),
+            F.explode(F.array_compact(F.array(*tag_exprs))).alias("_t"),
         )
-        .groupBy("_probe", "_v")
+        .groupBy(
+            F.col("_t._probe").alias("_probe"),
+            F.col("_t._kind").alias("_kind"),
+            # below rows collapse to one row per probe; sliver rows
+            # keep their value for the exact rank search
+            F.when(F.col("_t._kind") == 1, F.col("_v")).alias("_v"),
+        )
         .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(storageLevel=DISK_CKPT)
+    )
+    # ONE tiny job over the checkpointed aggregate: exact below counts
+    # and per-probe sliver totals (the cumsum's exclusive base)
+    side = {
+        (int(r["_probe"]), int(r["_kind"])): int(r["_t"])
+        for r in grouped.groupBy("_probe", "_kind")
+        .agg(F.sum("_cnt").alias("_t"))
+        .collect()
+    }
+    belows = [side.get((i, 0), 0) for i in range(len(brackets))]
+    bases, acc = {}, 0
+    for i in range(len(brackets)):
+        bases[i] = acc
+        acc += side.get((i, 1), 0)
+    tagged = grouped.where(F.col("_kind") == 1).select(
+        "_probe", "_v", "_cnt"
     )
     cum = with_global_cumsum(
         tagged, ["_probe", "_v"], "_cnt", "_cum", num_partitions=n_part
     )
-    # per-probe exclusive base of the GLOBAL running sum
-    totals = {
-        int(r["_probe"]): int(r["_t"])
-        for r in tagged.groupBy("_probe")
-        .agg(F.sum("_cnt").alias("_t"))
-        .collect()
-    }
-    bases, acc = {}, 0
-    for i in sorted(totals):
-        bases[i] = acc
-        acc += totals[i]
     params = spark.createDataFrame(
         [
             (i, bases.get(i, 0), belows[i], ranks[i])

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from etl_pyspark_spark.checkpoint import FAMILY_CACHE
+from etl_pyspark_spark.checkpoint import scoped_family_persist
 
 
 def _range_partitioned(
@@ -55,7 +55,7 @@ def _range_partitioned(
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist(FAMILY_CACHE)
+        .transform(scoped_family_persist)
     )
 
 

@@ -25,12 +25,14 @@ Cross-engine determinism rules used throughout (FIXTURES.md §C):
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pyspark_spark.checkpoint import drain_scoped_caches
 from etl_pyspark_spark.functions.compat import pround, sql_pround
 from etl_pyspark_spark.operators.baskets import MAX_BASKET
 from etl_pyspark_spark.operators.blocking import MAX_BLOCK
@@ -39,6 +41,9 @@ from etl_pyspark_spark.sources.io import read_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+
+#: nesting depth of registered-query calls (see query() below)
+_DEPTH = [0]
 
 
 def query(name: str, oracle: str | None = None):
@@ -50,10 +55,34 @@ def query(name: str, oracle: str | None = None):
 
     def deco(fn):
         assert name not in QUERIES, f"duplicate query registration: {name}"
-        QUERIES[name] = fn
+
+        # Query-boundary cache hygiene: the PREVIOUS query's scoped
+        # within-query persists (checkpoint.scoped_persist) are dead by
+        # the time the next query builds, but used to stay registered
+        # in the CacheManager for the whole session — by query ~300 of
+        # a full run every compilation walked 60+ stale cached plans
+        # and late-session queries measured 1.5-5x their solo times
+        # (guide §5: "unpersist when done"). Draining at entry keeps
+        # the harness contract unchanged (any driver that calls
+        # queries()[name] gets the hygiene for free).
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            # depth guard: a few queries build on ANOTHER registered
+            # query (unpivot on pivot, snapshot on reference_pipeline);
+            # the nested call must not drain the outer query's own
+            # scoped caches mid-build.
+            if _DEPTH[0] == 0:
+                drain_scoped_caches()
+            _DEPTH[0] += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _DEPTH[0] -= 1
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

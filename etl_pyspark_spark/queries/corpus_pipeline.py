@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from etl_pyspark_spark.checkpoint import scoped_persist
+
 from etl_pyspark_spark.queries.core import (
     DataFrame,
     F,
@@ -438,7 +440,7 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
-        .cache()
+        .transform(scoped_persist)
     )
     near_drops = (
         verified_near_duplicates(kept)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from etl_pyspark_spark.checkpoint import scoped_persist
+
 from etl_pyspark_spark.queries.core import (
     DataFrame,
     F,
@@ -177,7 +179,7 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ca") + F.col("cb") > 0)
         # read by the cumulative pass and the totals aggregate
-        .persist()
+        .transform(scoped_persist)
     )
     c = with_global_cumsum_multi(d, ["value"], ["ca", "cb"])
     tot = F.broadcast(
@@ -325,7 +327,7 @@ def q_token_class_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = toks.groupBy("token").agg(
         F.sum(F.col("is_en").cast("int")).alias("a"),
         F.sum((~F.col("is_en")).cast("int")).alias("b"),
-    ).persist()  # read by the totals aggregate and the keyness probe
+    ).transform(scoped_persist)  # read by the totals aggregate and the keyness probe
     tot = F.broadcast(
         cnt.agg(
             F.sum("a").cast("bigint").alias("ta"),
@@ -497,7 +499,7 @@ def q_langid_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conf = p.groupBy("meta", "pred").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).persist()  # read by the totals and both marginal rollups
+    ).transform(scoped_persist)  # read by the totals and both marginal rollups
     tot = conf.agg(
         F.sum("cnt").cast("bigint").alias("n"),
         F.sum(
@@ -595,7 +597,7 @@ def q_chisq_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = ev.groupBy(
         "event_type", (F.col("user_id") % 2).alias("seg")
-    ).agg(F.count(F.lit(1)).alias("o")).persist()  # 4 consumers
+    ).agg(F.count(F.lit(1)).alias("o")).transform(scoped_persist)  # 4 consumers
     ty = cells.groupBy("event_type").agg(
         F.sum("o").cast("bigint").alias("r")
     )
@@ -696,7 +698,7 @@ def q_countmin_frequency_estimate(
         # read by the sketch build, the probe join, AND the top-30
         # argmax — persist the |vocabulary| table instead of
         # re-exploding the corpus three times
-        .persist()
+        .transform(scoped_persist)
     )
     seeds = F.array([F.lit(i) for i in range(_CM_DEPTH)])
     hb = tokc.select(
@@ -714,7 +716,7 @@ def q_countmin_frequency_estimate(
             )
         )
         % _CM_WIDTH,
-    ).persist()
+    ).transform(scoped_persist)
     sk = hb.groupBy("seed", "bucket").agg(
         F.sum("cnt").cast("bigint").alias("bcnt")
     )
@@ -1110,12 +1112,12 @@ def q_token_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt = docs.select(
         "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
-    ).distinct().persist()  # read by dfreq, the doc count, and ft
+    ).distinct().transform(scoped_persist)  # read by dfreq, the doc count, and ft
     dfreq = (
         dt.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _COLLOC_MIN_DF)
-        .persist()  # read by the prune filter and both size joins
+        .transform(scoped_persist)  # read by the prune filter and both size joins
     )
     nd = F.broadcast(
         dt.agg(F.countDistinct("doc_id").alias("nd"))
@@ -1347,7 +1349,7 @@ def q_skew_join_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     k = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("c")
-    ).persist()  # read by the totals and the hottest-key argmax
+    ).transform(scoped_persist)  # read by the totals and the hottest-key argmax
     t = F.broadcast(
         k.agg(
             F.sum("c").cast("bigint").alias("n"),
@@ -1657,7 +1659,7 @@ def q_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # read three times (sketch pass, exact-rank pass, final count) —
     # persist the |converted-users| diff table
-    d = p.select((F.col("p_us") - F.col("c_us")).alias("lat_us")).persist()
+    d = p.select((F.col("p_us") - F.col("c_us")).alias("lat_us")).transform(scoped_persist)
     p50, p90 = exact_discrete_quantiles(d, "lat_us", [0.5, 0.9])
     return d.agg(F.count(F.lit(1)).cast("bigint").alias("n_converted")).select(
         "n_converted",
@@ -1798,7 +1800,7 @@ def q_markov_prediction_accuracy(
         )
         .filter(F.col("nxt").isNotNull())
         # read by the model counts and the scoring join
-        .persist()
+        .transform(scoped_persist)
     )
     c = t.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
     pw = W.partitionBy("cur").orderBy(
@@ -1889,23 +1891,22 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persist the |customers| aggregate instead of re-running the
         # orders rollup four times (same economics as the dedup
         # family's session-shared stages)
-        .persist()
+        .transform(scoped_persist)
     )
-    r = with_global_ntile(
-        rfm, ["recency_days", "o_custkey"], 4, "r_tile"
-    ).select("o_custkey", "r_tile")
-    f_ = with_global_ntile(
-        rfm, ["negf", "o_custkey"], 4, "f_tile"
-    ).select("o_custkey", "f_tile")
-    m = with_global_ntile(
-        rfm, ["negm", "o_custkey"], 4, "m_tile"
-    ).select("o_custkey", "m_tile")
+    # r12: CHAIN the three ntile legs instead of computing each on a
+    # (o_custkey, tile) projection and hash-joining the three back to
+    # rfm (guide §2.4 "remove shuffles outright"): a tile column is a
+    # pure per-row function of the global rank under its own total
+    # order, so each leg can append its column to the full frame and
+    # feed the next leg directly — the three join-back exchanges (plus
+    # a fourth read of rfm) disappear, leaving the three unavoidable
+    # range exchanges. Same tiles per row by construction; oracle
+    # unchanged.
+    t = with_global_ntile(rfm, ["recency_days", "o_custkey"], 4, "r_tile")
+    t = with_global_ntile(t, ["negf", "o_custkey"], 4, "f_tile")
+    t = with_global_ntile(t, ["negm", "o_custkey"], 4, "m_tile")
     return (
-        rfm.select("o_custkey", "recency_days", "n_orders", "monetary")
-        .join(r, "o_custkey")
-        .join(f_, "o_custkey")
-        .join(m, "o_custkey")
-        .select(
+        t.select(
             "o_custkey",
             "recency_days",
             F.col("n_orders").cast("bigint").alias("n_orders"),
@@ -1980,7 +1981,7 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"mh{i}")
             for i, (a, b) in enumerate(PERM_CONSTANTS)
         ]
-    ).persist()  # joined once per pair side
+    ).transform(scoped_persist)  # joined once per pair side
     pairs = verified_pairs(spark, sf_dir)
     sa = sigs.select(
         F.col("doc_id").alias("doc_id_a"),
@@ -2484,7 +2485,7 @@ def q_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
         F.sum("cnt").over(wc).cast("bigint").alias("cum"),
         F.sum("cnt").over(wt).cast("bigint").alias("n"),
-    ).persist()  # read by both cut-point selections
+    ).transform(scoped_persist)  # read by both cut-point selections
     lo = (
         c.filter(
             F.col("cum")

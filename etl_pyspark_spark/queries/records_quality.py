@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from etl_pyspark_spark.checkpoint import DISK_CKPT, FAMILY_CACHE
+from etl_pyspark_spark.checkpoint import DISK_CKPT, scoped_family_persist
 
 from etl_pyspark_spark.queries.core import (
     DataFrame,
@@ -44,7 +44,7 @@ def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dup_components(spark, sf_dir)
     members = comp.join(
         docs.select("doc_id", "lang", "source", "n_chars"), "doc_id"
-    ).persist(FAMILY_CACHE)
+    ).transform(scoped_family_persist)
 
     def field_mode(col: str, out: str) -> DataFrame:
         w = Window.partitionBy("component_id").orderBy(
@@ -163,7 +163,7 @@ def q_cuped_variance_reduction(
                 F.col("ts") >= cut, F.col("value").cast("decimal(18,6)")
             ).otherwise(zero)
         ).alias("y"),
-    ).withColumn("variant", F.col("user_id") % 2).persist(FAMILY_CACHE)
+    ).withColumn("variant", F.col("user_id") % 2).transform(scoped_family_persist)
     xd = F.col("x").cast("double")
     yd = F.col("y").cast("double")
     g = F.broadcast(
@@ -484,7 +484,7 @@ def q_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yt", (F.col("t") * F.col("y")).cast("int")
     ).withColumn(
         "yc", ((1 - F.col("t")) * F.col("y")).cast("int")
-    ).persist(FAMILY_CACHE)  # read by the cumulative pass AND the totals fold
+    ).transform(scoped_family_persist)  # read by the cumulative pass AND the totals fold
     c = with_global_cumsum_multi(
         per_user,
         ["negscore", "user_id"],
@@ -1200,7 +1200,7 @@ def q_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break — TakeOrderedAndProject, never a global sort. The
     support floor prunes the rule space BEFORE the dimension joins,
     the standard Apriori anti-monotonicity cut."""
-    from etl_pyspark_spark.operators.baskets import cap_items_array
+    from etl_pyspark_spark.operators.baskets import capped_baskets
 
     li = read_table(spark, sf_dir, "lineitem")
     # ONE basket aggregate (collect_set dedup fused map-side, the
@@ -1208,11 +1208,10 @@ def q_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivations — basket count, item supports, pair supports — via
     # in-row explodes; the old shape paid a distinct + hash-rank
     # window over memberships AND a self-join (identical outputs, see
-    # operators/baskets.capped_basket_pairs)
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(cap_items_array(F.collect_set("l_partkey")).alias("ps"))
-        .persist(FAMILY_CACHE)
+    # operators/baskets.capped_baskets for the shape and its
+    # mega-basket buffer tradeoff)
+    baskets = capped_baskets(li, "l_orderkey", "l_partkey", out="ps").transform(
+        scoped_family_persist
     )
     nb = F.broadcast(
         baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
@@ -1316,7 +1315,7 @@ def q_pareto_abc_classification(
         )
         .cast("bigint")
         .alias("rev_c")
-    ).withColumn("neg_rev", -F.col("rev_c")).persist(FAMILY_CACHE)
+    ).withColumn("neg_rev", -F.col("rev_c")).transform(scoped_family_persist)
     t = F.broadcast(
         rev.agg(F.sum("rev_c").cast("bigint").alias("total_c"))
     )
@@ -1577,7 +1576,7 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct().persist(FAMILY_CACHE)
+    ).distinct().transform(scoped_family_persist)
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     d_spine = days.select(F.col("day").alias("dday"))
@@ -1635,7 +1634,7 @@ def q_new_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct().persist(FAMILY_CACHE)
+    ).distinct().transform(scoped_family_persist)
     first_seen = ud.groupBy("user_id").agg(
         F.min("day").alias("first_day")
     )
@@ -1855,7 +1854,7 @@ def q_seasonal_residual_anomaly(
         F.abs(F.col("n").cast("double") - F.col("expected")).alias(
             "absresid"
         ),
-    ).withColumn("one", F.lit(1)).persist(FAMILY_CACHE)
+    ).withColumn("one", F.lit(1)).transform(scoped_family_persist)
     c = with_global_cumsum(r, ["absresid", "day"], "one", "cum")
     med = F.broadcast(
         c.crossJoin(
@@ -1996,7 +1995,7 @@ def q_forecast_backtest_mape(
     )
     d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    ).persist(FAMILY_CACHE)
+    ).transform(scoped_family_persist)
     a = d.select(F.col("day"), F.col("n").alias("actual"))
     p = d.select(
         F.date_add(F.col("day"), 7).alias("day"),
@@ -2075,7 +2074,7 @@ def q_tv_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("ts") >= cut).cast("int"))
         .cast("bigint")
         .alias("nb"),
-    ).persist(FAMILY_CACHE)
+    ).transform(scoped_family_persist)
     t = F.broadcast(
         c.agg(
             F.sum("na").cast("bigint").alias("ta"),

@@ -1342,7 +1342,7 @@ def q_graph_temporal_edge_novelty(
     Scale shape: the pair explosion is bounded by the shared basket
     discipline; everything after is |edges|-scale keyed aggregation,
     output bounded by the calendar."""
-    from etl_pyspark_spark.operators.baskets import cap_items_array
+    from etl_pyspark_spark.operators.baskets import capped_baskets
 
     li = read_table(spark, sf_dir, "lineitem").where(
         F.col("l_orderkey") % 10 == 0
@@ -1356,8 +1356,7 @@ def q_graph_temporal_edge_novelty(
     # quarter is constant per order, so it joins at BASKET granularity
     # (one row per order) instead of per membership
     baskets = (
-        li.groupBy("l_orderkey")
-        .agg(cap_items_array(F.collect_set("l_partkey")).alias("ps"))
+        capped_baskets(li, "l_orderkey", "l_partkey", out="ps")
         .join(o, F.col("l_orderkey") == o["o_orderkey"])
         .select("q", "ps")
     )

@@ -1065,13 +1065,11 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle cap-free.
     Bit-exact across engines because every step is bigint arithmetic;
     the oracle unrolls the same 3 rounds via sql_pagerank_int."""
-    from etl_pyspark_spark.operators.baskets import cap_items_array
+    from etl_pyspark_spark.operators.baskets import capped_baskets
     from etl_pyspark_spark.operators.graph import pagerank_int
 
     li = read_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        cap_items_array(F.collect_set("l_partkey")).alias("ps")
-    )
+    baskets = capped_baskets(li, "l_orderkey", "l_partkey", out="ps")
     edges = (
         baskets.select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from etl_pyspark_spark.checkpoint import scoped_persist
+
 from etl_pyspark_spark.queries.core import (
     DataFrame,
     F,
@@ -423,7 +425,7 @@ def q_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             dec_sum(F.col("value"), "sum_value"),
         )
-        .cache()
+        .transform(scoped_persist)
     )
 
     def roll_up(df: DataFrame, grain: str) -> DataFrame:
@@ -435,7 +437,7 @@ def q_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(F.col("sum_value"), "sum_value"),
         )
 
-    daily = roll_up(hourly, "day").cache()
+    daily = roll_up(hourly, "day").transform(scoped_persist)
     weekly = roll_up(daily, "week")
     tag = lambda df, g: df.select(  # noqa: E731
         F.lit(g).alias("grain"), "bucket_start", "event_type",

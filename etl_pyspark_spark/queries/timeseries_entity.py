@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from etl_pyspark_spark.checkpoint import DISK_CKPT
+from etl_pyspark_spark.checkpoint import DISK_CKPT, scoped_persist
 
 from etl_pyspark_spark.queries.core import (
     DataFrame,
@@ -496,20 +496,21 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-rank cap (operators/baskets — degrees too, so numerator and
     denominator describe the same truncated baskets; cap-free on the
     fixture)."""
-    from etl_pyspark_spark.operators.baskets import cap_items_array
+    from etl_pyspark_spark.operators.baskets import capped_baskets
 
     # ONE basket aggregate feeds both the co-occurrence pairs and the
     # degree table via in-row explodes (identical outputs to the old
     # distinct + hash-rank window + self-join chain — see
     # operators/baskets.capped_basket_pairs); checkpointed because
     # both derivations fan out of it
-    baskets = (
-        read_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 10 == 0)
-        .groupBy("l_orderkey")
-        .agg(cap_items_array(F.collect_set("l_partkey")).alias("ps"))
-        .localCheckpoint(storageLevel=DISK_CKPT)
-    )
+    baskets = capped_baskets(
+        read_table(spark, sf_dir, "lineitem").where(
+            F.col("l_orderkey") % 10 == 0
+        ),
+        "l_orderkey",
+        "l_partkey",
+        out="ps",
+    ).localCheckpoint(storageLevel=DISK_CKPT)
     co = (
         baskets.select(F.explode("ps").alias("i"), "ps")
         .select("i", F.explode("ps").alias("j"))
@@ -1328,7 +1329,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cnt"),
         )
         .filter(F.col("cnt") > 0)
-        .persist()
+        .transform(scoped_persist)
     )
     c = with_global_cumsum_multi(d, ["value"], ["cnt"])
     r2 = F.broadcast(
@@ -2218,7 +2219,7 @@ def q_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos").cast("bigint").alias("p"),
         )
     )
-    cc = c.crossJoin(t).persist()
+    cc = c.crossJoin(t).transform(scoped_persist)
     cuts_row = cc.agg(
         *[
             F.min(
