@@ -227,14 +227,25 @@ def main() -> None:
     # lineage are untouched by construction; see
     # checkpoint.release_dead_blocks).
     gc_boundary = os.environ.get("SPARK_GRAFT_GC_BOUNDARY") == "1"
-    if gc_boundary:
+    # SPARK_GRAFT_GC_FAMILY=1: same dead-block release, but only when
+    # the run crosses a FAMILY-module boundary (~25 times per full
+    # run instead of 403) — the r11 verdict's middle arm between
+    # per-query GC (+9%, rejected) and never (checkpoint litter grows
+    # for the whole session). Off by default pending the A/B.
+    gc_family = os.environ.get("SPARK_GRAFT_GC_FAMILY") == "1"
+    if gc_boundary or gc_family:
         from etl_pyspark_spark.checkpoint import release_dead_blocks
 
     rebuilds = 0
+    prev_family: str | None = None
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if (only and name not in only) or name in skip:
             continue
+        family = getattr(fn, "__module__", "")
+        if gc_family and prev_family is not None and family != prev_family:
+            release_dead_blocks(spark)
+        prev_family = family
         for attempt in (0, 1):
             try:
                 samples = []

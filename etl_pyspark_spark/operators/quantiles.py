@@ -95,70 +95,71 @@ def _rank_search_all(spark, vals: DataFrame, brackets, ranks, n_part=None):
     ALL probes share ONE distributed pass over ``vals`` — the only
     pass this function makes (r12: the separate below-count scan and
     totals scan were folded in; the operator's per-call cost dropped
-    from 4 full passes to 2 including the sketch pass). Each row emits
-    a (probe, kind) tag per probe it concerns: ``kind=0`` for
-    strictly-below-bracket rows (aggregated to ONE row per probe — the
-    exact below count the rank offset needs), ``kind=1`` for in-bracket
-    sliver rows (per-value counts, sketch-bounded mass). The aggregate
-    is localCheckpointed — it is sliver-sized, ~6·k·n/accuracy rows
-    plus k below rows — so the below/total collect, the
+    from 4 full passes to 2 including the sketch pass). The pass
+    aggregates the in-bracket sliver rows (per-probe, per-value counts
+    — sketch-bounded mass) and collects the exact below-bracket counts
+    as ``observe()`` metrics ON THE SAME SCAN (a per-probe tag row for
+    belows would multiply the aggregate's input k-fold — measured
+    slower for 5-probe calls; the observation is free). The aggregate
+    is localCheckpointed — sliver-sized — so the totals collect, the
     range-partitioned cumsum and the final hit collect all read the
     tiny materialization instead of re-scanning ``vals``. Jobs stay
     constant in len(probs)."""
+    from pyspark.sql import Observation
+
     from etl_pyspark_spark.checkpoint import DISK_CKPT
 
-    tag_exprs = []
+    probe_filters = []
+    below_aggs = []
     for i, (a, b) in enumerate(brackets):
-        if a is None:
-            in_bracket = F.lit(True)
-            below = F.lit(False)
-        else:
-            in_bracket = (F.col("_v") >= a) & (F.col("_v") <= b)
-            below = F.col("_v") < F.lit(a)
-        tag_exprs.append(
-            F.when(
-                in_bracket,
-                F.struct(
-                    F.lit(i).alias("_probe"), F.lit(1).alias("_kind")
-                ),
-            ).when(
-                below,
-                F.struct(
-                    F.lit(i).alias("_probe"), F.lit(0).alias("_kind")
-                ),
-            )
+        cond = (
+            F.lit(True)
+            if a is None
+            else (F.col("_v") >= a) & (F.col("_v") <= b)
         )
+        probe_filters.append(
+            F.when(cond, F.lit(i)).otherwise(F.lit(None))
+        )
+        below_aggs.append(
+            F.count(
+                F.when(
+                    F.lit(False)
+                    if a is None
+                    else F.col("_v") < F.lit(a),
+                    1,
+                )
+            ).alias(f"b{i}")
+        )
+    obs = Observation()
+    tagged_src = vals.observe(obs, *below_aggs)
     grouped = (
-        vals.select(
+        tagged_src.select(
             "_v",
-            F.explode(F.array_compact(F.array(*tag_exprs))).alias("_t"),
+            F.explode(
+                F.array_compact(F.array(*probe_filters))
+            ).alias("_probe"),
         )
-        .groupBy(
-            F.col("_t._probe").alias("_probe"),
-            F.col("_t._kind").alias("_kind"),
-            # below rows collapse to one row per probe; sliver rows
-            # keep their value for the exact rank search
-            F.when(F.col("_t._kind") == 1, F.col("_v")).alias("_v"),
-        )
+        .groupBy("_probe", "_v")
         .agg(F.count(F.lit(1)).alias("_cnt"))
+        # eager checkpoint = the ONE job over vals; obs.get is
+        # complete the moment it returns
         .localCheckpoint(storageLevel=DISK_CKPT)
     )
-    # ONE tiny job over the checkpointed aggregate: exact below counts
-    # and per-probe sliver totals (the cumsum's exclusive base)
-    side = {
-        (int(r["_probe"]), int(r["_kind"])): int(r["_t"])
-        for r in grouped.groupBy("_probe", "_kind")
+    below_row = obs.get
+    belows = [int(below_row[f"b{i}"]) for i in range(len(brackets))]
+    # ONE tiny job over the checkpointed sliver: per-probe totals
+    # (the cumsum's exclusive base)
+    totals = {
+        int(r["_probe"]): int(r["_t"])
+        for r in grouped.groupBy("_probe")
         .agg(F.sum("_cnt").alias("_t"))
         .collect()
     }
-    belows = [side.get((i, 0), 0) for i in range(len(brackets))]
     bases, acc = {}, 0
     for i in range(len(brackets)):
         bases[i] = acc
-        acc += side.get((i, 1), 0)
-    tagged = grouped.where(F.col("_kind") == 1).select(
-        "_probe", "_v", "_cnt"
-    )
+        acc += totals.get(i, 0)
+    tagged = grouped
     cum = with_global_cumsum(
         tagged, ["_probe", "_v"], "_cnt", "_cum", num_partitions=n_part
     )

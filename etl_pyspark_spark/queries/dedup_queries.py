@@ -344,31 +344,19 @@ def q_embedding_assign_nearest_centroid(
     its nearest of 8 FIXED centroids (the first 8 vectors) by cosine —
     the assignment half of k-means, made oracle-checkable by pinning
     the centroids instead of fitting them (the fitted variant is
-    similarity_ivf_topk's quantizer, recall-tested). Plan: broadcast
-    nested-loop of the 8-row centroid set against the corpus scan (the
-    corpus never shuffles for the join), one window shuffle for the
-    argmax — identical shape at any corpus size."""
-    from pyspark.sql.window import Window
-
-    from etl_pyspark_spark.similarity.cosine import as_double, cosine
+    similarity_ivf_topk's quantizer, recall-tested). Plan (r12): the
+    8-row centroid set is inlined as a literal array and the argmax is
+    a per-row array_max — ZERO exchanges and no 8x row expansion,
+    where the old crossJoin + row_number window shuffled and sorted
+    8n rows (similarity/semantic.assign_nearest_centroid; same
+    tie/NULL semantics, gated to the window shape past 1024
+    centroids)."""
+    from etl_pyspark_spark.similarity.semantic import (
+        assign_nearest_centroid,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
-    c = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"),
-        as_double(F.col("embedding")).alias("cv"),
-    )
-    sim = pround(cosine(F.col("vv"), F.col("cv")), 6)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        v.crossJoin(F.broadcast(c))
-        .select("vec_id", "centroid_id", sim.alias("cos_sim"))
-        .select("*", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") == 1)
-        .drop("rk")
-    )
+    return assign_nearest_centroid(emb, emb.where(F.col("vec_id") < 8))
 
 
 def _ann_pairs_oracle(threshold: float) -> str:

@@ -759,10 +759,11 @@ def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned = assign_nearest_centroid(
-        emb, emb.where(F.col("vec_id") < 8)
-    ).select("vec_id", "centroid_id")
-    vals = emb.join(assigned, "vec_id").select(
+    # r12: the assignment is a pure projection (literal-array argmax),
+    # so the vector rides along and the join back disappears
+    vals = assign_nearest_centroid(
+        emb, emb.where(F.col("vec_id") < 8), extra_cols=("embedding",)
+    ).select(
         "centroid_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "dim", "val"

@@ -128,6 +128,49 @@ def test_pr_gate_requires_edge_dominance_past_tiny_floor():
     assert not _pr_use_broadcast(3_000_000, 300_000_000)
 
 
+# --- centroid assignment: zero-exchange argmax -----------------------------
+
+
+def test_assign_nearest_centroid_has_no_exchange(spark, sf_dir):
+    """The r12 literal-array argmax: the assignment is a pure
+    projection over the embedding scan — no crossJoin row expansion,
+    no window exchange (plans/r12/embedding_assign_nearest_centroid_*:
+    Exchange 4 -> 0, Window 6 -> 0)."""
+    from etl_pyspark_spark.plans import tree_of
+    from etl_pyspark_spark.registry import QUERIES
+
+    tree = tree_of(QUERIES["embedding_assign_nearest_centroid"](spark, sf_dir))
+    assert "Exchange" not in tree
+    assert "Window" not in tree
+
+
+def test_assign_nearest_centroid_ties_and_nulls(spark):
+    """Tie/NULL parity with the old window argmax: ties go to the
+    LOWEST centroid id; a zero-norm vector (NULL cosine against every
+    centroid) still labels with the lowest centroid id and NULL sim."""
+    from pyspark.sql import Row
+
+    from etl_pyspark_spark.similarity.semantic import (
+        assign_nearest_centroid,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),   # centroid 0
+        Row(vec_id=1, embedding=[0.0, 1.0]),   # centroid 1
+        Row(vec_id=10, embedding=[1.0, 1.0]),  # exact tie -> 0
+        Row(vec_id=11, embedding=[0.0, 0.0]),  # zero norm -> NULL sims
+    ]
+    emb = spark.createDataFrame(rows)
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["cos_sim"])
+        for r in assign_nearest_centroid(
+            emb, emb.where(emb.vec_id < 2)
+        ).collect()
+    }
+    assert out[10][0] == 0  # tie broken toward the lowest centroid id
+    assert out[11] == (0, None)  # all-NULL sims: lowest id, NULL sim
+
+
 # --- capped_baskets helper -------------------------------------------------
 
 
