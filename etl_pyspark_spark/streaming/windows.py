@@ -119,7 +119,20 @@ def run_to_memory_table(
     full state-store load/commit cycle in that empty batch (measured
     ~0.9-1.1 s per query at 8 state partitions) for zero rows. Callers
     assert their operator is in that class when passing False; the
-    default stays True (the always-correct arm)."""
+    default stays True (the always-correct arm).
+
+    CONCURRENCY ASSUMPTION (r11 advice #2): the skip is implemented by
+    toggling the SESSION-global ``noDataMicroBatches`` conf around the
+    bounded run (set → start → awaitTermination → finally-restore),
+    because AvailableNow reads the conf at trigger planning, not from
+    a per-query writeStream option. That is correct for the engine's
+    sequential callers (every registry stream runs start-to-finish on
+    the driver thread before the next), but two streams started
+    CONCURRENTLY on one session could leak ``final_flush=False`` into
+    a flush-dependent stream (outer join, append-mode finalization)
+    and silently drop its eviction-driven rows. A concurrent caller
+    must serialize calls with final_flush=False, or leave the flush
+    on."""
     name = f"stream_result_{next(_MEM_IDS)}"
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     with stream_shuffle_partitions(spark):
